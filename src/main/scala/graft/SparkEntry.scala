@@ -13,6 +13,16 @@ object SparkEntry {
   def ops: Seq[Op] = Seq(
     Pricing.bestOfDay,
     Pricing.pricingAgg,
+    Normalize.snapshotNormalize,
+    Normalize.antiJoin,
+    Rollup.rollup,
+    Rollup.dateWindowAgg,
+    Revalue.revalueUsers,
+    Revalue.unionTagged,
+    Feeds.feedExport,
+    Analytics.starJoin,
+    Analytics.topKPerGroup,
+    Analytics.jsonExtract,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

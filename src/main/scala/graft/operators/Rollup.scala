@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Money.centsOf
+import graft.functions.Ladders.confidenceGrade
+
+/** Sales rollup (reference scripts/pricing/10_rollup_market_values_daily.mjs):
+  * sliding time window (P4), exact percentiles (A1), latest-sale-per-group
+  * (J6/W4 decorrelated), confidence grade (A4).
+  *
+  * Role mapping: events = market_sales_comps — user_id→card_key,
+  * event_type→grade, value→sold_price_usd, ts→sold_at. The reference
+  * window is 180 days; the testdata events span 30 days, so the
+  * registered query uses 14 days — the operator takes the window as a
+  * parameter.
+  *
+  * Determinism: the window anchor is max(event date) in the data (the
+  * reference anchors at now(), which can never hash-match an oracle);
+  * "latest sale" totalizes its order with event_id. Timestamps are
+  * compared at DATE granularity because the parquet is nanosecond
+  * precision — Spark truncates ns→µs on read while DuckDB keeps ns.
+  *
+  * Scale notes: one shuffle on (card_key, grade); percentile is an exact
+  * sort-based aggregate per group — group cardinality is the key count,
+  * values per group are bounded by the window, so memory per group is
+  * bounded. The latest-sale rank and the percentile aggregate reuse the
+  * SAME hash partitioning (both key on card_key+grade), so AQE plans a
+  * single exchange.
+  */
+object Rollup {
+
+  def salesRollup(windowDays: Int)(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").as("card_key"),
+        col("event_type").as("grade"),
+        centsOf(col("value")).as("sold_cents"),
+        to_date(col("ts")).as("sold_date"),
+        col("event_id"))
+    val anchor = ev.agg(max(col("sold_date")).as("anchor"))
+    val recent = ev.join(broadcast(anchor),
+      ev("sold_date") >= date_sub(anchor("anchor"), windowDays))
+    val agg = recent.groupBy(col("card_key"), col("grade")).agg(
+      percentile(col("sold_cents"), lit(0.5)).as("median_cents"),
+      percentile(col("sold_cents"), lit(0.25)).as("p25_cents"),
+      percentile(col("sold_cents"), lit(0.75)).as("p75_cents"),
+      count(lit(1)).as("sales_count"),
+      max(col("sold_date")).as("last_sale_date"))
+    val w = Window.partitionBy(col("card_key"), col("grade"))
+      .orderBy(col("sold_date").desc, col("event_id").desc)
+    val last = recent.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("card_key"), col("grade"),
+        col("sold_cents").as("last_sale_cents"))
+    agg.join(last, Seq("card_key", "grade"))
+      .withColumn("confidence", confidenceGrade(col("sales_count")))
+  }
+
+  val rollup: Op = Op(
+    "q_sales_rollup",
+    """WITH sales AS (
+      |  SELECT user_id AS card_key, event_type AS grade,
+      |         CAST(ROUND(value*100) AS BIGINT) AS sold_cents,
+      |         CAST(ts AS DATE) AS sold_date, event_id
+      |  FROM events
+      |), anchor AS (SELECT max(sold_date) AS a FROM sales),
+      |recent AS (
+      |  SELECT s.* FROM sales s, anchor
+      |  WHERE s.sold_date >= anchor.a - INTERVAL 14 DAY
+      |), agg AS (
+      |  SELECT card_key, grade,
+      |         quantile_cont(sold_cents, 0.5) AS median_cents,
+      |         quantile_cont(sold_cents, 0.25) AS p25_cents,
+      |         quantile_cont(sold_cents, 0.75) AS p75_cents,
+      |         COUNT(*) AS sales_count,
+      |         max(sold_date) AS last_sale_date
+      |  FROM recent GROUP BY card_key, grade
+      |), last AS (
+      |  SELECT card_key, grade, sold_cents AS last_sale_cents FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY card_key, grade
+      |      ORDER BY sold_date DESC, event_id DESC) AS rn
+      |    FROM recent) WHERE rn = 1
+      |)
+      |SELECT agg.card_key, agg.grade, median_cents, p25_cents, p75_cents,
+      |       sales_count, last_sale_date, last_sale_cents,
+      |       CASE WHEN sales_count >= 10 THEN 'A' WHEN sales_count >= 5 THEN 'B'
+      |            WHEN sales_count >= 2 THEN 'C' ELSE 'D' END AS confidence
+      |FROM agg JOIN last USING (card_key, grade)""".stripMargin)(
+    salesRollup(14))
+
+  /** P3/P4/F6-F9: dynamic date-range predicate + interval arithmetic
+    * (ref 03_build_market_price_daily.js:84-102 "index-friendly" WHERE;
+    * 10_rollup:36 sliding window). The range predicate lands in the
+    * parquet scan as a pushed filter — at 100 TB with date-partitioned
+    * data this becomes partition pruning, reading only ~90 days.
+    */
+  val dateWindowAgg: Op = Op(
+    "q_date_window",
+    """WITH anchor AS (SELECT CAST(max(o_orderdate) AS DATE) AS a FROM orders)
+      |SELECT o_orderpriority,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders, anchor
+      |WHERE CAST(o_orderdate AS DATE) >= anchor.a - INTERVAL 90 DAY
+      |  AND CAST(o_orderdate AS DATE) < anchor.a
+      |GROUP BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+      .withColumn("od", to_date(col("o_orderdate")))
+    val anchor = o.agg(max(col("od")).as("a"))
+    o.join(broadcast(anchor),
+        o("od") >= date_sub(anchor("a"), 90) && o("od") < anchor("a"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(centsOf(col("o_totalprice"))).as("total_cents"))
+  }
+}
