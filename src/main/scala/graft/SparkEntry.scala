@@ -23,6 +23,16 @@ object SparkEntry {
     Analytics.starJoin,
     Analytics.topKPerGroup,
     Analytics.jsonExtract,
+    TextOps.textQuality,
+    TextOps.langIdOp,
+    TextOps.docFingerprint,
+    Dedup.dedupExact,
+    Dedup.ngramJaccard,
+    Dedup.minhashLsh,
+    Dedup.simhash,
+    Similarity.annBruteForce,
+    Similarity.embedNearDup,
+    Similarity.annLsh,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

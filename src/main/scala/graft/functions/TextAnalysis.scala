@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernel for training-data pipelines (north star,
+  * SURVEY §7.4): tokenization, quality scoring, language-ID heuristic,
+  * and a deterministic rolling-hash fingerprint.
+  *
+  * Everything is built-in expressions / higher-order functions — no UDFs
+  * — so per-document work stays inside whole-stage codegen and the only
+  * shuffles are whatever aggregation the caller adds. Each function has
+  * an exact ANSI-SQL twin (used by the DuckDB oracles) — the fingerprint
+  * uses only integer arithmetic so engines agree bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation —
+    * a cheap proxy for subword token budgeting at ingest time. */
+  val BpeishRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeishRe))
+
+  /** Punctuation-to-character ratio (quality signal). */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[.,!?;:]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Stopword hit count over a fixed marker list. */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    words.map(w => regexp_count(text, lit(s"\\b$w\\b")))
+      .reduce(_ + _)
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Language-ID n-gram/marker heuristic: count function-word hits per
+    * language, CJK by codepoint class; argmax with a fixed tie order.
+    * (A real pipeline would swap in fastText — the SHAPE is what
+    * matters: pure per-row expressions, no shuffle, no UDF.) */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "de" -> Seq("der", "und", "die", "nicht"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, ws) => lang -> stopwordCount(text, ws) }
+
+  def langId(text: Column): Column = {
+    val cjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]"))
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val pick = scores.foldLeft(None: Option[Column]) {
+      case (acc, (lang, s)) =>
+        val c = s === best && s > 0
+        Some(acc.fold(when(c, lang))(_.when(c, lang)))
+    }.get.otherwise("und")
+    when(cjk > 0, "zh").otherwise(pick)
+  }
+
+  /** Deterministic rolling-hash document fingerprint:
+    * fold over characters of `(acc*31 + ascii(c)) % 1000000007`, acc₀=0.
+    * Integer-only → identical in any engine; stays in codegen. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Word-shingle array: distinct k-word shingles of the lowercased,
+    * whitespace-split text (MinHash / Jaccard input). */
+  def wordShingles(text: Column, k: Int): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val n = size(words)
+    array_distinct(
+      when(n >= k,
+        transform(sequence(lit(0), n - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(words, i + j + 1)): _*)))
+        .otherwise(array(concat_ws(" ", words))))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (north star):
+  * brute-force cosine top-k as the oracled baseline, LSH-bucketed
+  * (random-hyperplane) as the scale path, plus embedding near-dup pairs.
+  *
+  * Cross-engine determinism: embeddings are quantized to integer
+  * micro-units (×1e6) so dot products and norms are EXACT integers
+  * (64 dims × (2.5e5)² ≈ 4e12 « 2⁶³ and « 2⁵³, so the final
+  * double conversion is lossless); cosine = dot/(√n1·√n2) then uses
+  * only IEEE-defined ops, making Spark and DuckDB bit-identical. Ties
+  * in top-k are totalized by candidate id.
+  *
+  * Scale notes: queries are broadcast (small side), candidates stream —
+  * brute force is one map-side pass, no shuffle except top-k. The LSH
+  * variant buckets candidates by hyperplane sign bits so each query
+  * probes ~1/2^bits of the data; at 100 TB you'd persist the bucketed
+  * table sorted by bucket (partition pruning on probe).
+  */
+object Similarity {
+
+  /** Quantized embedding: float[] → bigint[] micro-units. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * 1000000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  def inorm2(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  def cosine(dot: Column, n1: Column, n2: Column): Column =
+    dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
+
+  private val QuantSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))"
+
+  /** Brute-force cosine top-k: queries = vec_id < 10, k = 5. */
+  val annBruteForce: Op = Op(
+    "q_ann_cosine",
+    s"""WITH e AS (
+       |  SELECT vec_id, $QuantSql AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v,
+       |         list_sum(list_transform(v, x -> x*x)) AS n2
+       |  FROM e
+       |), q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn FROM n WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q_id, c.vec_id AS c_id,
+       |         CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*c.v[i])) AS DOUBLE)
+       |           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+       |  FROM q, n c
+       |  WHERE c.vec_id <> q_id AND qn > 0 AND c.n2 > 0
+       |)
+       |SELECT q_id, c_id, cos, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+       |  FROM scored) WHERE rk <= 5""".stripMargin) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", inorm2(col("v")))
+    val q = e.filter(col("vec_id") < 10).select(
+      col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("qn") > 0 && col("n2") > 0)
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        cosine(idot(col("qv"), col("v")), col("qn"), col("n2")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+  }
+
+  /** Embedding near-duplicates: pairs within the same label block with
+    * cosine ≥ 0.35 (the synthetic data's within-cluster tail). */
+  val embedNearDup: Op = Op(
+    "q_embed_neardup",
+    s"""WITH e AS (
+       |  SELECT vec_id, label, $QuantSql AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, label, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM e
+       |), pairs AS (
+       |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       |         CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) AS DOUBLE)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE a.n2 > 0 AND b.n2 > 0
+       |)
+       |SELECT label, id_a, id_b, cos FROM pairs WHERE cos >= 0.35""".stripMargin) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", inorm2(col("v")))
+      .filter(col("n2") > 0)
+    val a = e.select(col("label"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("n2").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("n2").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        cosine(idot(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= 0.35)
+  }
+
+  /** LSH-bucketed ANN (scale path, no oracle): 8 deterministic
+    * pseudo-random hyperplanes (integer coefficients derived from
+    * (plane, dim) by a Weyl-style mix) hash every vector to an 8-bit
+    * bucket; each query searches only its bucket. Trades recall for a
+    * 2⁸ fan-in reduction — the structure that survives 100 TB.
+    */
+  val annLsh: Op = Op.noOracle("q_ann_lsh") { (spark, dir) =>
+    val planes = 8
+    // plane p, dim i → pseudo-random coefficient in [-500k, 500k]
+    def coef(p: Int): Column = expr(
+      s"transform(sequence(0, 63), i -> CAST(($p * 2654435761 + i * 40503) % 1000003 - 501501 AS BIGINT))")
+    def bucketOf(v: Column): Column =
+      (0 until planes).map { p =>
+        when(aggregate(zip_with(v, coef(p), (x, w) => x * w),
+          lit(0L), (acc, x) => acc + x) > 0, 1L << p).otherwise(0L)
+      }.reduce(_ + _)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", inorm2(col("v")))
+      .filter(col("n2") > 0)
+      .withColumn("bucket", bucketOf(col("v")))
+    val q = e.filter(col("vec_id") < 10).select(
+      col("vec_id").as("q_id"), col("v").as("qv"),
+      col("n2").as("qn"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("bucket"),
+        cosine(idot(col("qv"), col("v")), col("qn"), col("n2")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+  }
+}
