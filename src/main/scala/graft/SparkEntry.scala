@@ -33,6 +33,16 @@ object SparkEntry {
     Similarity.annBruteForce,
     Similarity.embedNearDup,
     Similarity.annLsh,
+    Windows.tumblingWindow,
+    Windows.sessionizeBatch,
+    Windows.movingAgg,
+    AsOf.asofJoin,
+    SetPivot.intersectExcept,
+    SetPivot.pivotFlags,
+    SetPivot.rollupRevenue,
+    Scale.saltedJoin,
+    Scale.approxDistinct,
+    IngestOps.csvRoundtrip,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,115 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (north-star extension): image/audio/video
+  * as opaque `binary` columns + typed metadata structs, with
+  * decode/feature-extract implemented as per-partition batch transforms.
+  *
+  * The actual codecs (JPEG decode, resampling, frame sampling) are NOT
+  * in this container — [[StubDecoder]] is a clearly-marked deterministic
+  * fake. Everything AROUND it is the real production shape:
+  *  - schema: `content binary` + `media struct<kind,width,height,...>`
+  *    so metadata predicates prune without touching bytes (a filter on
+  *    `media.kind` never deserializes a single image at 100 TB);
+  *  - partition-sized batches via `mapPartitions` over a typed Dataset —
+  *    the Scala analogue of `mapInPandas`: one decoder init per
+  *    partition, row-batch amortized;
+  *  - byte-size accounting so writers can repartition to target
+  *    partition bytes (decode output is 10-50× input — partitioning by
+  *    INPUT bytes OOMs at scale).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),     // image | audio | video
+    StructField("format", StringType),   // jpeg | png | wav | mp4 ...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("content", BinaryType),
+    StructField("media", mediaSchema)))
+
+  /** Deterministic fake decoder — stands in for the real codec.
+    * Real implementation would call the native image/audio library here;
+    * the contract (bytes in → fixed-size feature vector out) is what the
+    * pipeline depends on. */
+  object StubDecoder {
+    val FeatureDim = 16
+    /** ??? in spirit: a real decoder goes here. Deterministic fake:
+      * byte histogram folded to FeatureDim buckets, L1-normalized. */
+    def decodeToFeatures(bytes: Array[Byte]): Array[Float] = {
+      val buckets = new Array[Long](FeatureDim)
+      var i = 0
+      while (i < bytes.length) {
+        buckets((bytes(i) & 0xFF) % FeatureDim) += 1
+        i += 1
+      }
+      val total = math.max(bytes.length.toLong, 1L)
+      buckets.map(b => b.toFloat / total)
+    }
+    /** Fake resize: metadata-only transform (real one re-encodes bytes). */
+    def resizeMeta(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+      val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+      (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+    }
+  }
+
+  /** Batch feature extraction: binary → FeatureDim float vector, done
+    * per-partition (decoder init amortized), metadata passed through. */
+  def extractFeatures(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(assets.schema.fields.toSeq :+
+      StructField("features", ArrayType(FloatType)))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    assets.mapPartitions { rows =>
+      // real pipeline: initialize the native decoder ONCE here
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val feats =
+          if (bytes == null) null
+          else StubDecoder.decodeToFeatures(bytes)
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }
+  }
+
+  /** Metadata-level resize: rewrites media.width/height to fit maxSide.
+    * Pure expression work — no bytes touched (the real byte re-encode
+    * would slot into extractFeatures' mapPartitions). */
+  def resize(assets: DataFrame, maxSide: Int): DataFrame =
+    assets.withColumn("media", struct(
+      col("media.kind").as("kind"),
+      col("media.format").as("format"),
+      least(col("media.width"),
+        greatest(lit(1), (col("media.width") * maxSide /
+          greatest(col("media.width"), col("media.height"))).cast("int")))
+        .as("width"),
+      least(col("media.height"),
+        greatest(lit(1), (col("media.height") * maxSide /
+          greatest(col("media.width"), col("media.height"))).cast("int")))
+        .as("height"),
+      col("media.duration_ms").as("duration_ms")))
+
+  /** Deterministic synthetic asset table (tests / demos). */
+  def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).select(
+      col("id").as("asset_id"),
+      // deterministic pseudo-bytes: sha2 of the id, repeated
+      unbase64(base64(sha2(col("id").cast("string"), 256).cast("binary")))
+        .as("content"),
+      struct(
+        when(col("id") % 3 === 0, "image").otherwise("audio").as("kind"),
+        when(col("id") % 3 === 0, "jpeg").otherwise("wav").as("format"),
+        (col("id") % 1000 + 100).cast("int").as("width"),
+        (col("id") % 800 + 80).cast("int").as("height"),
+        (col("id") * 10).as("duration_ms")).as("media"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Money.centsOf
+
+/** As-of (point-in-time) join — an operator Spark lacks natively
+  * (north-star extension; the reference's closest shape is the
+  * "latest row per group" correlated LIMIT 1,
+  * scripts/pricing/10_rollup_market_values_daily.mjs:69-75).
+  *
+  * Each event is matched to the user's most recent order placed
+  * at-or-before the event date; ties on the same day resolve to the
+  * highest orderkey (total order → engines agree).
+  *
+  * Implementation is the union-and-carry-forward trick, NOT a join:
+  * tag order rows and event rows, union them, sort within user by
+  * (time, kind, orderkey), and carry the last non-null order attribute
+  * forward with last_value(ignoreNulls) over an unbounded-preceding
+  * frame. ONE shuffle on user_id and a single sort — linear at 100 TB,
+  * where a naive inequality join (event × all-prior-orders) is
+  * quadratic in orders-per-user and a range join would still shuffle
+  * both sides twice. This is the standard scale shape for
+  * point-in-time feature joins in feature stores.
+  */
+object AsOf {
+
+  val asofJoin: Op = Op(
+    "q_asof_join",
+    // Oracle decorrelates via arg_max over the inequality join — output
+    // must equal the carry-forward implementation exactly.
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(ts AS DATE) AS event_date
+      |  FROM events
+      |), o AS (
+      |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+      |         CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+      |  FROM orders
+      |), matched AS (
+      |  SELECT e.event_id, e.user_id, e.event_date,
+      |         arg_max(o.o_orderkey,
+      |                 CAST(epoch(o.od) AS BIGINT) * 10000000 + o.o_orderkey) AS asof_orderkey,
+      |         arg_max(o.cents,
+      |                 CAST(epoch(o.od) AS BIGINT) * 10000000 + o.o_orderkey) AS asof_cents
+      |  FROM ev e JOIN o ON o.o_custkey = e.user_id AND o.od <= e.event_date
+      |  GROUP BY e.event_id, e.user_id, e.event_date
+      |)
+      |SELECT ev.event_id, ev.user_id, ev.event_date,
+      |       m.asof_orderkey, m.asof_cents
+      |FROM ev LEFT JOIN matched m ON ev.event_id = m.event_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      to_date(col("ts")).as("event_date"))
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      to_date(col("o_orderdate")).as("od"),
+      centsOf(col("o_totalprice")).as("cents"))
+    // kind 0 = order (state), kind 1 = event (probe): same-day orders
+    // sort before the event, so "at-or-before" includes them.
+    val orderRows = o.select(
+      col("o_custkey").as("user_id"),
+      col("od").as("t"),
+      lit(0).as("kind"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey").as("asof_orderkey"),
+      col("cents").as("asof_cents"))
+    val eventRows = ev.select(
+      col("user_id"),
+      col("event_date").as("t"),
+      lit(1).as("kind"),
+      col("event_id"),
+      lit(null).cast("long").as("asof_orderkey"),
+      lit(null).cast("long").as("asof_cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"), col("asof_orderkey").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orderRows.unionByName(eventRows)
+      .withColumn("carry_key", last(col("asof_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("carry_cents", last(col("asof_cents"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("t").as("event_date"),
+        col("carry_key").as("asof_orderkey"),
+        col("carry_cents").as("asof_cents"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.CsvIngest
+
+/** Registered end-to-end CSV ingest (reference E1,
+  * scripts/pricing/01_import_pricecharting_csv.js): materialize the
+  * `part` table as a messy vendor CSV — alias-spelled headers, `$`/`,`
+  * money strings — then run the full ingest pipeline (normalize headers,
+  * resolve aliases, row guards, money parse, last-write-wins dedupe) and
+  * aggregate the result for a compact, deterministic output.
+  *
+  * No DuckDB oracle (the oracle only sees the parquet tables, not the
+  * intermediate CSV) → driver records the rows-only check; the
+  * ingest kernel itself is unit-tested in CsvIngestSpec.
+  */
+object IngestOps {
+
+  val csvRoundtrip: Op = Op.noOracle("q_csv_ingest") { (spark, dir) =>
+    // deterministic staging dir per sf; overwrite keeps re-runs idempotent
+    val sfTag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val csvDir = s"${System.getProperty("java.io.tmpdir")}/graft_csv$sfTag"
+    Tables.part(spark, dir).select(
+        col("p_partkey").cast("string").as("Product ID"),
+        col("p_name").as("Product Name"),
+        col("p_brand").as("Console-Name"),
+        // vendor-style money: "$1,234.56"
+        concat(lit("$"), format_number(col("p_retailprice"), 2)).as("Loose-Price"))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(csvDir)
+    val ingested = CsvIngest.ingest(
+      spark, csvDir,
+      aliases = Map(
+        "product_id"   -> Seq("product_id", "productid", "id"),
+        "product_name" -> Seq("product_name", "productname"),
+        "console_name" -> Seq("console_name", "consolename"),
+        "loose_price"  -> Seq("loose_price", "looseprice", "loose_price_cents")),
+      keyCols = Seq("product_id"),
+      requiredCols = Seq("product_id", "product_name"),
+      moneyCols = Seq("loose_price"))
+    ingested.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("loose_price_cents")).as("sum_cents"),
+      count(when(col("loose_price_cents").isNull, 1)).as("n_unparsed"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Money.centsOf
+
+/** Scale-technique operators: skew-salted join and sketch aggregates.
+  * These exist to make the 100 TB patterns first-class, testable
+  * citizens rather than tuning folklore.
+  */
+object Scale {
+
+  /** Salted equi-join: the fact side gets a random-free deterministic
+    * salt (hash of its unique row id mod N), the dim side explodes ×N —
+    * the standard fix when one join key dominates (at 100 TB: a viral
+    * item, a null-heavy key). Result must equal the plain join exactly,
+    * which is what the oracle checks; AQE's skew-join split is the
+    * runtime alternative, salting is the planned one.
+    */
+  val saltedJoin: Op = Op(
+    "q_salted_join",
+    """SELECT o_orderpriority,
+      |       COUNT(*) AS n_items,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    val Salts = 8
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(Salts)))
+    val o = Tables.orders(spark, dir)
+      .withColumn("salt", explode(array((0 until Salts).map(s => lit(s.toLong)): _*)))
+    li.join(o, col("l_orderkey") === col("o_orderkey") && li("salt") === o("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(centsOf(col("l_extendedprice"))).as("sum_cents"))
+  }
+
+  /** Sketch aggregates: approx_count_distinct (HLL++) next to the exact
+    * count — the sketch is engine-specific, so no SQL oracle (rows-only
+    * check); the spec asserts relative error < 5% instead. */
+  val approxDistinct: Op = Op.noOracle("q_approx_distinct") { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Money.centsOf
+
+/** Event-time window family over the `events` table: batch tumbling
+  * windows (the reference's daily `as_of_date` cadence generalized —
+  * SURVEY §2.10), gap-based sessionization (the streaming
+  * `mapGroupsWithState` twin, here as a pure window program), and
+  * frame-spec moving aggregates (rowsBetween — beyond the reference,
+  * which has no frame windows, SURVEY §2.5).
+  *
+  * Determinism across engines: all time arithmetic happens on epoch
+  * MICROSECONDS as BIGINT (the parquet stores ns; Spark truncates
+  * ns→µs on read exactly like DuckDB does), and every window order is
+  * totalized with the row's unique id.
+  *
+  * Scale notes: sessionization is ONE shuffle on user_id, then two
+  * in-partition window passes over the same sort (Catalyst reuses the
+  * sort; no second exchange). A 100 TB events table shuffles once and
+  * sessions never cross partitions. The tumbling window is a plain
+  * groupBy — map-side partial agg makes the shuffle carry only
+  * (window, type) partials.
+  */
+object Windows {
+
+  /** Tumbling 1-hour window aggregate, batch twin of
+    * [[graft.streaming.EventStream.windowedAgg]]. */
+  val tumblingWindow: Op = Op(
+    "q_tumbling_window",
+    """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_us,
+      |       event_type,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(centsOf(col("value"))).as("value_cents"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("value_cents"))
+  }
+
+  /** Gap-based sessionization: a new session starts after >30 min of
+    * user inactivity. lag → gap flag → running sum = session index →
+    * per-session aggregate. The batch equivalent of per-user streaming
+    * state (ref revalueCollection.mjs:57-103's accumulators, lifted to
+    * event time).
+    */
+  val sessionizeBatch: Op = Op(
+    "q_sessionize",
+    """WITH ev AS (
+      |  SELECT user_id, event_id,
+      |         CAST(epoch_us(ts) AS BIGINT) AS us,
+      |         CAST(ROUND(value*100) AS BIGINT) AS cents
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *,
+      |         CASE WHEN lag(us) OVER w IS NULL
+      |                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |), numbered AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_idx,
+      |       COUNT(*) AS n_events,
+      |       MIN(us) AS start_us,
+      |       MAX(us) AS end_us,
+      |       MAX(us) - MIN(us) AS dur_us,
+      |       CAST(SUM(cents) AS BIGINT) AS value_cents
+      |FROM numbered
+      |GROUP BY user_id, session_idx""".stripMargin) { (spark, dir) =>
+    val GapUs = 1800000000L // 30 min
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      centsOf(col("value")).as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val flagged = ev.withColumn("new_sess",
+      when(lag(col("us"), 1).over(w).isNull ||
+        col("us") - lag(col("us"), 1).over(w) > GapUs, 1).otherwise(0))
+    val numbered = flagged.withColumn("session_idx",
+      sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    numbered.groupBy(col("user_id"), col("session_idx")).agg(
+      count(lit(1)).as("n_events"),
+      min(col("us")).as("start_us"),
+      max(col("us")).as("end_us"),
+      (max(col("us")) - min(col("us"))).as("dur_us"),
+      sum(col("cents")).as("value_cents"))
+  }
+
+  /** Frame-spec windows: 3-row moving sum + lag/lead per customer order
+    * history (rowsBetween(-2, 0)); sums stay integer cents so the frame
+    * aggregate is exact under any execution order.
+    */
+  val movingAgg: Op = Op(
+    "q_moving_agg",
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+      |         CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT o_custkey, o_orderkey, od, cents,
+      |       lag(cents) OVER w AS prev_cents,
+      |       lead(cents) OVER w AS next_cents,
+      |       CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+      |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum3_cents,
+      |       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+      |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n3
+      |FROM o
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      to_date(col("o_orderdate")).as("od"),
+      centsOf(col("o_totalprice")).as("cents"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od"), col("o_orderkey"))
+    val frame = w.rowsBetween(-2, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"), col("od"), col("cents"),
+      lag(col("cents"), 1).over(w).as("prev_cents"),
+      lead(col("cents"), 1).over(w).as("next_cents"),
+      sum(col("cents")).over(frame).as("sum3_cents"),
+      count(lit(1)).over(frame).as("n3"))
+  }
+}

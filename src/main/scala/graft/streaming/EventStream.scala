@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` shape (north-star extension —
+  * SURVEY §2.10: the reference's only "streaming" is cron + daily
+  * snapshot partitions; this module maps that cadence onto real
+  * incremental execution).
+  *
+  * Semantics preserved from the reference:
+  *  - tumbling daily windows keyed on event time = the `as_of_date`
+  *    partition column (ref 02:94, 03:118);
+  *  - late data handled by watermark instead of the batch "recompute the
+  *    day" replay — same idempotent day-partition output, incremental
+  *    cost.
+  *
+  * At scale: state is partitioned by group key across executors
+  * (RocksDB state store in prod); the watermark bounds state size —
+  * without it a 100 TB/day stream accumulates state forever.
+  */
+object EventStream {
+
+  /** Windowed aggregation: tumbling window + watermark, the streaming
+    * twin of the batch `as_of_date` groupBy. */
+  def windowedAgg(
+      events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("value_cents"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionUpdate(
+      user_id: Long, n_events: Long, total_cents: Long, closed: Boolean)
+
+  /** Custom state machine via mapGroupsWithState: per-user running
+    * session totals — the streaming equivalent of the reference's
+    * per-user accumulators (revalueCollection.mjs:57-103), without the
+    * driver-memory cap.
+    *
+    * `withTimeout=true` closes idle sessions via processing-time timeout
+    * (the production shape). Tests run with `withTimeout=false`: a
+    * pending timeout makes Spark schedule timeout-check microbatches
+    * forever, so `processAllAvailable()` never settles — NoTimeout keeps
+    * the smoke test deterministic.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      withTimeout: Boolean = true): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long), SessionUpdate](timeoutConf) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, cents) = state.get
+            state.remove()
+            SessionUpdate(userId, n, cents, closed = true)
+          } else {
+            val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+            var n = n0; var c = c0
+            rows.foreach { e => n += 1; c += math.round(e.value * 100) }
+            state.update((n, c))
+            if (withTimeout) state.setTimeoutDuration("30 minutes")
+            SessionUpdate(userId, n, c, closed = false)
+          }
+      }
+  }
+
+  /** Wire a parquet-backed stream of the events table to a memory sink
+    * (local smoke; swap readStream source + sink for kafka/files in prod).
+    * The file stores ns timestamps → stream them as long, derive µs. */
+  def runWindowedToMemory(
+      spark: SparkSession, dir: String, queryName: String,
+      mode: OutputMode = OutputMode.Complete): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource requires a directory source; glob-filter the one table
+    val stream = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // Complete mode emits every window including still-open ones — the
+    // deterministic choice for a bounded smoke run; production streams
+    // use Append, where the watermark finalizes windows incrementally.
+    val q = windowedAgg(stream)
+      .writeStream.outputMode(mode)
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

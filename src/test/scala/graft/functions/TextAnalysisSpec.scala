@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprint: known polynomial-hash values, stable") {
+    // "ab" → ((0*31+97)*31+98) % 1e9+7 = 3105
+    val got = Seq("ab", "ab", "ba", "").toDF("text")
+      .select(TextAnalysis.fingerprint($"text")).collect()
+    assert(got(0).getLong(0) === 3105L)
+    assert(got(0).getLong(0) === got(1).getLong(0))
+    assert(got(2).getLong(0) !== got(0).getLong(0)) // order-sensitive
+    assert(got(3).getLong(0) === 0L)
+  }
+
+  test("language ID picks marker-majority language, und fallback, zh by codepoint") {
+    val got = Seq(
+      "the cat and the dog is here",
+      "el gato de la casa que ves",
+      "le chat et les chiens",
+      "der hund und die katze nicht",
+      "你好世界",
+      "zzz qqq www").toDF("text")
+      .select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
+    assert(got.toSeq === Seq("en", "es", "fr", "de", "zh", "und"))
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val r = Seq("Hello, world! 42 times.").toDF("text").select(
+      TextAnalysis.wsTokenCount($"text"),
+      TextAnalysis.bpeishTokenCount($"text")).collect().head
+    assert(r.getInt(0) === 4)
+    // Hello , world ! 42 times . → 7
+    assert(r.getInt(1) === 7)
+  }
+
+  test("wordShingles: distinct k-grams, short-text fallback") {
+    val r = Seq("a b c d", "x y").toDF("text")
+      .select(TextAnalysis.wordShingles($"text", 3)).collect()
+    assert(r(0).getSeq[String](0).toSet === Set("a b c", "b c d"))
+    assert(r(1).getSeq[String](0).toSeq === Seq("x y"))
+  }
+
+  test("punctRatio and stopwordCount") {
+    val r = Seq("the end.").toDF("text").select(
+      TextAnalysis.punctRatio($"text"),
+      TextAnalysis.stopwordCount($"text", TextAnalysis.EnglishStopwords))
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0 / 8) < 1e-12)
+    assert(r.getInt(1) === 1)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** fx_pricecharting_csv (FIXTURES.md §B): alias-tolerant headers, quoted
+  * commas + "" escapes, money strings, row guards, last-write-wins keys.
+  */
+class CsvIngestSpec extends SparkSpec {
+
+  private val aliases = Map(
+    "id" -> Seq("id", "pricecharting_id"),
+    "product_name" -> Seq("product-name", "product_name", "name"),
+    "loose_price" -> Seq("loose-price", "loose_price", "loose_price_cents"),
+    "console_name" -> Seq("console-name", "console_name"))
+
+  private def writeCsv(content: String): String = {
+    val f = Files.createTempFile("fx_pricecharting", ".csv")
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("header normalization handles the reference's variants (F2)") {
+    assert(CsvIngest.normalizeHeader(" Loose-Price ") === "looseprice")
+    assert(CsvIngest.normalizeHeader("loose price") === "loose_price")
+    assert(CsvIngest.normalizeHeader("Product Name!") === "product_name")
+  }
+
+  test("ingest: aliases, quotes, money, guards, last-write-wins") {
+    val csv = writeCsv(Seq(
+      "id,Product Name,loose price,console-name,bonus",
+      "1,\"Charizard, 1st ed\",\"$1,234.56\",NES,x",
+      "2,\"He said \"\"hi\"\"\",junk,SNES,y",
+      ",missing id,$5,N64,z",
+      "3,   ,$6,N64,w",
+      "1,Charizard LAST,$99,NES,v",
+      "").mkString("\n"))
+    val got = CsvIngest.ingest(spark, csv, aliases,
+      keyCols = Seq("id"),
+      requiredCols = Seq("id", "product_name"),
+      moneyCols = Seq("loose_price"))
+    val rows = got.orderBy("id").collect()
+    assert(rows.length === 2) // blank-id and blank-name rows dropped
+    val r1 = rows(0)
+    // last occurrence of id=1 wins (ref 01:171 upsert order)
+    assert(r1.getAs[String]("product_name") === "Charizard LAST")
+    assert(r1.getAs[Long]("loose_price_cents") === 9900L)
+    val r2 = rows(1)
+    assert(r2.getAs[String]("product_name") === "He said \"hi\"")
+    assert(r2.isNullAt(r2.fieldIndex("loose_price_cents"))) // junk → null
+    // unmatched physical column preserved in raw JSON
+    assert(r1.getAs[String]("raw").contains("\"bonus\""))
+  }
+
+  test("missing logical column resolves to typed null") {
+    val csv = writeCsv("id,name\n7,thing\n")
+    val got = CsvIngest.resolveAliases(CsvIngest.read(spark, csv), aliases)
+    val r = got.collect().head
+    assert(r.getAs[String]("id") === "7")
+    assert(r.isNullAt(r.fieldIndex("loose_price")))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class EventStreamSpec extends SparkSpec {
+
+  test("windowedAgg over a parquet-backed stream matches batch groupBy") {
+    EventStream.runWindowedToMemory(spark, sf001, "ev_agg")
+    val streamed = spark.table("ev_agg")
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(streamed === 1000L) // every sf0.001 event lands in a window
+  }
+
+  test("sessionize accumulates per-user state incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(input.toDS(), withTimeout = false)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("sessions").start()
+    input.addData(
+      EventStream.Event(1L, Timestamp.valueOf("2026-01-01 00:00:00"), 1.00),
+      EventStream.Event(1L, Timestamp.valueOf("2026-01-01 00:01:00"), 2.50),
+      EventStream.Event(2L, Timestamp.valueOf("2026-01-01 00:02:00"), 0.40))
+    q.processAllAvailable()
+    input.addData(
+      EventStream.Event(1L, Timestamp.valueOf("2026-01-01 00:03:00"), 0.50))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("sessions")
+      .groupBy($"user_id")
+      .agg(max(struct($"n_events", $"total_cents")).as("s"))
+      .select($"user_id", $"s.n_events", $"s.total_cents")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(last === Seq((1L, 3L, 400L), (2L, 1L, 40L)))
+  }
+}
