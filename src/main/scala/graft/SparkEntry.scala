@@ -43,6 +43,8 @@ object SparkEntry {
     Scale.saltedJoin,
     Scale.approxDistinct,
     IngestOps.csvRoundtrip,
+    Introspect.jsonImage,
+    Introspect.schemaProbe,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

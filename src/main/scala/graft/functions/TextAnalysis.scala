@@ -73,14 +73,25 @@ object TextAnalysis {
       (acc, x) => (acc * 31 + x) % 1000000007L)
 
   /** Word-shingle array: distinct k-word shingles of the lowercased,
-    * whitespace-split text (MinHash / Jaccard input). */
+    * whitespace-split text (MinHash / Jaccard input).
+    *
+    * Built from k array SLICES zipped row-level — NOT per-element
+    * `element_at(words, i+j)` lambdas: interpreted higher-order
+    * functions inline the whole `split()` subtree into every call, so
+    * the element_at form re-splits the text ~k times PER SHINGLE
+    * (O(words²) regex work per document; measured 15 s just to explode
+    * sf0.1's shingles). Slices evaluate the split a constant number of
+    * times per ROW, and the per-element work is one struct concat.
+    */
   def wordShingles(text: Column, k: Int): Column = {
     val words = split(lower(trim(text)), "\\s+")
     val n = size(words)
+    val zipped = arrays_zip(
+      (0 until k).map(j => slice(words, lit(j + 1), n - (k - 1))): _*)
     array_distinct(
       when(n >= k,
-        transform(sequence(lit(0), n - k),
-          i => concat_ws(" ", (0 until k).map(j => element_at(words, i + j + 1)): _*)))
+        transform(zipped,
+          s => concat_ws(" ", (0 until k).map(j => s.getField(j.toString)): _*)))
         .otherwise(array(concat_ws(" ", words))))
   }
 }

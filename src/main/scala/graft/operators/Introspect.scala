@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Schema-on-read machinery from the reference's feed exporter:
+  * nested-JSON image extraction (F11,
+  * scripts/feeds/exportGoogleMerchantFeed.mjs:158-187) and runtime
+  * catalog introspection driving conditional plan construction (S6,
+  * exportGoogleMerchantFeed.mjs:189-214,258-269).
+  */
+object Introspect {
+
+  /** F11: extract an image URL from a JSON payload — prefer
+    * `image_uris.large → normal → small`, else the first entry of
+    * `card_faces[]` in the same order, else NULL. The payload is
+    * synthesized deterministically from `part` (three shapes: top-level
+    * uris / faces array / neither, with sizes knocked out by id parity
+    * to exercise every coalesce branch), then parsed back with an
+    * explicit schema — `from_json` returns null on missing keys, the
+    * reference's tolerant-parse semantics (F23).
+    *
+    * Scale: construct + parse + extract is one codegen'd projection;
+    * a malformed payload degrades to NULL, never a task failure.
+    */
+  val jsonImage: Op = Op(
+    "q_json_image",
+    """WITH src AS (
+      |  SELECT p_partkey AS id, p_name,
+      |    CASE
+      |      WHEN p_partkey % 3 = 0 THEN json_object(
+      |        'image_uris', json_object(
+      |          'large',  CASE WHEN p_partkey % 2 = 0 THEN NULL ELSE 'L-' || p_name END,
+      |          'normal', CASE WHEN p_partkey % 4 = 0 THEN NULL ELSE 'N-' || p_name END,
+      |          'small',  'S-' || p_name))
+      |      WHEN p_partkey % 3 = 1 THEN json_object(
+      |        'card_faces', json_array(json_object(
+      |          'image_uris', json_object(
+      |            'large',  CASE WHEN p_partkey % 2 = 0 THEN NULL ELSE 'FL-' || p_name END,
+      |            'normal', 'FN-' || p_name,
+      |            'small',  'FS-' || p_name))))
+      |      ELSE json_object('noise', 'x')
+      |    END AS payload
+      |  FROM part
+      |)
+      |SELECT id,
+      |  COALESCE(
+      |    json_extract_string(payload, '$.image_uris.large'),
+      |    json_extract_string(payload, '$.image_uris.normal'),
+      |    json_extract_string(payload, '$.image_uris.small'),
+      |    json_extract_string(payload, '$.card_faces[0].image_uris.large'),
+      |    json_extract_string(payload, '$.card_faces[0].image_uris.normal'),
+      |    json_extract_string(payload, '$.card_faces[0].image_uris.small')) AS image
+      |FROM src""".stripMargin) { (spark, dir) =>
+    val uris = (prefix: String) => struct(
+      when(col("p_partkey") % 2 =!= 0, concat(lit(s"${prefix}L-"), col("p_name")))
+        .as("large"),
+      when(lit(prefix) === "F" || col("p_partkey") % 4 =!= 0,
+        concat(lit(s"${prefix}N-"), col("p_name"))).as("normal"),
+      concat(lit(s"${prefix}S-"), col("p_name")).as("small"))
+    val payload = when(col("p_partkey") % 3 === 0,
+        to_json(struct(uris("").as("image_uris"))))
+      .when(col("p_partkey") % 3 === 1,
+        to_json(struct(array(struct(uris("F").as("image_uris")))
+          .as("card_faces"))))
+      .otherwise(to_json(struct(lit("x").as("noise"))))
+    val uriSchema = StructType(Seq(
+      StructField("large", StringType), StructField("normal", StringType),
+      StructField("small", StringType)))
+    val payloadSchema = StructType(Seq(
+      StructField("image_uris", uriSchema),
+      StructField("card_faces", ArrayType(StructType(Seq(
+        StructField("image_uris", uriSchema)))))))
+    Tables.part(spark, dir)
+      .select(col("p_partkey").as("id"), payload.as("payload"))
+      .select(col("id"), from_json(col("payload"), payloadSchema).as("p"))
+      .select(col("id"), coalesce(
+        col("p.image_uris.large"),
+        col("p.image_uris.normal"),
+        col("p.image_uris.small"),
+        element_at(col("p.card_faces"), 1).getField("image_uris").getField("large"),
+        element_at(col("p.card_faces"), 1).getField("image_uris").getField("normal"),
+        element_at(col("p.card_faces"), 1).getField("image_uris").getField("small"))
+        .as("image"))
+  }
+
+  /** S6: runtime catalog introspection — pick the first present column
+    * from a candidate list by inspecting `df.columns` (the reference
+    * probes information_schema for 7 card-id columns and an optional
+    * feed_image_url), then build the plan conditionally. The oracle
+    * pins what the probe must discover on this catalog.
+    */
+  val schemaProbe: Op = Op(
+    "q_schema_probe",
+    """SELECT 'p_brand' AS id_col_used, 'absent' AS image_col,
+      |       COUNT(DISTINCT p_brand) AS n_ids
+      |FROM part""".stripMargin) { (spark, dir) =>
+    val df = Tables.part(spark, dir)
+    val present = df.columns.toSet
+    // reference probes candidates in a fixed order, first hit wins
+    val idCandidates = Seq("tcg_card_id", "ygo_card_id", "p_brand", "p_partkey")
+    val idCol = idCandidates.find(present.contains).getOrElse(
+      sys.error("no id column candidate present"))
+    val imageCol =
+      if (present.contains("feed_image_url")) lit("present") else lit("absent")
+    df.agg(countDistinct(col(idCol)).as("n_ids"))
+      .select(lit(idCol).as("id_col_used"), imageCol.as("image_col"),
+        col("n_ids"))
+  }
+}

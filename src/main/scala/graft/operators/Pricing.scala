@@ -58,13 +58,24 @@ object Pricing {
       .when(col("source") === "N", 30).otherwise(99)
     val typePrio = when(col("price_type") === "O", 10)
       .when(col("price_type") === "F", 14).otherwise(90)
-    val w = Window.partitionBy(col("market_item_id"), col("as_of_date"))
-      .orderBy(srcPrio.asc, typePrio.asc, col("value_cents").desc,
-        col("l_orderkey").asc, col("l_linenumber").asc)
-    snaps.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("market_item_id", "as_of_date", "source", "price_type",
-        "value_cents")
+    // Top-1-per-group as min(struct(orderKey..., payload)) instead of a
+    // ranking window: structs compare lexicographically, so the minimal
+    // struct IS the rn=1 row. This turns a full per-group SORT (window)
+    // into a hash aggregate with MAP-SIDE partial combine — the shuffle
+    // carries one candidate per (item, day) per mapper instead of every
+    // snapshot row. Same rows out, same oracle; at 100 TB it is the
+    // difference between shuffling the table and shuffling the answer.
+    snaps
+      .groupBy(col("market_item_id"), col("as_of_date"))
+      .agg(min(struct(
+        srcPrio.as("sp"), typePrio.as("tp"),
+        (-col("value_cents")).as("nv"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("source"), col("price_type"))).as("best"))
+      .select(col("market_item_id"), col("as_of_date"),
+        col("best.source").as("source"),
+        col("best.price_type").as("price_type"),
+        (-col("best.nv")).as("value_cents"))
   }
 
   /** A1/A2-shaped grouped aggregation (TPC-H Q1 shape over the pricing

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Money.centsOf
@@ -39,23 +38,31 @@ object Rollup {
         centsOf(col("value")).as("sold_cents"),
         to_date(col("ts")).as("sold_date"),
         col("event_id"))
-    val anchor = ev.agg(max(col("sold_date")).as("anchor"))
-    val recent = ev.join(broadcast(anchor),
-      ev("sold_date") >= date_sub(anchor("anchor"), windowDays))
-    val agg = recent.groupBy(col("card_key"), col("grade")).agg(
-      percentile(col("sold_cents"), lit(0.5)).as("median_cents"),
-      percentile(col("sold_cents"), lit(0.25)).as("p25_cents"),
-      percentile(col("sold_cents"), lit(0.75)).as("p75_cents"),
-      count(lit(1)).as("sales_count"),
-      max(col("sold_date")).as("last_sale_date"))
-    val w = Window.partitionBy(col("card_key"), col("grade"))
-      .orderBy(col("sold_date").desc, col("event_id").desc)
-    val last = recent.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // two-phase anchor (cheap max probe → literal bound) so the window
+    // filter is a pushable literal predicate, not a join condition
+    val anchorDate = ev.agg(max(col("sold_date")).as("a")).head.getDate(0)
+    val lo = java.sql.Date.valueOf(anchorDate.toLocalDate.minusDays(windowDays))
+    val recent = ev.filter(col("sold_date") >= lit(lo))
+    // "Latest sale" is max_by over the same grouping — decorrelated into
+    // the ONE aggregate (SURVEY §2.3 J6) instead of a second window pass
+    // + join: one shuffle on (card_key, grade) total, and the max_by
+    // partial-aggregates map-side. Ordering key (sold_date, event_id) is
+    // unique, so the pick is total and engines agree.
+    // one percentile buffer for all three quantiles (array form) instead
+    // of three copies of the per-group value buffer
+    recent.groupBy(col("card_key"), col("grade")).agg(
+        percentile(col("sold_cents"),
+          array(lit(0.5), lit(0.25), lit(0.75))).as("pct"),
+        count(lit(1)).as("sales_count"),
+        max(col("sold_date")).as("last_sale_date"),
+        max_by(col("sold_cents"), struct(col("sold_date"), col("event_id")))
+          .as("last_sale_cents"))
       .select(col("card_key"), col("grade"),
-        col("sold_cents").as("last_sale_cents"))
-    agg.join(last, Seq("card_key", "grade"))
-      .withColumn("confidence", confidenceGrade(col("sales_count")))
+        element_at(col("pct"), 1).as("median_cents"),
+        element_at(col("pct"), 2).as("p25_cents"),
+        element_at(col("pct"), 3).as("p75_cents"),
+        col("sales_count"), col("last_sale_date"), col("last_sale_cents"),
+        confidenceGrade(col("sales_count")).as("confidence"))
   }
 
   val rollup: Op = Op(
@@ -92,9 +99,13 @@ object Rollup {
 
   /** P3/P4/F6-F9: dynamic date-range predicate + interval arithmetic
     * (ref 03_build_market_price_daily.js:84-102 "index-friendly" WHERE;
-    * 10_rollup:36 sliding window). The range predicate lands in the
-    * parquet scan as a pushed filter — at 100 TB with date-partitioned
-    * data this becomes partition pruning, reading only ~90 days.
+    * 10_rollup:36 sliding window). Two-phase like the reference's CLI
+    * flag → WHERE-clause builder: a cheap max-date probe first, then the
+    * real plan with LITERAL bounds — a literal predicate reaches the
+    * parquet scan as a pushed filter (row-group stats skip), where a
+    * join against a computed anchor cannot push anything. At 100 TB
+    * with date-partitioned data this is partition pruning: ~90 days
+    * read instead of all of history.
     */
   val dateWindowAgg: Op = Op(
     "q_date_window",
@@ -107,10 +118,13 @@ object Rollup {
       |  AND CAST(o_orderdate AS DATE) < anchor.a
       |GROUP BY o_orderpriority""".stripMargin) { (spark, dir) =>
     val o = Tables.orders(spark, dir)
-      .withColumn("od", to_date(col("o_orderdate")))
-    val anchor = o.agg(max(col("od")).as("a"))
-    o.join(broadcast(anchor),
-        o("od") >= date_sub(anchor("a"), 90) && o("od") < anchor("a"))
+    val anchor = o.agg(max(to_date(col("o_orderdate"))).as("a")).head.getDate(0)
+    // bounds on the RAW timestamp column (to_date(ts) ∈ [lo, hi) ⟺
+    // ts ∈ [lo 00:00, hi 00:00) under the UTC session) — a predicate on
+    // a derived to_date() column would not reach the scan
+    val lo = java.sql.Timestamp.valueOf(anchor.toLocalDate.minusDays(90).atStartOfDay)
+    val hi = java.sql.Timestamp.valueOf(anchor.toLocalDate.atStartOfDay)
+    o.filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         sum(centsOf(col("o_totalprice"))).as("total_cents"))

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Physical-plan quality gates: the properties that decide whether a
+  * query survives a 100× scale-up — predicate pushdown into the parquet
+  * scan, column pruning, broadcast joins for dimensions, map-side
+  * partial aggregation — asserted on the actual executed plan strings
+  * so a regression (e.g. a filter that silently stops pushing after a
+  * refactor) fails CI, not the cluster.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(op: Op): String =
+    op.build(spark, sf001).queryExecution.executedPlan.toString()
+
+  test("date-window filter pushes down to the parquet scan") {
+    val p = plan(Rollup.dateWindowAgg)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"),
+      s"expected pushed orderdate bounds in:\n$p")
+  }
+
+  test("anti-join ship-date split pushes both range filters") {
+    val p = plan(Normalize.antiJoin)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+      p.contains("LessThan(l_shipdate"),
+      s"expected pushed shipdate bounds in:\n$p")
+  }
+
+  test("column pruning: q1 agg scans only the five needed lineitem columns") {
+    val p = plan(Pricing.pricingAgg)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"),
+      s"scan reads pruned columns: $read")
+  }
+
+  test("revalue price dimension joins as broadcast, not shuffle") {
+    val p = plan(Revalue.revalueUsers)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+  }
+
+  test("star join: all three dimension joins broadcast") {
+    val p = plan(Analytics.starJoin)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts:\n$p")
+  }
+
+  test("best-of-day is a hash aggregate with map-side partial combine") {
+    val p = plan(Pricing.bestOfDay)
+    assert(!p.contains("Window"), "top-1 should not need a window sort")
+    assert("HashAggregate".r.findAllIn(p).size >= 2 ||
+      "ObjectHashAggregate".r.findAllIn(p).size >= 2 ||
+      "SortAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate pair in:\n$p")
+  }
+
+  test("top-k per group aggregates BEFORE the rank window") {
+    val p = plan(Analytics.topKPerGroup)
+    val aggIdx = p.indexOfSlice("Aggregate")
+    val winIdx = p.indexOfSlice("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx,
+      // plan prints top-down: Window (outer) should appear before (above)
+      // the Aggregate feeding it
+      s"expected window over pre-aggregated input in:\n$p")
+  }
+}

@@ -41,6 +41,25 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
+    # rows-only check for no-oracle ops: output must exist and be non-empty
+    import os
+    all_outputs = sorted(d for d in os.listdir(out_dir)
+                         if os.path.isdir(f"{out_dir}/{d}"))
+    for name in all_outputs:
+        if name in oracle:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"[MISS] {name}: (no-oracle) no spark output")
+            fail += 1
+            continue
+        n = con.execute(f"SELECT COUNT(*) FROM read_parquet({files!r})").fetchone()[0]
+        if n <= 0:
+            print(f"[ROWS] {name}: (no-oracle) 0 rows")
+            fail += 1
+        else:
+            print(f"[ OK ] {name}: {n} rows (no-oracle, rows-only)")
+            ok += 1
     for name, sql in sorted(oracle.items()):
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
