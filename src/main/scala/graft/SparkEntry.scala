@@ -45,6 +45,7 @@ object SparkEntry {
     IngestOps.csvRoundtrip,
     Introspect.jsonImage,
     Introspect.schemaProbe,
+    StreamingOps.streamTumbling,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

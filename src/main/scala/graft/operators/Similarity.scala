@@ -27,12 +27,17 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 1000000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two quantized vectors: the native
+    * codegen'd [[graft.expressions.LongArrayDot]] when the session has
+    * `graft.GraftExtensions` installed (Verify/Bench/tests do), else
+    * the equivalent — but interpreted — higher-order-function form. */
+  def idot(spark: SparkSession, a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_dot"))
+      call_function("graft_dot", a, b)
+    else
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
-  def inorm2(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+  def inorm2(spark: SparkSession, a: Column): Column = idot(spark, a, a)
 
   def cosine(dot: Column, n1: Column, n2: Column): Column =
     dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
@@ -62,13 +67,13 @@ object Similarity {
        |  FROM scored) WHERE rk <= 5""".stripMargin) { (spark, dir) =>
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
-      .withColumn("n2", inorm2(col("v")))
+      .withColumn("n2", inorm2(spark, col("v")))
     val q = e.filter(col("vec_id") < 10).select(
       col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
     val scored = e.join(broadcast(q),
         col("vec_id") =!= col("q_id") && col("qn") > 0 && col("n2") > 0)
       .select(col("q_id"), col("vec_id").as("c_id"),
-        cosine(idot(col("qv"), col("v")), col("qn"), col("n2")).as("cos"))
+        cosine(idot(spark, col("qv"), col("v")), col("qn"), col("n2")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
@@ -92,7 +97,7 @@ object Similarity {
        |SELECT label, id_a, id_b, cos FROM pairs WHERE cos >= 0.35""".stripMargin) { (spark, dir) =>
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("v"))
-      .withColumn("n2", inorm2(col("v")))
+      .withColumn("n2", inorm2(spark, col("v")))
       .filter(col("n2") > 0)
     val a = e.select(col("label"), col("vec_id").as("id_a"),
       col("v").as("va"), col("n2").as("na"))
@@ -101,7 +106,7 @@ object Similarity {
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
       .select(col("label"), col("id_a"), col("id_b"),
-        cosine(idot(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
+        cosine(idot(spark, col("va"), col("vb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= 0.35)
   }
 
@@ -113,26 +118,27 @@ object Similarity {
     */
   val annLsh: Op = Op.noOracle("q_ann_lsh") { (spark, dir) =>
     val planes = 8
-    // plane p, dim i → pseudo-random coefficient in [-500k, 500k]
-    def coef(p: Int): Column = expr(
-      s"transform(sequence(0, 63), i -> CAST(($p * 2654435761 + i * 40503) % 1000003 - 501501 AS BIGINT))")
-    def bucketOf(v: Column): Column =
+    // plane p, dim i → pseudo-random coefficient in [-500k, 500k];
+    // materialized as LITERAL arrays (constant-folded, zero per-row
+    // cost) and projected with the native dot product
+    def coef(p: Int): Column = array((0 until 64).map(i =>
+      lit((p * 2654435761L + i * 40503L) % 1000003L - 501501L)): _*)
+    def bucketOf(spark: SparkSession, v: Column): Column =
       (0 until planes).map { p =>
-        when(aggregate(zip_with(v, coef(p), (x, w) => x * w),
-          lit(0L), (acc, x) => acc + x) > 0, 1L << p).otherwise(0L)
+        when(idot(spark, v, coef(p)) > 0, 1L << p).otherwise(0L)
       }.reduce(_ + _)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
-      .withColumn("n2", inorm2(col("v")))
+      .withColumn("n2", inorm2(spark, col("v")))
       .filter(col("n2") > 0)
-      .withColumn("bucket", bucketOf(col("v")))
+      .withColumn("bucket", bucketOf(spark, col("v")))
     val q = e.filter(col("vec_id") < 10).select(
       col("vec_id").as("q_id"), col("v").as("qv"),
       col("n2").as("qn"), col("bucket"))
     val scored = e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("c_id"), col("bucket"),
-        cosine(idot(col("qv"), col("v")), col("qn"), col("n2")).as("cos"))
+        cosine(idot(spark, col("qv"), col("v")), col("qn"), col("n2")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)

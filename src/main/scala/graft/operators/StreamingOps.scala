@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+/** Structured Streaming surfaced through the driver contract: the
+  * incremental tumbling-window pipeline must produce EXACTLY the batch
+  * answer, so it registers with the same DuckDB oracle as the batch
+  * twin [[Windows.tumblingWindow]] — the strongest statement of
+  * batch/stream parity the harness can express (SURVEY §2.10).
+  */
+object StreamingOps {
+
+  val streamTumbling: Op = Op(
+    "q_stream_tumbling",
+    """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_us,
+      |       event_type,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    EventStream.runWindowedToMemory(spark, dir, "q_stream_tumbling_mem")
+    spark.table("q_stream_tumbling_mem")
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("n"), col("value_cents"))
+  }
+}
