@@ -46,6 +46,7 @@ object SparkEntry {
     Introspect.jsonImage,
     Introspect.schemaProbe,
     StreamingOps.streamTumbling,
+    MultimodalOps.multimodalFeatures,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

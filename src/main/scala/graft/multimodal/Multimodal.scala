@@ -97,6 +97,22 @@ object Multimodal {
         .as("height"),
       col("media.duration_ms").as("duration_ms")))
 
+  /** Video frame sampling: one output row per sampled frame at a fixed
+    * stride (ms), metadata-only (the real pipeline would decode the
+    * frame bytes inside extractFeatures' mapPartitions). Generator runs
+    * inside the scan stage — rows fan out without a shuffle, and
+    * non-video assets pass through with a single frame at offset 0.
+    */
+  def sampleFrames(assets: DataFrame, strideMs: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val frames = when(col("media.kind") === "video" &&
+        col("media.duration_ms") > 0,
+      sequence(lit(0L), col("media.duration_ms") - 1, lit(strideMs)))
+      .otherwise(array(lit(0L)))
+    assets.select(col("asset_id"), col("media"),
+        posexplode(frames).as(Seq("frame_idx", "frame_offset_ms")))
+  }
+
   /** Deterministic synthetic asset table (tests / demos). */
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._

@@ -36,10 +36,23 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
   }
 
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  /** Distinct 3-word shingles as ROWS — (lang, source, doc_id, s) —
+    * by exploding the slice-built shingle array (TextAnalysis
+    * .wordShingles): a generator inside the scan stage, NO shuffle, and
+    * rows arrive already distinct-per-doc (the array is
+    * array_distinct'ed). An alternative posexplode+lead-window
+    * formulation needs one split per doc but pays 2-3 shuffles of the
+    * posting rows — measured slower at this block structure.
+    */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"), col("source"),
-      wordShingles(col("text"), 3).as("sh"))
+      explode(wordShingles(col("text"), 3)).as("s"))
+
+  /** [[shingleRows]] + per-doc distinct-shingle count (one shuffle). */
+  private def shingleRowsWithSize(spark: SparkSession, dir: String): DataFrame =
+    shingleRows(spark, dir).withColumn("n_sh",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
 
   /** Blocked exact n-gram Jaccard: candidate pairs share (lang, source),
     * similarity = |A∩B| / |A∪B| over distinct 3-word shingles. */
@@ -78,14 +91,12 @@ object Dedup {
     // all-pairs on this corpus); the all-pairs block product is
     // quadratic in block size. Prefix filtering is the shape that
     // survives 100 TB: linear postings, candidates ∝ true near-dups.
-    val d = shingled(spark, dir).withColumn("n_sh", size(col("sh")))
-    val ex = d.select(col("lang"), col("source"), col("doc_id"),
-      col("n_sh"), explode(col("sh")).as("s"))
-    val freq = ex.groupBy(col("lang"), col("source"), col("s"))
+    val rows = shingleRowsWithSize(spark, dir)
+    val freq = rows.groupBy(col("lang"), col("source"), col("s"))
       .agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("lang"), col("source"), col("doc_id"))
       .orderBy(col("df").asc, col("s").asc)
-    val prefix = ex.join(freq, Seq("lang", "source", "s"))
+    val prefix = rows.join(freq, Seq("lang", "source", "s"))
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("n_sh") - expr("(n_sh + 2) div 3") + 1)
       .select(col("lang"), col("source"), col("s"),
@@ -98,17 +109,32 @@ object Dedup {
       .filter(col("doc_id_a") < col("doc_id_b") &&
         // lossless size prefilter: J≥0.5 needs min/max size ratio ≥ 0.5
         least(col("n_a"), col("n_b")) * 2 >= greatest(col("n_a"), col("n_b")))
-      .select(col("lang"), col("source"), col("doc_id_a"), col("doc_id_b"))
-      .distinct()
-    // exact verification on the candidate pairs only
-    val da = d.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-    val db = d.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val union = size(array_union(col("sh_a"), col("sh_b")))
-    cand.join(da, Seq("doc_id_a")).join(db, Seq("doc_id_b"))
       .select(col("lang"), col("source"), col("doc_id_a"), col("doc_id_b"),
+        col("n_a"), col("n_b"))
+      .distinct()
+    // exact verification on candidate pairs, row-wise: |A∩B| = count of
+    // shingles present in both docs — no arrays materialized anywhere
+    verifyExact(cand, rows, Seq("lang", "source"))
+  }
+
+  /** Exact Jaccard over candidate pairs from shingle rows:
+    * inter = per-pair matching-shingle count, union = n_a + n_b − inter.
+    * Pairs with zero overlap drop out of the count join — they have
+    * J = 0 and could never pass a positive threshold. */
+  private def verifyExact(
+      cand: DataFrame, rows: DataFrame, keep: Seq[String]): DataFrame = {
+    val ra = rows.select(col("doc_id").as("doc_id_a"), col("s"))
+    val rb = rows.select(col("doc_id").as("doc_id_b"), col("s"))
+    val keyCols = keep ++ Seq("doc_id_a", "doc_id_b", "n_a", "n_b")
+    val inter = col("inter_size")
+    val union = col("n_a") + col("n_b") - col("inter_size")
+    cand.join(ra, Seq("doc_id_a"))
+      .join(rb, Seq("doc_id_b", "s"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("inter_size"))
+      .select((keep.map(col) ++ Seq(col("doc_id_a"), col("doc_id_b"),
         inter.as("inter_size"), union.as("union_size"),
-        (inter.cast("double") / union.cast("double")).as("jaccard"))
+        (inter.cast("double") / union.cast("double")).as("jaccard"))): _*)
       .filter(col("jaccard") >= 0.5)
   }
 
@@ -125,14 +151,16 @@ object Dedup {
     val bands = 8
     val rowsPerBand = 4
     val k = bands * rowsPerBand
-    val docs = shingled(spark, dir).select(col("doc_id"), col("sh"))
-    // Signature via explode + k compiled MIN aggregates: higher-order
-    // `transform` lambdas are interpreted per element, so k×|sh| lambda
-    // dispatches per doc cost ~10× the same math as codegen'd aggregate
-    // expressions. One string hash per shingle, k fixed-width re-hashes,
-    // map-side partial min — the shuffle carries k longs per doc.
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val bare = shingleRows(spark, dir)
+    // Signature as k compiled MIN aggregates over shingle ROWS (the
+    // size-free variant — MIN is duplicate- and count-insensitive, so
+    // the signature needs no n_sh window shuffle):
+    // higher-order `transform` lambdas are interpreted per element, so
+    // k×|sh| lambda dispatches per doc cost ~10× the same math as
+    // codegen'd aggregate expressions. One string hash per shingle, k
+    // fixed-width re-hashes, map-side partial min — the shuffle
+    // carries k longs per doc.
+    val ex = bare.select(col("doc_id"), xxhash64(col("s")).as("h"))
     val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
     val sig = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bandCols = (0 until bands).map { bnd =>
@@ -151,6 +179,7 @@ object Dedup {
           .partitionBy(col("band"), col("bucket"))
           .orderBy(col("doc_id"))))
       .filter(col("rn") <= 1000)
+    val sizes = bare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val cand = capped.select(col("band"), col("bucket"),
         col("doc_id").as("doc_id_a"))
       .join(capped.select(col("band"), col("bucket"),
@@ -158,15 +187,13 @@ object Dedup {
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b")
       .distinct()
-    // exact verification joins the (small) candidate set back to arrays
-    val da = docs.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-    val db = docs.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val union = size(array_union(col("sh_a"), col("sh_b")))
-    cand.join(da, Seq("doc_id_a")).join(db, Seq("doc_id_b"))
-      .select(col("doc_id_a"), col("doc_id_b"),
-        (inter.cast("double") / union.cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .join(sizes.select(col("doc_id").as("doc_id_a"), col("n_sh").as("n_a")),
+        Seq("doc_id_a"))
+      .join(sizes.select(col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
+        Seq("doc_id_b"))
+    // exact row-wise verification of the (small) candidate set
+    verifyExact(cand, bare, Seq.empty)
+      .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
   /** SimHash: 64-bit signature = sign of per-bit vote over word hashes;

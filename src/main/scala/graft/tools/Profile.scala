@@ -46,6 +46,24 @@ object Profile {
       graft.operators.Dedup.minhashLsh.build(spark, dir).count())
     time("full q_simhash")(
       graft.operators.Dedup.simhash.build(spark, dir).count())
+
+    val ev = Tables.events(spark, dir)
+    time("events count")(ev.count())
+    time("events count (2nd)")(ev.count())
+    val evp = ev.select(col("user_id").as("card_key"),
+      col("event_type").as("grade"),
+      round(col("value") * 100).cast("long").as("sold_cents"),
+      to_date(col("ts")).as("sold_date"), col("event_id"))
+    time("events projected")(evp.count())
+    time("anchor probe")(evp.agg(max(col("sold_date"))).head)
+    val grouped = evp.groupBy(col("card_key"), col("grade"))
+    time("percentile x3 array")(grouped.agg(
+      percentile(col("sold_cents"), array(lit(0.5), lit(0.25), lit(0.75)))).count())
+    time("max_by struct")(grouped.agg(
+      max_by(col("sold_cents"), struct(col("sold_date"), col("event_id")))).count())
+    time("count/max only")(grouped.agg(count(lit(1)), max(col("sold_date"))).count())
+    time("full q_sales_rollup")(
+      graft.operators.Rollup.rollup.build(spark, dir).count())
     spark.stop()
   }
 }
