@@ -78,6 +78,32 @@ object EventStream {
       }
   }
 
+  /** Stream → idempotent day-partition sink: each micro-batch upserts
+    * its days via dynamic partition overwrite — the reference's
+    * delete-then-insert-per-day semantics (revalueCollection.mjs:135-165)
+    * driven incrementally instead of by cron. foreachBatch gives the
+    * batch writer path (and its file-commit atomicity) per micro-batch;
+    * late data simply rewrites its day, identical to the batch replay.
+    */
+  def streamToDayPartitions(
+      spark: SparkSession, dir: String, outPath: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("as_of_date", to_date(col("ts")))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.upsertByDay(batch, outPath, "as_of_date")
+      }
+      .option("checkpointLocation", s"$outPath.checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Wire a parquet-backed stream of the events table to a memory sink
     * (local smoke; swap readStream source + sink for kafka/files in prod).
     * The file stores ns timestamps → stream them as long, derive µs. */

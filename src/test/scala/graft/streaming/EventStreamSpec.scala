@@ -15,6 +15,22 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed === 1000L) // every sf0.001 event lands in a window
   }
 
+  test("stream → day-partition sink equals the batch table, re-run idempotent") {
+    val out = "/tmp/graft_stream_days"
+    EventStream.streamToDayPartitions(spark, sf001, out)
+    val streamed = spark.read.parquet(out)
+    val batch = graft.Tables.events(spark, sf001)
+    assert(streamed.count() === batch.count())
+    // day partitioning materialized on disk
+    assert(new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith("as_of_date=")))
+    // replay is idempotent (fresh checkpoint → same content)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$out.checkpoint"))
+    EventStream.streamToDayPartitions(spark, sf001, out)
+    assert(spark.read.parquet(out).count() === batch.count())
+  }
+
   test("sessionize accumulates per-user state incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
