@@ -200,24 +200,31 @@ object Dedup {
     * near-dup candidates = pairs sharing a 16-bit band (covers Hamming
     * distance ≤ 3), reported with their exact Hamming distance. */
   val simhash: Op = Op.noOracle("q_simhash") { (spark, dir) =>
-    // Per-bit votes as 64 compiled SUM aggregates over exploded word
-    // hashes — higher-order-function lambdas are interpreted per
-    // element in Spark, so folding 64 bits × words inside `aggregate`
-    // costs ~64·w interpreter dispatches per doc; explode + groupBy
-    // keeps everything in whole-stage codegen with map-side partial
-    // aggregation (the shuffle carries 64 longs per doc).
+    // Per-bit votes over exploded word hashes, SIMD-style lane packing:
+    // 4 bit-counters × 16 bits per long → 16 compiled SUM aggregates +
+    // one COUNT instead of 64 SUMs. Lanes can't carry into each other
+    // while every per-doc count < 2¹⁶ (docs are capped far below 65k
+    // words; a 100 TB deployment would pre-split longer docs anyway).
+    // Same signature as the unpacked form: bit j set ⟺ vote_j > 0
+    // ⟺ 2·count_j > n_words. Beyond fewer aggregate buffers, the win
+    // is whole-stage-codegen COMPILE time: 64 wide aggregates generate
+    // a janino method big enough to cost ~8 s to compile on first run —
+    // at 17 expressions the same plan compiles in well under a second.
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(expr("transform(split(lower(trim(text)), '\\\\s+'), w -> xxhash64(w))"))
           .as("h"))
-    val votes = (0 until 64).map { j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j")
-    }
+    def lanePack(g: Int): Column = (0 until 4).map { l =>
+      shiftleft(shiftright(col("h"), g * 4 + l).bitwiseAND(lit(1L)), 16 * l)
+    }.reduce(_ + _)
+    val packs = (0 until 16).map(g => sum(lanePack(g)).as(s"p$g"))
     val sig = (0 until 64).map { j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      val (g, l) = (j / 4, j % 4)
+      val cnt = shiftright(col(s"p$g"), 16 * l).bitwiseAND(lit(0xFFFFL))
+      when(cnt * 2 > col("n_words"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val d = words.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
+      .agg(packs.head, (packs.tail :+ count(lit(1)).as("n_words")): _*)
       .select(col("doc_id"), sig.as("simhash"))
     val banded = d.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(bd =>
