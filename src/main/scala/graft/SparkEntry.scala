@@ -33,6 +33,7 @@ object SparkEntry {
     Similarity.annBruteForce,
     Similarity.embedNearDup,
     Similarity.annLsh,
+    Similarity.annIvf,
     Windows.tumblingWindow,
     Windows.sessionizeBatch,
     Windows.movingAgg,

@@ -110,6 +110,93 @@ object Similarity {
       .filter(col("cos") >= 0.35)
   }
 
+  /** IVF-style ANN (inverted-file coarse quantizer, the other classic
+    * scale path next to LSH): a deterministic centroid set (every
+    * 50th vector — k-means iterations would converge better but are
+    * not needed to demonstrate the structure, and a data-derived
+    * deterministic codebook keeps the op DuckDB-oracle-able), every
+    * vector assigned to its nearest centroid (its CELL), each query
+    * probing only the nprobe=2 nearest cells.
+    *
+    * Scale shape: centroids broadcast; assignment is argmax-per-row
+    * computed as a `min(struct(-cos, cent_id))` aggregate — the
+    * broadcast nested-loop fan-out (N×K rows) collapses back to N
+    * inside the map stage via partial aggregation, so the shuffle
+    * carries one row per vector. Probing joins the (tiny, broadcast)
+    * query-cell list against the assignment on cell id: each query
+    * scans ~nprobe/K of the data. At 100 TB the assigned table
+    * persists bucketed by cell → probes become partition-pruned scans.
+    */
+  val annIvf: Op = Op(
+    "q_ann_ivf",
+    s"""WITH e AS (
+       |  SELECT vec_id, $QuantSql AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM e
+       |), c AS (
+       |  SELECT vec_id AS cent_id, v AS cv, n2 AS cn
+       |  FROM n WHERE vec_id % 50 = 0 AND n2 > 0
+       |), scored AS (
+       |  SELECT a.vec_id, a.v, a.n2, c.cent_id,
+       |         CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS cos
+       |  FROM n a, c WHERE a.n2 > 0
+       |), assign AS (
+       |  SELECT vec_id, v, n2, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+       |    FROM scored) WHERE rn = 1
+       |), qcells AS (
+       |  SELECT vec_id AS q_id, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+       |    FROM scored WHERE vec_id < 10) WHERE rn <= 2
+       |), pairs AS (
+       |  SELECT q.q_id, a.vec_id AS c_id,
+       |         CAST(list_sum(list_transform(range(1, len(qa.v)+1), i -> qa.v[i]*a.v[i])) AS DOUBLE)
+       |           / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cos
+       |  FROM qcells q
+       |  JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.q_id
+       |  JOIN assign qa ON qa.vec_id = q.q_id
+       |)
+       |SELECT q_id, c_id, cos, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+       |  FROM pairs) WHERE rk <= 5""".stripMargin) { (spark, dir) =>
+    val nprobe = 2
+    val n = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", inorm2(spark, col("v")))
+      .filter(col("n2") > 0)
+    val cents = n.filter(col("vec_id") % 50 === 0).select(
+      col("vec_id").as("cent_id"), col("v").as("cv"), col("n2").as("cn"))
+    val scored = n.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("n2"), col("cent_id"),
+        cosine(idot(spark, col("v"), col("cv")), col("n2"), col("cn")).as("cos"))
+    // nearest centroid per vector as an aggregate (not a window): the
+    // struct min is computed map-side before any shuffle
+    val assign = scored
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("cos")).as("nc"), col("cent_id").as("cell"),
+        col("v").as("v"), col("n2").as("n2"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.v").as("v"), col("best.n2").as("n2"))
+    val qcells = scored.filter(col("vec_id") < 10)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("cent_id").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
+    val queries = assign.filter(col("vec_id") < 10).select(
+      col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
+    val pairs = assign
+      .join(broadcast(qcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        cosine(idot(spark, col("qv"), col("v")), col("qn"), col("n2")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+  }
+
   /** LSH-bucketed ANN (scale path, no oracle): 8 deterministic
     * pseudo-random hyperplanes (integer coefficients derived from
     * (plane, dim) by a Weyl-style mix) hash every vector to an 8-bit

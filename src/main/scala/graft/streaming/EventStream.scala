@@ -78,6 +78,34 @@ object EventStream {
       }
   }
 
+  /** Threshold-crossing alerts via flatMapGroupsWithState: zero-or-more
+    * outputs per group per batch (mapGroupsWithState is exactly-one —
+    * the wrong contract when a batch may cross several thresholds at
+    * once, or none). Emits one alert per 10-dollar (1000-cent) level a
+    * user's running total crosses; state is just the running total, so
+    * at scale it's a few bytes per key in the state store regardless of
+    * event volume.
+    */
+  def thresholdAlerts(
+      events: Dataset[Event],
+      stepCents: Long = 1000L): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[(Long, Long)]) =>
+          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var c = c0
+          rows.foreach { e => n += 1; c += math.round(e.value * 100) }
+          state.update((n, c))
+          // one output per step level crossed within this batch
+          ((c0 / stepCents + 1) to c / stepCents).iterator.map { level =>
+            SessionUpdate(userId, n, level * stepCents, closed = false)
+          }
+      }
+  }
+
   /** Stream → idempotent day-partition sink: each micro-batch upserts
     * its days via dynamic partition overwrite — the reference's
     * delete-then-insert-per-day semantics (revalueCollection.mjs:135-165)

@@ -48,6 +48,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN scores are exact cosines; per-query k and ordering hold") {
+    val bf = Similarity.annBruteForce.build(spark, sf001)
+      .select($"q_id", $"c_id", $"cos").as[(Long, Long, Double)]
+      .collect().map { case (q, c, s) => (q, c) -> s }.toMap
+    val ivf = Similarity.annIvf.build(spark, sf001)
+      .select($"q_id", $"c_id", $"cos", $"rk").as[(Long, Long, Double, Int)]
+      .collect()
+    assert(ivf.nonEmpty)
+    // probed-cell top-k is a subset of the candidate space, scored on
+    // the same bit-exact integer path: any (q,c) also in brute-force
+    // top-5 must carry the identical score
+    ivf.foreach { case (q, c, s, _) =>
+      bf.get((q, c)).foreach(exact => assert(exact === s))
+    }
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("exact dedup groups normalized copies") {
     val docs = Seq(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "other text")

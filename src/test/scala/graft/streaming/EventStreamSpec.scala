@@ -31,6 +31,30 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === batch.count())
   }
 
+  test("thresholdAlerts emits one row per level crossed, none otherwise") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.thresholdAlerts(input.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("alerts").start()
+    // batch 1: user 1 jumps to 2550 cents → crosses 1000 and 2000
+    input.addData(
+      EventStream.Event(1L, Timestamp.valueOf("2026-01-01 00:00:00"), 25.50),
+      EventStream.Event(2L, Timestamp.valueOf("2026-01-01 00:00:30"), 3.00))
+    q.processAllAvailable()
+    // batch 2: user 1 +200 cents (no crossing), user 2 +800 → crosses 1000
+    input.addData(
+      EventStream.Event(1L, Timestamp.valueOf("2026-01-01 00:01:00"), 2.00),
+      EventStream.Event(2L, Timestamp.valueOf("2026-01-01 00:01:30"), 8.00))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("alerts")
+      .select($"user_id", $"total_cents").as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(got === Seq((1L, 1000L), (1L, 2000L), (2L, 1000L)))
+  }
+
   test("sessionize accumulates per-user state incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
