@@ -1,0 +1,41 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bucketed-table co-location: the join must plan with no Exchange at
+  * all — proof the layout, not the optimizer's runtime shuffle, carries
+  * the distribution requirement. */
+class BucketingSpec extends SparkSpec {
+
+  test("same-bucketed tables join with zero shuffle exchanges") {
+    val li = graft.Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val o = graft.Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    // the in-memory catalog is per-JVM but the warehouse dir persists:
+    // clear both, or a rerun hits LOCATION_ALREADY_EXISTS
+    Seq("b_lineitem", "b_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft-warehouse/$t"))
+    }
+    Bucketing.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
+    Bucketing.writeBucketed(o, "b_orders", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the join shape that matters at scale: both sides too big to
+    // broadcast — co-location must eliminate the shuffle, not a hint
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = Bucketing.colocatedJoin(spark,
+        "b_lineitem", "l_orderkey", "b_orders", "o_orderkey")
+      val p = j.queryExecution.executedPlan.toString()
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join, got:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+      // same answer as the plain (shuffled) join
+      val expected = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
