@@ -196,10 +196,16 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
-  /** SimHash: 64-bit signature = sign of per-bit vote over word hashes;
-    * near-dup candidates = pairs sharing a 16-bit band (covers Hamming
-    * distance ≤ 3), reported with their exact Hamming distance. */
-  val simhash: Op = Op.noOracle("q_simhash") { (spark, dir) =>
+  /** Word hashes per document — the simhash input rows (exposed for the
+    * packing-equivalence spec). */
+  def simhashWordHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("transform(split(lower(trim(text)), '\\\\s+'), w -> xxhash64(w))"))
+          .as("h"))
+
+  /** 64-bit simhash per document (lane-packed vote aggregation). */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     // Per-bit votes over exploded word hashes, SIMD-style lane packing:
     // 4 bit-counters × 16 bits per long → 16 compiled SUM aggregates +
     // one COUNT instead of 64 SUMs. Lanes can't carry into each other
@@ -210,10 +216,6 @@ object Dedup {
     // is whole-stage-codegen COMPILE time: 64 wide aggregates generate
     // a janino method big enough to cost ~8 s to compile on first run —
     // at 17 expressions the same plan compiles in well under a second.
-    val words = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(expr("transform(split(lower(trim(text)), '\\\\s+'), w -> xxhash64(w))"))
-          .as("h"))
     def lanePack(g: Int): Column = (0 until 4).map { l =>
       shiftleft(shiftright(col("h"), g * 4 + l).bitwiseAND(lit(1L)), 16 * l)
     }.reduce(_ + _)
@@ -223,9 +225,16 @@ object Dedup {
       val cnt = shiftright(col(s"p$g"), 16 * l).bitwiseAND(lit(0xFFFFL))
       when(cnt * 2 > col("n_words"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val d = words.groupBy(col("doc_id"))
+    simhashWordHashes(spark, dir).groupBy(col("doc_id"))
       .agg(packs.head, (packs.tail :+ count(lit(1)).as("n_words")): _*)
       .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash: 64-bit signature = sign of per-bit vote over word hashes;
+    * near-dup candidates = pairs sharing a 16-bit band (covers Hamming
+    * distance ≤ 3), reported with their exact Hamming distance. */
+  val simhash: Op = Op.noOracle("q_simhash") { (spark, dir) =>
+    val d = simhashSignatures(spark, dir)
     val banded = d.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(bd =>
         shiftright(col("simhash"), bd * 16).bitwiseAND(lit(0xFFFFL))): _*)))

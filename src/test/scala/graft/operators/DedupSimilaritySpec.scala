@@ -27,6 +27,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === truth) // verified-exact output ⊆ truth; LSH recall ⊇ here
   }
 
+  test("lane-packed simhash equals the per-bit reference computation") {
+    // recompute every signature on the driver from the SAME word-hash
+    // rows, with the obvious per-bit majority vote — guards the packed
+    // 16-bit-lane aggregation against lane-boundary/sign mistakes
+    val hashes = Dedup.simhashWordHashes(spark, sf001)
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val expected = hashes.map { case (docId, rows) =>
+      val n = rows.length
+      var sig = 0L
+      (0 until 64).foreach { j =>
+        val count = rows.count { case (_, h) => ((h >> j) & 1L) == 1L }
+        if (2 * count > n) sig |= (1L << j)
+      }
+      docId -> sig
+    }
+    val got = Dedup.simhashSignatures(spark, sf001)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === expected.size)
+    expected.foreach { case (docId, sig) => assert(got(docId) === sig) }
+  }
+
   test("simhash: identical docs collide, hamming pairs are symmetric-free") {
     val pairs = Dedup.simhash.build(spark, sf001)
       .select($"doc_id_a", $"doc_id_b", $"hamming")
