@@ -81,9 +81,13 @@ object Dedup {
       |FROM pairs
       |WHERE CAST(inter_size AS DOUBLE) / CAST(union_size AS DOUBLE) >= 0.5""".stripMargin) { (spark, dir) =>
     // AllPairs prefix filtering (Bayardo et al., WWW'07) — exact:
-    // J(A,B) ≥ 0.5 ⇒ |A∩B| ≥ ⌈(|A|+|B|)/3⌉ ≥ ⌈|A|/3⌉, so with every
-    // doc's shingles sorted by ONE global canonical order, a qualifying
-    // pair must collide inside both docs' first |A|-⌈|A|/3⌉+1 shingles.
+    // J(A,B) ≥ 0.5 ⇒ |A∩B| ≥ (|A|+|B|)/3, and the size filter below
+    // admits only partners with min ≥ max/2, so for every eligible pair
+    // |A∩B| ≥ (|A|+|A|/2)/3 = |A|/2 (likewise ≥ |B|/2 on the smaller
+    // side). With every doc's shingles sorted by ONE global canonical
+    // order, a qualifying pair must therefore collide inside both docs'
+    // first |A|-⌈|A|/2⌉+1 shingles — a ~n/2 prefix, not the looser
+    // ~2n/3 the pair-independent ⌈|A|/3⌉ bound gives.
     // Ordering that canonical order by ascending document frequency
     // puts boilerplate shingles in the suffix — the posting join only
     // ever fans out on RARE shingles. A plain inverted-index join
@@ -98,7 +102,7 @@ object Dedup {
       .orderBy(col("df").asc, col("s").asc)
     val prefix = rows.join(freq, Seq("lang", "source", "s"))
       .withColumn("rn", row_number().over(wDoc))
-      .filter(col("rn") <= col("n_sh") - expr("(n_sh + 2) div 3") + 1)
+      .filter(col("rn") <= col("n_sh") - expr("(n_sh + 1) div 2") + 1)
       .select(col("lang"), col("source"), col("s"),
         col("doc_id"), col("n_sh"))
     val candA = prefix.select(col("lang"), col("source"), col("s"),
