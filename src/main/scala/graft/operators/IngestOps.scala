@@ -11,13 +11,22 @@ import graft.sources.CsvIngest
   * resolve aliases, row guards, money parse, last-write-wins dedupe) and
   * aggregate the result for a compact, deterministic output.
   *
-  * No DuckDB oracle (the oracle only sees the parquet tables, not the
-  * intermediate CSV) → driver records the rows-only check; the
+  * The staged CSV is generated deterministically FROM `part`, so the
+  * DuckDB oracle computes the identical aggregate straight from the
+  * parquet source: every money string round-trips exactly (retailprice
+  * has exactly 2 decimals; parse goes through decimal, never double),
+  * keys are unique, and no row trips a guard — n_rows = count(part),
+  * sum_cents = sum(round(p_retailprice*100)), n_unparsed = 0. The
   * ingest kernel itself is unit-tested in CsvIngestSpec.
   */
 object IngestOps {
 
-  val csvRoundtrip: Op = Op.noOracle("q_csv_ingest") { (spark, dir) =>
+  val csvRoundtrip: Op = Op(
+    "q_csv_ingest",
+    """SELECT COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       CAST(0 AS BIGINT) AS n_unparsed
+      |FROM part""".stripMargin) { (spark, dir) =>
     // deterministic staging dir per sf; overwrite keeps re-runs idempotent
     val sfTag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
     val csvDir = s"${System.getProperty("java.io.tmpdir")}/graft_csv$sfTag"
@@ -27,7 +36,9 @@ object IngestOps {
         col("p_brand").as("Console-Name"),
         // vendor-style money: "$1,234.56"
         concat(lit("$"), format_number(col("p_retailprice"), 2)).as("Loose-Price"))
-      .coalesce(1)
+      // parallel staging write (no coalesce(1)): the reader globs the
+      // directory, so the fixture write never becomes a bottleneck at
+      // larger SF
       .write.mode("overwrite").option("header", "true").csv(csvDir)
     val ingested = CsvIngest.ingest(
       spark, csvDir,

@@ -53,12 +53,18 @@ object Introspect {
       |    json_extract_string(payload, '$.card_faces[0].image_uris.normal'),
       |    json_extract_string(payload, '$.card_faces[0].image_uris.small')) AS image
       |FROM src""".stripMargin) { (spark, dir) =>
-    val uris = (prefix: String) => struct(
-      when(col("p_partkey") % 2 =!= 0, concat(lit(s"${prefix}L-"), col("p_name")))
-        .as("large"),
-      when(lit(prefix) === "F" || col("p_partkey") % 4 =!= 0,
-        concat(lit(s"${prefix}N-"), col("p_name"))).as("normal"),
-      concat(lit(s"${prefix}S-"), col("p_name")).as("small"))
+    val uris = (prefix: String) => {
+      // the face-variant (prefix "F") always has `normal` — decide that
+      // at plan-construction time instead of a lit==lit predicate (which
+      // Spark logs as a trivially-true comparison)
+      val normal = concat(lit(s"${prefix}N-"), col("p_name"))
+      struct(
+        when(col("p_partkey") % 2 =!= 0, concat(lit(s"${prefix}L-"), col("p_name")))
+          .as("large"),
+        (if (prefix == "F") normal
+         else when(col("p_partkey") % 4 =!= 0, normal)).as("normal"),
+        concat(lit(s"${prefix}S-"), col("p_name")).as("small"))
+    }
     val payload = when(col("p_partkey") % 3 === 0,
         to_json(struct(uris("").as("image_uris"))))
       .when(col("p_partkey") % 3 === 1,

@@ -10,13 +10,41 @@ import graft.multimodal.Multimodal
   * is stubbed per the harness contract, the schema/partitioning/batch
   * plumbing is real), then decode→features via partition-batched
   * transform, frame-sample the "videos", and aggregate per media kind.
-  * No SQL oracle (mapPartitions features aren't expressible in DuckDB)
-  * → rows-only check; the decoder determinism and metadata-pruning
-  * properties are unit-tested in MultimodalSpec.
+  * Oracled end-to-end: the fallback feature kernel (byte histogram of
+  * the sha256 content, L1-normalized) is pure hex arithmetic — bucket 0
+  * counts bytes with low nibble 0, i.e. '0' chars at even positions of
+  * the hex digest — and the resize/frame math is integer/IEEE-exact, so
+  * DuckDB reproduces every output column including mean_f0 bit-for-bit.
+  * The decoder determinism and metadata-pruning properties are
+  * unit-tested in MultimodalSpec.
   */
 object MultimodalOps {
 
-  val multimodalFeatures: Op = Op.noOracle("q_multimodal_feats") { (spark, dir) =>
+  val multimodalFeatures: Op = Op(
+    "q_multimodal_feats",
+    """WITH a AS (
+      |  SELECT p_partkey AS asset_id,
+      |         CASE WHEN p_partkey % 3 = 0 THEN 'image'
+      |              WHEN p_partkey % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS kind,
+      |         CAST(p_size * 20 + 40 AS INTEGER) AS w,
+      |         CAST(p_size * 12 + 30 AS INTEGER) AS h,
+      |         p_partkey % 5000 AS d,
+      |         sha256(p_name) AS sha
+      |  FROM part
+      |), per AS (
+      |  SELECT kind,
+      |         LEAST(w, GREATEST(1, CAST(TRUNC(w * 512.0 / GREATEST(w, h)) AS INTEGER))) AS rw,
+      |         CASE WHEN kind = 'video' AND d > 0 THEN (d - 1) // 1000 + 1 ELSE 1 END AS n_frames,
+      |         list_sum(list_transform(range(1, 33),
+      |           i -> CASE WHEN substr(sha, 2*i, 1) = '0' THEN 1 ELSE 0 END)) / 32.0 AS f0
+      |  FROM a
+      |)
+      |SELECT kind, COUNT(*) AS n_assets,
+      |       CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+      |       AVG(f0) AS mean_f0,
+      |       MAX(rw) AS max_width
+      |FROM per GROUP BY kind""".stripMargin) { (spark, dir) =>
     val assets = Tables.part(spark, dir).select(
       col("p_partkey").as("asset_id"),
       unhex(sha2(col("p_name"), 256)).as("content"),

@@ -101,12 +101,16 @@ object Normalize {
     def keyed(df: org.apache.spark.sql.DataFrame) = df.select(
       col("l_partkey"), col("l_suppkey"),
       nullif(col("l_returnflag"), lit("N")).as("cond")).distinct()
-    val existing = keyed(li.filter(col("l_shipdate") < cutoff))
-    val incoming = keyed(li.filter(col("l_shipdate") >= cutoff))
+    // self-join legs aliased explicitly: `df1("c") === df2("c")` on
+    // same-lineage frames relies on Spark's dataset-id disambiguation
+    // and logs trivially-true-predicate warnings; qualified aliases make
+    // the join condition unambiguous by construction
+    val existing = keyed(li.filter(col("l_shipdate") < cutoff)).alias("ex")
+    val incoming = keyed(li.filter(col("l_shipdate") >= cutoff)).alias("inc")
     incoming.join(existing,
-      incoming("l_partkey") === existing("l_partkey") &&
-        incoming("l_suppkey") === existing("l_suppkey") &&
-        (incoming("cond") <=> existing("cond")),
+      col("inc.l_partkey") === col("ex.l_partkey") &&
+        col("inc.l_suppkey") === col("ex.l_suppkey") &&
+        (col("inc.cond") <=> col("ex.cond")),
       "left_anti")
   }
 }

@@ -27,23 +27,38 @@ object Scale {
     val Salts = 8
     val li = Tables.lineitem(spark, dir)
       .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(Salts)))
+      .alias("f")
     val o = Tables.orders(spark, dir)
       .withColumn("salt", explode(array((0 until Salts).map(s => lit(s.toLong)): _*)))
-    li.join(o, col("l_orderkey") === col("o_orderkey") && li("salt") === o("salt"))
+      .alias("d")
+    li.join(o, col("f.l_orderkey") === col("d.o_orderkey") &&
+        col("f.salt") === col("d.salt"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         sum(centsOf(col("l_extendedprice"))).as("sum_cents"))
   }
 
   /** Sketch aggregates: approx_count_distinct (HLL++) next to the exact
-    * count — the sketch is engine-specific, so no SQL oracle (rows-only
-    * check); the spec asserts relative error < 5% instead. */
-  val approxDistinct: Op = Op.noOracle("q_approx_distinct") { (spark, dir) =>
+    * count. The sketch value itself is engine-specific, so the CONTRACT
+    * the driver verifies is the pinned property: exact counts plus a
+    * boolean `within_5pct` that Spark computes honestly from the sketch
+    * and the oracle pins to TRUE (HLL++ at rsd=0.02 stays well inside
+    * 5%); the spec additionally asserts the numeric relative error. */
+  val approxDistinct: Op = Op(
+    "q_approx_distinct",
+    """SELECT event_type,
+      |       COUNT(DISTINCT user_id) AS exact_users,
+      |       COUNT(*) AS n,
+      |       TRUE AS within_5pct
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("exact_users"), col("n"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("within_5pct"))
   }
 }

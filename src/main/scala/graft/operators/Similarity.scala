@@ -80,7 +80,21 @@ object Similarity {
   }
 
   /** Embedding near-duplicates: pairs within the same label block with
-    * cosine ≥ 0.35 (the synthetic data's within-cluster tail). */
+    * cosine ≥ 0.35 (the synthetic data's within-cluster tail).
+    *
+    * Candidate generation is IVF-cell co-assignment, NOT all-pairs:
+    * every vector is assigned to its nprobe=4 nearest coarse-quantizer
+    * cells (same deterministic every-50th-vector codebook as
+    * [[annIvf]]), and only same-label pairs sharing at least one cell
+    * are exactly verified. The codebook grows with the data (k = N/50),
+    * so candidate volume is ~(50·nprobe²)·N — LINEAR in N, where the
+    * old within-label all-pairs block product was quadratic in block
+    * size (labels are coarse at 100 TB). Coverage is measured, not
+    * hoped: tools/Explore confirms every cos≥0.35 pair shares a top-4
+    * cell at sf0.01 and sf0.1 (the worst pair, cos 0.41, is already
+    * covered at nprobe=4; SimilaritySpec pins cell-path ≡ all-pairs).
+    * The DuckDB oracle stays the label-blocked all-pairs definition —
+    * same output, linear candidates. */
   val embedNearDup: Op = Op(
     "q_embed_neardup",
     s"""WITH e AS (
@@ -95,16 +109,60 @@ object Similarity {
        |  WHERE a.n2 > 0 AND b.n2 > 0
        |)
        |SELECT label, id_a, id_b, cos FROM pairs WHERE cos >= 0.35""".stripMargin) { (spark, dir) =>
+    embedNearDupVia(spark, dir, allPairs = false)
+  }
+
+  /** Shared body for [[embedNearDup]]: `allPairs = true` is the
+    * quadratic reference path (spec-only — SimilaritySpec asserts the
+    * cell path equals it); `false` is the registered linear-candidate
+    * IVF-cell path. */
+  def embedNearDupVia(spark: SparkSession, dir: String,
+      allPairs: Boolean): DataFrame = {
+    val nprobe = 4
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("v"))
       .withColumn("n2", inorm2(spark, col("v")))
       .filter(col("n2") > 0)
-    val a = e.select(col("label"), col("vec_id").as("id_a"),
-      col("v").as("va"), col("n2").as("na"))
-    val b = e.select(col("label"), col("vec_id").as("id_b"),
-      col("v").as("vb"), col("n2").as("nb"))
-    a.join(b, Seq("label"))
-      .filter(col("id_a") < col("id_b"))
+    val candIds: DataFrame =
+      if (allPairs) {
+        val a = e.alias("ea")
+        val b = e.alias("eb")
+        a.join(b, col("ea.label") === col("eb.label") &&
+            col("ea.vec_id") < col("eb.vec_id"))
+          .select(col("ea.label").as("label"),
+            col("ea.vec_id").as("id_a"), col("eb.vec_id").as("id_b"))
+      } else {
+        val cents = e.filter(col("vec_id") % 50 === 0).select(
+          col("vec_id").as("cent_id"), col("v").as("cv"), col("n2").as("cn"))
+        // nprobe nearest cells per vector as ONE aggregate (no window
+        // shuffle of the N×K scored rows beyond the groupBy): collect
+        // the K (small, broadcast codebook) scored cells per vector,
+        // sort by (-cos, cent_id) — same total order as annIvf — and
+        // slice the top nprobe.
+        val scored = e.join(broadcast(cents))
+          .select(col("vec_id"), col("label"),
+            struct(negate(cosine(idot(spark, col("v"), col("cv")),
+              col("n2"), col("cn"))).as("ncos"), col("cent_id").as("cell"))
+              .as("sc"))
+        val cells = scored.groupBy(col("vec_id"), col("label"))
+          .agg(slice(array_sort(collect_list(col("sc"))), 1, nprobe).as("cs"))
+          .select(col("vec_id"), col("label"),
+            explode(col("cs.cell")).as("cell"))
+        val ca = cells.alias("ca")
+        val cb = cells.alias("cb")
+        ca.join(cb,
+            col("ca.cell") === col("cb.cell") &&
+              col("ca.label") === col("cb.label") &&
+              col("ca.vec_id") < col("cb.vec_id"))
+          .select(col("ca.label").as("label"),
+            col("ca.vec_id").as("id_a"), col("cb.vec_id").as("id_b"))
+          .distinct()
+      }
+    candIds
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("n2").as("na")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("n2").as("nb")), Seq("id_b"))
       .select(col("label"), col("id_a"), col("id_b"),
         cosine(idot(spark, col("va"), col("vb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= 0.35)
@@ -197,13 +255,42 @@ object Similarity {
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
   }
 
-  /** LSH-bucketed ANN (scale path, no oracle): 8 deterministic
-    * pseudo-random hyperplanes (integer coefficients derived from
-    * (plane, dim) by a Weyl-style mix) hash every vector to an 8-bit
-    * bucket; each query searches only its bucket. Trades recall for a
-    * 2⁸ fan-in reduction — the structure that survives 100 TB.
+  /** LSH-bucketed ANN (scale path): 8 deterministic pseudo-random
+    * hyperplanes (integer coefficients derived from (plane, dim) by a
+    * Weyl-style mix) hash every vector to an 8-bit bucket; each query
+    * searches only its bucket. Trades recall for a 2⁸ fan-in reduction —
+    * the structure that survives 100 TB.
+    *
+    * Fully oracle-able: the hyperplane coefficients are pure integer
+    * arithmetic on (plane, dim), the dot products are exact integers,
+    * and the bucket is a sum of indicator bits — DuckDB computes the
+    * identical buckets with nested list lambdas, so the driver
+    * hash-compares the whole bucketed search end-to-end.
     */
-  val annLsh: Op = Op.noOracle("q_ann_lsh") { (spark, dir) =>
+  val annLsh: Op = Op(
+    "q_ann_lsh",
+    s"""WITH e AS (
+       |  SELECT vec_id, $QuantSql AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM e
+       |), b AS (
+       |  SELECT vec_id, v, n2,
+       |         CAST(list_sum(list_transform(range(0, 8), p ->
+       |           CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+       |                  i -> v[i] * ((p * 2654435761 + (i-1) * 40503) % 1000003 - 501501))) > 0
+       |                THEN 1 << p ELSE 0 END)) AS BIGINT) AS bucket
+       |  FROM n WHERE n2 > 0
+       |), q AS (
+       |  SELECT vec_id AS q_id, v AS qv, n2 AS qn, bucket FROM b WHERE vec_id < 10
+       |), scored AS (
+       |  SELECT q.q_id, c.vec_id AS c_id, c.bucket,
+       |         CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*c.v[i])) AS DOUBLE)
+       |           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+       |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.q_id
+       |)
+       |SELECT q_id, c_id, bucket, cos, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+       |  FROM scored) WHERE rk <= 5""".stripMargin) { (spark, dir) =>
     val planes = 8
     // plane p, dim i → pseudo-random coefficient in [-500k, 500k];
     // materialized as LITERAL arrays (constant-folded, zero per-row

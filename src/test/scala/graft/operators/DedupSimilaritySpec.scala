@@ -9,18 +9,24 @@ import org.apache.spark.sql.functions._
 class DedupSimilaritySpec extends SparkSpec {
   import spark.implicits._
 
-  test("minhash LSH finds every exact-Jaccard>=0.5 pair (recall vs truth)") {
-    // ground truth: all-pairs exact jaccard >= 0.5 (tiny at sf0.001)
+  /** Ground truth: all-pairs exact jaccard >= 0.5 (tiny at sf0.001),
+    * optionally restricted to docs with at least `minSh` shingles. */
+  private def exactPairTruth(minSh: Int = 0): Set[(Long, Long)] = {
     val d = graft.Tables.documents(spark, sf001).select(
       $"doc_id", graft.functions.TextAnalysis.wordShingles($"text", 3).as("sh"))
     val a = d.select($"doc_id".as("ia"), $"sh".as("sa"))
     val b = d.select($"doc_id".as("ib"), $"sh".as("sb"))
-    val truth = a.join(b, $"ia" < $"ib")
+    a.join(b, $"ia" < $"ib" &&
+        size($"sa") >= minSh && size($"sb") >= minSh)
       .select($"ia", $"ib",
         (size(array_intersect($"sa", $"sb")).cast("double") /
           size(array_union($"sa", $"sb")).cast("double")).as("j"))
       .filter($"j" >= 0.5)
       .select($"ia", $"ib").as[(Long, Long)].collect().toSet
+  }
+
+  test("minhash LSH finds every exact-Jaccard>=0.5 pair (recall vs truth)") {
+    val truth = exactPairTruth()
     val got = Dedup.minhashLsh.build(spark, sf001)
       .select($"doc_id_a", $"doc_id_b").as[(Long, Long)].collect().toSet
     assert(truth.nonEmpty, "expected planted near-dups in testdata")
@@ -48,11 +54,38 @@ class DedupSimilaritySpec extends SparkSpec {
     expected.foreach { case (docId, sig) => assert(got(docId) === sig) }
   }
 
-  test("simhash: identical docs collide, hamming pairs are symmetric-free") {
-    val pairs = Dedup.simhash.build(spark, sf001)
-      .select($"doc_id_a", $"doc_id_b", $"hamming")
-      .as[(Long, Long, Int)].collect()
-    assert(pairs.forall { case (x, y, h) => x < y && h >= 0 && h <= 3 })
+  test("simhash two-stage output equals the exact truth on in-scope docs") {
+    val truth = exactPairTruth(Dedup.SimhashMinShingles)
+    val got = Dedup.simhash.build(spark, sf001)
+      .select($"doc_id_a", $"doc_id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    assert(got.forall { case (x, y) => x < y })
+    assert(got === truth)
+  }
+
+  test("simhash banded candidates are exactly the pairs within hamming 7") {
+    // pigeonhole: 8 bands of 8 bits ⇒ any pair with ≤7 differing bits
+    // shares an identical band; the op then filters hamming ≤ 7, so the
+    // candidate set must EQUAL the within-7 set, not just contain it
+    val sigs = Dedup.simhashSignatures(spark, sf001)
+      .as[(Long, Long)].collect()
+    val within7 = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (a, b)).toSet
+    val cand = Dedup.simhashCandidates(spark, sf001)
+      .select($"doc_id_a", $"doc_id_b").as[(Long, Long)].collect().toSet
+    assert(cand === within7)
+  }
+
+  test("embed near-dup IVF-cell path equals the all-pairs reference") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"label", $"id_a", $"id_b", $"cos")
+      .as[(Int, Long, Long, Double)].collect().toSet
+    val cellPath = canon(Similarity.embedNearDup.build(spark, sf001))
+    val allPairs = canon(Similarity.embedNearDupVia(spark, sf001, allPairs = true))
+    assert(allPairs.nonEmpty)
+    assert(cellPath === allPairs)
   }
 
   test("LSH ANN returns a subset of brute-force candidates with same scores") {
