@@ -11,8 +11,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * code change needed between local[32] and a 1000-executor cluster.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Live-database source switch (reference reads live PostgreSQL:
+    * scripts/revalue/revalueCollection.mjs:9-16,
+    * scripts/pricing/03_build_market_price_daily.js:24-25): when the
+    * session conf `graft.jdbc.url` (or env `GRAFT_JDBC_URL`) is set,
+    * tables resolve through `spark.read.format("jdbc")` against that URL
+    * with `dbtable = <name>`; parquet from the sf dir otherwise. The
+    * JDBC reader participates in pushdown like any DataSource — filters
+    * and column pruning travel into the generated SQL; partitioned reads
+    * (partitionColumn/numPartitions) are the caller's per-table tuning
+    * knob at scale. Round-tripped in JdbcSourceSpec against an embedded
+    * Derby database.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val url = spark.conf.getOption("graft.jdbc.url")
+      .orElse(sys.env.get("GRAFT_JDBC_URL")).getOrElse("")
+    if (url.nonEmpty)
+      spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", name)
+        .load()
+    else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")

@@ -9,9 +9,12 @@ import org.apache.spark.sql.types._
   * as opaque `binary` columns + typed metadata structs, with
   * decode/feature-extract implemented as per-partition batch transforms.
   *
-  * The actual codecs (JPEG decode, resampling, frame sampling) are NOT
-  * in this container — [[StubDecoder]] is a clearly-marked deterministic
-  * fake. Everything AROUND it is the real production shape:
+  * Image decode is REAL (pure-JVM javax.imageio: PNG/JPEG/GIF/BMP →
+  * luminance-histogram features, exercised on actual encoded pixels in
+  * MultimodalSpec); audio/video codecs and byte-level resampling are NOT
+  * in this container — for those [[StubDecoder]] falls back to a
+  * clearly-marked deterministic byte histogram. Everything AROUND the
+  * codec is the real production shape:
   *  - schema: `content binary` + `media struct<kind,width,height,...>`
   *    so metadata predicates prune without touching bytes (a filter on
   *    `media.kind` never deserializes a single image at 100 TB);
@@ -36,15 +39,52 @@ object Multimodal {
     StructField("content", BinaryType),
     StructField("media", mediaSchema)))
 
-  /** Deterministic fake decoder — stands in for the real codec.
-    * Real implementation would call the native image/audio library here;
-    * the contract (bytes in → fixed-size feature vector out) is what the
-    * pipeline depends on. */
+  /** Decoder: REAL pure-JVM image decode (javax.imageio — PNG/JPEG/GIF/
+    * BMP, no native deps) with the disclosed deterministic byte-histogram
+    * fallback for everything else (audio/video codecs are not in this
+    * container — that part of the codec surface remains an honest stub).
+    * The contract the pipeline depends on is unchanged: bytes in →
+    * fixed-size feature vector out, deterministic for identical bytes.
+    */
   object StubDecoder {
     val FeatureDim = 16
-    /** ??? in spirit: a real decoder goes here. Deterministic fake:
-      * byte histogram folded to FeatureDim buckets, L1-normalized. */
-    def decodeToFeatures(bytes: Array[Byte]): Array[Float] = {
+
+    /** Magic-byte sniff: only hand plausible image payloads to ImageIO —
+      * probing arbitrary binary through the reader registry on every row
+      * would be pure overhead at scale. */
+    private def looksLikeImage(bytes: Array[Byte]): Boolean =
+      bytes.length >= 4 && (
+        (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
+          bytes(3) == 'G') || // PNG
+        (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) || // JPEG
+        (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') || // GIF
+        (bytes(0) == 'B' && bytes(1) == 'M')) // BMP
+
+    /** Features from decoded pixels: FeatureDim-bucket luminance
+      * histogram, L1-normalized — deterministic, resolution-independent
+      * summary (integer Rec.601 luma, exact for identical pixels). */
+    def pixelFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+      val buckets = new Array[Long](FeatureDim)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          buckets(lum * FeatureDim / 256) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val total = math.max(img.getWidth.toLong * img.getHeight, 1L)
+      buckets.map(b => b.toFloat / total)
+    }
+
+    /** Fallback for non-image payloads: byte histogram folded to
+      * FeatureDim buckets, L1-normalized (the original disclosed stub —
+      * also what the registered query's DuckDB oracle reproduces). */
+    def byteHistogram(bytes: Array[Byte]): Array[Float] = {
       val buckets = new Array[Long](FeatureDim)
       var i = 0
       while (i < bytes.length) {
@@ -54,6 +94,17 @@ object Multimodal {
       val total = math.max(bytes.length.toLong, 1L)
       buckets.map(b => b.toFloat / total)
     }
+
+    def decodeToFeatures(bytes: Array[Byte]): Array[Float] = {
+      if (looksLikeImage(bytes)) {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null } // corrupt payload ≠ task failure
+        if (img != null) return pixelFeatures(img)
+      }
+      byteHistogram(bytes)
+    }
+
     /** Fake resize: metadata-only transform (real one re-encodes bytes). */
     def resizeMeta(w: Int, h: Int, maxSide: Int): (Int, Int) = {
       val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))

@@ -40,8 +40,11 @@ object Bucketing {
       spark: SparkSession,
       leftTable: String, leftKey: String,
       rightTable: String, rightKey: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    spark.table(leftTable)
-      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+    // resolve each key against its own side: unqualified col(...) would
+    // be AMBIGUOUS_REFERENCE whenever both tables share the key column
+    // name — the typical co-located join
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
   }
 }

@@ -64,14 +64,29 @@ object CsvIngest {
     df.select(cols :+ raw: _*)
   }
 
-  /** Last-occurrence-wins dedupe on a logical key (ref 01:171-186). */
+  /** Last-occurrence-wins dedupe on a logical key (ref 01:171-186).
+    *
+    * Ordering contract across a DIRECTORY of inputs: files are ranked by
+    * lexicographic file name (timestamped export names — the common
+    * vendor convention — make that calendar order), and by row position
+    * within each file; the key's winner is the last row of the
+    * lexicographically-last file containing it. `monotonically_increasing_id`
+    * alone is NOT file-ordered across files — Spark packs read splits
+    * largest-first, so a later-but-bigger file would get LOWER ids and
+    * silently lose (covered by a CsvIngestSpec case with two files whose
+    * winners differ). Within one file the id is position-monotone:
+    * equal-size splits keep offset order through Spark's stable
+    * size sort, and the smaller tail split sorts after them.
+    */
   def dedupeLastPerKey(df: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val withPos = df.withColumn("__pos", monotonically_increasing_id())
+    val withPos = df
+      .withColumn("__file", input_file_name())
+      .withColumn("__pos", monotonically_increasing_id())
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__pos").desc)
+      .orderBy(col("__file").desc, col("__pos").desc)
     withPos.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__pos", "__rn")
+      .drop("__file", "__pos", "__rn")
   }
 
   /** Full E1 pipeline: read → normalize → resolve → row guards → money

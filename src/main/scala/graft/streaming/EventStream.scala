@@ -82,9 +82,13 @@ object EventStream {
     * outputs per group per batch (mapGroupsWithState is exactly-one —
     * the wrong contract when a batch may cross several thresholds at
     * once, or none). Emits one alert per 10-dollar (1000-cent) level a
-    * user's running total crosses; state is just the running total, so
-    * at scale it's a few bytes per key in the state store regardless of
-    * event volume.
+    * user's running total crosses, AT MOST ONCE per level: the state
+    * carries a high-water-mark level alongside the running total, so a
+    * total that dips (refund / negative event) and later re-crosses an
+    * already-alerted level stays silent, and negative totals can't
+    * re-arm levels via truncating division (levels use floorDiv, so
+    * boundaries are consistent on both sides of zero). State remains a
+    * few bytes per key regardless of event volume.
     */
   def thresholdAlerts(
       events: Dataset[Event],
@@ -92,16 +96,19 @@ object EventStream {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Long), SessionUpdate](
+      .flatMapGroupsWithState[(Long, Long, Long), SessionUpdate](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[(Long, Long)]) =>
-          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[(Long, Long, Long)]) =>
+          val (n0, c0, hwm0) = state.getOption.getOrElse((0L, 0L, 0L))
           var n = n0; var c = c0
           rows.foreach { e => n += 1; c += math.round(e.value * 100) }
-          state.update((n, c))
-          // one output per step level crossed within this batch
-          ((c0 / stepCents + 1) to c / stepCents).iterator.map { level =>
-            SessionUpdate(userId, n, level * stepCents, closed = false)
+          val level = Math.floorDiv(c, stepCents)
+          val hwm = math.max(hwm0, level)
+          state.update((n, c, hwm))
+          // one output per NEW level above the high-water mark
+          ((hwm0 + 1) to level).iterator.map { l =>
+            SessionUpdate(userId, n, l * stepCents, closed = false)
           }
       }
   }

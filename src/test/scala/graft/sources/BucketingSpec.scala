@@ -38,4 +38,28 @@ class BucketingSpec extends SparkSpec {
       assert(j.count() === expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("colocatedJoin resolves SAME-named key columns per side") {
+    // the typical co-located join shares the key column name on both
+    // sides; unqualified col(key) === col(key) would throw
+    // AMBIGUOUS_REFERENCE — the join must resolve each key against its
+    // own table
+    val li = graft.Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey").as("order_id"), col("l_extendedprice"))
+    val o = graft.Tables.orders(spark, sf001)
+      .select(col("o_orderkey").as("order_id"), col("o_orderpriority"))
+    Seq("b_li_same", "b_o_same").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft-warehouse/$t"))
+    }
+    Bucketing.writeBucketed(li, "b_li_same", "order_id", 8)
+    Bucketing.writeBucketed(o, "b_o_same", "order_id", 8)
+    val j = Bucketing.colocatedJoin(spark,
+      "b_li_same", "order_id", "b_o_same", "order_id")
+    val expected = graft.Tables.lineitem(spark, sf001).join(
+      graft.Tables.orders(spark, sf001),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(j.count() === expected)
+  }
 }

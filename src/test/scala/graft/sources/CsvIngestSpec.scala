@@ -52,6 +52,32 @@ class CsvIngestSpec extends SparkSpec {
     assert(r1.getAs[String]("raw").contains("\"bonus\""))
   }
 
+  test("multi-file last-write-wins follows file-name order, not split order") {
+    // two files in one directory, same key in both. The later-named file
+    // (b_*.csv) is made much LARGER: Spark packs read splits
+    // largest-first, so monotonically_increasing_id alone would give the
+    // big file LOWER ids and the a-file's row would wrongly win; the
+    // file-name ordering must pick b's value regardless.
+    val dir = Files.createTempDirectory("fx_multifile")
+    val filler = (100 to 400).map(i => s"$i,Filler $i,$$1.00,NES,x")
+    Files.writeString(dir.resolve("a_2026-01-01.csv"), Seq(
+      "id,Product Name,loose price,console-name,bonus",
+      "1,From Day One,$10,NES,x",
+      "").mkString("\n"))
+    Files.writeString(dir.resolve("b_2026-01-02.csv"), (Seq(
+      "id,Product Name,loose price,console-name,bonus",
+      "1,From Day Two,$20,NES,x") ++ filler :+ "").mkString("\n"))
+    val got = CsvIngest.ingest(spark, dir.toString, aliases,
+      keyCols = Seq("id"),
+      requiredCols = Seq("id", "product_name"),
+      moneyCols = Seq("loose_price"))
+    val r = got.filter(org.apache.spark.sql.functions.col("id") === "1")
+      .collect().head
+    assert(r.getAs[String]("product_name") === "From Day Two")
+    assert(r.getAs[Long]("loose_price_cents") === 2000L)
+    assert(got.count() === 302) // key 1 (merged) + 301 filler keys
+  }
+
   test("missing logical column resolves to typed null") {
     val csv = writeCsv("id,name\n7,thing\n")
     val got = CsvIngest.resolveAliases(CsvIngest.read(spark, csv), aliases)

@@ -55,6 +55,31 @@ class EventStreamSpec extends SparkSpec {
     assert(got === Seq((1L, 1000L), (1L, 2000L), (2L, 1000L)))
   }
 
+  test("thresholdAlerts: dip below an alerted level then re-cross stays silent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.thresholdAlerts(input.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("alerts_hwm").start()
+    // +1500 → crosses 1000
+    input.addData(EventStream.Event(1L, Timestamp.valueOf("2026-01-01 00:00:00"), 15.00))
+    q.processAllAvailable()
+    // refund -10.00 → total 500, below the alerted level; no alert
+    input.addData(EventStream.Event(1L, Timestamp.valueOf("2026-01-01 00:01:00"), -10.00))
+    q.processAllAvailable()
+    // +7.00 → total 1200: re-crosses 1000, which already alerted → silent
+    input.addData(EventStream.Event(1L, Timestamp.valueOf("2026-01-01 00:02:00"), 7.00))
+    q.processAllAvailable()
+    // +10.00 → total 2200: crosses 2000 for the first time → one alert
+    input.addData(EventStream.Event(1L, Timestamp.valueOf("2026-01-01 00:03:00"), 10.00))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("alerts_hwm")
+      .select($"total_cents").as[Long].collect().sorted.toSeq
+    assert(got === Seq(1000L, 2000L))
+  }
+
   test("sessionize accumulates per-user state incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
