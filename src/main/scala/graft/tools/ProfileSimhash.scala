@@ -27,6 +27,40 @@ object ProfileSimhash {
         graft.SparkEntry.queries("q_simhash")(spark, dir).count())
     }
     (1 to 2).foreach { i =>
+      time(s"signatures only run $i")(
+        graft.operators.Dedup.simhashSignatures(spark, dir).count())
+    }
+    (1 to 2).foreach { i =>
+      time(s"candidates only run $i")(
+        graft.operators.Dedup.simhashCandidates(spark, dir).count())
+    }
+    // sub-plan timings of the candidate join
+    locally {
+      import org.apache.spark.sql.functions._
+      val sigs = graft.operators.Dedup.simhashSignatures(spark, dir)
+      def banded = sigs.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 8).map(bd =>
+          shiftright(col("simhash"), bd * 8).bitwiseAND(lit(0xFFL))): _*)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      (1 to 2).foreach { i => time(s"banded leg run $i")(banded.count()) }
+      val a = banded.alias("sa"); val b = banded.alias("sb")
+      val joined = a.join(b,
+        col("sa.band") === col("sb.band") &&
+          col("sa.bucket") === col("sb.bucket") &&
+          col("sa.doc_id") < col("sb.doc_id"))
+      (1 to 2).foreach { i => time(s"raw band join run $i")(joined.count()) }
+      val withHam = joined.select(col("sa.doc_id").as("doc_id_a"),
+        col("sb.doc_id").as("doc_id_b"),
+        bit_count(col("sa.simhash").bitwiseXOR(col("sb.simhash"))).as("hamming"))
+      (1 to 2).foreach { i =>
+        time(s"join+hamming run $i")(withHam.count())
+      }
+      (1 to 2).foreach { i =>
+        time(s"dedup(no ham filter) run $i")(
+          withHam.dropDuplicates("doc_id_a", "doc_id_b").count())
+      }
+    }
+    (1 to 2).foreach { i =>
       time(s"q_minhash_lsh run $i")(
         graft.SparkEntry.queries("q_minhash_lsh")(spark, dir).count())
     }
