@@ -45,6 +45,47 @@ object Similarity {
   private val QuantSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))"
 
+  /** Quantized embeddings with positive integer norms: (vec_id, v, n2). */
+  def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", inorm2(spark, col("v")))
+      .filter(col("n2") > 0)
+
+  /** Seed coarse-quantizer codebook: every 50th vector, so k grows as
+    * N/50 with the data. (cent_id, cv, cn). */
+  def ivfSeedCodebook(n: DataFrame): DataFrame =
+    n.filter(col("vec_id") % 50 === 0).select(
+      col("vec_id").as("cent_id"), col("v").as("cv"), col("n2").as("cn"))
+
+  /** Seed codebook refined by ONE Lloyd iteration. The refined centroid
+    * is the element-wise integer SUM of the cell's members — cosine is
+    * scale-invariant, so the sum ≡ the mean direction, and everything
+    * stays exact int64 (no float division): that is what keeps the
+    * refinement DuckDB-oracle-able. The iteration is posexplode →
+    * SUM per (cell, dim) → ordered re-collect — a linear N×64-row
+    * shuffle; more rounds would repeat the same job. */
+  def ivfLloydCodebook(spark: SparkSession, n: DataFrame): DataFrame = {
+    val cents0 = ivfSeedCodebook(n)
+    val scored0 = n.join(broadcast(cents0))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        cosine(idot(spark, col("v"), col("cv")), col("n2"), col("cn")).as("cos"))
+    val assign0 = scored0
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("cos")).as("nc"), col("cent_id").as("cell"),
+        col("v").as("v"))).as("best"))
+      .select(col("best.cell").as("cell"), col("best.v").as("v"))
+    assign0
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos")).agg(sum(col("x")).as("s"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        e => e.getField("s")).as("cv"))
+      .select(col("cell").as("cent_id"), col("cv"))
+      .withColumn("cn", inorm2(spark, col("cv")))
+      .filter(col("cn") > 0)
+  }
+
   /** Brute-force cosine top-k: queries = vec_id < 10, k = 5. */
   val annBruteForce: Op = Op(
     "q_ann_cosine",
@@ -169,12 +210,19 @@ object Similarity {
   }
 
   /** IVF-style ANN (inverted-file coarse quantizer, the other classic
-    * scale path next to LSH): a deterministic centroid set (every
-    * 50th vector — k-means iterations would converge better but are
-    * not needed to demonstrate the structure, and a data-derived
-    * deterministic codebook keeps the op DuckDB-oracle-able), every
-    * vector assigned to its nearest centroid (its CELL), each query
-    * probing only the nprobe=2 nearest cells.
+    * scale path next to LSH): a deterministic seed codebook (every 50th
+    * vector) refined by ONE Lloyd iteration, every vector assigned to
+    * its nearest refined centroid (its CELL), each query probing only
+    * the nprobe=2 nearest cells.
+    *
+    * The Lloyd step stays DuckDB-oracle-able through two observations:
+    * (a) cosine is scale-invariant, so the refined centroid can be the
+    * element-wise integer SUM of its members instead of their mean —
+    * exact in int64 (64 dims × 2.5e5 µ-units × ≤N members stays far
+    * under 2⁶³), no float division anywhere; (b) the int→double
+    * conversions in the cosine are IEEE-identical cross-engine. The
+    * iteration itself is plain relational algebra: posexplode → SUM per
+    * (cell, dim) → re-collect ordered — linear shuffle of N×64 rows.
     *
     * Scale shape: centroids broadcast; assignment is argmax-per-row
     * computed as a `min(struct(-cos, cent_id))` aggregate — the
@@ -183,7 +231,8 @@ object Similarity {
     * carries one row per vector. Probing joins the (tiny, broadcast)
     * query-cell list against the assignment on cell id: each query
     * scans ~nprobe/K of the data. At 100 TB the assigned table
-    * persists bucketed by cell → probes become partition-pruned scans.
+    * persists bucketed by cell → probes become partition-pruned scans,
+    * and more Lloyd rounds are the same linear job repeated.
     */
   val annIvf: Op = Op(
     "q_ann_ivf",
@@ -191,14 +240,32 @@ object Similarity {
        |  SELECT vec_id, $QuantSql AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM e
-       |), c AS (
+       |), c0 AS (
        |  SELECT vec_id AS cent_id, v AS cv, n2 AS cn
        |  FROM n WHERE vec_id % 50 = 0 AND n2 > 0
+       |), scored0 AS (
+       |  SELECT a.vec_id, a.v, c0.cent_id,
+       |         CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c0.cv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c0.cn AS DOUBLE))) AS cos
+       |  FROM n a, c0 WHERE a.n2 > 0
+       |), assign0 AS (
+       |  SELECT vec_id, v, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+       |    FROM scored0) WHERE rn = 1
+       |), sums AS (
+       |  SELECT cell, i, CAST(SUM(v[i]) AS BIGINT) AS s
+       |  FROM assign0, range(1, 65) t(i)
+       |  GROUP BY cell, i
+       |), c1 AS (
+       |  SELECT cell AS cent_id, list(s ORDER BY i) AS cv
+       |  FROM sums GROUP BY cell
+       |), c1n AS (
+       |  SELECT cent_id, cv, list_sum(list_transform(cv, x -> x*x)) AS cn FROM c1
        |), scored AS (
        |  SELECT a.vec_id, a.v, a.n2, c.cent_id,
        |         CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])) AS DOUBLE)
        |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS cos
-       |  FROM n a, c WHERE a.n2 > 0
+       |  FROM n a, c1n c WHERE a.n2 > 0 AND c.cn > 0
        |), assign AS (
        |  SELECT vec_id, v, n2, cent_id AS cell FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
@@ -219,13 +286,9 @@ object Similarity {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
        |  FROM pairs) WHERE rk <= 5""".stripMargin) { (spark, dir) =>
     val nprobe = 2
-    val n = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), quantize(col("embedding")).as("v"))
-      .withColumn("n2", inorm2(spark, col("v")))
-      .filter(col("n2") > 0)
-    val cents = n.filter(col("vec_id") % 50 === 0).select(
-      col("vec_id").as("cent_id"), col("v").as("cv"), col("n2").as("cn"))
-    val scored = n.join(broadcast(cents))
+    val n = quantized(spark, dir)
+    val cents1 = ivfLloydCodebook(spark, n)
+    val scored = n.join(broadcast(cents1))
       .select(col("vec_id"), col("v"), col("n2"), col("cent_id"),
         cosine(idot(spark, col("v"), col("cv")), col("n2"), col("cn")).as("cos"))
     // nearest centroid per vector as an aggregate (not a window): the

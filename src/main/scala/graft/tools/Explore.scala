@@ -107,6 +107,26 @@ object Explore {
         + s" (candidates: ${co.count()})")
       if (m == 6) notCovered.orderBy(col("cos").desc).show(30, false)
     }
+    // ---- IVF: does the Lloyd iteration improve the codebook? ----
+    locally {
+      val bf = Similarity.annBruteForce.build(spark, dir)
+        .select(col("q_id"), col("c_id"))
+      val ivf = Similarity.annIvf.build(spark, dir)
+        .select(col("q_id"), col("c_id"))
+      val nBf = bf.count()
+      val hit = bf.join(ivf, Seq("q_id", "c_id")).count()
+      println(s"== IVF(Lloyd) probe recall vs brute force: $hit/$nBf")
+      val n = Similarity.quantized(spark, dir)
+      def meanBestCos(cents: DataFrame): Double =
+        n.join(broadcast(cents))
+          .select(col("vec_id"),
+            Similarity.cosine(Similarity.idot(spark, col("v"), col("cv")),
+              col("n2"), col("cn")).as("cos"))
+          .groupBy("vec_id").agg(max("cos").as("c"))
+          .agg(avg("c")).head().getDouble(0)
+      println(f"== mean best-cos SEED codebook:  ${meanBestCos(Similarity.ivfSeedCodebook(n))}%.4f")
+      println(f"== mean best-cos LLOYD codebook: ${meanBestCos(Similarity.ivfLloydCodebook(spark, n))}%.4f")
+    }
     spark.stop()
   }
 }

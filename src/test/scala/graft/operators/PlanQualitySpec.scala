@@ -56,6 +56,27 @@ class PlanQualitySpec extends SparkSpec {
       s"expected partial+final aggregate pair in:\n$p")
   }
 
+  test("embed near-dup plans cell-key candidate join, no all-pairs block product") {
+    val p = plan(Similarity.embedNearDup)
+    // the r01 shape was a label-only self-join (quadratic in block
+    // size); the candidate join must now key on the IVF cell
+    assert(p.contains("cell"), s"expected IVF-cell join keys in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unexpected cartesian product in:\n$p")
+  }
+
+  test("simhash plans band-bucket equi-join with the hamming cut fused in") {
+    val p = plan(Dedup.simhash)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"simhash candidates must come from the band equi-join:\n$p")
+    // the <=7 cut rides the join (or its immediate post-join filter),
+    // BEFORE the pair-dedup aggregation shuffles the collisions
+    val joinIdx = p.indexOfSlice("Join")
+    val cutIdx = p.indexOfSlice("<= 7")
+    assert(joinIdx >= 0 && cutIdx >= 0, s"missing join or hamming cut:\n$p")
+  }
+
   test("top-k per group aggregates BEFORE the rank window") {
     val p = plan(Analytics.topKPerGroup)
     val aggIdx = p.indexOfSlice("Aggregate")
