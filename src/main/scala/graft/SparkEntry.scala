@@ -38,6 +38,7 @@ object SparkEntry {
     Windows.sessionizeBatch,
     Windows.movingAgg,
     AsOf.asofJoin,
+    AsOf.rangeJoin,
     SetPivot.intersectExcept,
     SetPivot.pivotFlags,
     SetPivot.rollupRevenue,
@@ -47,6 +48,7 @@ object SparkEntry {
     Introspect.jsonImage,
     Introspect.schemaProbe,
     StreamingOps.streamTumbling,
+    StreamingOps.streamDedup,
     MultimodalOps.multimodalFeatures,
   )
 

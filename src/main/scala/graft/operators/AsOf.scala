@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Money.centsOf
 
-/** As-of (point-in-time) join — an operator Spark lacks natively
+/** As-of (point-in-time) join and range (interval) join — operators
+  * Spark lacks natively
   * (north-star extension; the reference's closest shape is the
   * "latest row per group" correlated LIMIT 1,
   * scripts/pricing/10_rollup_market_values_daily.mjs:69-75).
@@ -82,5 +83,53 @@ object AsOf {
       .select(col("event_id"), col("user_id"), col("t").as("event_date"),
         col("carry_key").as("asof_orderkey"),
         col("carry_cents").as("asof_cents"))
+  }
+
+  /** Range (interval) join: per urgent order, total market shipping
+    * activity in the 7 days from order placement — the pure
+    * interval-join shape of the reference's 180-day sales-comps window
+    * (scripts/pricing/10_rollup_market_values_daily.mjs:33-48), with no
+    * equi-key between the sides.
+    *
+    * A naive `d.day BETWEEN o.day AND o.day+6` join has no equi-key and
+    * plans as a nested-loop product (PlanQualitySpec pins that it does
+    * NOT happen here). The Spark-first rewrite exploits that the range
+    * aggregate is ADDITIVE: (1) pre-aggregate the big side to one row
+    * per ship-day — linear, one shuffle, collapses 100 TB of lineitem
+    * to a few thousand rows; (2) explode each order's 7-day window into
+    * day keys; (3) broadcast equi-join on day and re-aggregate. For
+    * non-additive aggregates the same day-bucket explode still turns
+    * the inequality join into an equi-join on (bucket), just against
+    * per-row data instead of per-day partials.
+    */
+  val rangeJoin: Op = Op(
+    "q_range_join",
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |         COUNT(*) AS n_items,
+      |         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS day_cents
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_day,
+      |       CAST(SUM(d.n_items) AS BIGINT) AS n_shipped,
+      |       CAST(SUM(d.day_cents) AS BIGINT) AS shipped_cents
+      |FROM orders o JOIN daily d
+      |  ON d.day >= CAST(o.o_orderdate AS DATE)
+      | AND d.day < CAST(o.o_orderdate AS DATE) + 7
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(centsOf(col("l_extendedprice"))).as("day_cents"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_day"))
+      .withColumn("day",
+        explode(sequence(col("order_day"), date_add(col("order_day"), 6))))
+    o.join(broadcast(daily), Seq("day"))
+      .groupBy(col("o_orderkey"), col("order_day"))
+      .agg(sum(col("n_items")).as("n_shipped"),
+        sum(col("day_cents")).as("shipped_cents"))
   }
 }

@@ -11,6 +11,18 @@ import graft.streaming.EventStream
   */
 object StreamingOps {
 
+  /** Streaming content-key dedup ≡ batch DISTINCT (see
+    * [[EventStream.runDedupToMemory]] for why the watermark makes the
+    * parity exact here). */
+  val streamDedup: Op = Op(
+    "q_stream_dedup",
+    """SELECT DISTINCT user_id, event_type,
+      |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+      |FROM events""".stripMargin) { (spark, dir) =>
+    EventStream.runDedupToMemory(spark, dir, "q_stream_dedup_mem")
+    spark.table("q_stream_dedup_mem")
+  }
+
   val streamTumbling: Op = Op(
     "q_stream_tumbling",
     """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_us,

@@ -139,6 +139,36 @@ object EventStream {
     q.stop()
   }
 
+  /** Streaming exact dedup on a content key — the ingest-dedup stage of
+    * a training-data pipeline run incrementally. Uses
+    * `dropDuplicatesWithinWatermark`, the state-EXPIRING dedup API
+    * (plain streaming dropDuplicates keeps every key forever — a
+    * guaranteed OOM on an unbounded 100 TB/day stream); the watermark
+    * here exceeds the dataset's time span so the smoke run's semantics
+    * equal a global batch DISTINCT, which is exactly what the DuckDB
+    * oracle pins. The first-arrival row wins; only the key columns are
+    * emitted, so the output set is arrival-order-independent. */
+  def runDedupToMemory(
+      spark: SparkSession, dir: String, queryName: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("ts"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+    val q = stream
+      .withWatermark("ts", "60 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value_cents")
+      .select("user_id", "event_type", "value_cents")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Wire a parquet-backed stream of the events table to a memory sink
     * (local smoke; swap readStream source + sink for kafka/files in prod).
     * The file stores ns timestamps → stream them as long, derive µs. */

@@ -82,6 +82,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(joinIdx >= 0 && cutIdx >= 0, s"missing join or hamming cut:\n$p")
   }
 
+  test("range join plans as broadcast equi-join on day buckets, not nested loop") {
+    val p = plan(AsOf.rangeJoin)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested-loop product:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected day-bucket broadcast equi-join in:\n$p")
+  }
+
   test("top-k per group aggregates BEFORE the rank window") {
     val p = plan(Analytics.topKPerGroup)
     val aggIdx = p.indexOfSlice("Aggregate")
