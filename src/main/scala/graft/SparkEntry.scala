@@ -44,6 +44,7 @@ object SparkEntry {
     SetPivot.rollupRevenue,
     Scale.saltedJoin,
     Scale.approxDistinct,
+    Scale.approxQuantile,
     IngestOps.csvRoundtrip,
     Introspect.jsonImage,
     Introspect.schemaProbe,

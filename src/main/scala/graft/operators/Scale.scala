@@ -38,6 +38,38 @@ object Scale {
         sum(centsOf(col("l_extendedprice"))).as("sum_cents"))
   }
 
+  /** Quantile sketch next to the exact percentile: at 100 TB the exact
+    * percentile (full sort-based aggregation buffer per group) is the
+    * expensive path and `approx_percentile` (Greenwald-Khanna summary,
+    * mergeable, bounded memory) is what you actually run. Contract
+    * mirrors [[approxDistinct]]: exact values verified numerically, the
+    * sketch pinned by a boolean the oracle sets TRUE — here "the sketch
+    * median lands between the exact p45 and p55", a bound far looser
+    * than GK's guaranteed rank error (≤0.1% at accuracy 1000) yet tight
+    * enough that a broken sketch fails loudly. Exact percentiles run on
+    * integer cents so the interpolation is bit-identical cross-engine
+    * (same trick as the sales rollup). */
+  val approxQuantile: Op = Op(
+    "q_approx_quantile",
+    """SELECT l_returnflag,
+      |       COUNT(*) AS n,
+      |       quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.5) AS exact_p50_cents,
+      |       TRUE AS sketch_within_bounds
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .withColumn("cents", centsOf(col("l_extendedprice")))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(cents, 0.5)").as("exact_p50_cents"),
+        expr("percentile(cents, 0.45)").as("lo"),
+        expr("percentile(cents, 0.55)").as("hi"),
+        expr("approx_percentile(cents, 0.5, 1000)").as("ap"))
+      .select(col("l_returnflag"), col("n"), col("exact_p50_cents"),
+        (col("ap") >= col("lo") && col("ap") <= col("hi"))
+          .as("sketch_within_bounds"))
+  }
+
   /** Sketch aggregates: approx_count_distinct (HLL++) next to the exact
     * count. The sketch value itself is engine-specific, so the CONTRACT
     * the driver verifies is the pinned property: exact counts plus a

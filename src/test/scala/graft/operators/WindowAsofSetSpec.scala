@@ -97,6 +97,15 @@ class WindowAsofSetSpec extends SparkSpec {
     assert(row.getAs[Long]("r_cents") === manual)
   }
 
+  test("approx_percentile lands inside the exact p45-p55 band") {
+    val rows = Scale.approxQuantile.build(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("sketch_within_bounds"),
+        s"quantile sketch out of bounds for ${r.getAs[String]("l_returnflag")}")
+    }
+  }
+
   test("approx_count_distinct within declared 5% of exact") {
     // the op now exports the pinned-contract flag (the oracle pins it to
     // TRUE); the flag is computed honestly from the HLL++ sketch
