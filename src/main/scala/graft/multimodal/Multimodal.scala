@@ -95,6 +95,12 @@ object Multimodal {
       buckets.map(b => b.toFloat / total)
     }
 
+    // ImageIO's default read path spools even in-memory streams through
+    // a temp-file cache (one create/write/delete per image — and a full
+    // tmpdir fails the decode); the bytes are already in memory, so
+    // disable the disk cache once per JVM.
+    javax.imageio.ImageIO.setUseCache(false)
+
     def decodeToFeatures(bytes: Array[Byte]): Array[Float] = {
       if (looksLikeImage(bytes)) {
         val img =

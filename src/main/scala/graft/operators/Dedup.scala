@@ -12,14 +12,20 @@ import graft.functions.TextAnalysis.wordShingles
   * Scale design:
   *  - exact dedup = one hash aggregation on the normalized text — the
   *    shuffle key is the content itself, perfectly spread.
-  *  - blocked Jaccard is quadratic per block — correct as an oracle-able
-  *    baseline, but the 100 TB path is MinHash/LSH below.
+  *  - blocked Jaccard = AllPairs prefix filtering — postings linear,
+  *    candidates ∝ true near-dups.
   *  - MinHash+LSH: per-doc signature (map-only), explode to (band,
-  *    bucket) keys, self-join within buckets — candidate generation is
-  *    linear in docs + bucket collisions, never all-pairs. Oversized
-  *    buckets (degenerate content) are capped to bound the worst case.
-  *  - SimHash: per-doc 64-bit signature (map-only); banded into 4×16-bit
-  *    keys so any pair within Hamming distance 3 shares ≥1 band.
+  *    bucket) keys, self-join within buckets, exact-Jaccard verify —
+  *    candidate generation is linear in docs + bucket collisions, never
+  *    all-pairs. The registered op runs uncapped so its output equals
+  *    the all-pairs oracle on ANY data; [[minhashLshCapped]] is the
+  *    guardrail variant for corpora with degenerate mass-duplicate keys.
+  *  - SimHash: per-doc 64-bit signature (map-only), 8×8-bit bands (any
+  *    pair within Hamming 7 shares a band — pigeonhole), exact-Jaccard
+  *    verify; contract scoped to docs within
+  *    [[SimhashMinShingles]]..[[SimhashWordCap]] (short docs have
+  *    unstable vote margins, longer docs exceed the signature's word
+  *    window).
   */
 object Dedup {
 
@@ -142,35 +148,38 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** All-pairs exact-Jaccard oracle (no blocking) shared by the two
+  /** All-pairs exact-Jaccard oracle template shared by the two
     * candidate-generation scale paths (MinHash+LSH, SimHash): both
     * verify their candidates exactly, and both candidate generators
-    * provably/measurably cover every J≥0.5 pair on the deterministic
-    * testdata (LSH: measured recall 1.0 at sf0.01/sf0.1 — the corpus'
-    * near-dup pairs all sit at J≥0.9 where 8×4 banding is near-certain;
-    * SimHash: 8×8-bit banding covers Hamming≤7 by pigeonhole, and the
-    * corpus' J≥0.5 pairs max out at Hamming 5). So the driver-checkable
-    * contract is the exact near-dup pair set itself.
+    * provably/measurably cover every in-scope J≥0.5 pair on the
+    * deterministic testdata (LSH: measured recall 1.0 at sf0.01/sf0.1 —
+    * the corpus' near-dup pairs all sit at J≥0.9 where 8×4 banding is
+    * near-certain; SimHash: 8×8-bit banding covers Hamming≤7 by
+    * pigeonhole, and the corpus' in-scope J≥0.5 pairs max out at
+    * Hamming 7). So the driver-checkable contract is the exact
+    * near-dup pair set itself. `gate` injects additional per-side scope
+    * predicates into the pair join (one SQL source for all variants —
+    * a shingle-construction fix can't diverge between oracles).
     */
-  private val AllPairsJaccardSql =
-    """WITH d AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-      |  FROM documents
-      |), sh AS (
-      |  SELECT doc_id,
-      |         CASE WHEN len(w) >= 3
-      |              THEN list_distinct(list_transform(range(1, len(w)-1),
-      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-      |              ELSE [array_to_string(w, ' ')] END AS sh
-      |  FROM d
-      |), pairs AS (
-      |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-      |         len(list_intersect(a.sh, b.sh)) AS i,
-      |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |)
-      |SELECT doc_id_a, doc_id_b, CAST(i AS DOUBLE)/CAST(u AS DOUBLE) AS jaccard
-      |FROM pairs WHERE CAST(i AS DOUBLE)/CAST(u AS DOUBLE) >= 0.5""".stripMargin
+  private def allPairsJaccardSql(gate: String = ""): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, len(w) AS n_words,
+       |         CASE WHEN len(w) >= 3
+       |              THEN list_distinct(list_transform(range(1, len(w)-1),
+       |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+       |              ELSE [array_to_string(w, ' ')] END AS sh
+       |  FROM d
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |         len(list_intersect(a.sh, b.sh)) AS i,
+       |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id$gate
+       |)
+       |SELECT doc_id_a, doc_id_b, CAST(i AS DOUBLE)/CAST(u AS DOUBLE) AS jaccard
+       |FROM pairs WHERE CAST(i AS DOUBLE)/CAST(u AS DOUBLE) >= 0.5""".stripMargin
 
   /** MinHash + LSH near-dup pairs, verified by exact Jaccard.
     *
@@ -182,8 +191,30 @@ object Dedup {
     * are NO pairs in (0.2, 0.9)), where banded recall is 1.0
     * deterministically (xxhash64 signatures are fixed), verified at
     * sf0.01 and sf0.1 by tools/Explore.
+    *
+    * The registered op runs with NO bucket cap: an exact-equality oracle
+    * and a silent candidate cap are incompatible on mass-duplicate data
+    * (1001 identical docs put >1000 members in the SAME bucket of every
+    * band, so a cap would drop pairs the oracle contains — note the
+    * correct output for such data is itself quadratic in the duplicate
+    * group, so the cost is inherent to the pairwise contract, not the
+    * algorithm). Corpora where that output blow-up is unacceptable use
+    * [[minhashLshCapped]] and accept documented recall loss, or switch
+    * to the group-style contract of `q_dedup_exact`.
     */
-  val minhashLsh: Op = Op("q_minhash_lsh", AllPairsJaccardSql) { (spark, dir) =>
+  val minhashLsh: Op = Op("q_minhash_lsh", allPairsJaccardSql()) { (spark, dir) =>
+    minhashLshPairs(spark, dir, bucketCap = None)
+  }
+
+  /** Guardrail variant: band buckets capped at `cap` members, bounding
+    * worst-case candidate fan-out on viral boilerplate at the price of
+    * missing pairs inside over-full buckets (library API + spec; not
+    * oracle-registered for exactly that reason). */
+  def minhashLshCapped(spark: SparkSession, dir: String, cap: Int): DataFrame =
+    minhashLshPairs(spark, dir, bucketCap = Some(cap))
+
+  private def minhashLshPairs(
+      spark: SparkSession, dir: String, bucketCap: Option[Int]): DataFrame = {
     val bands = 8
     val rowsPerBand = 4
     val k = bands * rowsPerBand
@@ -208,17 +239,20 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-    // cap degenerate buckets: at 100 TB one viral boilerplate string must
-    // not turn a bucket into an all-pairs join
-    val capped = banded.withColumn("rn",
-        row_number().over(Window
-          .partitionBy(col("band"), col("bucket"))
-          .orderBy(col("doc_id"))))
-      .filter(col("rn") <= 1000)
+    val members = bucketCap match {
+      case Some(cap) =>
+        banded.withColumn("rn",
+            row_number().over(Window
+              .partitionBy(col("band"), col("bucket"))
+              .orderBy(col("doc_id"))))
+          .filter(col("rn") <= cap)
+          .drop("rn")
+      case None => banded
+    }
     val sizes = bare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val cand = capped.select(col("band"), col("bucket"),
+    val cand = members.select(col("band"), col("bucket"),
         col("doc_id").as("doc_id_a"))
-      .join(capped.select(col("band"), col("bucket"),
+      .join(members.select(col("band"), col("bucket"),
         col("doc_id").as("doc_id_b")), Seq("band", "bucket"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b")
@@ -331,41 +365,37 @@ object Dedup {
   /** SimHash near-dup detection, two-stage: banded-signature candidate
     * generation (map-only signatures, band-bucket join — the shape that
     * survives 100 TB) followed by exact-Jaccard verification, so the
-    * output is exactly the J≥0.5 near-dup pair set over in-scope
-    * (≥[[SimhashMinShingles]]-shingle) docs. Oracled against the
-    * all-pairs exact SQL with the same length gate: in-scope pairs max
-    * out at signature Hamming 7 (measured across all SFs by
-    * tools/Explore), inside the radius-7 pigeonhole guarantee — so
-    * candidate recall on the contract set is exactly 1. */
+    * output is exactly the J≥0.5 near-dup pair set over in-scope docs:
+    * ≥[[SimhashMinShingles]] shingles (short-doc vote margins are
+    * unstable) and ≤[[SimhashWordCap]] words (the signature's word
+    * window — gating BOTH sides keeps signatures exact for every
+    * in-scope doc, so the slice cap can never silently break the
+    * oracle). Oracled against the all-pairs exact SQL with the same
+    * gates: in-scope pairs max out at signature Hamming 7 (measured
+    * across all SFs by tools/Explore), inside the radius-7 pigeonhole
+    * guarantee — so candidate recall on the contract set is exactly 1. */
   val simhash: Op = Op(
     "q_simhash",
-    s"""WITH d AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-       |  FROM documents
-       |), sh AS (
-       |  SELECT doc_id,
-       |         CASE WHEN len(w) >= 3
-       |              THEN list_distinct(list_transform(range(1, len(w)-1),
-       |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-       |              ELSE [array_to_string(w, ' ')] END AS sh
-       |  FROM d
-       |), pairs AS (
-       |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-       |         len(list_intersect(a.sh, b.sh)) AS i,
-       |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
-       |  FROM sh a JOIN sh b
-       |    ON a.doc_id < b.doc_id
-       |   AND len(a.sh) >= $SimhashMinShingles AND len(b.sh) >= $SimhashMinShingles
-       |)
-       |SELECT doc_id_a, doc_id_b, CAST(i AS DOUBLE)/CAST(u AS DOUBLE) AS jaccard
-       |FROM pairs WHERE CAST(i AS DOUBLE)/CAST(u AS DOUBLE) >= 0.5""".stripMargin) { (spark, dir) =>
+    allPairsJaccardSql(
+      s"""
+         |   AND len(a.sh) >= $SimhashMinShingles AND len(b.sh) >= $SimhashMinShingles
+         |   AND a.n_words <= $SimhashWordCap AND b.n_words <= $SimhashWordCap""".stripMargin)) { (spark, dir) =>
     val bare = shingleRows(spark, dir)
       .select(col("doc_id"), col("s"))
-    // length gate applied BEFORE banding: short docs can't appear in any
-    // in-scope pair, and the banding population drives the candidate
-    // join quadratically
+    // length gates applied BEFORE banding: short docs can't appear in
+    // any in-scope pair (and drive the candidate join quadratically),
+    // and docs beyond the signature's word window are out of scope too —
+    // the oracle carries the SAME upper gate, so a >60k-word doc whose
+    // truncated signature drifts past Hamming 7 can never become a
+    // silent contract break: it simply isn't in the contract.
+    val wordsOk = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("n_words"))
+      .filter(col("n_words") <= SimhashWordCap)
+      .select("doc_id")
     val sizes = bare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       .filter(col("n_sh") >= SimhashMinShingles)
+      .join(wordsOk, Seq("doc_id"))
     val inScopeSigs = simhashSignatures(spark, dir)
       .join(sizes, Seq("doc_id"))
       .select(col("doc_id"), col("simhash"))

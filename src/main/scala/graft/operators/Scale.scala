@@ -61,12 +61,15 @@ object Scale {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        expr("percentile(cents, 0.5)").as("exact_p50_cents"),
-        expr("percentile(cents, 0.45)").as("lo"),
-        expr("percentile(cents, 0.55)").as("hi"),
+        // one percentile buffer for all three quantiles (array form) —
+        // three separate percentile() calls would triple the per-group
+        // value-multiset aggregation state
+        expr("percentile(cents, array(0.45, 0.5, 0.55))").as("ps"),
         expr("approx_percentile(cents, 0.5, 1000)").as("ap"))
-      .select(col("l_returnflag"), col("n"), col("exact_p50_cents"),
-        (col("ap") >= col("lo") && col("ap") <= col("hi"))
+      .select(col("l_returnflag"), col("n"),
+        element_at(col("ps"), 2).as("exact_p50_cents"),
+        (col("ap") >= element_at(col("ps"), 1) &&
+          col("ap") <= element_at(col("ps"), 3))
           .as("sketch_within_bounds"))
   }
 

@@ -187,8 +187,7 @@ object Similarity {
           .select(col("ea.label").as("label"),
             col("ea.vec_id").as("id_a"), col("eb.vec_id").as("id_b"))
       } else {
-        val cents = e.filter(col("vec_id") % 50 === 0).select(
-          col("vec_id").as("cent_id"), col("v").as("cv"), col("n2").as("cn"))
+        val cents = ivfSeedCodebook(e)
         // nprobe nearest cells per vector as ONE aggregate (no window
         // shuffle of the N×K scored rows beyond the groupBy): collect
         // the K (small, broadcast codebook) scored cells per vector,

@@ -96,6 +96,10 @@ object EventStream {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
+      // NOTE: state schema is (n, cents, hwm_level) — widened from the
+      // pre-HWM (n, cents) 2-tuple. A deployment resuming from an old
+      // checkpoint must migrate or restart state (state-schema changes
+      // are not checkpoint-compatible); fresh streams are unaffected.
       .flatMapGroupsWithState[(Long, Long, Long), SessionUpdate](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event],
@@ -122,12 +126,7 @@ object EventStream {
     */
   def streamToDayPartitions(
       spark: SparkSession, dir: String, outPath: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsStream(spark, dir)
       .withColumn("as_of_date", to_date(col("ts")))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -137,6 +136,19 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
+  }
+
+  /** Parquet-backed stream of the events table (the file stores ns
+    * timestamps → stream them as long, derive µs) — the one source
+    * shape shared by every streaming entry point below. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource requires a directory source; glob-filter the table
+    spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** Streaming exact dedup on a content key — the ingest-dedup stage of
@@ -150,12 +162,7 @@ object EventStream {
     * emitted, so the output set is arrival-order-independent. */
   def runDedupToMemory(
       spark: SparkSession, dir: String, queryName: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsStream(spark, dir)
       .select(col("ts"), col("user_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("value_cents"))
     val q = stream
@@ -175,13 +182,7 @@ object EventStream {
   def runWindowedToMemory(
       spark: SparkSession, dir: String, queryName: String,
       mode: OutputMode = OutputMode.Complete): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    // FileStreamSource requires a directory source; glob-filter the one table
-    val stream = spark.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsStream(spark, dir)
     // Complete mode emits every window including still-open ones — the
     // deterministic choice for a bounded smoke run; production streams
     // use Append, where the watermark finalizes windows incrementally.

@@ -63,6 +63,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === truth)
   }
 
+  test("capped minhash variant bounds candidates and stays a subset of exact") {
+    val full = Dedup.minhashLsh.build(spark, sf001)
+      .select($"doc_id_a", $"doc_id_b").as[(Long, Long)].collect().toSet
+    // cap=1 keeps one member per (band,bucket): pair generation within a
+    // bucket is impossible, so the guardrail variant must return strictly
+    // fewer pairs — and never a pair the exact contract doesn't contain
+    val capped1 = Dedup.minhashLshCapped(spark, sf001, cap = 1)
+      .select($"doc_id_a", $"doc_id_b").as[(Long, Long)].collect().toSet
+    assert(capped1.isEmpty)
+    // a generous cap changes nothing on this corpus (buckets are small)
+    val capped1k = Dedup.minhashLshCapped(spark, sf001, cap = 1000)
+      .select($"doc_id_a", $"doc_id_b").as[(Long, Long)].collect().toSet
+    assert(capped1k === full)
+  }
+
   test("simhash banded candidates are exactly the pairs within hamming 7") {
     // pigeonhole: 8 bands of 8 bits ⇒ any pair with ≤7 differing bits
     // shares an identical band; the op then filters hamming ≤ 7, so the

@@ -75,11 +75,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"simhash candidates must come from the band equi-join:\n$p")
-    // the <=7 cut rides the join (or its immediate post-join filter),
-    // BEFORE the pair-dedup aggregation shuffles the collisions
-    val joinIdx = p.indexOfSlice("Join")
-    val cutIdx = p.indexOfSlice("<= 7")
-    assert(joinIdx >= 0 && cutIdx >= 0, s"missing join or hamming cut:\n$p")
+    // the <=7 cut must ride the JOIN NODE ITSELF (fused into the join
+    // stage), not a post-dedup filter — reverting that reintroduces the
+    // 6.7M-row dedup shuffle this plan exists to avoid. In the plan
+    // string the join's non-equi condition prints on the join's own
+    // line, so some "<= 7" line must also name the join.
+    val cutLines = p.linesIterator.filter(_.contains("<= 7")).toSeq
+    assert(cutLines.nonEmpty, s"missing hamming cut in:\n$p")
+    assert(cutLines.exists(_.contains("Join")),
+      s"hamming cut not fused into the join condition:\n$p")
   }
 
   test("range join plans as broadcast equi-join on day buckets, not nested loop") {
