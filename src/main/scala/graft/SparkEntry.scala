@@ -37,6 +37,7 @@ object SparkEntry {
     Windows.tumblingWindow,
     Windows.sessionizeBatch,
     Windows.movingAgg,
+    Windows.timeRangeWindow,
     AsOf.asofJoin,
     AsOf.rangeJoin,
     SetPivot.intersectExcept,

@@ -128,4 +128,41 @@ object Windows {
       sum(col("cents")).over(frame).as("sum3_cents"),
       count(lit(1)).over(frame).as("n3"))
   }
+
+  /** Trailing time-RANGE window frame: per event, count and cents-sum of
+    * the same user's events in the preceding hour (inclusive) — the
+    * point-in-time trailing-window feature of a feature store, distinct
+    * from [[movingAgg]]'s ROWS frame (a RANGE frame is defined by the
+    * ORDER-BY value, so it handles irregular event spacing and treats
+    * equal timestamps as peers).
+    *
+    * Cross-engine determinism: both engines order and frame on epoch
+    * MICROSECONDS as plain integers — the parquet file stores
+    * nanosecond timestamps which Spark truncates to µs while DuckDB
+    * keeps ns, so framing on the raw timestamp would disagree at
+    * sub-µs boundaries; `epoch_us`/`unix_micros` pin identical frames.
+    * Sums are integer cents (order-independent).
+    *
+    * Scale: one shuffle on user_id, one sort per partition — the RANGE
+    * frame is evaluated with a sliding two-pointer pass, linear per
+    * user regardless of window width.
+    */
+  val timeRangeWindow: Op = Op(
+    "q_time_range_window",
+    """SELECT event_id, user_id,
+      |       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+      |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("t_us"),
+      centsOf(col("value")).as("cents"))
+    val frame = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"),
+      count(lit(1)).over(frame).as("n_1h"),
+      sum(col("cents")).over(frame).as("cents_1h"))
+  }
 }
