@@ -23,15 +23,69 @@ object Tables {
     * knob at scale. Round-tripped in JdbcSourceSpec against an embedded
     * Derby database.
     */
+  // Announce which source backs table reads, once per distinct source:
+  // a stale GRAFT_JDBC_URL silently rerouting every read to a database
+  // while the oracles still check parquet is otherwise a pure
+  // head-scratcher of hash mismatches.
+  private val lastLoggedSource =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+  private def logSourceOnce(source: String): Unit =
+    if (lastLoggedSource.getAndSet(source) != source)
+      System.err.println(s"[graft] Tables reading from: $source")
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val url = spark.conf.getOption("graft.jdbc.url")
       .orElse(sys.env.get("GRAFT_JDBC_URL")).getOrElse("")
-    if (url.nonEmpty)
-      spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", name)
-        .load()
-    else spark.read.parquet(s"$dir/$name.parquet")
+    if (url.nonEmpty) {
+      logSourceOnce(s"jdbc $url (GRAFT_JDBC_URL/graft.jdbc.url is set)")
+      jdbcRead(spark, url, name)
+    } else {
+      logSourceOnce(s"parquet under scale-factor dirs (e.g. $dir)")
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  /** Partitioned JDBC scan (the reference reads live PG through a
+    * connection pool — 03_build_market_price_daily.js:65-68; the Spark
+    * equivalent of pooled parallelism is a range-split scan, N
+    * concurrent connections each reading one key range). Conf knobs,
+    * all optional, per table:
+    *   `graft.jdbc.partitionColumn.<table>` — numeric column to range-split on
+    *   `graft.jdbc.lowerBound.<table>` / `graft.jdbc.upperBound.<table>`
+    *   `graft.jdbc.numPartitions` — split count (default 8 when a
+    *     partition column is configured)
+    * When the column is configured but bounds are not, they're probed
+    * once via a pushed-down MIN/MAX subquery — one tiny round trip, the
+    * same trick every production JDBC ingest uses. Without a configured
+    * column the read stays single-task (correct for small dims; wrong
+    * for facts — configure the column). Asserted >1 input partition in
+    * JdbcSourceSpec against embedded Derby.
+    */
+  private def jdbcRead(spark: SparkSession, url: String, name: String): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", name)
+    spark.conf.getOption(s"graft.jdbc.partitionColumn.$name") match {
+      case Some(partCol) =>
+        val n = spark.conf.getOption("graft.jdbc.numPartitions")
+          .getOrElse("8")
+        val (lo, hi) = (
+          spark.conf.getOption(s"graft.jdbc.lowerBound.$name"),
+          spark.conf.getOption(s"graft.jdbc.upperBound.$name")) match {
+          case (Some(l), Some(h)) => (l, h)
+          case _ =>
+            val r = spark.read.format("jdbc")
+              .option("url", url)
+              .option("dbtable",
+                s"(SELECT MIN($partCol) AS lo, MAX($partCol) AS hi FROM $name) b")
+              .load().head()
+            (r.get(0).toString, r.get(1).toString)
+        }
+        base.option("partitionColumn", partCol)
+          .option("lowerBound", lo).option("upperBound", hi)
+          .option("numPartitions", n)
+          .load()
+      case None => base.load()
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")

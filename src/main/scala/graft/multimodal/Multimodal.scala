@@ -49,11 +49,18 @@ object Multimodal {
   object StubDecoder {
     val FeatureDim = 16
 
+    /** No real image encoding fits below this — the smallest valid PNG
+      * is ~67 bytes. Payloads shorter than this skip the ImageIO probe
+      * even when their first bytes collide with a magic number (e.g. a
+      * 32-byte hash-derived blob starting FF D8), keeping the
+      * deterministic byte-histogram contract for non-image data. */
+    private val MinPlausibleImageBytes = 64
+
     /** Magic-byte sniff: only hand plausible image payloads to ImageIO —
       * probing arbitrary binary through the reader registry on every row
       * would be pure overhead at scale. */
     private def looksLikeImage(bytes: Array[Byte]): Boolean =
-      bytes.length >= 4 && (
+      bytes.length >= MinPlausibleImageBytes && (
         (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
           bytes(3) == 'G') || // PNG
         (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) || // JPEG
@@ -104,8 +111,12 @@ object Multimodal {
     def decodeToFeatures(bytes: Array[Byte]): Array[Float] = {
       if (looksLikeImage(bytes)) {
         val img =
+          // corrupt payload ≠ task failure; NonFatal would miss e.g. the
+          // OutOfMemoryError a malformed header's giant dimensions can
+          // trigger in a lenient reader, so catch Throwable here and let
+          // the deterministic byte-histogram fallback own the row
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Exception => null } // corrupt payload ≠ task failure
+          catch { case _: Throwable => null }
         if (img != null) return pixelFeatures(img)
       }
       byteHistogram(bytes)

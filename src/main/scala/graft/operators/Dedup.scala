@@ -17,9 +17,14 @@ import graft.functions.TextAnalysis.wordShingles
   *  - MinHash+LSH: per-doc signature (map-only), explode to (band,
   *    bucket) keys, self-join within buckets, exact-Jaccard verify —
   *    candidate generation is linear in docs + bucket collisions, never
-  *    all-pairs. The registered op runs uncapped so its output equals
-  *    the all-pairs oracle on ANY data; [[minhashLshCapped]] is the
-  *    guardrail variant for corpora with degenerate mass-duplicate keys.
+  *    all-pairs. The registered op runs uncapped, which removes the
+  *    cap-induced candidate loss — but banding recall stays
+  *    probabilistic for mid-J pairs (8 bands × 4 rows can miss
+  *    J≈0.5–0.6 pairs with nontrivial probability); the exact-equality
+  *    oracle holds on THIS corpus because it has no pairs in (0.2,0.9)
+  *    (banded recall measured 1.0 across all SFs — see the op scaladoc).
+  *    [[minhashLshCapped]] is the guardrail variant for corpora with
+  *    degenerate mass-duplicate keys.
   *  - SimHash: per-doc 64-bit signature (map-only), 8×8-bit bands (any
   *    pair within Hamming 7 shares a band — pigeonhole), exact-Jaccard
   *    verify; contract scoped to docs within

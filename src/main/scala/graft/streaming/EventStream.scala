@@ -155,18 +155,29 @@ object EventStream {
     * a training-data pipeline run incrementally. Uses
     * `dropDuplicatesWithinWatermark`, the state-EXPIRING dedup API
     * (plain streaming dropDuplicates keeps every key forever — a
-    * guaranteed OOM on an unbounded 100 TB/day stream); the watermark
-    * here exceeds the dataset's time span so the smoke run's semantics
-    * equal a global batch DISTINCT, which is exactly what the DuckDB
-    * oracle pins. The first-arrival row wins; only the key columns are
-    * emitted, so the output set is arrival-order-independent. */
+    * guaranteed OOM on an unbounded 100 TB/day stream). The watermark
+    * delay is DERIVED from the dataset's actual time span (one
+    * two-value MIN/MAX probe, same anchor pattern as Rollup): with
+    * delay > span the watermark can never pass min(ts), so no key
+    * expires during the run and the semantics equal a global batch
+    * DISTINCT regardless of how many micro-batches the source splits
+    * into — which is exactly what the DuckDB oracle pins. (A fixed
+    * delay held that parity only while the data span stayed under it —
+    * a larger corpus would have re-emitted expired keys and failed the
+    * oracle non-obviously.) The first-arrival row wins; only the key
+    * columns are emitted, so the output set is arrival-order-independent. */
   def runDedupToMemory(
       spark: SparkSession, dir: String, queryName: String): Unit = {
+    val bounds = graft.Tables.events(spark, dir)
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val spanDays = java.time.Duration.between(
+      bounds.getTimestamp(0).toInstant, bounds.getTimestamp(1).toInstant)
+      .toDays + 2 // strictly beyond the span, whole-day granularity
     val stream = eventsStream(spark, dir)
       .select(col("ts"), col("user_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("value_cents"))
     val q = stream
-      .withWatermark("ts", "60 days")
+      .withWatermark("ts", s"$spanDays days")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value_cents")
       .select("user_id", "event_type", "value_cents")
       .writeStream.outputMode(OutputMode.Append)

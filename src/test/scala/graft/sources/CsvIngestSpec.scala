@@ -78,6 +78,38 @@ class CsvIngestSpec extends SparkSpec {
     assert(got.count() === 302) // key 1 (merged) + 301 filler keys
   }
 
+  test("within-one-large-file last-write-wins survives file splitting") {
+    // one file large enough to be read as SEVERAL splits (tiny
+    // maxPartitionBytes forces it), the same key at the head and at the
+    // tail. monotonically_increasing_id is position-monotone within a
+    // file only because Spark's size-desc split packing is a STABLE
+    // sort (equal-size splits keep offset order, the smaller tail split
+    // sorts last); this pins that contract so a Spark upgrade that
+    // changed split packing would fail HERE instead of silently picking
+    // the wrong winner in production.
+    val dir = Files.createTempDirectory("fx_bigfile")
+    val filler = (100 to 3000).map(i => s"$i,Filler item number $i,$$1.00,NES,padpadpad")
+    Files.writeString(dir.resolve("big.csv"), (Seq(
+      "id,Product Name,loose price,console-name,bonus",
+      "1,From The Head,$10,NES,x") ++ filler :+
+      "1,From The Tail,$20,NES,x" :+ "").mkString("\n"))
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      // the premise: this file really is read as multiple splits
+      assert(CsvIngest.read(spark, dir.toString).rdd.getNumPartitions > 1)
+      val got = CsvIngest.ingest(spark, dir.toString, aliases,
+        keyCols = Seq("id"),
+        requiredCols = Seq("id", "product_name"),
+        moneyCols = Seq("loose_price"))
+      val r = got.filter(org.apache.spark.sql.functions.col("id") === "1")
+        .collect().head
+      assert(r.getAs[String]("product_name") === "From The Tail")
+      assert(r.getAs[Long]("loose_price_cents") === 2000L)
+    } finally conf.set("spark.sql.files.maxPartitionBytes", saved)
+  }
+
   test("missing logical column resolves to typed null") {
     val csv = writeCsv("id,name\n7,thing\n")
     val got = CsvIngest.resolveAliases(CsvIngest.read(spark, csv), aliases)

@@ -31,4 +31,43 @@ class JdbcSourceSpec extends SparkSpec {
       assert(graft.Tables.region(spark, sf001).count() === 5)
     } finally conn.close()
   }
+
+  test("partitionColumn conf yields a range-split multi-partition scan") {
+    val url = "jdbc:derby:memory:graftdb2;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE orders (o_orderkey BIGINT, o_totalprice DOUBLE)")
+      val ins = conn.prepareStatement("INSERT INTO orders VALUES (?, ?)")
+      (1 to 100).foreach { i =>
+        ins.setLong(1, i.toLong); ins.setDouble(2, i * 1.5)
+        ins.addBatch()
+      }
+      ins.executeBatch(); ins.close(); st.close()
+      spark.conf.set("graft.jdbc.url", url)
+      spark.conf.set("graft.jdbc.partitionColumn.orders", "o_orderkey")
+      spark.conf.set("graft.jdbc.numPartitions", "4")
+      try {
+        // bounds NOT configured → probed via the MIN/MAX subquery
+        val df = graft.Tables.orders(spark, "/nonexistent")
+        assert(df.rdd.getNumPartitions === 4)
+        assert(df.count() === 100)
+        // range split loses no rows and overlaps none
+        assert(df.agg(org.apache.spark.sql.functions
+          .countDistinct(df("O_ORDERKEY"))).head.getLong(0) === 100)
+        // explicit bounds pass through too
+        spark.conf.set("graft.jdbc.lowerBound.orders", "1")
+        spark.conf.set("graft.jdbc.upperBound.orders", "100")
+        assert(graft.Tables.orders(spark, "/nonexistent")
+          .rdd.getNumPartitions === 4)
+      } finally {
+        spark.conf.unset("graft.jdbc.url")
+        spark.conf.unset("graft.jdbc.partitionColumn.orders")
+        spark.conf.unset("graft.jdbc.numPartitions")
+        spark.conf.unset("graft.jdbc.lowerBound.orders")
+        spark.conf.unset("graft.jdbc.upperBound.orders")
+      }
+    } finally conn.close()
+  }
 }
