@@ -47,10 +47,14 @@ object SparkEntry {
     Scale.approxDistinct,
     Scale.approxQuantile,
     IngestOps.csvRoundtrip,
+    SinkOps.upsertDay,
+    SinkOps.upsertKey,
+    SinkOps.feedFile,
     Introspect.jsonImage,
     Introspect.schemaProbe,
     StreamingOps.streamTumbling,
     StreamingOps.streamDedup,
+    StreamingOps.streamBestOfDay,
     MultimodalOps.multimodalFeatures,
   )
 

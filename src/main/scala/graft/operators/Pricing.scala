@@ -25,6 +25,44 @@ object Pricing {
     * (l_orderkey, l_linenumber) so Spark and DuckDB agree (SURVEY §7.4
     * hard spot 1).
     */
+  /** Role-mapped snapshot projection shared by the batch op and the
+    * incremental (streaming) twin. */
+  private[graft] def snapsOf(li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    li.select(
+      col("l_partkey").as("market_item_id"),
+      to_date(col("l_shipdate")).as("as_of_date"),
+      col("l_returnflag").as("source"),
+      col("l_linestatus").as("price_type"),
+      centsOf(col("l_extendedprice")).as("value_cents"),
+      col("l_orderkey"), col("l_linenumber"))
+
+  /** The best-of-day kernel as a DISTRIBUTIVE reduction: min(struct) per
+    * (item, day), emitting the tie-break keys alongside the payload so
+    * the reduction can be re-applied to its own output —
+    * best(best(S₁) ∪ S₂) = best(S₁ ∪ S₂) — which is exactly what the
+    * incremental day-merge in [[graft.streaming.EventStream]] relies on.
+    */
+  private[graft] def bestReduce(snaps: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val srcPrio = when(col("source") === "R", 10)
+      .when(col("source") === "A", 20)
+      .when(col("source") === "N", 30).otherwise(99)
+    val typePrio = when(col("price_type") === "O", 10)
+      .when(col("price_type") === "F", 14).otherwise(90)
+    snaps
+      .groupBy(col("market_item_id"), col("as_of_date"))
+      .agg(min(struct(
+        srcPrio.as("sp"), typePrio.as("tp"),
+        (-col("value_cents")).as("nv"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("source"), col("price_type"))).as("best"))
+      .select(col("market_item_id"), col("as_of_date"),
+        col("best.source").as("source"),
+        col("best.price_type").as("price_type"),
+        (-col("best.nv")).as("value_cents"),
+        col("best.l_orderkey").as("l_orderkey"),
+        col("best.l_linenumber").as("l_linenumber"))
+  }
+
   val bestOfDay: Op = Op(
     "q_best_of_day",
     """WITH snaps AS (
@@ -45,19 +83,6 @@ object Pricing {
       |)
       |SELECT market_item_id, as_of_date, source, price_type, value_cents
       |FROM ranked WHERE rn = 1""".stripMargin) { (spark, dir) =>
-    val li = Tables.lineitem(spark, dir)
-    val snaps = li.select(
-      col("l_partkey").as("market_item_id"),
-      to_date(col("l_shipdate")).as("as_of_date"),
-      col("l_returnflag").as("source"),
-      col("l_linestatus").as("price_type"),
-      centsOf(col("l_extendedprice")).as("value_cents"),
-      col("l_orderkey"), col("l_linenumber"))
-    val srcPrio = when(col("source") === "R", 10)
-      .when(col("source") === "A", 20)
-      .when(col("source") === "N", 30).otherwise(99)
-    val typePrio = when(col("price_type") === "O", 10)
-      .when(col("price_type") === "F", 14).otherwise(90)
     // Top-1-per-group as min(struct(orderKey..., payload)) instead of a
     // ranking window: structs compare lexicographically, so the minimal
     // struct IS the rn=1 row. This turns a full per-group SORT (window)
@@ -65,17 +90,8 @@ object Pricing {
     // carries one candidate per (item, day) per mapper instead of every
     // snapshot row. Same rows out, same oracle; at 100 TB it is the
     // difference between shuffling the table and shuffling the answer.
-    snaps
-      .groupBy(col("market_item_id"), col("as_of_date"))
-      .agg(min(struct(
-        srcPrio.as("sp"), typePrio.as("tp"),
-        (-col("value_cents")).as("nv"),
-        col("l_orderkey"), col("l_linenumber"),
-        col("source"), col("price_type"))).as("best"))
-      .select(col("market_item_id"), col("as_of_date"),
-        col("best.source").as("source"),
-        col("best.price_type").as("price_type"),
-        (-col("best.nv")).as("value_cents"))
+    bestReduce(snapsOf(Tables.lineitem(spark, dir)))
+      .drop("l_orderkey", "l_linenumber")
   }
 
   /** A1/A2-shaped grouped aggregation (TPC-H Q1 shape over the pricing

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Money.{centsOf, moneyUSDFromCents, parseCentsLoose}
+import graft.sources.{RunLog, Sinks}
+
+/** Registered round-trips over the WRITE path (reference S7–S11 +
+  * S2/S3/A5 — the engine's entire output side), so the sinks run under
+  * the driver's correctness gate instead of only under ScalaTest:
+  * each op writes through the production sink, re-reads what landed on
+  * disk, and reduces it to a deterministic aggregate whose oracle is
+  * computed straight from the INPUT tables — if the sink dropped,
+  * duplicated, or mis-merged anything, the hashes diverge.
+  *
+  * Staging dirs are per-scale-factor and deleted up front, so re-runs
+  * are idempotent and a crashed previous run can't leak stale
+  * partitions into the answer.
+  */
+object SinkOps {
+
+  private[operators] def stagingDir(dir: String, tag: String): String = {
+    val sfTag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_$tag$sfTag"
+  }
+
+  private[operators] def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** S7/S9 (`ON CONFLICT DO UPDATE` / delete-then-insert-day,
+    * revalueCollection.mjs:135-165): two OVERLAPPING day-batches flow
+    * through [[Sinks.upsertByDay]] — batch 1 aggregates days [0,20)
+    * from the lineitem anchor with the base-cents formula, batch 2
+    * "recomputes" days [10,30) with a corrected formula (discounted
+    * revenue units). Last write wins per day partition, so what must
+    * land on disk is batch 1 for [0,10) and batch 2 for [10,30) — which
+    * is exactly what the oracle computes from lineitem directly. The
+    * overwritten days [10,20) are where a broken sink shows up: append
+    * semantics would double them, full-table overwrite would lose
+    * [0,10).
+    */
+  val upsertDay: Op = Op(
+    "q_upsert_day",
+    """WITH anchor AS (SELECT CAST(MIN(l_shipdate) AS DATE) AS a FROM lineitem),
+      |snaps AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d,
+      |         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents,
+      |         CAST(ROUND(l_discount*100) AS BIGINT) AS disc
+      |  FROM lineitem, anchor
+      |  WHERE CAST(l_shipdate AS DATE) >= anchor.a
+      |    AND CAST(l_shipdate AS DATE) < anchor.a + 30
+      |)
+      |SELECT d AS as_of_date, COUNT(*) AS n_items,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snaps, anchor WHERE d < anchor.a + 10 GROUP BY d
+      |UNION ALL
+      |SELECT d AS as_of_date, COUNT(*) AS n_items,
+      |       CAST(SUM(cents * (100 - disc)) AS BIGINT) AS sum_cents
+      |FROM snaps, anchor WHERE d >= anchor.a + 10 GROUP BY d""".stripMargin) { (spark, dir) =>
+    val out = stagingDir(dir, "upsert_day")
+    deleteDir(spark, out)
+    val li = Tables.lineitem(spark, dir)
+    // cheap anchor probe → literal bounds reach the parquet scan pushed
+    // down (same two-phase shape as Rollup.dateWindowAgg)
+    val anchor = li.agg(min(to_date(col("l_shipdate"))).as("a")).head.getDate(0)
+    def ts(days: Int) = java.sql.Timestamp.valueOf(
+      anchor.toLocalDate.plusDays(days.toLong).atStartOfDay)
+    def batch(loDays: Int, hiDays: Int, formula: org.apache.spark.sql.Column) =
+      li.filter(col("l_shipdate") >= lit(ts(loDays)) &&
+          col("l_shipdate") < lit(ts(hiDays)))
+        .groupBy(to_date(col("l_shipdate")).as("as_of_date"))
+        .agg(count(lit(1)).as("n_items"), sum(formula).as("sum_cents"))
+    val base = centsOf(col("l_extendedprice"))
+    Sinks.upsertByDay(batch(0, 20, base), out, "as_of_date")
+    Sinks.upsertByDay(
+      batch(10, 30, base * (lit(100) - centsOf(col("l_discount")))),
+      out, "as_of_date")
+    spark.read.parquet(out)
+      .select(col("as_of_date").cast("date").as("as_of_date"),
+        col("n_items"), col("sum_cents"))
+  }
+
+  /** S8/J5 (update-then-insert without a unique index,
+    * 02_normalize_scryfall_prices.js:159-193): null-safe keyed merge via
+    * [[Sinks.upsertByKey]] — incoming rows (every third part, repriced
+    * +5¢, plus a NULL-keyed row) replace their existing twins, everything
+    * else is kept — then a full parquet round-trip and a three-scalar
+    * reduction. The NULL-keyed row is the point: `=` would keep BOTH
+    * null rows (9 extra cents of sum and one extra row here), `<=>`
+    * replaces exactly one.
+    */
+  val upsertKey: Op = Op(
+    "q_upsert_key",
+    """WITH existing AS (
+      |  SELECT p_partkey AS k, CAST(ROUND(p_retailprice*100) AS BIGINT) AS v
+      |  FROM part
+      |  UNION ALL SELECT NULL, 111
+      |), incoming AS (
+      |  SELECT p_partkey AS k, CAST(ROUND(p_retailprice*100) AS BIGINT) + 5 AS v
+      |  FROM part WHERE p_partkey % 3 = 0
+      |  UNION ALL SELECT NULL, 222
+      |), merged AS (
+      |  SELECT e.k, e.v FROM existing e
+      |  WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.k IS NOT DISTINCT FROM e.k)
+      |  UNION ALL SELECT k, v FROM incoming
+      |)
+      |SELECT COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v,
+      |       COUNT(*) FILTER (WHERE k IS NULL) AS n_null_keys
+      |FROM merged""".stripMargin) { (spark, dir) =>
+    val out = stagingDir(dir, "upsert_key")
+    deleteDir(spark, out)
+    val part = Tables.part(spark, dir)
+    def nullRow(v: Long) = spark.range(1).select(
+      lit(null).cast("long").as("k"), lit(v).as("v"))
+    val existing = part
+      .select(col("p_partkey").as("k"), centsOf(col("p_retailprice")).as("v"))
+      .unionByName(nullRow(111L))
+    val incoming = part.filter(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey").as("k"),
+        (centsOf(col("p_retailprice")) + 5).as("v"))
+      .unionByName(nullRow(222L))
+    Sinks.upsertByKey(existing, incoming, Seq("k"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("v")).as("sum_v"),
+      count(when(col("k").isNull, 1)).as("n_null_keys"))
+  }
+
+  /** S11 + F13/F14 + S2/S3/A5 (exportGoogleMerchantFeed.mjs:316-398 +
+    * 01_import_pricecharting_csv.js:119-154): write a merchant-style TSV
+    * feed through [[Sinks.writeFeed]] (header, CRLF, tab-sanitized
+    * fields — the titles carry an injected tab that MUST come back as a
+    * space), log the run through [[RunLog]] (per-file SHA-256 digests +
+    * row-count audit row), then re-read the feed file like a consumer
+    * would and reconcile everything against the source table: row count,
+    * integer cents, cents re-parsed from the formatted `"12.34 USD"`
+    * strings (F14 → F3 lenient-parse round trip), zero tab leaks, zero
+    * title mismatches, digests present, audit row count matching.
+    */
+  val feedFile: Op = Op(
+    "q_feed_file",
+    """SELECT COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT) AS sum_cents_from_money,
+      |       CAST(0 AS BIGINT) AS n_tab_leaks,
+      |       CAST(0 AS BIGINT) AS n_title_mismatch,
+      |       TRUE AS digests_ok,
+      |       TRUE AS log_count_matches
+      |FROM part""".stripMargin) { (spark, dir) =>
+    val feedDir = stagingDir(dir, "feed")
+    val logDir = stagingDir(dir, "feedlog")
+    deleteDir(spark, feedDir); deleteDir(spark, logDir)
+    val part = Tables.part(spark, dir)
+    val feed = part.select(
+      col("p_partkey").as("id"),
+      // tab injected between name and brand: writeFeed must flatten it
+      concat(col("p_name"), lit("\t"), col("p_brand")).as("title"),
+      moneyUSDFromCents(centsOf(col("p_retailprice"))).as("price"),
+      centsOf(col("p_retailprice")).as("cents"))
+    Sinks.writeFeed(feed, feedDir)
+    val digests = RunLog.fileDigests(spark, s"$feedDir/*.csv")
+    val back = spark.read
+      .option("header", "true").option("sep", "\t").csv(feedDir)
+    RunLog.logRun(spark, logDir, "merchant_feed", digests, back.count())
+    val expected = part.select(col("p_partkey").as("pk"),
+      concat(col("p_name"), lit(" "), col("p_brand")).as("expected_title"))
+    val feedAgg = back.join(expected, col("id") === col("pk")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("cents").cast("long")).as("sum_cents"),
+      sum(parseCentsLoose(col("price"))).as("sum_cents_from_money"),
+      count(when(col("title").contains("\t"), 1)).as("n_tab_leaks"),
+      count(when(col("title") =!= col("expected_title"), 1)).as("n_title_mismatch"))
+    val digestAgg = digests.agg(
+      (count(lit(1)) >= 1 && min(length(col("file_sha256"))) === 64 &&
+        min(col("file_bytes")) > 0).as("digests_ok"))
+    val logAgg = spark.read.parquet(logDir)
+      .agg(max(col("row_count")).as("logged_count"),
+        count(lit(1)).as("n_log_rows"))
+    feedAgg.crossJoin(digestAgg).crossJoin(logAgg)
+      .select(col("n_rows"), col("sum_cents"), col("sum_cents_from_money"),
+        col("n_tab_leaks"), col("n_title_mismatch"), col("digests_ok"),
+        (col("logged_count") === col("n_rows") && col("n_log_rows") >= 1)
+          .as("log_count_matches"))
+  }
+}

@@ -23,6 +23,27 @@ object StreamingOps {
     spark.table("q_stream_dedup_mem")
   }
 
+  /** The flagship pipeline run incrementally: per-micro-batch day-merge
+    * through foreachBatch + Sinks.upsertByDay
+    * ([[EventStream.runBestOfDayIncremental]]), registered with the SAME
+    * oracle as the batch [[Pricing.bestOfDay]] — the engine's headline
+    * kernel provably produces the batch answer when driven by a stream
+    * of snapshot files with idempotent day replay (ref
+    * 03_build_market_price_daily.js:106-170 + the cron cadence,
+    * SURVEY §2.10). */
+  val streamBestOfDay: Op = Op(
+    "q_stream_best_of_day",
+    Pricing.bestOfDay.oracle.get) { (spark, dir) =>
+    val out = SinkOps.stagingDir(dir, "stream_bod")
+    SinkOps.deleteDir(spark, out)
+    SinkOps.deleteDir(spark, s"$out.checkpoint")
+    EventStream.runBestOfDayIncremental(spark, dir, "lineitem.parquet", out)
+    spark.read.parquet(out)
+      .select(col("market_item_id"),
+        col("as_of_date").cast("date").as("as_of_date"),
+        col("source"), col("price_type"), col("value_cents"))
+  }
+
   val streamTumbling: Op = Op(
     "q_stream_tumbling",
     """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_us,

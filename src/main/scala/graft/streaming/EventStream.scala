@@ -138,6 +138,57 @@ object EventStream {
     q.stop()
   }
 
+  /** The flagship best-of-day pipeline run INCREMENTALLY: a
+    * parquet-backed stream of lineitem-shaped snapshot files, where each
+    * micro-batch merges into the day-partitioned output via
+    * read-touched-days → re-reduce → overwrite-touched-days. Correct for
+    * ANY batching of the input because the kernel is a distributive
+    * min-struct reduction (Pricing.bestReduce: best(best(S₁) ∪ S₂) =
+    * best(S₁ ∪ S₂)), and idempotent per day exactly like the reference's
+    * cron replay (03_build_market_price_daily.js:106-170 recomputes a
+    * day from scratch; here late data re-merges its day). At 100 TB the
+    * per-batch cost is ∝ the batch's days, not history: the existing
+    * side is read with a literal day-list filter (partition-pruned), and
+    * dynamic partition overwrite rewrites only those days.
+    */
+  def runBestOfDayIncremental(
+      spark: SparkSession, srcDir: String, glob: String, outPath: String): Unit = {
+    val schema = spark.read
+      .option("pathGlobFilter", glob).parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch: the
+        // multi-batch merge path actually executes when the source has
+        // several files (EventStreamSpec feeds two overlapping halves)
+      .parquet(srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sb = batch.sparkSession
+        val snaps = graft.operators.Pricing.snapsOf(batch)
+        // touched days as literals → partition pruning on the existing
+        // side (day count per batch is bounded and small; same driver
+        // anchor-probe budget as Rollup)
+        val days = snaps.select(col("as_of_date")).distinct()
+          .collect().map(_.getDate(0))
+        val out = new org.apache.hadoop.fs.Path(outPath)
+        val fs = out.getFileSystem(sb.sparkContext.hadoopConfiguration)
+        val existing =
+          if (fs.exists(out))
+            sb.read.parquet(outPath)
+              .filter(col("as_of_date").isin(days.toIndexedSeq: _*))
+              .select(snaps.columns.map(col).toIndexedSeq: _*)
+          else sb.createDataFrame(
+            sb.sparkContext.emptyRDD[org.apache.spark.sql.Row], snaps.schema)
+        val merged = graft.operators.Pricing.bestReduce(
+          snaps.unionByName(existing))
+        graft.sources.Sinks.upsertByDay(merged, outPath, "as_of_date")
+      }
+      .option("checkpointLocation", s"$outPath.checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Parquet-backed stream of the events table (the file stores ns
     * timestamps → stream them as long, derive µs) — the one source
     * shape shared by every streaming entry point below. */

@@ -31,6 +31,42 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === batch.count())
   }
 
+  test("incremental best-of-day over TWO overlapping micro-batches equals batch") {
+    // split lineitem into two files whose day ranges OVERLAP, so the
+    // second micro-batch must MERGE with already-written day partitions
+    // (a per-batch best-of-day without the merge would drop batch 1's
+    // winners on the shared days); maxFilesPerTrigger=1 makes each file
+    // its own micro-batch
+    val src = "/tmp/graft_bod_src"
+    val out = "/tmp/graft_bod_out"
+    for (p <- Seq(src, out, s"$out.checkpoint"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet").cache()
+    // odd/even orderkey halves: both halves span the whole date range →
+    // every day with rows from both halves exercises the merge. Each
+    // half lands as ONE plain file directly under src (the stream
+    // source does not recurse into nested output dirs).
+    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("bod_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, name))
+    }
+    writeHalf(li.filter(col("l_orderkey") % 2 === 0), "half_a.parquet")
+    writeHalf(li.filter(col("l_orderkey") % 2 === 1), "half_b.parquet")
+    EventStream.runBestOfDayIncremental(spark, src, "half_*.parquet", out)
+    val got = spark.read.parquet(out)
+      .select(col("market_item_id"), col("as_of_date").cast("date"),
+        col("source"), col("price_type"), col("value_cents"))
+    val want = graft.operators.Pricing.bestOfDay.build(spark, sf001)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    li.unpersist()
+  }
+
   test("thresholdAlerts emits one row per level crossed, none otherwise") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
