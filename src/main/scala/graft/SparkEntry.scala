@@ -44,6 +44,7 @@ object SparkEntry {
     SetPivot.pivotFlags,
     SetPivot.rollupRevenue,
     Scale.saltedJoin,
+    Scale.colocatedJoin,
     Scale.approxDistinct,
     Scale.approxQuantile,
     IngestOps.csvRoundtrip,

@@ -40,11 +40,13 @@ object Multimodal {
     StructField("media", mediaSchema)))
 
   /** Decoder: REAL pure-JVM image decode (javax.imageio — PNG/JPEG/GIF/
-    * BMP, no native deps) with the disclosed deterministic byte-histogram
-    * fallback for everything else (audio/video codecs are not in this
-    * container — that part of the codec surface remains an honest stub).
-    * The contract the pipeline depends on is unchanged: bytes in →
-    * fixed-size feature vector out, deterministic for identical bytes.
+    * BMP) and REAL WAV PCM audio decode (javax.sound.sampled), both
+    * native-dependency-free, with the disclosed deterministic
+    * byte-histogram fallback for the rest (compressed audio and video
+    * codecs are not in this container — that part of the codec surface
+    * remains an honest stub). The contract the pipeline depends on is
+    * unchanged: bytes in → fixed-size feature vector out, deterministic
+    * for identical bytes.
     */
   object StubDecoder {
     val FeatureDim = 16
@@ -88,6 +90,53 @@ object Multimodal {
       buckets.map(b => b.toFloat / total)
     }
 
+    /** RIFF/WAVE container sniff (44 bytes = canonical header size —
+      * nothing shorter can carry a fmt chunk + any audio). */
+    private def looksLikeWav(bytes: Array[Byte]): Boolean =
+      bytes.length >= 44 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' &&
+        bytes(11) == 'E'
+
+    /** REAL audio decode for WAV PCM (pure-JVM javax.sound.sampled — no
+      * native codecs needed): FeatureDim-bucket amplitude histogram over
+      * the decoded samples, L1-normalized — the audio twin of
+      * [[pixelFeatures]]'s luminance histogram, deterministic for
+      * identical samples and resolution-independent across sample
+      * rates/channel counts. Handles the two PCM layouts WAV actually
+      * uses: 16-bit signed (either endianness) and 8-bit unsigned. */
+    def wavFeatures(bytes: Array[Byte]): Array[Float] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val data = ais.readAllBytes()
+        val buckets = new Array[Long](FeatureDim)
+        var n = 0L
+        if (fmt.getSampleSizeInBits == 16) {
+          var i = 0
+          while (i + 1 < data.length) {
+            val s =
+              if (fmt.isBigEndian) (data(i) << 8) | (data(i + 1) & 0xFF)
+              else (data(i + 1) << 8) | (data(i) & 0xFF)
+            buckets(((s + 32768) * FeatureDim) >> 16) += 1
+            n += 1
+            i += 2
+          }
+        } else if (fmt.getSampleSizeInBits == 8) {
+          var i = 0
+          while (i < data.length) {
+            buckets(((data(i) & 0xFF) * FeatureDim) >> 8) += 1
+            n += 1
+            i += 1
+          }
+        }
+        if (n == 0) return byteHistogram(bytes) // no samples decoded
+        buckets.map(b => b.toFloat / n)
+      } finally ais.close()
+    }
+
     /** Fallback for non-image payloads: byte histogram folded to
       * FeatureDim buckets, L1-normalized (the original disclosed stub —
       * also what the registered query's DuckDB oracle reproduces). */
@@ -119,6 +168,12 @@ object Multimodal {
           catch { case _: Throwable => null }
         if (img != null) return pixelFeatures(img)
       }
+      if (looksLikeWav(bytes)) {
+        try return wavFeatures(bytes)
+        catch { case _: Throwable => () } // corrupt/exotic WAV → fallback
+      }
+      // the remaining honest stub: compressed audio + video codecs are
+      // not in this container — deterministic byte histogram instead
       byteHistogram(bytes)
     }
 

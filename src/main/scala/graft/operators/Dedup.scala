@@ -330,27 +330,41 @@ object Dedup {
   /** Banded candidate pairs over an arbitrary (doc_id, simhash) frame —
     * the op feeds only in-scope (≥[[SimhashMinShingles]]-shingle) docs
     * through here, which is both a correctness no-op (short docs can't
-    * appear in any in-scope pair) and the main cost lever: 8-bit bands
+    * appear in any in-scope pair) and the main cost lever: narrow bands
     * are noisy, so shrinking the banding population shrinks the
-    * candidate join quadratically. */
-  def simhashCandidatesOf(sigs: DataFrame): DataFrame = {
+    * candidate join quadratically.
+    *
+    * Banding geometry is a parameter: `bands` × `bitsPerBand` must tile
+    * the 64-bit signature, and the guaranteed radius FOLLOWS from it by
+    * pigeonhole — a pair within Hamming `bands - 1` has fewer differing
+    * bits than bands, so some band holds none of them and collides;
+    * candidate recall at that radius is exactly 1, not probabilistic.
+    * The deployment trade: more bands ⇒ larger guaranteed radius but
+    * noisier (shorter) buckets — the registered op's 8×8/radius-7 is
+    * the loose-dup end; 4×16/radius-3 (spec'd) halves the join fan-in
+    * for tight-dup corpora. The Hamming cut at the derived radius rides
+    * INSIDE the join condition: band buckets cluster hard on shared
+    * topic vocabulary (measured 6.7M raw band collisions from 5k docs
+    * at sf0.1), and the fused cut drops that to ~80k in the join stage —
+    * dropDuplicates then shuffles the survivors, not the collision
+    * fan-out. */
+  def simhashCandidatesOf(
+      sigs: DataFrame, bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+    require(bands * bitsPerBand == 64,
+      s"bands ($bands) × bitsPerBand ($bitsPerBand) must tile the 64-bit signature")
+    val radius = bands - 1 // pigeonhole guarantee, derived — not a knob
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
     val banded = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 8).map(bd =>
-        shiftright(col("simhash"), bd * 8).bitwiseAND(lit(0xFFL))): _*)))
+      posexplode(array((0 until bands).map(bd =>
+        shiftright(col("simhash"), bd * bitsPerBand).bitwiseAND(lit(mask))): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
     val a = banded.alias("sa")
     val b = banded.alias("sb")
-    // hamming filter INSIDE the join, before the dedup shuffle: band
-    // bytes cluster hard on shared topic vocabulary (measured 6.7M raw
-    // band collisions from 5k docs at sf0.1), and the ≤7 cut drops that
-    // to ~80k fused in the join stage — dropDuplicates then shuffles the
-    // survivors, not the collision fan-out. Same output, ~100× less
-    // dedup input.
     a.join(b,
         col("sa.band") === col("sb.band") &&
           col("sa.bucket") === col("sb.bucket") &&
           col("sa.doc_id") < col("sb.doc_id") &&
-          bit_count(col("sa.simhash").bitwiseXOR(col("sb.simhash"))) <= 7)
+          bit_count(col("sa.simhash").bitwiseXOR(col("sb.simhash"))) <= radius)
       .select(col("sa.doc_id").as("doc_id_a"), col("sb.doc_id").as("doc_id_b"),
         bit_count(col("sa.simhash").bitwiseXOR(col("sb.simhash"))).as("hamming"))
       .dropDuplicates("doc_id_a", "doc_id_b")

@@ -163,7 +163,7 @@ object SinkOps {
       moneyUSDFromCents(centsOf(col("p_retailprice"))).as("price"),
       centsOf(col("p_retailprice")).as("cents"))
     Sinks.writeFeed(feed, feedDir)
-    val digests = RunLog.fileDigests(spark, s"$feedDir/*.csv")
+    val digests = RunLog.fileDigests(spark, feedDir, "*.csv")
     val back = spark.read
       .option("header", "true").option("sep", "\t").csv(feedDir)
     RunLog.logRun(spark, logDir, "merchant_feed", digests, back.count())

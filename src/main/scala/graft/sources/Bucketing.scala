@@ -45,6 +45,9 @@ object Bucketing {
     // name — the typical co-located join
     val l = spark.table(leftTable)
     val r = spark.table(rightTable)
-    l.join(r, l(leftKey) === r(rightKey))
+    // merge hint: a co-located join exists to stream same-bucket files
+    // through a sort-merge — without it a small side under the broadcast
+    // threshold would plan as BHJ and silently waste the layout
+    l.hint("merge").join(r, l(leftKey) === r(rightKey))
   }
 }

@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
 object RunLog {
 
   /** File digests via the binaryFile source — distributed, no driver
-    * read (S2: `sha2(content, 256)`). */
-  def fileDigests(spark: SparkSession, path: String): DataFrame =
-    spark.read.format("binaryFile").load(path)
+    * read (S2: `sha2(content, 256)`). Takes the directory plus a name
+    * glob (`pathGlobFilter`) rather than a glob path: the directory's
+    * existence is what the caller can guarantee (it just committed a
+    * write there), so listing never fails on glob resolution. */
+  def fileDigests(
+      spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
       .select(col("path").as("file_name"),
         sha2(col("content"), 256).as("file_sha256"),
         col("length").as("file_bytes"))

@@ -125,7 +125,7 @@ object EventStream {
     * late data simply rewrites its day, identical to the batch replay.
     */
   def streamToDayPartitions(
-      spark: SparkSession, dir: String, outPath: String): Unit = {
+      spark: SparkSession, dir: String, outPath: String): Unit = withStreamShuffle(spark) {
     val stream = eventsStream(spark, dir)
       .withColumn("as_of_date", to_date(col("ts")))
     val q = stream.writeStream
@@ -138,21 +138,64 @@ object EventStream {
     q.stop()
   }
 
-  /** The flagship best-of-day pipeline run INCREMENTALLY: a
-    * parquet-backed stream of lineitem-shaped snapshot files, where each
-    * micro-batch merges into the day-partitioned output via
-    * read-touched-days → re-reduce → overwrite-touched-days. Correct for
-    * ANY batching of the input because the kernel is a distributive
-    * min-struct reduction (Pricing.bestReduce: best(best(S₁) ∪ S₂) =
-    * best(S₁ ∪ S₂)), and idempotent per day exactly like the reference's
-    * cron replay (03_build_market_price_daily.js:106-170 recomputes a
-    * day from scratch; here late data re-merges its day). At 100 TB the
-    * per-batch cost is ∝ the batch's days, not history: the existing
-    * side is read with a literal day-list filter (partition-pruned), and
-    * dynamic partition overwrite rewrites only those days.
+  /** Streaming entry points pin a smaller shuffle-partition count for
+    * the stream's lifetime: each shuffle partition is a state-store
+    * instance, and every micro-batch commits a delta file per store —
+    * at local bench scale 32 stores × fsync dominates the runtime of
+    * queries whose actual data fits in a handful of partitions. 8 keeps
+    * local parallelism while cutting the per-batch state-commit fan-out
+    * 4×; a production deployment sizes this to its key cardinality the
+    * same way. Restored after the stream stops; batch semantics are
+    * unaffected by partition count. */
+  private def withStreamShuffle[T](spark: SparkSession)(body: => T): T = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  /** The flagship best-of-day pipeline run INCREMENTALLY, in the shape
+    * the reference actually runs it (03_build_market_price_daily.js:58-61:
+    * the cron default is ONE day — `--date`, today — and `--all-dates`
+    * is an explicit one-time backfill): a compacted BASE holding the
+    * backfilled history, plus a day-partitioned HOT store that the
+    * stream upserts, day by day, as snapshot files arrive.
+    *
+    *  - [[bootstrapBestOfDay]] = `--all-dates`: batch-reduce all days up
+    *    to a split point ([[BootstrapTailDays]] before the max day) into
+    *    one compacted parquet dir, and record which source files it
+    *    consumed (sidecar meta table). Built once per store, like any
+    *    layout artifact; the stream never redoes it.
+    *  - each micro-batch keeps only data the base has NOT seen — rows
+    *    from new files (a late drop, tomorrow's snapshots) plus the
+    *    post-split tail of bootstrapped files — and merges it into the
+    *    hot store via read-touched-days → re-reduce → overwrite-touched-
+    *    days. Correct for ANY batching because the kernel is a
+    *    distributive min-struct reduction (Pricing.bestReduce:
+    *    best(best(S₁) ∪ S₂) = best(S₁ ∪ S₂)), and idempotent per day
+    *    exactly like the reference's cron replay (same file re-delivered
+    *    ⇒ same merge). Late data for a day the BASE owns lands in hot
+    *    and overrides it at read — no base rewrite on the hot path.
+    *  - [[readBestOfDayStore]] reconciles day-wins (hot day ⊃ that day's
+    *    full re-merge, so it replaces the base day outright);
+    *    [[compactBestOfDay]] periodically folds hot back into base —
+    *    the lakehouse compaction cadence.
+    *
+    * At 100 TB the per-batch cost is ∝ the batch's days, not history:
+    * the existing side is read with a literal day-list filter
+    * (partition-pruned on hot, a compacted scan on base), and dynamic
+    * partition overwrite rewrites only the touched hot days.
     */
   def runBestOfDayIncremental(
-      spark: SparkSession, srcDir: String, glob: String, outPath: String): Unit = {
+      spark: SparkSession, srcDir: String, glob: String,
+      basePath: String, hotPath: String): Unit = withStreamShuffle(spark) {
+    val baseP = new org.apache.hadoop.fs.Path(basePath)
+    val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(baseP) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(bodMetaPath(basePath))))
+      bootstrapBestOfDay(spark, srcDir, glob, basePath)
+    val meta = spark.read.parquet(bodMetaPath(basePath))
+    val splitDay = meta.agg(max(col("split_day"))).head().getDate(0)
+    val bootFiles = meta.select(col("file_name"))
     val schema = spark.read
       .option("pathGlobFilter", glob).parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
@@ -164,29 +207,100 @@ object EventStream {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sb = batch.sparkSession
-        val snaps = graft.operators.Pricing.snapsOf(batch)
+        // the base has seen: every row of a bootstrapped file at or
+        // before the split day. Everything else is new to the store.
+        val fresh = batch
+          .withColumn("_src_file", input_file_name())
+          .join(broadcast(bootFiles),
+            col("_src_file") === col("file_name"), "left")
+          .filter(col("file_name").isNull ||
+            to_date(col("l_shipdate")) > lit(splitDay))
+          .drop("_src_file", "file_name")
+        val snaps = graft.operators.Pricing.snapsOf(fresh)
         // touched days as literals → partition pruning on the existing
         // side (day count per batch is bounded and small; same driver
         // anchor-probe budget as Rollup)
         val days = snaps.select(col("as_of_date")).distinct()
           .collect().map(_.getDate(0))
-        val out = new org.apache.hadoop.fs.Path(outPath)
-        val fs = out.getFileSystem(sb.sparkContext.hadoopConfiguration)
-        val existing =
-          if (fs.exists(out))
-            sb.read.parquet(outPath)
-              .filter(col("as_of_date").isin(days.toIndexedSeq: _*))
-              .select(snaps.columns.map(col).toIndexedSeq: _*)
-          else sb.createDataFrame(
-            sb.sparkContext.emptyRDD[org.apache.spark.sql.Row], snaps.schema)
-        val merged = graft.operators.Pricing.bestReduce(
-          snaps.unionByName(existing))
-        graft.sources.Sinks.upsertByDay(merged, outPath, "as_of_date")
+        if (days.nonEmpty) {
+          val existing = readBestOfDayStore(sb, basePath, hotPath)
+            .filter(col("as_of_date").isin(days.toIndexedSeq: _*))
+            .select(snaps.columns.map(col).toIndexedSeq: _*)
+          val merged = graft.operators.Pricing.bestReduce(
+            snaps.unionByName(existing))
+          graft.sources.Sinks.upsertByDay(merged, hotPath, "as_of_date")
+        }
       }
-      .option("checkpointLocation", s"$outPath.checkpoint")
+      .option("checkpointLocation", s"$hotPath.checkpoint")
       .start()
     q.processAllAvailable()
     q.stop()
+  }
+
+  /** Days before the corpus max day that stay OUT of the bootstrap base
+    * — the "hot tail" the stream owns. Production picks this from its
+    * late-data SLA (how far back a snapshot drop can reach). */
+  val BootstrapTailDays = 30
+
+  private def bodMetaPath(basePath: String): String = s"$basePath.meta"
+
+  /** The `--all-dates` backfill (03_build_market_price_daily.js:60,76):
+    * batch best-of-day over all days at or before the split point,
+    * written as ONE compacted parquet dir, plus a sidecar meta table of
+    * (consumed file, split day) so the stream knows what the base has
+    * already folded in. */
+  def bootstrapBestOfDay(
+      spark: SparkSession, srcDir: String, glob: String,
+      basePath: String): Unit = {
+    val src = spark.read.option("pathGlobFilter", glob).parquet(srcDir)
+    val snaps = graft.operators.Pricing.snapsOf(src)
+    val maxDay = snaps.agg(max(col("as_of_date"))).head().getDate(0)
+    val splitDay = java.sql.Date.valueOf(
+      maxDay.toLocalDate.minusDays(BootstrapTailDays.toLong))
+    graft.operators.Pricing.bestReduce(
+        snaps.filter(col("as_of_date") <= lit(splitDay)))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(basePath)
+    src.select(input_file_name().as("file_name")).distinct()
+      .withColumn("split_day", lit(splitDay))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(bodMetaPath(basePath))
+  }
+
+  /** Day-wins reconciliation: a hot day holds that day's FULL re-merge
+    * (the stream merged new rows with the store's existing rows before
+    * writing), so it replaces the base's day outright. */
+  def readBestOfDayStore(
+      spark: SparkSession, basePath: String, hotPath: String): DataFrame = {
+    val base = spark.read.parquet(basePath)
+    val hotP = new org.apache.hadoop.fs.Path(hotPath)
+    val fs = hotP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hotP)) base
+    else {
+      val cols = base.columns.map(col).toIndexedSeq
+      val hot = spark.read.parquet(hotPath).select(cols: _*)
+      val hotDays = hot.select(col("as_of_date")).distinct()
+      base.join(broadcast(hotDays), Seq("as_of_date"), "left_anti")
+        .select(cols: _*)
+        .unionByName(hot)
+    }
+  }
+
+  /** Compaction: fold the hot store into a new base (write-new, swap,
+    * clear hot) — run on the lakehouse cadence, off the hot path. The
+    * meta table is untouched: consumed files stay consumed, and a
+    * re-delivered non-bootstrap file re-merges idempotently. */
+  def compactBestOfDay(
+      spark: SparkSession, basePath: String, hotPath: String): Unit = {
+    val merged = readBestOfDayStore(spark, basePath, hotPath)
+    val tmp = s"$basePath.compacting"
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(basePath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(basePath))
+    fs.delete(new org.apache.hadoop.fs.Path(hotPath), true)
   }
 
   /** Parquet-backed stream of the events table (the file stores ns
@@ -218,7 +332,7 @@ object EventStream {
     * oracle non-obviously.) The first-arrival row wins; only the key
     * columns are emitted, so the output set is arrival-order-independent. */
   def runDedupToMemory(
-      spark: SparkSession, dir: String, queryName: String): Unit = {
+      spark: SparkSession, dir: String, queryName: String): Unit = withStreamShuffle(spark) {
     val bounds = graft.Tables.events(spark, dir)
       .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
     val spanDays = java.time.Duration.between(
@@ -243,7 +357,7 @@ object EventStream {
     * The file stores ns timestamps → stream them as long, derive µs. */
   def runWindowedToMemory(
       spark: SparkSession, dir: String, queryName: String,
-      mode: OutputMode = OutputMode.Complete): Unit = {
+      mode: OutputMode = OutputMode.Complete): Unit = withStreamShuffle(spark) {
     val stream = eventsStream(spark, dir)
     // Complete mode emits every window including still-open ones — the
     // deterministic choice for a bounded smoke run; production streams

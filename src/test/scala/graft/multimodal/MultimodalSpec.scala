@@ -51,6 +51,42 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.StubDecoder.byteHistogram(junk).toSeq)
   }
 
+  test("real WAV PCM bytes decode through javax.sound to amplitude features") {
+    // 16-bit mono PCM with KNOWN amplitudes: half the samples at 0
+    // (bucket 8: (0+32768)*16 >> 16), a quarter near full negative
+    // (bucket 0), a quarter near full positive (bucket 15) — encoded
+    // with AudioSystem into a real RIFF/WAVE container, decoded by the
+    // same engine path used in extractFeatures
+    val samples: Array[Short] =
+      Array.fill(200)(0.toShort) ++
+        Array.fill(100)((-32768).toShort) ++ Array.fill(100)(32767.toShort)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) => // little-endian
+      pcm(2 * i) = (s & 0xFF).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val bytes = bos.toByteArray
+    val feats = Multimodal.StubDecoder.decodeToFeatures(bytes)
+    assert(feats.length === Multimodal.StubDecoder.FeatureDim)
+    assert(feats(8) === 0.5f)   // silence
+    assert(feats(0) === 0.25f)  // full negative
+    assert(feats(15) === 0.25f) // full positive
+    assert(math.abs(feats.sum - 1.0f) < 1e-6)
+    // a real container decodes differently from the byte-histogram stub
+    assert(feats.toSeq !== Multimodal.StubDecoder.byteHistogram(bytes).toSeq)
+    // and through the distributed path
+    import spark.implicits._
+    val got = Multimodal.extractFeatures(
+        Seq((1L, bytes)).toDF("asset_id", "content"))
+      .select("features").as[Array[Float]].collect().head
+    assert(got.toSeq === feats.toSeq)
+  }
+
   test("metadata predicates prune without touching bytes") {
     val assets = Multimodal.syntheticAssets(spark, 30)
     val images = assets.filter(col("media.kind") === "image")

@@ -93,6 +93,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cand === within7)
   }
 
+  test("banding geometry is parametric: 4×16 bands guarantee radius 3 exactly") {
+    // same pigeonhole law at a second geometry — candidates at 4 bands
+    // of 16 bits must EQUAL the within-Hamming-3 pair set. Signatures
+    // are seeded synthetic: a base population plus planted near pairs
+    // at distances 1-3 (must all surface) and 4-8 (must all be cut).
+    val rnd = new scala.util.Random(42)
+    def flip(sig: Long, nBits: Int): Long = {
+      var s = sig
+      rnd.shuffle((0 until 64).toList).take(nBits)
+        .foreach(b => s ^= (1L << b))
+      s
+    }
+    val base = (0 until 300).map(i => (i.toLong, rnd.nextLong()))
+    val planted = (0 until 40).map { i =>
+      val (_, sig) = base(i)
+      (1000L + i, flip(sig, 1 + i % 8)) // distances 1..8
+    }
+    val sigs = (base ++ planted).toDF("doc_id", "simhash")
+    val all = (base ++ planted)
+    val within3 = (for {
+      (a, sa) <- all; (b, sb) <- all
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(within3.size >= 15, "fixture must plant pairs inside the radius")
+    val cand = Dedup.simhashCandidatesOf(sigs, bands = 4, bitsPerBand = 16)
+      .select($"doc_id_a", $"doc_id_b").as[(Long, Long)].collect().toSet
+    assert(cand === within3)
+  }
+
   test("embed near-dup ANN variant: subset of exact, no false positives, recall floor") {
     def canon(df: org.apache.spark.sql.DataFrame) = df
       .select($"label", $"id_a", $"id_b", $"cos")

@@ -39,6 +39,18 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("registered q_colocated_join: the only Exchange is the final groupBy's") {
+    // registered-op twin of the gate above: join runs shuffle-free off
+    // the bucketed layout; exactly ONE hashpartitioning Exchange remains
+    // (the o_orderpriority aggregate — 5 groups, constant-size at any SF)
+    val df = graft.operators.Scale.colocatedJoin.build(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected exactly 1 Exchange (groupBy), got $exchanges:\n$p")
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+    assert(p.contains("Bucketed: true"), s"expected bucketed scans:\n$p")
+  }
+
   test("colocatedJoin resolves SAME-named key columns per side") {
     // the typical co-located join shares the key column name on both
     // sides; unqualified col(key) === col(key) would throw

@@ -31,39 +31,90 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === batch.count())
   }
 
+  /** Write `df` as ONE plain parquet file named `name` directly under
+    * `src` (the stream source does not recurse into nested output
+    * dirs). */
+  private def writeSnapFile(
+      df: org.apache.spark.sql.DataFrame, src: String, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("bod_half").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(src, name))
+  }
+
   test("incremental best-of-day over TWO overlapping micro-batches equals batch") {
     // split lineitem into two files whose day ranges OVERLAP, so the
     // second micro-batch must MERGE with already-written day partitions
     // (a per-batch best-of-day without the merge would drop batch 1's
     // winners on the shared days); maxFilesPerTrigger=1 makes each file
-    // its own micro-batch
+    // its own micro-batch. Both files exist at bootstrap, so the base
+    // covers both up to the split day and the stream owns the tail.
     val src = "/tmp/graft_bod_src"
-    val out = "/tmp/graft_bod_out"
-    for (p <- Seq(src, out, s"$out.checkpoint"))
+    val base = "/tmp/graft_bod_base"
+    val hot = "/tmp/graft_bod_hot"
+    for (p <- Seq(src, base, s"$base.meta", hot, s"$hot.checkpoint"))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
     val li = spark.read.parquet(s"$sf001/lineitem.parquet").cache()
     // odd/even orderkey halves: both halves span the whole date range →
-    // every day with rows from both halves exercises the merge. Each
-    // half lands as ONE plain file directly under src (the stream
-    // source does not recurse into nested output dirs).
-    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("bod_half").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(src, name))
-    }
-    writeHalf(li.filter(col("l_orderkey") % 2 === 0), "half_a.parquet")
-    writeHalf(li.filter(col("l_orderkey") % 2 === 1), "half_b.parquet")
-    EventStream.runBestOfDayIncremental(spark, src, "half_*.parquet", out)
-    val got = spark.read.parquet(out)
+    // every tail day with rows from both halves exercises the merge
+    writeSnapFile(li.filter(col("l_orderkey") % 2 === 0), src, "half_a.parquet")
+    writeSnapFile(li.filter(col("l_orderkey") % 2 === 1), src, "half_b.parquet")
+    EventStream.runBestOfDayIncremental(spark, src, "half_*.parquet", base, hot)
+    // the stream actually exercised the hot path (the 30-day tail)
+    assert(spark.read.parquet(hot).count() > 0)
+    val got = EventStream.readBestOfDayStore(spark, base, hot)
       .select(col("market_item_id"), col("as_of_date").cast("date"),
         col("source"), col("price_type"), col("value_cents"))
     val want = graft.operators.Pricing.bestOfDay.build(spark, sf001)
     assert(got.count() === want.count())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    li.unpersist()
+  }
+
+  test("late snapshot file overrides base days at read; compaction folds it in") {
+    // bootstrap sees only half_a; half_b then arrives LATE, reaching 60
+    // days back — well behind the 30-day split, so ~half its days are
+    // owned by the base. Those days must come back overridden (hot
+    // wins) WITHOUT the base being rewritten on the hot path.
+    val src = "/tmp/graft_bod_late_src"
+    val base = "/tmp/graft_bod_late_base"
+    val hot = "/tmp/graft_bod_late_hot"
+    for (p <- Seq(src, base, s"$base.meta", hot, s"$hot.checkpoint"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet").cache()
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val maxDay = graft.operators.Pricing.snapsOf(li)
+      .agg(max(col("as_of_date"))).head().getDate(0)
+    val lateFrom = java.sql.Date.valueOf(maxDay.toLocalDate.minusDays(60))
+    val b = li.filter(col("l_orderkey") % 2 === 1 &&
+      to_date(col("l_shipdate")) >= lit(lateFrom))
+    writeSnapFile(a, src, "snap_a.parquet")
+    EventStream.runBestOfDayIncremental(spark, src, "snap_*.parquet", base, hot)
+    val baseFilesBefore = new java.io.File(base).listFiles().map(_.getName).toSet
+    // the late drop: a NEW file, not in the bootstrap meta → every row
+    // is fresh, including days the base owns
+    writeSnapFile(b, src, "snap_b.parquet")
+    EventStream.runBestOfDayIncremental(spark, src, "snap_*.parquet", base, hot)
+    val want = graft.operators.Pricing.bestReduce(
+      graft.operators.Pricing.snapsOf(a.unionByName(b)))
+      .select(col("market_item_id"), col("as_of_date").cast("date"),
+        col("source"), col("price_type"), col("value_cents"))
+    def store() = EventStream.readBestOfDayStore(spark, base, hot)
+      .select(col("market_item_id"), col("as_of_date").cast("date"),
+        col("source"), col("price_type"), col("value_cents"))
+    val got = store()
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // hot path never rewrites the base
+    assert(new java.io.File(base).listFiles().map(_.getName).toSet
+      === baseFilesBefore)
+    // compaction folds hot into base and clears it; the answer is stable
+    EventStream.compactBestOfDay(spark, base, hot)
+    assert(!new java.io.File(hot).exists())
+    val after = store()
+    assert(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty)
     li.unpersist()
   }
 
