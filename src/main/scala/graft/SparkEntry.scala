@@ -26,6 +26,11 @@ object SparkEntry {
     TextOps.textQuality,
     TextOps.langIdOp,
     TextOps.docFingerprint,
+    Curation.stratifiedSample,
+    Curation.trainTestSplit,
+    Curation.piiScrub,
+    Curation.repetitionGate,
+    Curation.qualityGate,
     Dedup.dedupExact,
     Dedup.ngramJaccard,
     Dedup.minhashLsh,

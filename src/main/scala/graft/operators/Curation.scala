@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextAnalysis._
+
+/** Training-data curation (north-star extension, SURVEY §7.4): the
+  * selection/cleaning stages that sit between ingest and dedup in a
+  * large-scale pipeline — deterministic sampling, leakage-safe
+  * splitting, PII scrubbing, and repetition filtering (the Gopher-style
+  * quality gates of Rae et al. 2021; the C4 pipeline of Raffel et al.
+  * 2020 is the same shape).
+  *
+  * Everything is map-only per-row expression work — zero UDFs, zero
+  * shuffles except where a corpus statistic is genuinely global (one
+  * scalar aggregate, broadcast back). Selection is keyed on
+  * deterministic integer hashes (multiplicative for ids, the rolling
+  * fingerprint for strings) so (a) re-runs select the SAME rows — a
+  * pipeline restart or a second team member reproduces the corpus
+  * bit-for-bit, and (b) the DuckDB oracles replay the hash arithmetic
+  * exactly.
+  */
+object Curation {
+
+  /** Deterministic bucket in [0,100) from an id: Knuth multiplicative
+    * hash, pre-reduced so the product stays within int64 for ANY id. */
+  private def idBucket(id: org.apache.spark.sql.Column) =
+    ((id % 1000000007L) * 2654435761L) % 1000000007L % 100L
+
+  private val idBucketSql =
+    "(((doc_id % 1000000007) * 2654435761) % 1000000007) % 100"
+
+  /** Stratified deterministic sampling: downsample the dominant
+    * language (en → 10%), keep half of everything else — the standard
+    * rebalancing pass before training-mix assembly. Hash-gated, not
+    * `TABLESAMPLE`: the kept set is a pure function of doc_id, so it is
+    * stable across runs, executors, and engines (rerunning at 100 TB
+    * after a node loss re-selects identical rows; no RNG state to
+    * coordinate). Map-only — the gate rides into the parquet scan as a
+    * pushable-shaped predicate, no shuffle at all. */
+  val stratifiedSample: Op = Op(
+    "q_stratified_sample",
+    s"""SELECT doc_id, lang, $idBucketSql AS bucket
+       |FROM documents
+       |WHERE $idBucketSql < CASE WHEN lang = 'en' THEN 10 ELSE 50 END"""
+      .stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+    val bucket = idBucket(col("doc_id"))
+    d.filter(bucket < when(col("lang") === "en", 10L).otherwise(50L))
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+  }
+
+  /** Leakage-safe train/test split: the split key is the SOURCE (think
+    * web domain), not the document — near-duplicates cluster within a
+    * source, so splitting per-document would leak eval text into
+    * training. All docs of a source land on one side, chosen by the
+    * rolling-hash fingerprint of the source name (deterministic, engine-
+    * exact) mod 10 → ~10% of sources become test. Map-only per row. */
+  val trainTestSplit: Op = Op(
+    "q_train_test_split",
+    """SELECT doc_id, source,
+      |  CASE WHEN list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(source, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) % 10 = 0
+      |  THEN 'test' ELSE 'train' END AS split
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        when(fingerprint(col("source")) % 10 === 0, "test")
+          .otherwise("train").as("split"))
+  }
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** PII scrub: redact email addresses and (toll-free-test-prefix)
+    * phone numbers to typed placeholders, counting hits per doc. The
+    * corpus is synthetic and carries no PII, so the op plants
+    * DETERMINISTIC decoys first (doc_id-derived email on every 7th doc,
+    * a 555 number on every 11th) — the same injection runs in the
+    * oracle, so the scrub kernel is what's actually under test, down to
+    * byte-exact output (the fingerprint of the scrubbed text is part of
+    * the contract). Both regexes are shared Java/RE2 syntax. Map-only. */
+  val piiScrub: Op = Op(
+    "q_pii_scrub",
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(aug, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(aug, '$PhoneRe')) AS n_phones,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(
+       |        regexp_replace(regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g'),
+       |          '$PhoneRe', '<PHONE>', 'g'), ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS scrubbed_fp
+       |FROM (
+       |  SELECT doc_id,
+       |    text
+       |      || CASE WHEN doc_id % 7 = 0
+       |           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |           ELSE '' END
+       |      || CASE WHEN doc_id % 11 = 0 THEN ' call 555-0134' ELSE '' END
+       |      AS aug
+       |  FROM documents)""".stripMargin) { (spark, dir) =>
+    val aug = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(""),
+      when(col("doc_id") % 11 === 0, " call 555-0134").otherwise(""))
+    val scrubbed = regexp_replace(
+      regexp_replace(col("aug"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("aug"), lit(PhoneRe)).as("n_phones"),
+        fingerprint(scrubbed).as("scrubbed_fp"))
+  }
+
+  /** Repetition gate (Rae et al. 2021 §A1.1 "repetition" filters):
+    * fraction of duplicate word 3-grams per doc; docs above 20% fail.
+    * Degenerate boilerplate ("buy now buy now buy now …") scores near 1
+    * and is dropped before it poisons dedup statistics. Pure per-row
+    * array work inside codegen; short docs (<3 words) have no 3-grams
+    * and pass with ratio 0 by contract in both engines. */
+  val repetitionGate: Op = Op(
+    "q_repetition",
+    """SELECT doc_id, n_3grams, n_distinct_3grams,
+      |  CASE WHEN n_3grams > 0
+      |    THEN CAST(n_3grams - n_distinct_3grams AS DOUBLE)
+      |         / CAST(n_3grams AS DOUBLE)
+      |    ELSE CAST(0 AS DOUBLE) END AS dup_ratio,
+      |  CASE WHEN n_3grams > 0
+      |    THEN CAST(n_3grams - n_distinct_3grams AS DOUBLE)
+      |         / CAST(n_3grams AS DOUBLE) <= 0.2
+      |    ELSE TRUE END AS rep_pass
+      |FROM (
+      |  SELECT doc_id,
+      |    greatest(len(l) - 2, 0) AS n_3grams,
+      |    CASE WHEN len(l) >= 3
+      |      THEN len(list_distinct(list_transform(range(len(l) - 2),
+      |             i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])))
+      |      ELSE 0 END AS n_distinct_3grams
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\s+') AS l
+      |        FROM documents))""".stripMargin) { (spark, dir) =>
+    val nWords = size(split(lower(trim(col("text"))), "\\s+"))
+    val total = greatest(nWords - 2, lit(0)).cast("long")
+    val distinct3 = when(nWords >= 3,
+      size(wordShingles(col("text"), 3)).cast("long")).otherwise(0L)
+    val ratio = when(total > 0,
+      (total - distinct3).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), total.as("n_3grams"),
+        distinct3.as("n_distinct_3grams"), ratio.as("dup_ratio"),
+        when(total > 0, ratio <= 0.2).otherwise(lit(true)).as("rep_pass"))
+  }
+
+  /** Corpus-relative quality gate: keep docs at or above the corpus
+    * 25th percentile of BPE-ish token count — thresholds in a real
+    * pipeline are set against the corpus distribution, not constants.
+    * One global scalar aggregate (map-side partial → single exact
+    * percentile), broadcast back over the scan as a literal-shaped
+    * filter; everything else is map-only. At 100 TB the exact
+    * percentile becomes `approx_percentile` (q_approx_quantile's
+    * pinned-bound sketch) with the identical plan shape. */
+  val qualityGate: Op = Op(
+    "q_quality_gate",
+    """SELECT doc_id, n_tokens, p25
+      |FROM (SELECT doc_id,
+      |        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tokens
+      |      FROM documents),
+      |     (SELECT quantile_cont(
+      |        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')), 0.25) AS p25
+      |      FROM documents)
+      |WHERE n_tokens >= p25""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), bpeishTokenCount(col("text")).as("n_tokens"))
+    val thr = d.agg(
+      expr("percentile(n_tokens, 0.25)").as("p25"))
+    d.crossJoin(broadcast(thr))
+      .filter(col("n_tokens") >= col("p25"))
+      .select(col("doc_id"), col("n_tokens"), col("p25"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Curation semantics the DuckDB oracles can't pin directly:
+  * determinism across runs, the leakage-safety property of the split,
+  * scrub completeness, and the repetition gate on crafted inputs. */
+class CurationSpec extends SparkSpec {
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val s1 = Curation.stratifiedSample.build(spark, sf001)
+    val s2 = Curation.stratifiedSample.build(spark, sf001)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    // every kept row is under its stratum's bucket bound
+    assert(s1.filter(col("lang") === "en" && col("bucket") >= 10).count() === 0)
+    assert(s1.filter(col("lang") =!= "en" && col("bucket") >= 50).count() === 0)
+    // both strata survive, and en is actually downsampled harder than
+    // its corpus share (en dominates the corpus but not the sample)
+    val total = graft.Tables.documents(spark, sf001).count().toDouble
+    val enAll = graft.Tables.documents(spark, sf001)
+      .filter(col("lang") === "en").count().toDouble
+    val kept = s1.count().toDouble
+    val enKept = s1.filter(col("lang") === "en").count().toDouble
+    assert(enKept > 0 && enKept < kept)
+    assert(enKept / kept < enAll / total)
+  }
+
+  test("train/test split never splits a source (leakage safety)") {
+    val s = Curation.trainTestSplit.build(spark, sf001)
+    val bySource = s.groupBy(col("source"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+    assert(bySource.filter(col("n_splits") > 1).count() === 0)
+    // both sides are populated at this corpus's source cardinality
+    assert(s.filter(col("split") === "test").count() > 0)
+    assert(s.filter(col("split") === "train").count() > 0)
+  }
+
+  test("pii scrub finds every planted decoy and leaves no match behind") {
+    val s = Curation.piiScrub.build(spark, sf001).cache()
+    // every 7th doc got an email decoy, every 11th a phone decoy
+    assert(s.filter(col("doc_id") % 7 === 0 && col("n_emails") === 0)
+      .count() === 0)
+    assert(s.filter(col("doc_id") % 11 === 0 && col("n_phones") === 0)
+      .count() === 0)
+    // re-running the scrub over the SCRUBBED text must find nothing:
+    // rebuild the augmented text, scrub it, and count leftovers
+    val aug = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(""),
+      when(col("doc_id") % 11 === 0, " call 555-0134").otherwise(""))
+    val scrubbed = regexp_replace(
+      regexp_replace(aug, Curation.EmailRe, "<EMAIL>"),
+      Curation.PhoneRe, "<PHONE>")
+    val leftovers = graft.Tables.documents(spark, sf001)
+      .select(regexp_count(scrubbed, lit(Curation.EmailRe)).as("e"),
+        regexp_count(scrubbed, lit(Curation.PhoneRe)).as("p"))
+      .agg(sum(col("e") + col("p"))).collect().head.getLong(0)
+    assert(leftovers === 0L)
+    s.unpersist()
+  }
+
+  test("repetition gate scores crafted documents correctly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),        // 6 3-grams, 2 distinct
+      (2L, "the quick brown fox jumps over the dog"), // all distinct
+      (3L, "too short"),                              // <3 words → passes, ratio 0
+      (4L, "a a a a a a a a a a"))                    // 1 distinct 3-gram
+      .toDF("doc_id", "text")
+    val nWords = size(split(lower(trim(col("text"))), "\\s+"))
+    val total = greatest(nWords - 2, lit(0)).cast("long")
+    val d3 = when(nWords >= 3,
+      size(graft.functions.TextAnalysis.wordShingles(col("text"), 3))
+        .cast("long")).otherwise(0L)
+    val ratio = when(total > 0,
+      (total - d3).cast("double") / total.cast("double")).otherwise(lit(0.0))
+    val got = docs.select(col("doc_id"), ratio.as("r"),
+        when(total > 0, ratio <= 0.2).otherwise(lit(true)).as("pass"))
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(got(0)._2 > 0.6 && !got(0)._3)      // boilerplate fails
+    assert(got(1)._2 === 0.0 && got(1)._3)     // natural text passes
+    assert(got(2)._2 === 0.0 && got(2)._3)     // short doc passes
+    assert(got(3)._2 > 0.8 && !got(3)._3)      // degenerate repeat fails
+  }
+
+  test("quality gate keeps exactly the at-or-above-P25 documents") {
+    val g = Curation.qualityGate.build(spark, sf001).cache()
+    val all = graft.Tables.documents(spark, sf001).count()
+    val kept = g.count()
+    // by construction ≥75% of docs sit at or above the 25th percentile
+    assert(kept >= (all * 3) / 4 && kept < all)
+    assert(g.filter(col("n_tokens") < col("p25")).count() === 0)
+    g.unpersist()
+  }
+}
