@@ -61,6 +61,7 @@ object SparkEntry {
     StreamingOps.streamTumbling,
     StreamingOps.streamDedup,
     StreamingOps.streamBestOfDay,
+    StreamingOps.streamJoin,
     MultimodalOps.multimodalFeatures,
   )
 

@@ -49,6 +49,25 @@ object StreamingOps {
         col("source"), col("price_type"), col("value_cents"))
   }
 
+  /** Stream-stream watermarked attribution join (click→purchase within
+    * 1 hour, per user) ≡ the batch interval self-join the oracle runs. */
+  val streamJoin: Op = Op(
+    "q_stream_join",
+    """SELECT c.user_id,
+      |       c.event_id AS click_id,
+      |       p.event_id AS purchase_id,
+      |       CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+      |       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+      |       CAST(ROUND(p.value*100) AS BIGINT) AS purchase_cents
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin) {
+    (spark, dir) =>
+    EventStream.runAttributionToMemory(spark, dir, "q_stream_join_mem")
+    spark.table("q_stream_join_mem")
+  }
+
   val streamTumbling: Op = Op(
     "q_stream_tumbling",
     """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_us,

@@ -352,6 +352,60 @@ object EventStream {
     q.stop()
   }
 
+  /** Watermarked STREAM-STREAM join — the attribution shape: every
+    * (click, purchase) pair of the same user where the click precedes
+    * the purchase by at most [[AttributionWindow]]. Both sides carry a
+    * watermark and the join condition carries the event-time range, so
+    * Spark can bound each side's state buffer: a click older than
+    * watermark − window can never match a future purchase and is
+    * evicted — without the time bound the state grows forever and a
+    * 100 TB/day stream OOMs. The watermark delay is DERIVED from the
+    * corpus's actual span (same anchor pattern as [[runDedupToMemory]]),
+    * which pins exact batch parity for the inner join regardless of how
+    * many micro-batches the source splits into — exactly what the
+    * DuckDB oracle (a plain self-join with the same interval predicate)
+    * checks. */
+  val AttributionWindow = "1 hour"
+
+  def runAttributionToMemory(
+      spark: SparkSession, dir: String, queryName: String): Unit = withStreamShuffle(spark) {
+    val bounds = graft.Tables.events(spark, dir)
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val spanDays = java.time.Duration.between(
+      bounds.getTimestamp(0).toInstant, bounds.getTimestamp(1).toInstant)
+      .toDays + 2
+    val stream = eventsStream(spark, dir)
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", s"$spanDays days")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        round(col("value") * 100).cast("long").as("purchase_cents"))
+      .withWatermark("purchase_ts", s"$spanDays days")
+    val q = attributionJoin(clicks, purchases)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** The join core, side-injectable for tests: `clicks` needs columns
+    * (click_id, click_user, click_ts·watermarked), `purchases`
+    * (purchase_id, user_id, purchase_ts·watermarked, purchase_cents). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.join(purchases,
+        expr(s"""click_user = user_id
+                |AND click_ts <= purchase_ts
+                |AND click_ts >= purchase_ts - INTERVAL $AttributionWindow"""
+          .stripMargin))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        col("purchase_cents"))
+
   /** Wire a parquet-backed stream of the events table to a memory sink
     * (local smoke; swap readStream source + sink for kafka/files in prod).
     * The file stores ns timestamps → stream them as long, derive µs. */

@@ -118,6 +118,38 @@ class EventStreamSpec extends SparkSpec {
     li.unpersist()
   }
 
+  test("stream-stream attribution join buffers across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clickIn = MemoryStream[(Long, Long, Timestamp)]
+    val purchIn = MemoryStream[(Long, Long, Timestamp, Long)]
+    val clicks = clickIn.toDF()
+      .toDF("click_id", "click_user", "click_ts")
+      .withWatermark("click_ts", "10 days")
+    val purchases = purchIn.toDF()
+      .toDF("purchase_id", "user_id", "purchase_ts", "purchase_cents")
+      .withWatermark("purchase_ts", "10 days")
+    val q = EventStream.attributionJoin(clicks, purchases)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attr_join").start()
+    // batch 1: the purchase arrives FIRST — its matching click is late
+    purchIn.addData((100L, 1L, Timestamp.valueOf("2026-01-01 10:00:00"), 2500L))
+    q.processAllAvailable()
+    assert(spark.table("attr_join").count() === 0)
+    // batch 2: in-window click (09:30) joins the buffered purchase;
+    // out-of-window click (08:00) and other-user click do not
+    clickIn.addData(
+      (10L, 1L, Timestamp.valueOf("2026-01-01 09:30:00")),
+      (11L, 1L, Timestamp.valueOf("2026-01-01 08:00:00")),
+      (12L, 2L, Timestamp.valueOf("2026-01-01 09:45:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_join")
+      .select($"click_id", $"purchase_id", $"purchase_cents")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((10L, 100L, 2500L)))
+  }
+
   test("thresholdAlerts emits one row per level crossed, none otherwise") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
