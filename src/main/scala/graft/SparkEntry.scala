@@ -50,6 +50,7 @@ object SparkEntry {
     SetPivot.rollupRevenue,
     Scale.saltedJoin,
     Scale.colocatedJoin,
+    Scale.sqlEntry,
     Scale.approxDistinct,
     Scale.approxQuantile,
     IngestOps.csvRoundtrip,

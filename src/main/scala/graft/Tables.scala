@@ -109,4 +109,28 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Every table name the catalog serves, in [[sql]] view order. */
+  val AllTables: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** The SQL front door — the reference's native interface (every
+    * pipeline script is SQL strings against PG). Registers each catalog
+    * table as a temp view over the scale-factor dir (or the JDBC source
+    * when the switch is on — same [[t]] path), then hands the query to
+    * Spark SQL, Catalyst optimizations and all. Views are session-local
+    * temp views: re-registration is idempotent, nothing persists.
+    * Engine extensions (`graft_dot`, via GraftExtensions) are available
+    * inside the SQL when the session installed them. */
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    AllTables.foreach { name =>
+      val df = name match {
+        case "events" => events(spark, dir)
+        case n        => t(spark, dir, n)
+      }
+      df.createOrReplaceTempView(name)
+    }
+    spark.sql(query)
+  }
 }

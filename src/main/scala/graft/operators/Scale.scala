@@ -107,6 +107,35 @@ object Scale {
         sum(centsOf(col("l_extendedprice"))).as("sum_cents"))
   }
 
+  /** The SQL front door exercised end-to-end ([[graft.Tables.sql]]):
+    * the reference's native interface is SQL strings against PG
+    * (every pipeline script), so the engine must accept the same query
+    * as TEXT — catalog views + Spark SQL + Catalyst, not a hand-built
+    * DataFrame. The oracle is the same ANSI join/aggregate in DuckDB.
+    */
+  val sqlEntry: Op = Op(
+    "q_sql_entry",
+    """SELECT n_name,
+      |       COUNT(*) AS n_items,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY n_name""".stripMargin) { (spark, dir) =>
+    graft.Tables.sql(spark, dir,
+      """SELECT n_name,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY n_name""".stripMargin)
+  }
+
   /** Quantile sketch next to the exact percentile: at 100 TB the exact
     * percentile (full sort-based aggregation buffer per group) is the
     * expensive path and `approx_percentile` (Greenwald-Khanna summary,

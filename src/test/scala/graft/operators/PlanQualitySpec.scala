@@ -94,6 +94,30 @@ class PlanQualitySpec extends SparkSpec {
       s"expected day-bucket broadcast equi-join in:\n$p")
   }
 
+  test("curation selection ops are shuffle-free map work") {
+    // sampling, splitting, scrubbing, and the repetition gate are pure
+    // per-row selection — ANY Exchange in these plans means a shuffle
+    // crept into what must stay a single map pass over 100 TB
+    for (op <- Seq(Curation.stratifiedSample, Curation.trainTestSplit,
+        Curation.piiScrub, Curation.repetitionGate)) {
+      val p = plan(op)
+      assert(!p.contains("Exchange"),
+        s"${op.name} must be map-only, got:\n$p")
+    }
+  }
+
+  test("quality gate: one scalar aggregate broadcast back, no row shuffle") {
+    // the P25 threshold is a single global aggregate (partial → final,
+    // 1-row exchange); the corpus itself must NOT be re-partitioned,
+    // and the threshold joins back as a broadcast
+    val p = plan(Curation.qualityGate)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"threshold must broadcast:\n$p")
+    val rowShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(rowShuffles === 0,
+      s"corpus rows must not shuffle for a scalar threshold, got:\n$p")
+  }
+
   test("top-k per group aggregates BEFORE the rank window") {
     val p = plan(Analytics.topKPerGroup)
     val aggIdx = p.indexOfSlice("Aggregate")
