@@ -55,12 +55,23 @@ object Tables {
     *   `graft.jdbc.numPartitions` — split count (default 8 when a
     *     partition column is configured)
     * When the column is configured but bounds are not, they're probed
-    * once via a pushed-down MIN/MAX subquery — one tiny round trip, the
-    * same trick every production JDBC ingest uses. Without a configured
-    * column the read stays single-task (correct for small dims; wrong
-    * for facts — configure the column). Asserted >1 input partition in
+    * once PER JVM via a pushed-down MIN/MAX subquery (memoized per
+    * url/table/column — repeated reads of the same table never re-probe),
+    * the same trick every production JDBC ingest uses; an empty table or
+    * a non-integral column degrades to the unpartitioned read instead of
+    * crashing the bound parse. Without a configured column the read
+    * stays single-task (correct for small dims; wrong for facts —
+    * configure the column). Asserted >1 input partition in
     * JdbcSourceSpec against embedded Derby.
     */
+  // probed (lo, hi) bounds per (url, table, column): the probe is one
+  // round trip per JVM, not one per read — a bench pass reads each
+  // fact table dozens of times and must not re-issue MIN/MAX each time.
+  // None records "probe said: cannot range-split" (empty table or
+  // non-integral column) so the fallback is also remembered.
+  private val probedBounds =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(String, String)]]()
+
   private def jdbcRead(spark: SparkSession, url: String, name: String): DataFrame = {
     val base = spark.read.format("jdbc")
       .option("url", url).option("dbtable", name)
@@ -68,22 +79,40 @@ object Tables {
       case Some(partCol) =>
         val n = spark.conf.getOption("graft.jdbc.numPartitions")
           .getOrElse("8")
-        val (lo, hi) = (
+        val bounds: Option[(String, String)] = (
           spark.conf.getOption(s"graft.jdbc.lowerBound.$name"),
           spark.conf.getOption(s"graft.jdbc.upperBound.$name")) match {
-          case (Some(l), Some(h)) => (l, h)
+          case (Some(l), Some(h)) => Some((l, h))
           case _ =>
-            val r = spark.read.format("jdbc")
-              .option("url", url)
-              .option("dbtable",
-                s"(SELECT MIN($partCol) AS lo, MAX($partCol) AS hi FROM $name) b")
-              .load().head()
-            (r.get(0).toString, r.get(1).toString)
+            probedBounds.computeIfAbsent(s"$url#$name#$partCol", _ => {
+              val r = spark.read.format("jdbc")
+                .option("url", url)
+                .option("dbtable",
+                  s"(SELECT MIN($partCol) AS lo, MAX($partCol) AS hi FROM $name) b")
+                .load().head()
+              // an empty table probes to NULL bounds, and a non-integral
+              // column (DECIMAL, VARCHAR) yields bounds Spark's JDBC
+              // long-parse would reject — both read fine unpartitioned
+              val integral = (v: Any) => v match {
+                case _: Long | _: Int | _: Short | _: Byte => true
+                case _ => false
+              }
+              if (r.isNullAt(0) || r.isNullAt(1) ||
+                  !integral(r.get(0)) || !integral(r.get(1))) {
+                System.err.println(s"[graft] jdbc $name: partition column " +
+                  s"$partCol has no integral bounds — reading unpartitioned")
+                None
+              } else Some((r.get(0).toString, r.get(1).toString))
+            })
         }
-        base.option("partitionColumn", partCol)
-          .option("lowerBound", lo).option("upperBound", hi)
-          .option("numPartitions", n)
-          .load()
+        bounds match {
+          case Some((lo, hi)) =>
+            base.option("partitionColumn", partCol)
+              .option("lowerBound", lo).option("upperBound", hi)
+              .option("numPartitions", n)
+              .load()
+          case None => base.load()
+        }
       case None => base.load()
     }
   }
@@ -120,9 +149,10 @@ object Tables {
     * table as a temp view over the scale-factor dir (or the JDBC source
     * when the switch is on — same [[t]] path), then hands the query to
     * Spark SQL, Catalyst optimizations and all. Views are session-local
-    * temp views: re-registration is idempotent, nothing persists.
-    * Engine extensions (`graft_dot`, via GraftExtensions) are available
-    * inside the SQL when the session installed them. */
+    * temp views: re-registration is idempotent, nothing persists — but
+    * a caller's own temp view sharing a catalog table name WILL be
+    * replaced. JDBC bound probes are memoized per JVM, so repeated
+    * sql() calls cost view re-registration only, not fresh round trips. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     AllTables.foreach { name =>
       val df = name match {

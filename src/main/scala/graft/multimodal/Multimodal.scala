@@ -51,12 +51,13 @@ object Multimodal {
   object StubDecoder {
     val FeatureDim = 16
 
-    /** No real image encoding fits below this — the smallest valid PNG
-      * is ~67 bytes. Payloads shorter than this skip the ImageIO probe
-      * even when their first bytes collide with a magic number (e.g. a
-      * 32-byte hash-derived blob starting FF D8), keeping the
-      * deterministic byte-histogram contract for non-image data. */
-    private val MinPlausibleImageBytes = 64
+    /** Below this no encoding carries even a complete header: a magic-
+      * prefix collision on a hash-derived blob (e.g. 32 bytes starting
+      * FF D8) must stay on the deterministic byte-histogram contract.
+      * Deliberately SMALL — a 1×1 GIF is ~35 bytes and a 1×1 BMP ~58,
+      * and both must still reach ImageIO (a 64-byte gate silently
+      * demoted real tiny images to the fallback). */
+    private val MinPlausibleImageBytes = 24
 
     /** Magic-byte sniff: only hand plausible image payloads to ImageIO —
       * probing arbitrary binary through the reader registry on every row
@@ -111,6 +112,18 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = ais.getFormat
+        // this branch understands exactly the two PCM layouts below —
+        // a μ-law/A-law WAV also arrives with sampleSize 8/16 but its
+        // bytes are companded codes, not amplitudes (silence in μ-law
+        // is 0xFF, not mid-scale), so anything non-PCM must take the
+        // disclosed fallback rather than mis-histogram
+        val enc = fmt.getEncoding
+        val isPcm =
+          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16) ||
+          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+            fmt.getSampleSizeInBits == 8)
+        if (!isPcm) return byteHistogram(bytes)
         val data = ais.readAllBytes()
         val buckets = new Array[Long](FeatureDim)
         var n = 0L
@@ -157,20 +170,32 @@ object Multimodal {
     // disable the disk cache once per JVM.
     javax.imageio.ImageIO.setUseCache(false)
 
+    /** Corrupt payload ≠ task failure: any decoder exception plus the
+      * OutOfMemoryError a malformed header's giant dimensions can
+      * trigger routes the row to the deterministic fallback. Genuinely
+      * fatal throwables — InterruptedException from a Spark task
+      * cancellation above all, but also LinkageError etc. — must
+      * propagate, or a killed stage keeps decoding the rest of the
+      * partition as a zombie task. */
+    private def decodeSafe[T](body: => T): Option[T] =
+      try Some(body)
+      catch {
+        case scala.util.control.NonFatal(_) => None
+        case _: OutOfMemoryError => None
+      }
+
     def decodeToFeatures(bytes: Array[Byte]): Array[Float] = {
       if (looksLikeImage(bytes)) {
-        val img =
-          // corrupt payload ≠ task failure; NonFatal would miss e.g. the
-          // OutOfMemoryError a malformed header's giant dimensions can
-          // trigger in a lenient reader, so catch Throwable here and let
-          // the deterministic byte-histogram fallback own the row
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Throwable => null }
-        if (img != null) return pixelFeatures(img)
+        val img = decodeSafe(
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          .flatMap(Option(_))
+        if (img.isDefined) return pixelFeatures(img.get)
       }
       if (looksLikeWav(bytes)) {
-        try return wavFeatures(bytes)
-        catch { case _: Throwable => () } // corrupt/exotic WAV → fallback
+        decodeSafe(wavFeatures(bytes)) match {
+          case Some(f) => return f
+          case None    => () // corrupt/exotic WAV → fallback
+        }
       }
       // the remaining honest stub: compressed audio + video codecs are
       // not in this container — deterministic byte histogram instead

@@ -28,14 +28,25 @@ object IngestOps {
       |       CAST(0 AS BIGINT) AS n_unparsed
       |FROM part""".stripMargin) { (spark, dir) =>
     // deterministic staging dir per sf, built once and reused across
-    // runs (the fixture is a pure function of `part`, so a committed
-    // dir — _SUCCESS present — is always valid; like the bucket-table
-    // layout, fixture synthesis is not what the query measures)
-    val sfTag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
-    val csvDir = s"${System.getProperty("java.io.tmpdir")}/graft_csv$sfTag"
+    // runs: the fixture is a pure function of `part`, so a committed
+    // dir (_SUCCESS) is valid exactly while the source file's listing
+    // signature is unchanged — regenerated testdata at the same path
+    // rebuilds the fixture instead of reconciling stale CSV against a
+    // fresh oracle. Like the bucket-table layout, fixture synthesis is
+    // not what the query measures.
+    val csvDir = SinkOps.stagingDir(dir, "csv")
     val marker = new org.apache.hadoop.fs.Path(s"$csvDir/_SUCCESS")
+    val sigPath = new org.apache.hadoop.fs.Path(s"$csvDir/_SRC_SIG")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    val srcSig = graft.sources.RunLog
+      .sourceSignature(spark, dir, "part.parquet")
+    val fixtureValid = fs.exists(marker) && fs.exists(sigPath) && {
+      val in = fs.open(sigPath)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) == srcSig
+      finally in.close()
+    }
+    if (!fixtureValid) {
       Tables.part(spark, dir).select(
           col("p_partkey").cast("string").as("Product ID"),
           col("p_name").as("Product Name"),
@@ -46,6 +57,10 @@ object IngestOps {
         // directory, so the fixture write never becomes a bottleneck at
         // larger SF
         .write.mode("overwrite").option("header", "true").csv(csvDir)
+      val out = fs.create(sigPath, true)
+      try out.write(srcSig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     val ingested = CsvIngest.ingest(
       spark, csvDir,
       aliases = Map(

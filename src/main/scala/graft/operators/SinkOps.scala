@@ -67,8 +67,15 @@ object SinkOps {
     // cheap anchor probe → literal bounds reach the parquet scan pushed
     // down (same two-phase shape as Rollup.dateWindowAgg)
     val anchor = li.agg(min(to_date(col("l_shipdate"))).as("a")).head.getDate(0)
-    def ts(days: Int) = java.sql.Timestamp.valueOf(
-      anchor.toLocalDate.plusDays(days.toLong).atStartOfDay)
+    // boundary instants built AT UTC (Timestamp.from(instant)), not
+    // Timestamp.valueOf(localDateTime): valueOf interprets the local
+    // datetime in the JVM DEFAULT timezone, so on a non-UTC machine the
+    // window boundary would shift off midnight UTC and drop/mislabel
+    // whole days vs the oracle's date arithmetic. Bare-column timestamp
+    // comparison keeps the filter pushable into the parquet scan.
+    def ts(days: Int) = java.sql.Timestamp.from(
+      anchor.toLocalDate.plusDays(days.toLong)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
     def batch(loDays: Int, hiDays: Int, formula: org.apache.spark.sql.Column) =
       li.filter(col("l_shipdate") >= lit(ts(loDays)) &&
           col("l_shipdate") < lit(ts(hiDays)))

@@ -23,6 +23,24 @@ object RunLog {
         sha2(col("content"), 256).as("file_sha256"),
         col("length").as("file_bytes"))
 
+  /** Driver-side listing signature of the files an artifact was derived
+    * from — `name|length|mtime` per matched file, sorted. Cheap (no
+    * content read) staleness fingerprint for amortized staging
+    * artifacts: a cached fixture or bootstrap base is valid only while
+    * its source files' signature is unchanged; regenerated testdata or
+    * a partially cleaned cache then triggers a rebuild instead of a
+    * silently-wrong reuse. */
+  def sourceSignature(
+      spark: SparkSession, dir: String, glob: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val filter = new org.apache.hadoop.fs.GlobFilter(glob)
+    fs.listStatus(p)
+      .filter(st => st.isFile && filter.accept(st.getPath))
+      .map(st => s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}")
+      .sorted.mkString(",")
+  }
+
   /** Append one run row (S3 + A5 row-count update folded into a single
     * append — the rebuild computes the count before logging). */
   def logRun(

@@ -188,11 +188,32 @@ object EventStream {
   def runBestOfDayIncremental(
       spark: SparkSession, srcDir: String, glob: String,
       basePath: String, hotPath: String): Unit = withStreamShuffle(spark) {
-    val baseP = new org.apache.hadoop.fs.Path(basePath)
-    val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(baseP) ||
-        !fs.exists(new org.apache.hadoop.fs.Path(bodMetaPath(basePath))))
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // reuse the base only while it is COMMITTED (_SUCCESS — a partially
+    // cleaned cache dir must not pass) AND every file the bootstrap
+    // consumed is still on disk unchanged (listing signature in the
+    // meta sidecar — regenerated testdata at the same path must trigger
+    // a re-bootstrap, not a silent merge against a stale base). Files
+    // that appeared AFTER the bootstrap do not invalidate it: new files
+    // are precisely what the stream processes incrementally.
+    val current = graft.sources.RunLog
+      .sourceSignature(spark, srcDir, glob).split(",").toSet
+    val baseValid =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$basePath/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(bodMetaPath(basePath))) && {
+          val meta = spark.read.parquet(bodMetaPath(basePath))
+          meta.columns.contains("src_sig") && {
+            val consumed = meta.select(col("src_sig")).head().getString(0)
+            consumed.split(",").forall(current.contains)
+          }
+        }
+    if (!baseValid) {
+      for (p <- Seq(basePath, bodMetaPath(basePath), hotPath,
+          s"$hotPath.checkpoint"))
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
       bootstrapBestOfDay(spark, srcDir, glob, basePath)
+    }
     val meta = spark.read.parquet(bodMetaPath(basePath))
     val splitDay = meta.agg(max(col("split_day"))).head().getDate(0)
     val bootFiles = meta.select(col("file_name"))
@@ -262,6 +283,8 @@ object EventStream {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(basePath)
     src.select(input_file_name().as("file_name")).distinct()
       .withColumn("split_day", lit(splitDay))
+      .withColumn("src_sig",
+        lit(graft.sources.RunLog.sourceSignature(spark, srcDir, glob)))
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(bodMetaPath(basePath))
@@ -303,6 +326,20 @@ object EventStream {
     fs.delete(new org.apache.hadoop.fs.Path(hotPath), true)
   }
 
+  /** Watermark delay strictly beyond the events corpus's actual time
+    * span, in whole days (one two-value MIN/MAX anchor probe): with
+    * delay > span the watermark can never pass min(ts), so no state
+    * expires mid-run and stateful streaming ops equal their batch twins
+    * regardless of micro-batch split — the property every
+    * streaming-vs-batch oracle in this module pins. */
+  private def derivedWatermarkDays(spark: SparkSession, dir: String): Long = {
+    val bounds = graft.Tables.events(spark, dir)
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    java.time.Duration.between(
+      bounds.getTimestamp(0).toInstant, bounds.getTimestamp(1).toInstant)
+      .toDays + 2
+  }
+
   /** Parquet-backed stream of the events table (the file stores ns
     * timestamps → stream them as long, derive µs) — the one source
     * shape shared by every streaming entry point below. */
@@ -333,11 +370,7 @@ object EventStream {
     * columns are emitted, so the output set is arrival-order-independent. */
   def runDedupToMemory(
       spark: SparkSession, dir: String, queryName: String): Unit = withStreamShuffle(spark) {
-    val bounds = graft.Tables.events(spark, dir)
-      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
-    val spanDays = java.time.Duration.between(
-      bounds.getTimestamp(0).toInstant, bounds.getTimestamp(1).toInstant)
-      .toDays + 2 // strictly beyond the span, whole-day granularity
+    val spanDays = derivedWatermarkDays(spark, dir)
     val stream = eventsStream(spark, dir)
       .select(col("ts"), col("user_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("value_cents"))
@@ -369,11 +402,7 @@ object EventStream {
 
   def runAttributionToMemory(
       spark: SparkSession, dir: String, queryName: String): Unit = withStreamShuffle(spark) {
-    val bounds = graft.Tables.events(spark, dir)
-      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
-    val spanDays = java.time.Duration.between(
-      bounds.getTimestamp(0).toInstant, bounds.getTimestamp(1).toInstant)
-      .toDays + 2
+    val spanDays = derivedWatermarkDays(spark, dir)
     val stream = eventsStream(spark, dir)
     val clicks = stream.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"),

@@ -87,6 +87,22 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq === feats.toSeq)
   }
 
+  test("tiny sub-64-byte images still decode through ImageIO") {
+    // a 1x1 GIF/BMP is well under 64 bytes; an over-eager minimum-size
+    // sniff gate once demoted these real images to the byte-histogram
+    // fallback
+    val img = new java.awt.image.BufferedImage(
+      1, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFFFFFF) // white → top luminance bucket
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val bytes = bos.toByteArray
+    assert(bytes.length < 64, s"fixture must be tiny, got ${bytes.length}")
+    val feats = Multimodal.StubDecoder.decodeToFeatures(bytes)
+    assert(feats(Multimodal.StubDecoder.FeatureDim - 1) === 1.0f)
+    assert(feats.toSeq !== Multimodal.StubDecoder.byteHistogram(bytes).toSeq)
+  }
+
   test("metadata predicates prune without touching bytes") {
     val assets = Multimodal.syntheticAssets(spark, 30)
     val images = assets.filter(col("media.kind") === "image")

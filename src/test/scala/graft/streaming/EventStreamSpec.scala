@@ -42,7 +42,8 @@ class EventStreamSpec extends SparkSpec {
       .find(_.getName.endsWith(".parquet")).get
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
     java.nio.file.Files.copy(part.toPath,
-      java.nio.file.Paths.get(src, name))
+      java.nio.file.Paths.get(src, name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   test("incremental best-of-day over TWO overlapping micro-batches equals batch") {
@@ -116,6 +117,36 @@ class EventStreamSpec extends SparkSpec {
     val after = store()
     assert(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty)
     li.unpersist()
+  }
+
+  test("bootstrap base invalidates when a consumed source file changes") {
+    // regenerated testdata at the same path must re-bootstrap, not
+    // silently merge against the stale base
+    val src = "/tmp/graft_bod_stale_src"
+    val base = "/tmp/graft_bod_stale_base"
+    val hot = "/tmp/graft_bod_stale_hot"
+    for (p <- Seq(src, base, s"$base.meta", hot, s"$hot.checkpoint"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val v1 = li.filter(col("l_orderkey") % 2 === 0)
+    val v2 = li.filter(col("l_orderkey") % 3 === 0) // different content
+    def result() = EventStream.readBestOfDayStore(spark, base, hot)
+      .select(col("market_item_id"), col("as_of_date").cast("date"),
+        col("source"), col("price_type"), col("value_cents"))
+    def want(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Pricing.bestReduce(graft.operators.Pricing.snapsOf(df))
+        .select(col("market_item_id"), col("as_of_date").cast("date"),
+          col("source"), col("price_type"), col("value_cents"))
+    writeSnapFile(v1, src, "snap.parquet")
+    EventStream.runBestOfDayIncremental(spark, src, "snap*.parquet", base, hot)
+    // overwrite the SAME file with different content (the regeneration)
+    writeSnapFile(v2, src, "snap.parquet")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$hot.checkpoint"))
+    EventStream.runBestOfDayIncremental(spark, src, "snap*.parquet", base, hot)
+    val got = result()
+    val w = want(v2)
+    assert(got.exceptAll(w).isEmpty && w.exceptAll(got).isEmpty)
   }
 
   test("stream-stream attribution join buffers across micro-batches") {
