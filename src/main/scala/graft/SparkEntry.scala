@@ -63,6 +63,7 @@ object SparkEntry {
     StreamingOps.streamDedup,
     StreamingOps.streamBestOfDay,
     StreamingOps.streamJoin,
+    StreamingOps.streamSessionize,
     MultimodalOps.multimodalFeatures,
   )
 

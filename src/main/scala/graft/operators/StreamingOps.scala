@@ -68,6 +68,39 @@ object StreamingOps {
     spark.table("q_stream_join_mem")
   }
 
+  /** Streaming session windows (native `session_window` state-store
+    * merge) ≡ the batch gap-sessionization the oracle computes. The
+    * window end is last-event + gap by definition; half-open windows ⇒
+    * `>=` on the gap test. */
+  val streamSessionize: Op = Op(
+    "q_stream_sessionize",
+    """WITH ev AS (
+      |  SELECT user_id, event_id,
+      |         CAST(epoch_us(ts) AS BIGINT) AS us,
+      |         CAST(ROUND(value*100) AS BIGINT) AS cents
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *,
+      |         CASE WHEN lag(us) OVER w IS NULL
+      |                OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |), numbered AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged
+      |)
+      |SELECT user_id,
+      |       MIN(us) AS start_us,
+      |       MAX(us) + 1800000000 AS end_us,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(cents) AS BIGINT) AS value_cents
+      |FROM numbered
+      |GROUP BY user_id, session_idx""".stripMargin) { (spark, dir) =>
+    EventStream.runSessionizeToMemory(spark, dir, "q_stream_sessionize_mem")
+    spark.table("q_stream_sessionize_mem")
+  }
+
   val streamTumbling: Op = Op(
     "q_stream_tumbling",
     """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_us,

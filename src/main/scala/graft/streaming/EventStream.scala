@@ -421,6 +421,34 @@ object EventStream {
     q.stop()
   }
 
+  /** Native session-window aggregation on the stream — the built-in
+    * twin of the `mapGroupsWithState` sessionizer (which remains the
+    * template for NON-aggregate session state): Spark merges per-key
+    * events into gap-bounded sessions inside the state store, with
+    * map-side partial merging before the shuffle. Complete mode for the
+    * bounded smoke run (the deterministic choice — every session
+    * including still-open ones); production streams run Append with a
+    * real watermark and emit sessions as the watermark closes them.
+    * Boundary semantics: windows are half-open, so an event exactly
+    * `gap` after the previous one starts a NEW session (`>=` in the
+    * oracle, unlike the batch CTE's strict `>`). */
+  def runSessionizeToMemory(
+      spark: SparkSession, dir: String, queryName: String): Unit = withStreamShuffle(spark) {
+    val q = eventsStream(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("value_cents"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** The join core, side-injectable for tests: `clicks` needs columns
     * (click_id, click_user, click_ts·watermarked), `purchases`
     * (purchase_id, user_id, purchase_ts·watermarked, purchase_cents). */
