@@ -31,10 +31,12 @@ object SparkEntry {
     Curation.piiScrub,
     Curation.repetitionGate,
     Curation.qualityGate,
+    Curation.decontaminate,
     Dedup.dedupExact,
     Dedup.ngramJaccard,
     Dedup.minhashLsh,
     Dedup.simhash,
+    GraphOps.dupClusters,
     Similarity.annBruteForce,
     Similarity.embedNearDup,
     Similarity.annLsh,

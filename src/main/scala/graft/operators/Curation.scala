@@ -158,6 +158,58 @@ object Curation {
         when(total > 0, ratio <= 0.2).otherwise(lit(true)).as("rep_pass"))
   }
 
+  /** Benchmark-contamination check (the decontamination pass every
+    * training pipeline runs before a model ships — e.g. GPT-3 §C /
+    * PaLM §C-style 8-gram overlap): flag train docs sharing any word
+    * 8-gram with the benchmark/eval set. The benchmark side here is the
+    * deterministic doc_id % 29 slice (synthetic stand-in for a fixed
+    * eval suite); output = contaminated train docs with how many
+    * distinct 8-grams and how many distinct benchmark docs they hit.
+    *
+    * Scale shape: the benchmark suite is FIXED and small (MBs of eval
+    * text vs 100 TB of train), so its exploded 8-grams broadcast — the
+    * train side is one map-only scan + broadcast hash join; the only
+    * shuffle is the per-doc aggregate over MATCHED rows (∝ contamination
+    * found, not corpus size). Short docs (<8 words) degrade to a
+    * whole-text gram in both engines, so exact short-dup contamination
+    * still registers. */
+  val decontaminate: Op = Op(
+    "q_decontaminate",
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 29 = 0 AS is_bench,
+      |         string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, is_bench,
+      |         CASE WHEN len(w) >= 8
+      |              THEN list_distinct(list_transform(range(1, len(w)-6),
+      |                     i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+      |                          w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))
+      |              ELSE [array_to_string(w, ' ')] END AS gr
+      |  FROM d
+      |), be AS (
+      |  SELECT doc_id AS bench_doc_id, unnest(gr) AS g8 FROM g WHERE is_bench
+      |), tr AS (
+      |  SELECT doc_id, unnest(gr) AS g8 FROM g WHERE NOT is_bench
+      |)
+      |SELECT tr.doc_id AS doc_id,
+      |       COUNT(DISTINCT tr.g8) AS n_shared_ngrams,
+      |       COUNT(DISTINCT be.bench_doc_id) AS n_bench_docs
+      |FROM tr JOIN be ON tr.g8 = be.g8
+      |GROUP BY tr.doc_id""".stripMargin) { (spark, dir) =>
+    val grams = Tables.documents(spark, dir).select(col("doc_id"),
+      (col("doc_id") % 29 === 0).as("is_bench"),
+      explode(wordShingles(col("text"), 8)).as("g8"))
+    val bench = grams.filter(col("is_bench"))
+      .select(col("doc_id").as("bench_doc_id"), col("g8"))
+    val train = grams.filter(!col("is_bench"))
+      .select(col("doc_id"), col("g8"))
+    train.join(broadcast(bench), Seq("g8"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g8")).as("n_shared_ngrams"),
+        countDistinct(col("bench_doc_id")).as("n_bench_docs"))
+  }
+
   /** Corpus-relative quality gate: keep docs at or above the corpus
     * 25th percentile of BPE-ish token count — thresholds in a real
     * pipeline are set against the corpus distribution, not constants.

@@ -166,8 +166,8 @@ object Dedup {
     * predicates into the pair join (one SQL source for all variants —
     * a shingle-construction fix can't diverge between oracles).
     */
-  private def allPairsJaccardSql(gate: String = ""): String =
-    s"""WITH d AS (
+  private[operators] def jaccardPairCtes(gate: String = ""): String =
+    s"""d AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
        |  FROM documents
        |), sh AS (
@@ -182,7 +182,10 @@ object Dedup {
        |         len(list_intersect(a.sh, b.sh)) AS i,
        |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id$gate
-       |)
+       |)""".stripMargin
+
+  private def allPairsJaccardSql(gate: String = ""): String =
+    s"""WITH ${jaccardPairCtes(gate)}
        |SELECT doc_id_a, doc_id_b, CAST(i AS DOUBLE)/CAST(u AS DOUBLE) AS jaccard
        |FROM pairs WHERE CAST(i AS DOUBLE)/CAST(u AS DOUBLE) >= 0.5""".stripMargin
 
@@ -218,7 +221,7 @@ object Dedup {
   def minhashLshCapped(spark: SparkSession, dir: String, cap: Int): DataFrame =
     minhashLshPairs(spark, dir, bucketCap = Some(cap))
 
-  private def minhashLshPairs(
+  private[operators] def minhashLshPairs(
       spark: SparkSession, dir: String, bucketCap: Option[Int]): DataFrame = {
     val bands = 8
     val rowsPerBand = 4

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Connected-components semantics the corpus oracle can't exercise: the
+  * testdata's dup clusters are all diameter ≤ 1 (pairs + one triangle),
+  * so multi-hop propagation, chain convergence, and edge-orientation
+  * invariance need synthetic graphs. */
+class GraphOpsSpec extends SparkSpec {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("path graph: min label propagates across multiple hops") {
+    // 1-2-3-4-5 is a diameter-4 chain; label 1 must reach node 5
+    val labels = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("components stay separate and labels are component minima") {
+    val labels = cc(Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 30L)))
+    assert(labels === Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("edge orientation is irrelevant (min on the dst side of every edge)") {
+    // min node only ever appears as dst — propagation must still reach it
+    val labels = cc(Seq((5L, 1L), (5L, 4L), (4L, 3L)))
+    assert(labels === Map(1L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("dup clusters: every member pairs transitively, canonical = min id") {
+    val out = GraphOps.dupClusters.build(spark, sf001).cache()
+    val byCluster = out.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"),
+        sum(col("is_canonical").cast("long")).as("n_canon"))
+      .collect()
+    assert(byCluster.nonEmpty)
+    byCluster.foreach { r =>
+      assert(r.getAs[Long]("min_doc") === r.getAs[Long]("cluster_id"))
+      assert(r.getAs[Long]("n_canon") === 1L)
+      assert(r.getAs[Long]("n") >= 2L) // singletons never enter the graph
+    }
+    // cluster members ⊇ pair endpoints: every LSH pair lands in ONE cluster
+    val pairs = Dedup.minhashLshPairs(spark, sf001, bucketCap = None)
+    val lab = out.select(col("doc_id"), col("cluster_id"))
+    val crossCluster = pairs
+      .join(lab.withColumnRenamed("doc_id", "doc_id_a")
+        .withColumnRenamed("cluster_id", "ca"), Seq("doc_id_a"))
+      .join(lab.withColumnRenamed("doc_id", "doc_id_b")
+        .withColumnRenamed("cluster_id", "cb"), Seq("doc_id_b"))
+      .filter(col("ca") =!= col("cb"))
+    assert(crossCluster.isEmpty)
+    out.unpersist()
+  }
+}
