@@ -26,12 +26,15 @@ object SparkEntry {
     TextOps.textQuality,
     TextOps.langIdOp,
     TextOps.docFingerprint,
+    TextOps.tfidfTerms,
+    TextOps.docChunks,
     Curation.stratifiedSample,
     Curation.trainTestSplit,
     Curation.piiScrub,
     Curation.repetitionGate,
     Curation.qualityGate,
     Curation.decontaminate,
+    Curation.mixAssembly,
     Dedup.dedupExact,
     Dedup.ngramJaccard,
     Dedup.minhashLsh,

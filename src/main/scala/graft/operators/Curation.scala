@@ -158,6 +158,65 @@ object Curation {
         when(total > 0, ratio <= 0.2).otherwise(lit(true)).as("rep_pass"))
   }
 
+  /** Training-mix assembly: rebalance the corpus to a UNIFORM token
+    * share per source by giving every doc a deterministic copy count
+    * (epochs) — the mixture-weighting pass that turns a curated corpus
+    * into a training mix (The Pile / Gopher assign per-source epoch
+    * factors exactly like this). factor_s = target_tokens/actual_tokens
+    * per source; each doc emits floor(factor) copies plus one more when
+    * its id-hash bucket falls under the fractional part — so expected
+    * emitted tokens hit the target while every decision is a pure
+    * function of doc_id (re-runs and engines agree bit-for-bit; no RNG
+    * state to coordinate across 1000 executors).
+    *
+    * Scale shape: one per-source token aggregate (map-side partial,
+    * #sources rows) + one corpus-total scalar, factors broadcast back
+    * over the scan — the big side is touched exactly once, map-only.
+    * Float care: the factor is (exact int)/(exact int) double divisions
+    * in a pinned order, and the fractional-part comparison is
+    * double-vs-double — deterministic in both engines, no cross-row
+    * float summation anywhere. */
+  val mixAssembly: Op = Op(
+    "q_mix_assembly",
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |  FROM documents
+       |), s AS (
+       |  SELECT source, SUM(n_tokens) AS src_tokens FROM d GROUP BY source
+       |), t AS (
+       |  SELECT SUM(n_tokens) AS total_tokens, COUNT(DISTINCT source) AS n_sources
+       |  FROM d
+       |), f AS (
+       |  SELECT source,
+       |         (CAST(total_tokens AS DOUBLE) / CAST(n_sources AS DOUBLE))
+       |           / CAST(src_tokens AS DOUBLE) AS factor
+       |  FROM s, t
+       |)
+       |SELECT d.doc_id, d.source, d.n_tokens, f.factor,
+       |       CAST(floor(f.factor) AS BIGINT)
+       |         + CASE WHEN CAST($idBucketSql AS DOUBLE)
+       |                     < (f.factor - floor(f.factor)) * 100
+       |                THEN 1 ELSE 0 END AS n_copies
+       |FROM d JOIN f ON d.source = f.source""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        bpeishTokenCount(col("text")).as("n_tokens"))
+    val bySrc = d.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+    val tot = d.agg(sum(col("n_tokens")).as("total_tokens"),
+      countDistinct(col("source")).as("n_sources"))
+    val factors = bySrc.crossJoin(broadcast(tot))
+      .select(col("source"),
+        ((col("total_tokens").cast("double") / col("n_sources").cast("double"))
+          / col("src_tokens").cast("double")).as("factor"))
+    val frac = col("factor") - floor(col("factor")).cast("double")
+    d.join(broadcast(factors), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("factor"),
+        (floor(col("factor")) +
+          when(idBucket(col("doc_id")).cast("double") < frac * 100, 1L)
+            .otherwise(0L)).as("n_copies"))
+  }
+
   /** Benchmark-contamination check (the decontamination pass every
     * training pipeline runs before a model ships — e.g. GPT-3 §C /
     * PaLM §C-style 8-gram overlap): flag train docs sharing any word

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextAnalysis._
@@ -66,6 +67,97 @@ object TextOps {
     }) { (spark, dir) =>
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+  }
+
+  /** TF-IDF top-3 keyword extraction per document. The score keeps the
+    * idf RATIO form `tf·(N+1)/(df+1)` instead of the log form: log is
+    * not guaranteed correctly-rounded across libm implementations (an
+    * ulp of divergence breaks a hash-exact oracle), the ratio is one
+    * exact integer product and one IEEE division (deterministic
+    * everywhere), and log is monotone so the per-doc RANKING — the
+    * actual contract — is identical.
+    *
+    * Scale shape: tf is a (doc,term)-keyed hash aggregate (map-side
+    * partial — each mapper emits one row per distinct term it saw); df
+    * re-aggregates tf by term (vocab-sized, Zipf-concentrated — partial
+    * aggs absorb the head); N is one broadcast scalar. The tf⋈df join
+    * shuffles on term, and the final top-3 window partitions by doc_id —
+    * high-cardinality, skew-free keys throughout. */
+  val tfidfTerms: Op = Op(
+    "q_tfidf_terms",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |         CAST(tf.tf * (n.n_docs + 1) AS DOUBLE)
+      |           / CAST(df.df + 1 AS DOUBLE) AS score
+      |  FROM tf JOIN df ON tf.term = df.term, n
+      |)
+      |SELECT doc_id, term, tf, df, score, rnk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |            ORDER BY score DESC, term ASC) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 3""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val w = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val tf = w.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * (col("n_docs") + 1)).cast("double") /
+          (col("df") + 1).cast("double")).as("score"))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rnk")
+  }
+
+  /** Long-document chunking: split each doc into contiguous
+    * [[ChunkWords]]-word training chunks (the pre-tokenization pass that
+    * turns raw docs into sequence-budget-sized pieces). Pure map-only
+    * generator work — the chunk list is built from array slices inside
+    * the scan stage and exploded, zero shuffles; content is pinned by
+    * the integer rolling-hash fingerprint of each chunk, so the oracle
+    * is byte-exact, not count-only. The per-chunk `transform` lambda is
+    * interpreted, but the chunk count per doc is n_words/32 (4 at this
+    * corpus' max), not O(n_words) — unlike the shingle case, the inlined
+    * split subtree re-evaluates a constant handful of times per row. */
+  val ChunkWords = 32
+
+  val docChunks: Op = Op(
+    "q_doc_chunks",
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |       len(list_slice(w, i*$ChunkWords+1, i*$ChunkWords+$ChunkWords)) AS n_words,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |         list_transform(string_split(
+       |           array_to_string(list_slice(w, i*$ChunkWords+1, i*$ChunkWords+$ChunkWords), ' '), ''),
+       |           c -> CAST(ascii(c) AS BIGINT))),
+       |         (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_fp
+       |FROM d, unnest(range(CAST(ceil(len(w)/$ChunkWords.0) AS BIGINT))) AS t(i)""".stripMargin) { (spark, dir) =>
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val nChunks = ceil(size(words).cast("double") / ChunkWords).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.cast("long").as("chunk_idx"),
+        slice(words, i * ChunkWords + 1, lit(ChunkWords)).as("arr")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        size(col("c.arr")).cast("long").as("n_words"),
+        fingerprint(concat_ws(" ", col("c.arr"))).as("chunk_fp"))
   }
 
   /** Deterministic rolling-hash fingerprint per document (integer-only
