@@ -169,9 +169,12 @@ object Curation {
     * function of doc_id (re-runs and engines agree bit-for-bit; no RNG
     * state to coordinate across 1000 executors).
     *
-    * Scale shape: one per-source token aggregate (map-side partial,
-    * #sources rows) + one corpus-total scalar, factors broadcast back
-    * over the scan — the big side is touched exactly once, map-only.
+    * Scale shape: ONE per-source token aggregate (map-side partial,
+    * #sources rows); the corpus total and source count derive from that
+    * tiny frame via an unpartitioned window (20 rows, not a second
+    * corpus scan), and the factors broadcast back over the emission
+    * scan — so the corpus is read exactly twice (factor pass + emit
+    * pass), each map-only.
     * Float care: the factor is (exact int)/(exact int) double divisions
     * in a pinned order, and the fractional-part comparison is
     * double-vs-double — deterministic in both engines, no cross-row
@@ -184,14 +187,12 @@ object Curation {
        |  FROM documents
        |), s AS (
        |  SELECT source, SUM(n_tokens) AS src_tokens FROM d GROUP BY source
-       |), t AS (
-       |  SELECT SUM(n_tokens) AS total_tokens, COUNT(DISTINCT source) AS n_sources
-       |  FROM d
        |), f AS (
        |  SELECT source,
-       |         (CAST(total_tokens AS DOUBLE) / CAST(n_sources AS DOUBLE))
+       |         (CAST(SUM(src_tokens) OVER () AS DOUBLE)
+       |            / CAST(COUNT(*) OVER () AS DOUBLE))
        |           / CAST(src_tokens AS DOUBLE) AS factor
-       |  FROM s, t
+       |  FROM s
        |)
        |SELECT d.doc_id, d.source, d.n_tokens, f.factor,
        |       CAST(floor(f.factor) AS BIGINT)
@@ -203,11 +204,16 @@ object Curation {
       .select(col("doc_id"), col("source"),
         bpeishTokenCount(col("text")).as("n_tokens"))
     val bySrc = d.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
-    val tot = d.agg(sum(col("n_tokens")).as("total_tokens"),
-      countDistinct(col("source")).as("n_sources"))
-    val factors = bySrc.crossJoin(broadcast(tot))
+    // corpus totals as a window over the #sources-row aggregate — NOT a
+    // second corpus aggregate: the 100 TB scan happens once for the
+    // factor branch, and the "move everything to one partition" window
+    // warning applies to 20 rows
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val factors = bySrc
       .select(col("source"),
-        ((col("total_tokens").cast("double") / col("n_sources").cast("double"))
+        ((sum(col("src_tokens")).over(wAll).cast("double")
+          / count(lit(1)).over(wAll).cast("double"))
           / col("src_tokens").cast("double")).as("factor"))
     val frac = col("factor") - floor(col("factor")).cast("double")
     d.join(broadcast(factors), Seq("source"))

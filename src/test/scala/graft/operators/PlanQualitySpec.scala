@@ -118,6 +118,35 @@ class PlanQualitySpec extends SparkSpec {
       s"corpus rows must not shuffle for a scalar threshold, got:\n$p")
   }
 
+  test("decontamination joins the benchmark grams as broadcast") {
+    // the benchmark/eval side is small by construction (MBs vs 100 TB) —
+    // the train scan must meet it in a broadcast hash join, never a
+    // shuffle of the train grams for a sort-merge join
+    val p = plan(Curation.decontaminate)
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark grams must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"train grams must not shuffle for the gram join:\n$p")
+  }
+
+  test("mix assembly broadcasts per-source factors over one map pass") {
+    // factors are #sources rows; the corpus must be scanned exactly once
+    // and never hash-partitioned to meet them
+    val p = plan(Curation.mixAssembly)
+    assert(p.contains("BroadcastHashJoin"),
+      s"source factors must broadcast:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, // doc scan + the (tiny) factor branch's scan
+      s"expected at most 2 parquet scans, got $scans:\n$p")
+  }
+
+  test("doc chunking is a shuffle-free generate in the scan stage") {
+    val p = plan(TextOps.docChunks)
+    assert(!p.contains("Exchange"),
+      s"chunking must be map-only, got:\n$p")
+    assert(p.contains("Generate"), s"expected chunk explode in:\n$p")
+  }
+
   test("top-k per group aggregates BEFORE the rank window") {
     val p = plan(Analytics.topKPerGroup)
     val aggIdx = p.indexOfSlice("Aggregate")
