@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.LongArrayDot
+import graft.expressions.{LongArrayDot, StringRollingHash}
 
 /** Engine extension point, installed the documented production way:
   *
@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "graft_dot"),
       (children: Seq[Expression]) => LongArrayDot(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[StringRollingHash].getName, "graft_fingerprint"),
+      (children: Seq[Expression]) => StringRollingHash(children.head)))
   }
 }

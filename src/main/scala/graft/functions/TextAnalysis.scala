@@ -64,9 +64,23 @@ object TextAnalysis {
   }
 
   /** Deterministic rolling-hash document fingerprint:
-    * fold over characters of `(acc*31 + ascii(c)) % 1000000007`, acc₀=0.
-    * Integer-only → identical in any engine; stays in codegen. */
+    * fold over code points of `(acc*31 + ascii(c)) % 1000000007`, acc₀=0.
+    * Integer-only → identical in any engine. Uses the native codegen'd
+    * [[graft.expressions.StringRollingHash]] when the engine extension
+    * is installed (a tight primitive loop — the built-in fold below
+    * costs a per-character array element plus two interpreted closure
+    * dispatches); falls back to the equivalent built-in form in a
+    * vanilla session. */
   def fingerprint(text: Column): Column =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("graft_fingerprint")))
+      call_function("graft_fingerprint", text)
+    else fingerprintHof(text)
+
+  /** Built-in higher-order-function form of [[fingerprint]] — the
+    * vanilla-session fallback and the equivalence baseline the native
+    * expression is property-tested against. */
+  def fingerprintHof(text: Column): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),
