@@ -55,6 +55,7 @@ object SparkEntry {
     SetPivot.rollupRevenue,
     Scale.saltedJoin,
     Scale.colocatedJoin,
+    Scale.bloomJoin,
     Scale.sqlEntry,
     Scale.approxDistinct,
     Scale.approxQuantile,

@@ -107,6 +107,48 @@ object Scale {
         sum(centsOf(col("l_extendedprice"))).as("sum_cents"))
   }
 
+  /** Runtime bloom-filter join pruning, registered end-to-end: Spark's
+    * `InjectRuntimeFilter` builds a bloom filter over the SELECTIVE side
+    * of a shuffle join (here: urgent orders, ~20% of the dim) as a
+    * subquery and pushes `might_contain(key)` onto the FACT scan — at
+    * 100 TB the fact side drops ~4/5 of its rows before the join
+    * shuffle, the optimization broadcast joins can't give you once both
+    * sides are too big to broadcast.
+    *
+    * The injection thresholds are sized for real clusters (creation
+    * side < 10 MB, application side > 10 GB scanned), so at bench SF the
+    * op scopes conf to a CHILD session (`newSession` — shared context
+    * and catalog, private SQLConf; the documented way to run one query
+    * under different tuning without touching the shared session):
+    * broadcast disabled to force the shuffle-join regime, thresholds
+    * opened so the optimizer sees this join the way it would see the
+    * 100 TB one. BloomFilterSpec gates the plan (`bloom_filter_agg`
+    * subquery + `might_contain` on the fact scan); the oracle proves
+    * the filter changes the plan, never the answer.
+    */
+  val bloomJoin: Op = Op(
+    "q_bloom_join",
+    """SELECT l_returnflag,
+      |       COUNT(*) AS n_items,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val li = Tables.lineitem(s2, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+    val urgent = Tables.orders(s2, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(centsOf(col("l_extendedprice"))).as("sum_cents"))
+  }
+
   /** The SQL front door exercised end-to-end ([[graft.Tables.sql]]):
     * the reference's native interface is SQL strings against PG
     * (every pipeline script), so the engine must accept the same query

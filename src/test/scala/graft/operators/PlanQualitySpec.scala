@@ -147,6 +147,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Generate"), s"expected chunk explode in:\n$p")
   }
 
+  test("bloom join: runtime filter reaches the fact scan") {
+    // the selective dim side must materialize a bloom subquery and the
+    // fact scan must carry might_contain — the shuffle-join-regime
+    // pruning that remains when both sides outgrow broadcast
+    val p = plan(Scale.bloomJoin)
+    assert(p.contains("bloom_filter_agg"),
+      s"expected bloom creation subquery in:\n$p")
+    assert(p.contains("might_contain"),
+      s"expected might_contain on the fact side in:\n$p")
+  }
+
   test("top-k per group aggregates BEFORE the rank window") {
     val p = plan(Analytics.topKPerGroup)
     val aggIdx = p.indexOfSlice("Aggregate")
