@@ -23,6 +23,8 @@ object SparkEntry {
     Analytics.starJoin,
     Analytics.topKPerGroup,
     Analytics.jsonExtract,
+    Analytics.funnel,
+    Analytics.cohortRetention,
     TextOps.textQuality,
     TextOps.langIdOp,
     TextOps.docFingerprint,

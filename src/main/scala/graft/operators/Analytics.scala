@@ -12,6 +12,89 @@ import graft.functions.Money.centsOf
   */
 object Analytics {
 
+  /** Ordered-step funnel conversion over the event stream: users who
+    * viewed, then clicked AFTER their first view, then purchased AFTER
+    * that first qualifying click. The classic product-analytics query,
+    * written as a cascade of keyed min-aggregates (each step: filter by
+    * type, join the previous step's first-touch times on user_id, take
+    * the min qualifying timestamp) — every pass is linear in events
+    * with map-side partial MIN combine, and the per-step user frames
+    * only ever shrink. The step frames are user-cardinality, so they
+    * are NOT force-broadcast: AQE broadcasts them at bench SF and
+    * shuffle-joins co-partitioned on user_id at 100 TB, where a
+    * billions-of-users frame could never broadcast. No self-join on
+    * raw events, no window sort over the whole stream. Timestamps never reach the output, so µs-vs-ns
+    * precision across engines cannot bite; step counts do.
+    */
+  val funnel: Op = Op(
+    "q_funnel",
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1
+      |  GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      |  GROUP BY e.user_id
+      |)
+      |SELECT 1 AS step, 'view' AS stage, COUNT(*) AS n_users FROM v
+      |UNION ALL
+      |SELECT 2, 'view>click', COUNT(*) FROM c
+      |UNION ALL
+      |SELECT 3, 'view>click>purchase', COUNT(*) FROM p""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(df: org.apache.spark.sql.DataFrame, step: Int, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(name).as("stage"), col("n_users"))
+    stage(v, 1, "view")
+      .unionAll(stage(c, 2, "view>click"))
+      .unionAll(stage(p, 3, "view>click>purchase"))
+  }
+
+  /** Cohort retention: users grouped by their first-ever event day,
+    * counted distinct per whole-week offset of later activity — the
+    * standard retention triangle. First-touch days are one keyed MIN
+    * aggregate (user-cardinality output — joined back on user_id, AQE
+    * picking broadcast only while it fits); the triangle is one (cohort_day, week_offset) aggregate
+    * with map-side partial distinct. Day boundaries are UTC in both
+    * engines (session TZ pinned).
+    */
+  val cohortRetention: Op = Op(
+    "q_cohort_retention",
+    """WITH f AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT f.cohort_day,
+      |       CAST(floor(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset,
+      |       COUNT(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firsts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        floor(datediff(col("day"), col("cohort_day")) / 7.0).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Star join: region⋈nation⋈customer dims broadcast onto the
     * orders⋈lineitem fact join. The only real shuffle is
     * lineitem⋈orders on orderkey; at 100 TB both facts would be
