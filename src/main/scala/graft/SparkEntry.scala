@@ -65,6 +65,7 @@ object SparkEntry {
     SinkOps.upsertDay,
     SinkOps.upsertKey,
     SinkOps.feedFile,
+    Scd2.scd2Merge,
     Introspect.jsonImage,
     Introspect.schemaProbe,
     StreamingOps.streamTumbling,
