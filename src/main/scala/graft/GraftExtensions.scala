@@ -21,13 +21,25 @@ import graft.expressions.{LongArrayDot, StringRollingHash}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // exact-arity builders: surplus arguments must be an analysis error,
+    // never silently dropped (graft_fingerprint(a, b) returning the
+    // fingerprint of `a` alone would be a plausible-looking wrong answer)
+    def arity(name: String, n: Int, children: Seq[Expression]): Unit =
+      if (children.size != n) throw new IllegalArgumentException(
+        s"$name expects exactly $n argument(s), got ${children.size}")
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "graft_dot"),
-      (children: Seq[Expression]) => LongArrayDot(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        arity("graft_dot", 2, children)
+        LongArrayDot(children(0), children(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[StringRollingHash].getName, "graft_fingerprint"),
-      (children: Seq[Expression]) => StringRollingHash(children.head)))
+      (children: Seq[Expression]) => {
+        arity("graft_fingerprint", 1, children)
+        StringRollingHash(children.head)
+      }))
   }
 }

@@ -72,8 +72,19 @@ object TextAnalysis {
     * dispatches); falls back to the equivalent built-in form in a
     * vanilla session. */
   def fingerprint(text: Column): Column =
-    if (org.apache.spark.sql.SparkSession.getActiveSession
-        .exists(_.catalog.functionExists("graft_fingerprint")))
+    fingerprint(text, org.apache.spark.sql.SparkSession.getActiveSession)
+
+  /** [[fingerprint]] with the probed session made explicit: the column
+    * must be analyzed by a session where `graft_fingerprint` resolves,
+    * and `call_function` resolves against the session that ANALYZES the
+    * plan — not necessarily the thread-active one the parameterless
+    * overload probes. Multi-session callers (e.g. a conf-scoped
+    * `newSession` child next to a vanilla session) pass the session the
+    * frame belongs to; a `None`/absent session falls back to the
+    * built-in fold, which resolves anywhere. */
+  def fingerprint(text: Column,
+      session: Option[org.apache.spark.sql.SparkSession]): Column =
+    if (session.exists(_.catalog.functionExists("graft_fingerprint")))
       call_function("graft_fingerprint", text)
     else fingerprintHof(text)
 

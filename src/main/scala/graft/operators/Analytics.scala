@@ -23,23 +23,30 @@ object Analytics {
     * are NOT force-broadcast: AQE broadcasts them at bench SF and
     * shuffle-joins co-partitioned on user_id at 100 TB, where a
     * billions-of-users frame could never broadcast. No self-join on
-    * raw events, no window sort over the whole stream. Timestamps never reach the output, so µs-vs-ns
-    * precision across engines cannot bite; step counts do.
+    * raw events, no window sort over the whole stream. The oracle
+    * compares step times at µs precision (`epoch_us`) because Spark's
+    * event ts is µs-truncated while DuckDB keeps the parquet ns — a
+    * sub-µs gap between a view and the next click would otherwise
+    * order differently across engines (latent on this µs-aligned
+    * corpus, but the contract should not lean on a data accident).
     */
   val funnel: Op = Op(
     "q_funnel",
-    """WITH v AS (
-      |  SELECT user_id, MIN(ts) AS t1 FROM events
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+      |  FROM events
+      |), v AS (
+      |  SELECT user_id, MIN(us) AS t1 FROM ev
       |  WHERE event_type = 'view' GROUP BY user_id
       |), c AS (
-      |  SELECT e.user_id, MIN(e.ts) AS t2
-      |  FROM events e JOIN v ON e.user_id = v.user_id
-      |  WHERE e.event_type = 'click' AND e.ts > v.t1
+      |  SELECT e.user_id, MIN(e.us) AS t2
+      |  FROM ev e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.us > v.t1
       |  GROUP BY e.user_id
       |), p AS (
-      |  SELECT e.user_id, MIN(e.ts) AS t3
-      |  FROM events e JOIN c ON e.user_id = c.user_id
-      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      |  SELECT e.user_id, MIN(e.us) AS t3
+      |  FROM ev e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.us > c.t2
       |  GROUP BY e.user_id
       |)
       |SELECT 1 AS step, 'view' AS stage, COUNT(*) AS n_users FROM v

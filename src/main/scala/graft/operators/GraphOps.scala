@@ -31,10 +31,25 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Release the block-manager copy behind a `localCheckpoint`ed frame
+    * (its analyzed plan is a LogicalRDD over the materialized RDD).
+    * Without this, superseded per-round snapshots stay pinned until the
+    * RDD is GC'd and the ContextCleaner gets to it — deterministic
+    * release keeps a long-lived session's storage memory flat. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Connected components of the undirected graph given as an edge
     * frame: returns (node, lbl) where lbl = min node id reachable.
-    * Deterministic for any edge order. `maxRounds` is a safety bound —
-    * propagation provably converges in ≤ diameter+1 rounds.
+    * Deterministic for any edge order. Propagation provably converges
+    * in ≤ diameter+1 rounds; `maxRounds` is the safety bound for a
+    * pathological input, and hitting it without convergence THROWS —
+    * a silently split cluster (multiple canonicals for one real
+    * component) must never look like success.
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -63,9 +78,15 @@ object GraphOps {
       converged = next.alias("n").join(labels.alias("p"), Seq("node"))
         .filter(col("n.lbl") < col("p.lbl"))
         .isEmpty
+      releaseCheckpoint(labels) // superseded round snapshot
       labels = next
       round += 1
     }
+    releaseCheckpoint(sym)
+    require(converged,
+      s"connectedComponents did not converge within $maxRounds rounds — " +
+        "graph diameter exceeds the bound; raise maxRounds (propagation " +
+        "needs diameter+1 rounds) or switch to star-contraction")
     labels
   }
 
