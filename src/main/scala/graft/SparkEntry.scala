@@ -68,6 +68,7 @@ object SparkEntry {
     Scd2.scd2Merge,
     Introspect.jsonImage,
     Introspect.schemaProbe,
+    Introspect.profile,
     StreamingOps.streamTumbling,
     StreamingOps.streamDedup,
     StreamingOps.streamBestOfDay,

@@ -12,6 +12,42 @@ import graft.Tables
   */
 object Introspect {
 
+  /** Column-level data profiling (the ANALYZE/data-quality pass every
+    * warehouse runs before trusting a feed): per-column row, null, and
+    * exact distinct counts over the events table, one output row per
+    * column. Each column profiles in its own aggregate over a
+    * single-column pruned scan; at 100 TB the same shape runs as ONE
+    * pass with `approx_count_distinct` sketches per column (the
+    * q_approx_distinct machinery) — exact distincts here because the
+    * oracle demands bit-exact numbers, and the per-column scans are
+    * columnar-cheap. Distinct-counting doubles is equality-based (no
+    * arithmetic), so engines agree bit-for-bit.
+    */
+  val profile: Op = Op(
+    "q_profile",
+    """SELECT 'user_id' AS column_name, COUNT(*) AS n_rows,
+      |       COUNT(*) - COUNT(user_id) AS n_nulls,
+      |       COUNT(DISTINCT user_id) AS n_distinct FROM events
+      |UNION ALL
+      |SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+      |       COUNT(DISTINCT event_type) FROM events
+      |UNION ALL
+      |SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+      |       COUNT(DISTINCT value) FROM events
+      |UNION ALL
+      |SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+      |       COUNT(DISTINCT props) FROM events""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    def prof(c: String) = ev
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"))
+      .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"))
+    Seq("user_id", "event_type", "value", "props").map(prof)
+      .reduce(_ unionAll _)
+  }
+
   /** F11: extract an image URL from a JSON payload — prefer
     * `image_uris.large → normal → small`, else the first entry of
     * `card_faces[]` in the same order, else NULL. The payload is
