@@ -37,6 +37,7 @@ object SparkEntry {
     Curation.qualityGate,
     Curation.decontaminate,
     Curation.mixAssembly,
+    Curation.cleanCorpus,
     Dedup.dedupExact,
     Dedup.ngramJaccard,
     Dedup.minhashLsh,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -54,8 +55,15 @@ object Analytics {
       |SELECT 2, 'view>click', COUNT(*) FROM c
       |UNION ALL
       |SELECT 3, 'view>click>purchase', COUNT(*) FROM p""".stripMargin) { (spark, dir) =>
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("ts"))
+    funnelStages(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts")))
+  }
+
+  /** The funnel kernel over any (user_id, event_type, ts) frame —
+    * exposed so crafted-input specs can pin the ordering semantics
+    * (strict ">": a click at the exact first-view timestamp does NOT
+    * advance the funnel; steps must strictly progress in time). */
+  def funnelStages(ev: DataFrame): DataFrame = {
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
     val c = ev.filter(col("event_type") === "click")
@@ -66,7 +74,7 @@ object Analytics {
       .join(c, Seq("user_id"))
       .filter(col("ts") > col("t2"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    def stage(df: org.apache.spark.sql.DataFrame, step: Int, name: String) =
+    def stage(df: DataFrame, step: Int, name: String) =
       df.agg(count(lit(1)).as("n_users"))
         .select(lit(step).as("step"), lit(name).as("stage"), col("n_users"))
     stage(v, 1, "view")

@@ -275,6 +275,108 @@ object Curation {
         countDistinct(col("bench_doc_id")).as("n_bench_docs"))
   }
 
+  /** The curation capstone — what actually survives the pipeline: every
+    * doc flagged by all four independent gates (corpus-relative quality,
+    * repetition, near-dup cluster LOSER — the canonical member stays —
+    * and benchmark contamination), `kept` = passes all. This is the
+    * query a pipeline owner runs before shipping a corpus; it composes
+    * the other registered ops' kernels verbatim (the cluster and
+    * contamination branches reuse their op builders), and the oracle
+    * re-derives all four flags in one recursive-CTE SQL sharing the
+    * SAME word-split CTE across the Jaccard and 8-gram branches.
+    * Benchmark-slice docs themselves are never 'contaminated' (they ARE
+    * the eval set — a real pipeline would exclude them by the split,
+    * not this flag). */
+  val cleanCorpus: Op = Op(
+    "q_clean_corpus",
+    s"""WITH RECURSIVE ${Dedup.jaccardPairCtes()},
+       |np AS (
+       |  SELECT doc_id_a, doc_id_b FROM pairs
+       |  WHERE CAST(i AS DOUBLE)/CAST(u AS DOUBLE) >= 0.5
+       |), edges AS (
+       |  SELECT doc_id_a AS src, doc_id_b AS dst FROM np
+       |  UNION ALL SELECT doc_id_b, doc_id_a FROM np
+       |), reach AS (
+       |  SELECT src AS node, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+       |), losers AS (
+       |  SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> MIN(lbl)
+       |), toks AS (
+       |  SELECT doc_id,
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |  FROM documents
+       |), q AS (
+       |  SELECT doc_id,
+       |         n_tokens >= (SELECT quantile_cont(n_tokens, 0.25) FROM toks) AS quality_pass
+       |  FROM toks
+       |), repx AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_3grams > 0
+       |      THEN CAST(n_3grams - n_distinct_3grams AS DOUBLE)
+       |           / CAST(n_3grams AS DOUBLE) <= 0.2
+       |      ELSE TRUE END AS rep_pass
+       |  FROM (
+       |    SELECT doc_id, greatest(len(l) - 2, 0) AS n_3grams,
+       |      CASE WHEN len(l) >= 3
+       |        THEN len(list_distinct(list_transform(range(len(l) - 2),
+       |               i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])))
+       |        ELSE 0 END AS n_distinct_3grams
+       |    FROM (SELECT doc_id,
+       |            string_split_regex(trim(lower(text)), '\\s+') AS l
+       |          FROM documents))
+       |), gset AS (
+       |  SELECT doc_id, doc_id % 29 = 0 AS is_bench,
+       |         CASE WHEN len(w) >= 8
+       |              THEN list_distinct(list_transform(range(1, len(w)-6),
+       |                     i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+       |                          w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))
+       |              ELSE [array_to_string(w, ' ')] END AS gr
+       |  FROM d
+       |), cont AS (
+       |  SELECT DISTINCT tr.doc_id FROM
+       |    (SELECT doc_id, unnest(gr) AS g8 FROM gset WHERE NOT is_bench) tr
+       |    JOIN (SELECT DISTINCT unnest(gr) AS g8 FROM gset WHERE is_bench) be
+       |      ON tr.g8 = be.g8
+       |)
+       |SELECT q.doc_id, q.quality_pass, repx.rep_pass,
+       |       q.doc_id IN (SELECT doc_id FROM losers) AS is_dup_loser,
+       |       q.doc_id IN (SELECT doc_id FROM cont) AS is_contaminated,
+       |       q.quality_pass AND repx.rep_pass
+       |         AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+       |         AND q.doc_id NOT IN (SELECT doc_id FROM cont) AS kept
+       |FROM q JOIN repx ON q.doc_id = repx.doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      bpeishTokenCount(col("text")).as("n_tokens"))
+    val thr = toks.agg(expr("percentile(n_tokens, 0.25)").as("p25"))
+    val quality = toks.crossJoin(broadcast(thr))
+      .select(col("doc_id"), (col("n_tokens") >= col("p25")).as("quality_pass"))
+    val nWords = size(split(lower(trim(col("text"))), "\\s+"))
+    val total3 = greatest(nWords - 2, lit(0)).cast("long")
+    val distinct3 = when(nWords >= 3,
+      size(wordShingles(col("text"), 3)).cast("long")).otherwise(0L)
+    val ratio = when(total3 > 0,
+      (total3 - distinct3).cast("double") / total3.cast("double"))
+      .otherwise(lit(0.0))
+    val rep = docs.select(col("doc_id"),
+      when(total3 > 0, ratio <= 0.2).otherwise(lit(true)).as("rep_pass"))
+    val losers = GraphOps.dupClusters.build(spark, dir)
+      .filter(!col("is_canonical"))
+      .select(col("doc_id"), lit(true).as("loser"))
+    val contaminated = decontaminate.build(spark, dir)
+      .select(col("doc_id"), lit(true).as("cont"))
+    quality.join(rep, Seq("doc_id"))
+      .join(losers, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_pass"), col("rep_pass"),
+        coalesce(col("loser"), lit(false)).as("is_dup_loser"),
+        coalesce(col("cont"), lit(false)).as("is_contaminated"),
+        (col("quality_pass") && col("rep_pass") &&
+          !coalesce(col("loser"), lit(false)) &&
+          !coalesce(col("cont"), lit(false))).as("kept"))
+  }
+
   /** Corpus-relative quality gate: keep docs at or above the corpus
     * 25th percentile of BPE-ish token count — thresholds in a real
     * pipeline are set against the corpus distribution, not constants.
