@@ -43,6 +43,7 @@ object SparkEntry {
     Dedup.minhashLsh,
     Dedup.simhash,
     GraphOps.dupClusters,
+    Dedup.fuzzyMatch,
     Similarity.annBruteForce,
     Similarity.embedNearDup,
     Similarity.annLsh,

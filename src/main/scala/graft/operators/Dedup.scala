@@ -47,6 +47,41 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Fuzzy record linkage: near-identical part names within a brand at
+    * edit distance ≤ 2 — the entity-resolution sibling of document
+    * dedup (catalog merge, vendor-feed reconciliation). Blocked, never
+    * all-pairs: candidates equi-join on brand, and BOTH cheap cuts ride
+    * inside the join condition (the simhash fused-cut pattern) — the
+    * lossless length band (k edits change length by ≤ k) and Spark's
+    * THRESHOLD Levenshtein, a banded O(n·k) DP that bails to -1 the
+    * moment the distance provably exceeds k, instead of filling the
+    * full O(n·m) matrix per pair. At 100 TB the brand block becomes
+    * (brand, length-band) bucketing; the per-pair cost stays O(n·k).
+    * Oracle = the plain full-DP SQL formulation — banding changes the
+    * cost, provably not the answer. */
+  val FuzzyMaxDist = 2
+
+  val fuzzyMatch: Op = Op(
+    "q_fuzzy_match",
+    s"""SELECT a.p_brand AS brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+       |       levenshtein(a.p_name, b.p_name) AS dist
+       |FROM part a JOIN part b
+       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       |WHERE abs(len(a.p_name) - len(b.p_name)) <= $FuzzyMaxDist
+       |  AND levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist""".stripMargin) { (spark, dir) =>
+    val p = Tables.part(spark, dir)
+    val a = p.select(col("p_brand").as("brand"),
+      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand").as("brand"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b,
+        a("brand") === b("brand") && col("key_a") < col("key_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= FuzzyMaxDist &&
+          levenshtein(col("name_a"), col("name_b"), FuzzyMaxDist) =!= -1)
+      .select(a("brand"), col("key_a"), col("key_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+  }
+
   /** Distinct 3-word shingles as ROWS — (lang, source, doc_id, s) —
     * by exploding the slice-built shingle array (TextAnalysis
     * .wordShingles): a generator inside the scan stage, NO shuffle, and

@@ -147,6 +147,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Generate"), s"expected chunk explode in:\n$p")
   }
 
+  test("fuzzy match: brand equi-join with the distance cuts fused in") {
+    val p = plan(Dedup.fuzzyMatch)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy candidates must come from the brand equi-join:\n$p")
+    // the threshold-DP cut must ride the join node itself, not a
+    // post-join filter over the full block product
+    val cutLines = p.linesIterator.filter(_.contains("levenshtein")).toSeq
+    // the threshold arg prints as Some(2) in the join's condition line
+    assert(cutLines.exists(l => l.contains("Join") && l.contains("Some(2)")),
+      s"threshold levenshtein not fused into the join condition:\n$p")
+  }
+
   test("bloom join: runtime filter reaches the fact scan") {
     // the selective dim side must materialize a bloom subquery and the
     // fact scan must carry might_contain — the shuffle-join-regime
