@@ -57,6 +57,8 @@ object SparkEntry {
     SetPivot.intersectExcept,
     SetPivot.pivotFlags,
     SetPivot.rollupRevenue,
+    SetPivot.cubeRevenue,
+    SetPivot.ntileDeciles,
     Scale.saltedJoin,
     Scale.colocatedJoin,
     Scale.bloomJoin,

@@ -91,4 +91,60 @@ object SetPivot {
         sum(centsOf(col("o_totalprice"))).as("total_cents"))
       .select("r_name", "n_name", "gid", "n_orders", "total_cents")
   }
+
+  /** CUBE over (returnflag, linestatus): all four grouping combinations
+    * in one pass — Spark expands the grouping sets BEFORE the shuffle,
+    * so partial aggregation still combines map-side per set; the
+    * expansion factor is the set count (4), not the data. Completes the
+    * grouping-sets family next to ROLLUP. */
+  val cubeRevenue: Op = Op(
+    "q_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag) AS INT) * 2
+      |         + CAST(GROUPING(l_linestatus) AS INT) AS gid,
+      |       COUNT(*) AS n_items,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("int").as("gid"),
+        count(lit(1)).as("n_items"),
+        sum(centsOf(col("l_extendedprice"))).as("sum_cents"))
+      .select("l_returnflag", "l_linestatus", "gid", "n_items", "sum_cents")
+  }
+
+  /** Decile bucketing with `ntile` — the rank-family member the other
+    * window ops don't cover: orders split into 10 equal-frequency value
+    * buckets per order priority, reported as per-bucket ranges. The
+    * window partitions by priority (bounded cardinality — each
+    * partition sorts in parallel); ntile's frame is the whole
+    * partition, so this is one shuffle + one sort, and the bucket
+    * summary collapses it to 10 rows per priority before anything
+    * leaves the executor. */
+  val ntileDeciles: Op = Op(
+    "q_ntile",
+    """WITH b AS (
+      |  SELECT o_orderpriority,
+      |         CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents,
+      |         ntile(10) OVER (PARTITION BY o_orderpriority
+      |                         ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT), o_orderkey) AS decile
+      |  FROM orders
+      |)
+      |SELECT o_orderpriority, decile, COUNT(*) AS n_orders,
+      |       MIN(cents) AS min_cents, MAX(cents) AS max_cents
+      |FROM b GROUP BY o_orderpriority, decile""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cents = centsOf(col("o_totalprice"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(cents.asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), cents.as("cents"),
+        ntile(10).over(w).as("decile"))
+      .groupBy(col("o_orderpriority"), col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+  }
 }
