@@ -25,11 +25,13 @@ object SparkEntry {
     Analytics.jsonExtract,
     Analytics.funnel,
     Analytics.cohortRetention,
+    Analytics.anomalyMad,
     TextOps.textQuality,
     TextOps.langIdOp,
     TextOps.docFingerprint,
     TextOps.tfidfTerms,
     TextOps.docChunks,
+    TextOps.bigramLm,
     Curation.stratifiedSample,
     Curation.trainTestSplit,
     Curation.piiScrub,
@@ -48,6 +50,7 @@ object SparkEntry {
     Similarity.embedNearDup,
     Similarity.annLsh,
     Similarity.annIvf,
+    Similarity.embedOutlier,
     Windows.tumblingWindow,
     Windows.sessionizeBatch,
     Windows.movingAgg,
@@ -73,6 +76,7 @@ object SparkEntry {
     Introspect.jsonImage,
     Introspect.schemaProbe,
     Introspect.profile,
+    Introspect.histogram,
     StreamingOps.streamTumbling,
     StreamingOps.streamDedup,
     StreamingOps.streamBestOfDay,

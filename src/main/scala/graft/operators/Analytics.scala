@@ -110,6 +110,60 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Robust per-user anomaly detection on event values: median + MAD
+    * (median absolute deviation), then count the points beyond 3×MAD —
+    * the outlier rule that, unlike mean/stddev z-scores, a single
+    * spike cannot poison. Values are quantized to integer cents FIRST
+    * so every median is a selection (or an exact int midpoint) — both
+    * engines interpolate even-count medians identically on integers,
+    * which is what keeps the contract hash-exact on doubles.
+    *
+    * Scale shape: three passes over events (median → MAD → outlier
+    * count — each needs the previous pass's per-user scalar), every
+    * pass ending in a user-keyed aggregate; the per-user stats tables
+    * (|users| rows) broadcast back onto the event scan, so the only
+    * shuffles are the map-side-combinable aggregates — no windows, no
+    * self-joins. Exact selection-based medians are inherently
+    * multi-pass; a 100 TB deployment that prefers one pass swaps
+    * `percentile` for the [[Scale.approxQuantile]] GK sketch behind
+    * the same column names. */
+  val anomalyMad: Op = Op(
+    "q_anomaly_mad",
+    """WITH q AS (
+      |  SELECT user_id, CAST(floor(value*100) AS BIGINT) AS qc FROM events
+      |), m AS (
+      |  SELECT user_id, quantile_cont(qc, 0.5) AS med FROM q GROUP BY user_id
+      |), dv AS (
+      |  SELECT q.user_id, q.qc, m.med, abs(q.qc - m.med) AS dev
+      |  FROM q JOIN m ON q.user_id = m.user_id
+      |), md AS (
+      |  SELECT user_id, quantile_cont(dev, 0.5) AS mad FROM dv GROUP BY user_id
+      |)
+      |SELECT dv.user_id, COUNT(*) AS n_events,
+      |       MIN(dv.med) AS med_cents, MIN(md.mad) AS mad_cents,
+      |       COUNT(*) FILTER (WHERE dv.dev > 3*md.mad) AS n_outliers
+      |FROM dv JOIN md ON dv.user_id = md.user_id
+      |GROUP BY dv.user_id""".stripMargin) { (spark, dir) =>
+    madStats(Tables.events(spark, dir)
+      .select(col("user_id"), floor(col("value") * 100).cast("long").as("qc")))
+  }
+
+  /** [[anomalyMad]] kernel over (user_id, qc: long) rows. */
+  def madStats(q: DataFrame): DataFrame = {
+    val med = q.groupBy(col("user_id"))
+      .agg(percentile(col("qc"), lit(0.5)).as("med"))
+    val dv = q.join(broadcast(med), Seq("user_id"))
+      .withColumn("dev", abs(col("qc") - col("med")))
+    val mad = dv.groupBy(col("user_id"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    dv.join(broadcast(mad), Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("med")).as("med_cents"),
+        min(col("mad")).as("mad_cents"),
+        count_if(col("dev") > lit(3) * col("mad")).as("n_outliers"))
+  }
+
   /** Star join: region⋈nation⋈customer dims broadcast onto the
     * orders⋈lineitem fact join. The only real shuffle is
     * lineitem⋈orders on orderkey; at 100 TB both facts would be

@@ -150,4 +150,34 @@ object Introspect {
       .select(lit(idCol).as("id_col_used"), imageCol.as("image_col"),
         col("n_ids"))
   }
+
+  /** Equi-width value histogram (the data-profiling companion to
+    * [[profile]]): bucket extended price into $5,000 bins with an
+    * explicit `floor((x - lo)/width)` — the same IEEE expression in
+    * both engines, so bucket edges agree bit-for-bit — and aggregate
+    * count / min / max / an integer-cent sum per bin. The cent sum is
+    * deliberately BIGINT: a DOUBLE sum's value depends on reduction
+    * order, which no distributed engine should promise.
+    *
+    * One map-side-combinable aggregate over a two-column pruned scan;
+    * the result is |buckets| rows. At 100 TB this is a single pass —
+    * the shape every profiling/quality dashboard query should have. */
+  val histogram: Op = Op(
+    "q_histogram",
+    """SELECT CAST(floor((l_extendedprice - 900.0) / 5000.0) AS BIGINT) AS bucket,
+      |       COUNT(*) AS n,
+      |       MIN(l_extendedprice) AS min_price,
+      |       MAX(l_extendedprice) AS max_price,
+      |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM lineitem
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice"))
+      .groupBy(floor((col("l_extendedprice") - lit(900.0)) / lit(5000.0))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"))
+  }
 }

@@ -393,4 +393,67 @@ object Similarity {
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
   }
+
+  /** Per-label integer sum-centroid (cosine is scale-invariant, so the
+    * element-wise SUM ≡ the mean direction and stays exact int64 — the
+    * same trick as [[ivfLloydCodebook]]): (label, cv, cn). The
+    * posexplode → SUM(dim) → ordered re-collect is one linear N×64-row
+    * shuffle producing a label-count-sized table. */
+  def labelCentroids(spark: SparkSession, n: DataFrame): DataFrame =
+    n.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(sum(col("x")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        e => e.getField("s")).as("cv"))
+      .withColumn("cn", inorm2(spark, col("cv")))
+      .filter(col("cn") > 0)
+
+  /** Embedding-space outlier detection (the SemDeDup/CCNet-style
+    * curation filter): score every vector by cosine to its OWN label's
+    * centroid and flag the far tail — mislabeled or off-distribution
+    * points a training pipeline drops or routes to review. Two linear
+    * passes: the centroid aggregate above (output = one row per label,
+    * broadcast back), then one map-only scoring pass over the vectors —
+    * no self-join, no window; at 100 TB the score pass is
+    * embarrassingly parallel and the centroid table is KB-sized.
+    * Threshold −0.05 ≈ the corpus p05 (measured: p05 = −0.051 at
+    * sf0.01, range [−0.30, 0.47]). */
+  val embedOutlier: Op = Op(
+    "q_embed_outlier",
+    s"""WITH e AS (
+       |  SELECT vec_id, label, $QuantSql AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, label, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM e
+       |  WHERE list_sum(list_transform(v, x -> x*x)) > 0
+       |), ex AS (
+       |  SELECT label, i AS pos, v[i] AS x FROM n, unnest(range(1, len(v)+1)) AS t(i)
+       |), cs AS (
+       |  SELECT label, pos, sum(x) AS s FROM ex GROUP BY label, pos
+       |), c AS (
+       |  SELECT label, list(s ORDER BY pos) AS cv FROM cs GROUP BY label
+       |), cn AS (
+       |  SELECT label, cv, list_sum(list_transform(cv, x -> x*x)) AS cn2 FROM c
+       |  WHERE list_sum(list_transform(cv, x -> x*x)) > 0
+       |)
+       |SELECT n.vec_id, n.label,
+       |       CAST(list_sum(list_transform(range(1, len(n.v)+1), i -> n.v[i]*cn.cv[i])) AS DOUBLE)
+       |         / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))) AS cos_centroid,
+       |       CAST(list_sum(list_transform(range(1, len(n.v)+1), i -> n.v[i]*cn.cv[i])) AS DOUBLE)
+       |         / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))) < -0.05 AS is_outlier
+       |FROM n JOIN cn ON n.label = cn.label""".stripMargin) { (spark, dir) =>
+    outlierScores(spark, Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", inorm2(spark, col("v")))
+      .filter(col("n2") > 0))
+  }
+
+  /** [[embedOutlier]] kernel over (vec_id, label, v, n2) rows. */
+  def outlierScores(spark: SparkSession, n: DataFrame): DataFrame = {
+    val cents = labelCentroids(spark, n)
+    n.join(broadcast(cents), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        cosine(idot(spark, col("v"), col("cv")), col("n2"), col("cn"))
+          .as("cos_centroid"))
+      .withColumn("is_outlier", col("cos_centroid") < -0.05)
+  }
 }

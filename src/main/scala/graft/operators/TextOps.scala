@@ -173,4 +173,47 @@ object TextOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
   }
+
+  /** Bigram language-model counts: top-3 next words per head word by
+    * corpus frequency — the n-gram statistics pass behind perplexity
+    * filters and repetition diagnostics in a training-data pipeline.
+    *
+    * Bigrams are built WITHOUT a per-document window shuffle: the token
+    * array is zipped against itself shifted by one (`zip_with(w[1..n-1],
+    * w[2..n])`) inside the scan stage, so the plan is scan → Generate →
+    * one map-side-combinable (w1, w2) aggregate → a window over the
+    * aggregated (vocab²-bounded, tiny) count table. At 100 TB the only
+    * event-scaled shuffle is the pre-aggregated bigram count. */
+  val bigramLm: Op = Op(
+    "q_bigram_lm",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+      |), b AS (
+      |  SELECT w[i] AS w1, w[i+1] AS w2 FROM t, unnest(range(1, len(w))) AS x(i)
+      |), c AS (
+      |  SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+      |)
+      |SELECT w1, w2, cnt, rk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rk
+      |  FROM c) WHERE rk <= 3""".stripMargin) { (spark, dir) =>
+    bigramTopK(Tables.documents(spark, dir), 3)
+  }
+
+  /** [[bigramLm]] kernel: top-k next words per head over `text`. */
+  def bigramTopK(docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val w = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+    val bigrams = zip_with(
+      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val counts = docs
+      .select(explode(bigrams).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("w1")).orderBy(col("cnt").desc, col("w2").asc)))
+      .filter(col("rk") <= k)
+  }
 }

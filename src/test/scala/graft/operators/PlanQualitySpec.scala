@@ -180,4 +180,45 @@ class PlanQualitySpec extends SparkSpec {
       // the Aggregate feeding it
       s"expected window over pre-aggregated input in:\n$p")
   }
+
+  test("embed outlier: centroid table broadcasts back, no self-join") {
+    val p = plan(Similarity.embedOutlier)
+    assert(p.contains("BroadcastHashJoin"),
+      s"label-centroid table must broadcast onto the score pass:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"score pass must not shuffle or cross the vectors:\n$p")
+  }
+
+  test("MAD anomaly: per-user stats broadcast, aggregates partial-combine") {
+    val p = plan(Analytics.anomalyMad)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"med and mad joins must both broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no event-scaled shuffle join expected:\n$p")
+  }
+
+  test("bigram LM: bigrams generate in the scan stage, window ranks the aggregate") {
+    val p = plan(TextOps.bigramLm)
+    // the doc-scaled work (Generate) must happen before the first
+    // Exchange; the Window must sit over the aggregated counts
+    val gen = p.indexOfSlice("Generate")
+    val ex = p.indexOfSlice("Exchange")
+    assert(gen >= 0 && ex >= 0 && gen > ex,
+      // plan prints top-down: Generate (inner/earlier stage) should
+      // appear BELOW the first Exchange
+      s"bigram Generate must precede any shuffle in:\n$p")
+    val winIdx = p.indexOfSlice("Window")
+    val aggIdx = p.indexOfSlice("Aggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < aggIdx,
+      s"expected window over the pre-aggregated bigram counts in:\n$p")
+  }
+
+  test("histogram: single map-side-combinable aggregate over a pruned scan") {
+    val p = plan(Introspect.histogram)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_extendedprice") && !read.contains("l_orderkey"),
+      s"histogram scan should read only the price column: $read")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"histogram should shuffle exactly once (partial->final agg):\n$p")
+  }
 }

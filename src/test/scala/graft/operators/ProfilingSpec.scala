@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Crafted-data semantics for the round-3 profiling/curation additions:
+  * MAD anomaly stats, bigram LM counts, embedding centroid outliers,
+  * and the equi-width histogram (corpus oracles pin the aggregate
+  * contract; these pin the per-case rules). */
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- madStats -----------------------------------------------------
+  private def mad(rows: Seq[(Long, Long)]): Map[Long, (Long, Double, Double, Long)] =
+    Analytics.madStats(rows.toDF("user_id", "qc"))
+      .select($"user_id", $"n_events", $"med_cents", $"mad_cents", $"n_outliers")
+      .as[(Long, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("madStats: even-count median interpolates, 3xMAD cuts the spike") {
+    // qc = [10,12,14,100] -> med 13.0; dev [3,1,1,87] -> mad 2.0; 87 > 6
+    val s = mad(Seq((1L, 10L), (1L, 12L), (1L, 14L), (1L, 100L)))
+    assert(s(1L) === ((4L, 13.0, 2.0, 1L)))
+  }
+
+  test("madStats: constant series has MAD 0 and no outliers (strict >)") {
+    val s = mad(Seq((1L, 42L), (1L, 42L), (1L, 42L)))
+    assert(s(1L) === ((3L, 42.0, 0.0, 0L)))
+  }
+
+  test("madStats: users are independent") {
+    val s = mad(Seq((1L, 0L), (1L, 1000L), (2L, 5L)))
+    assert(s(1L)._1 === 2L && s(2L) === ((1L, 5.0, 0.0, 0L)))
+  }
+
+  // ---- bigramTopK ---------------------------------------------------
+  test("bigramTopK: counts adjacent pairs, ranks by count then word") {
+    val docs = Seq((1L, "a b a b c"), (2L, "b a")).toDF("doc_id", "text")
+    val got = TextOps.bigramTopK(docs, 3)
+      .select($"w1", $"w2", $"cnt", $"rk").as[(String, String, Long, Int)]
+      .collect().toSet
+    assert(got === Set(
+      ("a", "b", 2L, 1),
+      ("b", "a", 2L, 1),
+      ("b", "c", 1L, 2)))
+  }
+
+  test("bigramTopK: k truncates per head; single-token docs emit nothing") {
+    val docs = Seq((1L, "x a. x b! x b?"), (2L, "lonely")).toDF("doc_id", "text")
+    val got = TextOps.bigramTopK(docs, 1)
+      .select($"w1", $"w2").as[(String, String)].collect().toSet
+    // heads: a->x, b->x(2), x->{a:1,b:2} -> k=1 keeps (x,b); "lonely" none
+    assert(got === Set(("a", "x"), ("b", "x"), ("x", "b")))
+  }
+
+  // ---- outlierScores ------------------------------------------------
+  test("outlierScores: vector opposite its label centroid is flagged") {
+    val n = Seq(
+      (1L, 0, Seq(1000000L, 0L)), (2L, 0, Seq(1000000L, 0L)),
+      (3L, 0, Seq(1000000L, 0L)), (4L, 0, Seq(-1000000L, 0L)),
+      (5L, 1, Seq(0L, 777L)))
+      .toDF("vec_id", "label", "v")
+      .withColumn("n2", Similarity.inorm2(spark, $"v"))
+    val got = Similarity.outlierScores(spark, n)
+      .select($"vec_id", $"cos_centroid", $"is_outlier")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(4L)._2 === -1.0 && got(4L)._3)
+    assert(got(1L)._2 === 1.0 && !got(1L)._3)
+    // own-label centroid, not global (ulp tolerance: sqrt(x)*sqrt(x) for
+    // non-square x need not reproduce x exactly)
+    assert(math.abs(got(5L)._2 - 1.0) < 1e-12 && !got(5L)._3)
+  }
+
+  // ---- histogram ----------------------------------------------------
+  test("histogram: buckets partition the table and bound their members") {
+    val h = Introspect.histogram.build(spark, sf001)
+      .select($"bucket", $"n", $"min_price", $"max_price")
+      .as[(Long, Long, Double, Double)].collect()
+    val total = graft.Tables.lineitem(spark, sf001).count()
+    assert(h.map(_._2).sum === total)
+    h.foreach { case (b, _, lo, hi) =>
+      assert(lo >= 900.0 + 5000.0 * b && hi < 900.0 + 5000.0 * (b + 1))
+      assert(lo <= hi)
+    }
+    assert(h.map(_._1).distinct.length === h.length)
+  }
+}
