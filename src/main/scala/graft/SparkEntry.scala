@@ -39,6 +39,7 @@ object SparkEntry {
     Curation.qualityGate,
     Curation.decontaminate,
     Curation.mixAssembly,
+    Curation.packSequences,
     Curation.cleanCorpus,
     Dedup.dedupExact,
     Dedup.ngramJaccard,
@@ -55,6 +56,7 @@ object SparkEntry {
     Windows.sessionizeBatch,
     Windows.movingAgg,
     Windows.timeRangeWindow,
+    Windows.rollingActiveUsers,
     AsOf.asofJoin,
     AsOf.rangeJoin,
     SetPivot.intersectExcept,
@@ -66,6 +68,7 @@ object SparkEntry {
     Scale.colocatedJoin,
     Scale.bloomJoin,
     Scale.sqlEntry,
+    Scale.heavyHitters,
     Scale.approxDistinct,
     Scale.approxQuantile,
     IngestOps.csvRoundtrip,

@@ -403,4 +403,53 @@ object Curation {
       .filter(col("n_tokens") >= col("p25"))
       .select(col("doc_id"), col("n_tokens"), col("p25"))
   }
+
+  /** Budget for one packed training sequence, in BPE-ish tokens. */
+  val PackBudget = 512L
+
+  /** Deterministic sequence packing: assign whole documents to
+    * fixed-budget context windows — the pass between chunking and
+    * batch assembly in a training pipeline. True greedy bin packing is
+    * sequential; the distributed-deterministic version packs by
+    * PREFIX SUM: within a source, docs in doc_id order go to pack
+    * `floor(preceding_tokens / budget)`, so a pack may overflow by at
+    * most one document and every engine/run agrees on the assignment
+    * (all-integer arithmetic).
+    *
+    * Scale shape: one window cumsum per source partition (the shuffle
+    * key is `source`, so 100 TB spreads across sources) and a final
+    * map-only division — no joins, no global sort. */
+  val packSequences: Op = Op(
+    "q_pack_sequences",
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           - n_tokens AS preceding_tokens
+      |  FROM d
+      |)
+      |SELECT doc_id, source, n_tokens,
+      |       CAST(preceding_tokens // 512 AS BIGINT) AS pack_id
+      |FROM c""".stripMargin) { (spark, dir) =>
+    packByPrefixSum(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        bpeishTokenCount(col("text")).cast("long").as("n_tokens")),
+      PackBudget)
+  }
+
+  /** [[packSequences]] kernel over (doc_id, source, n_tokens) rows. */
+  def packByPrefixSum(d: org.apache.spark.sql.DataFrame, budget: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    d.withColumn("preceding_tokens",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"preceding_tokens div $budget").as("pack_id"))
+  }
 }

@@ -219,6 +219,41 @@ object Scale {
     * boolean `within_5pct` that Spark computes honestly from the sketch
     * and the oracle pins to TRUE (HLL++ at rsd=0.02 stays well inside
     * 5%); the spec additionally asserts the numeric relative error. */
+  // (approxDistinct follows heavyHitters below)
+
+  /** Join-key skew probe: the top-10 hottest keys with their corpus
+    * share — the diagnostic that FEEDS [[saltedJoin]]'s hot set and
+    * decides whether a 100 TB join needs salting at all.
+    *
+    * Scale shape: one map-side-combinable count per key, then the
+    * global top-k goes through sort+LIMIT — Spark plans
+    * `TakeOrderedAndProject` (per-partition top-k, driver merges k·P
+    * rows), NOT a global sort of the key histogram. The corpus total
+    * is a one-row broadcast; the rank window touches only the 10
+    * survivors. Ties break by key so the contract is deterministic. */
+  val heavyHitters: Op = Op(
+    "q_heavy_hitters",
+    """WITH c AS (
+      |  SELECT l_partkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+      |), t AS (
+      |  SELECT COUNT(*) AS total FROM lineitem
+      |)
+      |SELECT key, cnt, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share, rk
+      |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk FROM c), t
+      |WHERE rk <= 10""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey").as("key"))
+    val counts = li.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(10)
+    val total = li.agg(count(lit(1)).as("total"))
+    top.crossJoin(broadcast(total))
+      .withColumn("share",
+        col("cnt").cast("double") / col("total").cast("double"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("key").asc)))
+      .select(col("key"), col("cnt"), col("share"), col("rk"))
+  }
+
   val approxDistinct: Op = Op(
     "q_approx_distinct",
     """SELECT event_type,

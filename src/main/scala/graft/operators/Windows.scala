@@ -165,4 +165,39 @@ object Windows {
       count(lit(1)).over(frame).as("n_1h"),
       sum(col("cents")).over(frame).as("cents_1h"))
   }
+
+  /** Trailing 7-day active users per day — the sliding DISTINCT count.
+    * Unlike sums, distinct does NOT decompose into window partials, so
+    * the scalable shape is NOT a window frame over raw events: first
+    * collapse events to (user, day) — the aggregate that shrinks 100 TB
+    * of events to |users|×|days| rows — then day-grid-explode each row
+    * over the 7 report days it contributes to (map-only ×7), and
+    * count distinct users per report day. Report days with no trailing
+    * activity simply don't appear; days past the last event day keep
+    * their (shrinking) trailing windows, mirroring a daily report run.
+    * The same decomposition is how [[AsOf.rangeJoin]] handles additive
+    * range aggs — here the pre-collapse is what makes DISTINCT safe. */
+  val rollingActiveUsers: Op = Op(
+    "q_rolling_active_users",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), ex AS (
+      |  SELECT user_id, day + CAST(i AS INTEGER) AS report_day
+      |  FROM ud, unnest(range(0, 7)) AS t(i)
+      |)
+      |SELECT report_day, COUNT(DISTINCT user_id) AS active_7d
+      |FROM ex GROUP BY 1""".stripMargin) { (spark, dir) =>
+    rollingActive(Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")))
+  }
+
+  /** [[rollingActiveUsers]] kernel over (user_id, day) rows. */
+  def rollingActive(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ev.distinct()
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(6))).as("i"))
+      .select(col("user_id"), expr("date_add(day, i)").as("report_day"))
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
 }

@@ -213,6 +213,14 @@ class PlanQualitySpec extends SparkSpec {
       s"expected window over the pre-aggregated bigram counts in:\n$p")
   }
 
+  test("heavy hitters: global top-k plans TakeOrdered, not a full sort") {
+    val p = plan(Scale.heavyHitters)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be per-partition top-k + driver merge, got:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row total must broadcast:\n$p")
+  }
+
   test("histogram: single map-side-combinable aggregate over a pruned scan") {
     val p = plan(Introspect.histogram)
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

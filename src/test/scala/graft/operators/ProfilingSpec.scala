@@ -71,6 +71,44 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(got(5L)._2 - 1.0) < 1e-12 && !got(5L)._3)
   }
 
+  // ---- packByPrefixSum ----------------------------------------------
+  test("packByPrefixSum: packs split at the budget, docs never split") {
+    val d = Seq(
+      (1L, "s", 300L), (2L, "s", 300L), (3L, "s", 300L), (4L, "s", 50L),
+      (5L, "t", 600L), (6L, "t", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val got = Curation.packByPrefixSum(d, 512L)
+      .select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
+    // s: preceding 0,300,600,900 -> packs 0,0,1,1 (doc 2 overflows pack 0
+    // rather than splitting); t: preceding 0,600 -> packs 0,1
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 0L, 6L -> 1L))
+  }
+
+  // ---- rollingActive ------------------------------------------------
+  test("rollingActive: one active day feeds exactly 7 report days") {
+    val ev = Seq((7L, "2024-01-10"), (7L, "2024-01-10"))
+      .toDF("user_id", "ds").select($"user_id", to_date($"ds").as("day"))
+    val got = Windows.rollingActive(ev)
+      .select(date_format($"report_day", "yyyy-MM-dd"), $"active_7d")
+      .as[(String, Long)].collect().toMap
+    assert(got.size === 7 && got.values.forall(_ === 1L))
+    assert(got.contains("2024-01-10") && got.contains("2024-01-16"))
+  }
+
+  test("rollingActive: distinct users, overlapping trailing windows") {
+    val ev = Seq((1L, "2024-01-01"), (2L, "2024-01-05"), (1L, "2024-01-05"))
+      .toDF("user_id", "ds").select($"user_id", to_date($"ds").as("day"))
+    val got = Windows.rollingActive(ev)
+      .select(date_format($"report_day", "yyyy-MM-dd"), $"active_7d")
+      .as[(String, Long)].collect().toMap
+    assert(got("2024-01-05") === 2L) // user 1 (from both days) + user 2
+    assert(got("2024-01-07") === 2L) // day-1 activity still in window
+    assert(got("2024-01-08") === 2L) // day-1 dropped; 5th still counts both
+    assert(got("2024-01-11") === 2L) // last trailing day of Jan 5 activity
+    assert(!got.contains("2024-01-12"))
+  }
+
   // ---- histogram ----------------------------------------------------
   test("histogram: buckets partition the table and bound their members") {
     val h = Introspect.histogram.build(spark, sf001)
