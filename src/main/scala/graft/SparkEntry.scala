@@ -66,6 +66,7 @@ object SparkEntry {
     SetPivot.ntileDeciles,
     Scale.saltedJoin,
     Scale.colocatedJoin,
+    Layout.zorderLayout,
     Scale.bloomJoin,
     Scale.sqlEntry,
     Scale.heavyHitters,

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: curve correctness (bijection, monotone locality) and
+  * the actual data-skipping property — per-FILE min/max envelopes stay
+  * narrow on BOTH clustered dimensions at once. File statistics are not
+  * SQL-visible, so this spec (not the DuckDB oracle) owns that half of
+  * the q_zorder_layout contract. */
+class LayoutSpec extends SparkSpec {
+
+  test("z-value interleave is a bijection (decode inverts encode)") {
+    val rows = spark.range(0, 1L << 10).selectExpr(
+        "id % 32 AS x", "id div 32 AS y")
+      .withColumn("z", Layout.zValue(col("x"), col("y")))
+      .collect()
+    assert(rows.length == 1024)
+    rows.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(Layout.zDecode(z, 0) == x && Layout.zDecode(z, 1) == y,
+        s"decode($z) != ($x, $y)")
+    }
+    // distinct z values == distinct (x, y) pairs
+    assert(rows.map(_.getLong(2)).distinct.length == 1024)
+  }
+
+  test("per-file envelopes are narrow on BOTH dimensions") {
+    val out = Layout.layoutDir(spark, sf001)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(files.size > 4, s"expected a multi-file layout, got $files")
+
+    val global = spark.read.parquet(out).agg(
+      min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
+    val partSpan = (global.getLong(1) - global.getLong(0)).toDouble
+    val suppSpan = (global.getLong(3) - global.getLong(2)).toDouble
+
+    val fracs = files.map { f =>
+      val st = spark.read.parquet(f).agg(
+        min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey"),
+        min("z"), max("z")).head()
+      ((st.getLong(1) - st.getLong(0)) / partSpan,
+        (st.getLong(3) - st.getLong(2)) / suppSpan,
+        (st.getLong(4), st.getLong(5)))
+    }
+    // range partitioning on z: file z-ranges must not interleave (allow
+    // boundary ties — rows equal to a bound may land on either side)
+    val zSorted = fracs.map(_._3).sortBy(_._1)
+    zSorted.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(loB >= hiA - 0, s"z-ranges overlap: $zSorted")
+      case _ => ()
+    }
+    // the locality payoff: on average a file covers well under the full
+    // span of EACH dimension (a single-key sort would leave the other
+    // dimension's per-file span at ~100%)
+    val avgPart = fracs.map(_._1).sum / fracs.size
+    val avgSupp = fracs.map(_._2).sum / fracs.size
+    assert(avgPart < 0.6, s"avg per-file partkey span fraction $avgPart")
+    assert(avgSupp < 0.6, s"avg per-file suppkey span fraction $avgSupp")
+  }
+
+  test("layout round-trip preserves every row (count + keyed checksum)") {
+    val src = graft.Tables.lineitem(spark, sf001)
+    val laid = spark.read.parquet(Layout.layoutDir(spark, sf001))
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)),
+        sum(col("l_orderkey") * 7 + col("l_partkey") * 3 + col("l_suppkey")),
+        sum(col("l_quantity").cast("long"))).head().toSeq
+    assert(sig(laid.drop("z")) == sig(src))
+  }
+}
