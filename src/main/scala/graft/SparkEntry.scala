@@ -26,6 +26,7 @@ object SparkEntry {
     Analytics.funnel,
     Analytics.cohortRetention,
     Analytics.anomalyMad,
+    Analytics.winsorize,
     TextOps.textQuality,
     TextOps.langIdOp,
     TextOps.docFingerprint,
@@ -33,11 +34,13 @@ object SparkEntry {
     TextOps.docChunks,
     TextOps.bigramLm,
     Curation.stratifiedSample,
+    Curation.weightedSample,
     Curation.trainTestSplit,
     Curation.piiScrub,
     Curation.repetitionGate,
     Curation.qualityGate,
     Curation.decontaminate,
+    Curation.decontaminateFuzzy,
     Curation.mixAssembly,
     Curation.packSequences,
     Curation.cleanCorpus,

@@ -164,6 +164,81 @@ object Analytics {
         count_if(col("dev") > lit(3) * col("mad")).as("n_outliers"))
   }
 
+  /** Winsorized (percentile-clipped) aggregates: per-group p05/p95
+    * rank bounds, values clipped into [lo, hi], then summed — the
+    * robust total that one fat-finger price can't drag (the clipping
+    * twin of [[anomalyMad]]'s outlier COUNT). Bounds are DISCRETE rank
+    * statistics (value at rank ⌈0.05·n⌉ / ⌈0.95·n⌉) so every output is
+    * integer cents — no interpolated fractions, nothing
+    * reduction-order-dependent.
+    *
+    * Scale shape: the selection runs over the per-(group, value) COUNT
+    * histogram, not raw rows — one map-side-combinable aggregate
+    * collapses 100 TB of lineitem to |group|×|distinct cents| rows,
+    * and only that histogram is sorted (same collapse-first trick as
+    * the sliding-distinct op). The cumulative window never sees a raw
+    * row; bounds broadcast back onto the scan for a map-side clip+sum.
+    * Never `ROW_NUMBER() OVER (ORDER BY cents)` on raw rows — that
+    * sorts the corpus into |group| reducers. */
+  val winsorize: Op = Op(
+    "q_winsorize",
+    """WITH c AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents
+      |  FROM lineitem
+      |), h AS (
+      |  SELECT flag, cents, COUNT(*) AS cnt FROM c GROUP BY flag, cents
+      |), cum AS (
+      |  SELECT flag, cents,
+      |         SUM(cnt) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+      |         SUM(cnt) OVER (PARTITION BY flag) AS n
+      |  FROM h
+      |), b AS (
+      |  SELECT flag,
+      |         MIN(CASE WHEN cum >= (n + 19) // 20 THEN cents END) AS lo_cents,
+      |         MIN(CASE WHEN cum >= (n * 19 + 19) // 20 THEN cents END) AS hi_cents
+      |  FROM cum GROUP BY flag
+      |)
+      |SELECT c.flag AS l_returnflag,
+      |       COUNT(*) AS n_rows,
+      |       MIN(b.lo_cents) AS lo_cents,
+      |       MIN(b.hi_cents) AS hi_cents,
+      |       CAST(SUM(LEAST(GREATEST(c.cents, b.lo_cents), b.hi_cents)) AS BIGINT)
+      |         AS winsorized_sum_cents,
+      |       COUNT(*) FILTER (WHERE c.cents < b.lo_cents) AS n_clip_low,
+      |       COUNT(*) FILTER (WHERE c.cents > b.hi_cents) AS n_clip_high
+      |FROM c JOIN b ON c.flag = b.flag
+      |GROUP BY c.flag""".stripMargin) { (spark, dir) =>
+    winsorizedStats(Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("flag"),
+      centsOf(col("l_extendedprice")).as("cents")))
+      .withColumnRenamed("flag", "l_returnflag")
+  }
+
+  /** [[winsorize]] kernel over (flag, cents: long) rows. */
+  def winsorizedStats(c: DataFrame): DataFrame = {
+    val h = c.groupBy(col("flag"), col("cents")).agg(count(lit(1)).as("cnt"))
+    val cum = h
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("flag")).orderBy(col("cents"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("flag"))))
+    val b = cum.groupBy(col("flag")).agg(
+      min(when(col("cum") >= expr("(n + 19) div 20"), col("cents")))
+        .as("lo_cents"),
+      min(when(col("cum") >= expr("(n * 19 + 19) div 20"), col("cents")))
+        .as("hi_cents"))
+    c.join(broadcast(b), Seq("flag"))
+      .groupBy(col("flag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("lo_cents")).as("lo_cents"),
+        min(col("hi_cents")).as("hi_cents"),
+        sum(least(greatest(col("cents"), col("lo_cents")), col("hi_cents")))
+          .as("winsorized_sum_cents"),
+        count_if(col("cents") < col("lo_cents")).as("n_clip_low"),
+        count_if(col("cents") > col("hi_cents")).as("n_clip_high"))
+  }
+
   /** Star join: region⋈nation⋈customer dims broadcast onto the
     * orders⋈lineitem fact join. The only real shuffle is
     * lineitem⋈orders on orderkey; at 100 TB both facts would be

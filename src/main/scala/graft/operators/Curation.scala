@@ -275,6 +275,102 @@ object Curation {
         countDistinct(col("bench_doc_id")).as("n_bench_docs"))
   }
 
+  /** Probability-proportional-to-size (PPS) Poisson sampling with
+    * Horvitz–Thompson weights: each doc's inclusion probability scales
+    * with its token count (clamped to [5%, 95%]), the kept row carries
+    * `ht_weight` = 1/p so any downstream SUM(x · ht_weight) is an
+    * unbiased estimate of the full-corpus total — the survey-sampling
+    * identity that lets a 10% token-weighted sample answer corpus-level
+    * questions. Deterministic like [[stratifiedSample]]: the coin is
+    * the doc_id hash bucket, not an RNG, so re-runs and engines agree
+    * bit-for-bit. Map-only; the gate is a pushable-shaped predicate.
+    * The ht_weight division is ONE IEEE double op from exact integers —
+    * engine-identical. */
+  val weightedSample: Op = Op(
+    "q_weighted_sample",
+    s"""WITH w AS (
+       |  SELECT doc_id, lang,
+       |    LEAST(95, GREATEST(5,
+       |      len(string_split_regex(trim(text), '\\s+')) // 4)) AS keep_pct
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, keep_pct,
+       |  CAST(100 AS DOUBLE) / keep_pct AS ht_weight
+       |FROM w
+       |WHERE $idBucketSql < keep_pct""".stripMargin) { (spark, dir) =>
+    val keepPct = least(lit(95L), greatest(lit(5L),
+      floor(wsTokenCount(col("text")) / 4).cast("long")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), keepPct.as("keep_pct"))
+      .filter(idBucket(col("doc_id")) < col("keep_pct"))
+      .withColumn("ht_weight", lit(100.0) / col("keep_pct"))
+  }
+
+  /** Fuzzy benchmark decontamination: train docs NEAR-duplicate (3-word
+    * shingle Jaccard ≥ 0.5) to any benchmark-slice doc — the
+    * contamination that exact 8-gram overlap ([[decontaminate]]) can
+    * miss once an eval item is lightly paraphrased, whitespace-mangled,
+    * or truncated (the n-gram train–test overlap analyses of GPT-3,
+    * Brown et al. 2020 §4, motivate exactly this fuzzy widening).
+    *
+    * Scale shape: MinHash signatures for BOTH sides are map-only over
+    * shingle rows (k compiled MIN aggregates — same kernel as
+    * `q_minhash_lsh`); the benchmark side is a small fixed eval suite
+    * (~3% here, a few thousand docs in production), so its banded
+    * buckets BROADCAST and the candidate join never shuffles the train
+    * corpus — the only train-scaled work is the map-side signature
+    * pass. Candidates verify exactly, so output carries no false
+    * positives. Oracle = exact all-cross-pairs Jaccard; banded recall
+    * on this corpus is exactly 1 (deterministic xxhash64 signatures;
+    * every near-dup pair sits at J≥0.9 where 8×4 banding cannot miss —
+    * same measured contract as `q_minhash_lsh`, cross-set subset). */
+  val decontaminateFuzzy: Op = Op(
+    "q_decontaminate_fuzzy",
+    s"""WITH ${Dedup.shingleCtes}, pairs AS (
+       |  SELECT t.doc_id AS doc_id, b.doc_id AS bench_doc_id,
+       |         len(list_intersect(t.sh, b.sh)) AS i,
+       |         len(t.sh) + len(b.sh) - len(list_intersect(t.sh, b.sh)) AS u
+       |  FROM sh t JOIN sh b
+       |    ON t.doc_id % 29 <> 0 AND b.doc_id % 29 = 0
+       |)
+       |SELECT doc_id, bench_doc_id,
+       |       CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+       |FROM pairs
+       |WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.5""".stripMargin) {
+    (spark, dir) =>
+      val bare = Dedup.shingleRows(spark, dir).select(col("doc_id"), col("s"))
+      val isBench = col("doc_id") % 29 === 0
+      // k=32 minhash signature, 8 bands × 4 rows — the q_minhash_lsh kernel
+      val bands = 8
+      val rowsPerBand = 4
+      val ex = bare.select(col("doc_id"), xxhash64(col("s")).as("h"))
+      val mins = (0 until bands * rowsPerBand)
+        .map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+      val bandCols = (0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          xxhash64(lit(bnd) +: (0 until rowsPerBand)
+            .map(r => col(s"m${bnd * rowsPerBand + r}")): _*).as("bucket"))
+      }
+      val banded = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
+      val sizes = bare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val cand = banded.filter(!isBench)
+        .select(col("band"), col("bucket"), col("doc_id").as("doc_id_a"))
+        .join(broadcast(banded.filter(isBench)
+            .select(col("band"), col("bucket"), col("doc_id").as("doc_id_b"))),
+          Seq("band", "bucket"))
+        .select("doc_id_a", "doc_id_b").distinct()
+        .join(sizes.select(col("doc_id").as("doc_id_a"), col("n_sh").as("n_a")),
+          Seq("doc_id_a"))
+        .join(sizes.select(col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
+          Seq("doc_id_b"))
+      Dedup.verifyExact(cand, bare, Seq.empty)
+        .select(col("doc_id_a").as("doc_id"),
+          col("doc_id_b").as("bench_doc_id"), col("jaccard"))
+  }
+
   /** The curation capstone — what actually survives the pipeline: every
     * doc flagged by all four independent gates (corpus-relative quality,
     * repetition, near-dup cluster LOSER — the canonical member stays —

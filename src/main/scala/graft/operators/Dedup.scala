@@ -90,7 +90,7 @@ object Dedup {
     * formulation needs one split per doc but pays 2-3 shuffles of the
     * posting rows — measured slower at this block structure.
     */
-  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def shingleRows(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"), col("source"),
       explode(wordShingles(col("text"), 3)).as("s"))
@@ -171,7 +171,7 @@ object Dedup {
     * inter = per-pair matching-shingle count, union = n_a + n_b − inter.
     * Pairs with zero overlap drop out of the count join — they have
     * J = 0 and could never pass a positive threshold. */
-  private def verifyExact(
+  private[operators] def verifyExact(
       cand: DataFrame, rows: DataFrame, keep: Seq[String]): DataFrame = {
     val ra = rows.select(col("doc_id").as("doc_id_a"), col("s"))
     val rb = rows.select(col("doc_id").as("doc_id_b"), col("s"))
@@ -201,18 +201,25 @@ object Dedup {
     * predicates into the pair join (one SQL source for all variants —
     * a shingle-construction fix can't diverge between oracles).
     */
+  /** The doc → distinct-3-word-shingle-list CTEs alone (shared by the
+    * self-join pair oracles below AND cross-set contracts like
+    * Curation.decontaminateFuzzy — shingle-construction fixes cannot
+    * diverge between them). */
+  private[operators] def shingleCtes: String =
+    """d AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, len(w) AS n_words,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w)-1),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE [array_to_string(w, ' ')] END AS sh
+      |  FROM d
+      |)""".stripMargin
+
   private[operators] def jaccardPairCtes(gate: String = ""): String =
-    s"""d AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-       |  FROM documents
-       |), sh AS (
-       |  SELECT doc_id, len(w) AS n_words,
-       |         CASE WHEN len(w) >= 3
-       |              THEN list_distinct(list_transform(range(1, len(w)-1),
-       |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-       |              ELSE [array_to_string(w, ' ')] END AS sh
-       |  FROM d
-       |), pairs AS (
+    s"""$shingleCtes, pairs AS (
        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        |         len(list_intersect(a.sh, b.sh)) AS i,
        |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u

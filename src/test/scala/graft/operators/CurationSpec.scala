@@ -94,4 +94,20 @@ class CurationSpec extends SparkSpec {
     assert(g.filter(col("n_tokens") < col("p25")).count() === 0)
     g.unpersist()
   }
+
+  test("fuzzy decontamination respects the split and broadcasts the bench side") {
+    val df = Curation.decontaminateFuzzy.build(spark, sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "expected at least one cross-split near-dup")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 29 != 0, s"train column holds a bench doc: $r")
+      assert(r.getLong(1) % 29 == 0, s"bench column holds a train doc: $r")
+      assert(r.getDouble(2) >= 0.5)
+    }
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench side should broadcast into the candidate join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "no all-pairs fallback")
+  }
 }

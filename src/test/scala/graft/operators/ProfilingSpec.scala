@@ -33,6 +33,35 @@ class ProfilingSpec extends SparkSpec {
     assert(s(1L)._1 === 2L && s(2L) === ((1L, 5.0, 0.0, 0L)))
   }
 
+  // ---- winsorizedStats ----------------------------------------------
+  private def wins(rows: Seq[(String, Long)]) =
+    Analytics.winsorizedStats(rows.toDF("flag", "cents"))
+      .select($"flag", $"n_rows", $"lo_cents", $"hi_cents",
+        $"winsorized_sum_cents", $"n_clip_low", $"n_clip_high")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+
+  test("winsorizedStats: rank bounds clip exactly the tails") {
+    // A: 1..20 -> lo = value@rank ceil(20/20)=1 -> 1,
+    //            hi = value@rank ceil(19*20/20)=19 -> 19,
+    //            sum = (1+..+19) + 19 = 209, one high clip
+    val a = (1L to 20L).map(("A", _))
+    // B: 1x1, 99x5, 1x1000 (n=101) -> lo rank 6 -> 5, hi rank 96 -> 5,
+    //    both tails clip to 5, sum = 101*5
+    val b = Seq(("B", 1L)) ++ Seq.fill(99)(("B", 5L)) ++ Seq(("B", 1000L))
+    val s = wins(a ++ b)
+    assert(s("A") === ((20L, 1L, 19L, 209L, 0L, 1L)))
+    assert(s("B") === ((101L, 5L, 5L, 505L, 1L, 1L)))
+  }
+
+  test("winsorizedStats: groups are independent, singleton group is its own bound") {
+    val s = wins(Seq(("X", 7L), ("Y", 1L), ("Y", 2L)))
+    // singleton: lo rank 1 -> 7, hi rank 1 -> 7, nothing clips
+    assert(s("X") === ((1L, 7L, 7L, 7L, 0L, 0L)))
+    assert(s("Y")._5 === 0L && s("Y")._6 === 0L) // n=2: lo rank 1, hi rank 2
+    assert(s("Y") === ((2L, 1L, 2L, 3L, 0L, 0L)))
+  }
+
   // ---- bigramTopK ---------------------------------------------------
   test("bigramTopK: counts adjacent pairs, ranks by count then word") {
     val docs = Seq((1L, "a b a b c"), (2L, "b a")).toDF("doc_id", "text")
