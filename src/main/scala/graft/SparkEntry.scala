@@ -33,6 +33,7 @@ object SparkEntry {
     TextOps.tfidfTerms,
     TextOps.docChunks,
     TextOps.bigramLm,
+    TextOps.bigramNovelty,
     Curation.stratifiedSample,
     Curation.weightedSample,
     Curation.trainTestSplit,
@@ -55,6 +56,7 @@ object SparkEntry {
     Similarity.annLsh,
     Similarity.annIvf,
     Similarity.embedOutlier,
+    Similarity.quantizeInt8,
     Windows.tumblingWindow,
     Windows.sessionizeBatch,
     Windows.movingAgg,
@@ -70,6 +72,7 @@ object SparkEntry {
     Scale.saltedJoin,
     Scale.colocatedJoin,
     Layout.zorderLayout,
+    Layout.compactionPlan,
     Scale.bloomJoin,
     Scale.sqlEntry,
     Scale.heavyHitters,

@@ -155,6 +155,69 @@ object Layout {
     out
   }
 
+  /** Target rows per compaction output group (the row-count stand-in
+    * for a target file SIZE — the testdata's fixed-width rows make the
+    * two proportional; sized so the plan has real multi-group structure
+    * from sf0.01 up). */
+  val CompactTargetRows = 2000L
+
+  /** Small-partition compaction planner — the other half of lakehouse
+    * layout maintenance next to [[zorderLayout]] (Delta `OPTIMIZE` /
+    * Iceberg `rewrite_data_files` bin-pack): a day-partitioned store
+    * accretes one small file per day per writer, and scan cost at 100 TB
+    * is dominated by file COUNT (footer reads, task scheduling) long
+    * before bytes. The planner walks the per-day row inventory in day
+    * order and assigns each day to output group `rows_before div
+    * target` — the same distributed-deterministic greedy packing as
+    * Curation.packSequences: a group overflows by at most one day,
+    * days are never split, consecutive days stay adjacent (so per-file
+    * min/max day stats keep pruning date predicates after the rewrite).
+    *
+    * Scale shape: the inventory is METADATA-sized (one row per
+    * partition, from the catalog/file listing — never a data scan at
+    * plan time; here it is derived with one map-combinable count). The
+    * single-partition prefix-sum window runs over #partitions rows, not
+    * data. Executing the plan = read each group, write one file —
+    * embarrassingly parallel across groups. */
+  val compactionPlan: Op = Op(
+    "q_compaction_plan",
+    s"""WITH d AS (
+       |  SELECT o_orderdate AS day, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM orders GROUP BY 1
+       |), p AS (
+       |  SELECT day, n_rows,
+       |    CAST(SUM(n_rows) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_rows
+       |      AS BIGINT) AS rows_before
+       |  FROM d
+       |)
+       |SELECT rows_before // $CompactTargetRows AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+       |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       |  MIN(day) AS day_min, MAX(day) AS day_max
+       |FROM p GROUP BY 1""".stripMargin) { (spark, dir) =>
+    compactionPlanOf(
+      Tables.orders(spark, dir).groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n_rows")),
+      CompactTargetRows)
+  }
+
+  /** [[compactionPlan]] kernel over any (day, n_rows) inventory. */
+  def compactionPlanOf(inventory: DataFrame, targetRows: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    inventory
+      .withColumn("rows_before", sum(col("n_rows")).over(w) - col("n_rows"))
+      .groupBy(expr(s"rows_before div $targetRows").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("n_rows")).as("n_rows"),
+        min(col("day")).as("day_min"),
+        max(col("day")).as("day_max"))
+  }
+
   /** The layout kernel: normalized z column + range-partition + in-file
     * sort + parquet write. Kept separate so specs can lay out arbitrary
     * frames. Input needs l_partkey/l_suppkey; all columns preserved. */

@@ -456,4 +456,72 @@ object Similarity {
           .as("cos_centroid"))
       .withColumn("is_outlier", col("cos_centroid") < -0.05)
   }
+
+  /** Symmetric per-vector int8 quantization — the storage/bandwidth
+    * lever for embedding corpora at 100 TB: 4 bytes → 1 byte per
+    * dimension cuts the memory-bandwidth cost of every downstream
+    * distance scan 4× (FAISS's `SQ8`; the usual first step before PQ).
+    * Per vector: m = max|xᵢ| (exact float compare), scale = 127/m (one
+    * IEEE division), qᵢ = round(xᵢ·scale) ∈ [−127, 127] (one IEEE
+    * multiply per element; float→double widening is exact, and both
+    * engines round half away from zero, so every qᵢ is bit-identical).
+    * Reconstruction error is bounded by 1/(2·scale) per dimension.
+    *
+    * The contract pins the quantized vector through integer checksums
+    * (sum, L1, min, max, saturation count) rather than the raw array —
+    * scalar columns hash portably across engines; the array itself is
+    * asserted element-wise in the spec. Map-only expression work: no
+    * shuffle, no join, rides the vectorized scan. */
+  val quantizeInt8: Op = Op(
+    "q_quantize_int8",
+    """WITH s AS (
+      |  SELECT vec_id,
+      |    CASE WHEN list_max(list_transform(embedding, e -> abs(e))) > 0
+      |         THEN 127.0 / CAST(list_max(list_transform(embedding, e -> abs(e))) AS DOUBLE)
+      |         ELSE 0.0 END AS scale,
+      |    embedding
+      |  FROM embeddings
+      |), v AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(embedding,
+      |      e -> CAST(round(CAST(e AS DOUBLE) * scale) AS INTEGER)) AS qv
+      |  FROM s
+      |)
+      |SELECT vec_id, scale,
+      |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+      |  CAST(list_aggregate(list_transform(qv, e -> abs(e)), 'sum') AS BIGINT) AS q_l1,
+      |  CAST(list_aggregate(qv, 'min') AS INTEGER) AS q_min,
+      |  CAST(list_aggregate(qv, 'max') AS INTEGER) AS q_max,
+      |  CAST(len(list_filter(qv, e -> abs(e) = 127)) AS INTEGER) AS n_sat
+      |FROM v""".stripMargin) { (spark, dir) =>
+    quantizedInt8Stats(Tables.embeddings(spark, dir))
+  }
+
+  /** [[quantizeInt8]] checksum frame over any (vec_id, embedding) rows.
+    * `scale` is materialized as its own column FIRST so the per-element
+    * quantize lambda references it by name — inlining [[int8Scale]]'s
+    * array-max into the lambda would re-reduce the array once per
+    * element (O(d²) per vector). */
+  def quantizedInt8Stats(e: DataFrame): DataFrame =
+    e.withColumn("scale", int8Scale(col("embedding")))
+      .withColumn("qv", int8Vector(col("embedding"), col("scale")))
+      .select(
+        col("vec_id"),
+        col("scale"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"),
+        array_min(col("qv")).as("q_min"),
+        array_max(col("qv")).as("q_max"),
+        size(filter(col("qv"), x => abs(x) === 127)).as("n_sat"))
+
+  /** 127/max|x| (0 for the all-zero vector, which quantizes to zeros). */
+  def int8Scale(emb: Column): Column = {
+    val m = array_max(transform(emb, x => abs(x)))
+    when(m.cast("double") > 0d, lit(127.0) / m.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** The quantized int8 vector itself (IntegerType cells, each within
+    * [−127, 127] — asserted in DedupSimilaritySpec). */
+  def int8Vector(emb: Column, scale: Column): Column =
+    transform(emb, x => round(x.cast("double") * scale).cast("int"))
 }

@@ -202,18 +202,93 @@ object TextOps {
   /** [[bigramLm]] kernel: top-k next words per head over `text`. */
   def bigramTopK(docs: org.apache.spark.sql.DataFrame, k: Int)
       : org.apache.spark.sql.DataFrame = {
-    val w = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
-    val bigrams = zip_with(
-      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
-      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
-      (a, b) => struct(a.as("w1"), b.as("w2")))
-    val counts = docs
-      .select(explode(bigrams).as("bg"))
-      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = docBigrams(docs)
+      .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
     counts
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("w1")).orderBy(col("cnt").desc, col("w2").asc)))
       .filter(col("rk") <= k)
+  }
+
+  /** (doc_id, w1, w2) word-bigram stream, built WITHOUT a per-document
+    * window shuffle: the token array zipped against its own shift-by-one
+    * inside the scan stage (see [[bigramLm]]). */
+  def docBigrams(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+    val bigrams = zip_with(
+      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    docs.select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** A bigram is "rare" below this corpus frequency. */
+  val RareBelow = 3
+
+  /** Fluency gate from the corpus's own bigram statistics — the
+    * zero-external-model form of a perplexity filter (CCNet filters on
+    * a KenLM score; the signal is the same "how unusual are this
+    * document's word transitions"): a document whose bigrams are mostly
+    * unseen elsewhere in the corpus is likelier noise than fluent text.
+    * Per doc: bigram total, rare-transition count (corpus frequency
+    * < [[RareBelow]]), and the gate as an integer cross-multiplication
+    * (rare·20 > total ⇔ rare fraction > 5%) — no IEEE division anywhere
+    * in the contract, so the flag is bit-identical across engines.
+    *
+    * Scale shape: by Zipf's law the FREQUENT bigram set (count ≥
+    * [[RareBelow]]) is the small head of the distribution — broadcast
+    * it and detect rarity as a left-join null probe. The hapax-heavy
+    * rare tail (the large half of vocab²) is never a join side at all,
+    * and the doc-scaled stream never shuffles on bigram text: the only
+    * doc-scaled exchange carries per-doc partial counts. The count
+    * build itself ships map-combined (w1, w2) partials, exactly like
+    * [[bigramLm]]. */
+  val bigramNovelty: Op = Op(
+    "q_bigram_novelty",
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+      |), b AS (
+      |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM t, unnest(range(1, len(w))) AS x(i)
+      |), c AS (
+      |  SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+      |), d AS (
+      |  SELECT b.doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CASE WHEN c.cnt < $RareBelow THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      |  FROM b JOIN c USING (w1, w2) GROUP BY 1
+      |)
+      |SELECT doc_id,
+      |  coalesce(n_bigrams, 0) AS n_bigrams,
+      |  coalesce(n_rare, 0) AS n_rare,
+      |  coalesce(n_rare * 20 > n_bigrams, FALSE) AS novelty_flag
+      |FROM documents LEFT JOIN d USING (doc_id)""".stripMargin) { (spark, dir) =>
+    bigramNoveltyOf(Tables.documents(spark, dir))
+  }
+
+  /** [[bigramNovelty]] kernel over any (doc_id, text) frame. */
+  def bigramNoveltyOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val b = docBigrams(docs)
+    val frequent = b.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= RareBelow)
+      .select(col("w1"), col("w2"), lit(1).as("is_freq"))
+    val perDoc = b
+      .join(broadcast(frequent), Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("is_freq").isNull, 1L).otherwise(0L)).as("n_rare"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        coalesce(col("n_rare") * 20 > col("n_bigrams"), lit(false))
+          .as("novelty_flag"))
   }
 }

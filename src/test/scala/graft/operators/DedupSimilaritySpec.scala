@@ -201,6 +201,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: exact cells on a hand vector, zero vector is all zeros") {
+    val e = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val qv = e.select($"vec_id", Similarity.int8Vector(
+        $"embedding", Similarity.int8Scale($"embedding")).as("qv"))
+      .as[(Long, Seq[Int])].collect().toMap
+    // scale = 127/1.0; -0.5*127 = -63.5 rounds away from zero; 0.25*127 = 31.75
+    assert(qv(1L) === Seq(127, -64, 32, 0))
+    assert(qv(2L) === Seq(0, 0))
+    val stats = Similarity.quantizedInt8Stats(e)
+      .select($"vec_id", $"q_sum", $"q_l1", $"q_min", $"q_max", $"n_sat")
+      .as[(Long, Long, Long, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(stats(1L) === ((1L, 95L, 223L, -64, 127, 1)))
+    assert(stats(2L) === ((2L, 0L, 0L, 0, 0, 0)))
+  }
+
+  test("int8 quantization: corpus-wide int8 range, max element always saturates") {
+    val s = Similarity.quantizedInt8Stats(graft.Tables.embeddings(spark, sf001))
+      .agg(min($"q_min"), max($"q_max"), min($"n_sat"), count(lit(1))).head()
+    assert(s.getInt(0) >= -127 && s.getInt(1) <= 127)
+    // the max-|x| element quantizes to exactly +/-127 in every vector
+    assert(s.getInt(2) >= 1)
+    assert(s.getLong(3) > 0)
+  }
+
   test("exact dedup groups normalized copies") {
     val docs = Seq(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "other text")

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * SQL-visible, so this spec (not the DuckDB oracle) owns that half of
   * the q_zorder_layout contract. */
 class LayoutSpec extends SparkSpec {
+  import spark.implicits._
 
   test("z-value interleave is a bijection (decode inverts encode)") {
     val rows = spark.range(0, 1L << 10).selectExpr(
@@ -63,6 +64,44 @@ class LayoutSpec extends SparkSpec {
     val avgSupp = fracs.map(_._2).sum / fracs.size
     assert(avgPart < 0.6, s"avg per-file partkey span fraction $avgPart")
     assert(avgSupp < 0.6, s"avg per-file suppkey span fraction $avgSupp")
+  }
+
+  test("compaction plan: greedy day packing — dense buckets, disjoint ordered ranges") {
+    // 10 days x 7 rows, target 20: prefix-before 0,7,14,21,...,63
+    // -> buckets 0:{d1..d3} 1:{d4..d6} 2:{d7..d9} 3:{d10}
+    val inv = (1 to 10).map(d => (d, 7L)).toDF("day", "n_rows")
+    val got = Layout.compactionPlanOf(inv, 20L)
+      .selectExpr("bucket", "n_parts", "n_rows",
+        "CAST(day_min AS INT)", "CAST(day_max AS INT)")
+      .as[(Long, Long, Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0L, 3L, 21L, 1, 3), (1L, 3L, 21L, 4, 6),
+      (2L, 3L, 21L, 7, 9), (3L, 1L, 7L, 10, 10)))
+  }
+
+  test("compaction plan over orders: buckets partition the table, overflow bounded") {
+    val orders = graft.Tables.orders(spark, sf001)
+    val plan = Layout.compactionPlan.build(spark, sf001)
+      .select($"bucket", $"n_parts", $"n_rows", $"day_min", $"day_max")
+      .collect().sortBy(_.getLong(0))
+    // dense bucket ids from 0
+    assert(plan.map(_.getLong(0)).toSeq == plan.indices.map(_.toLong))
+    // every order lands in exactly one bucket
+    assert(plan.map(_.getLong(2)).sum == orders.count())
+    // day ranges are disjoint and ordered across consecutive buckets
+    plan.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDate(4).before(b.getDate(3)),
+          s"overlapping day ranges: $a / $b")
+      case _ => ()
+    }
+    // a bucket overflows the target by at most one day's rows
+    val maxDay = orders.groupBy($"o_orderdate").count()
+      .agg(max($"count")).head().getLong(0)
+    plan.foreach { r =>
+      assert(r.getLong(2) < Layout.CompactTargetRows + maxDay,
+        s"bucket exceeds target+1 day: $r")
+    }
   }
 
   test("layout round-trip preserves every row (count + keyed checksum)") {

@@ -82,6 +82,26 @@ class ProfilingSpec extends SparkSpec {
     assert(got === Set(("a", "x"), ("b", "x"), ("x", "b")))
   }
 
+  // ---- bigramNoveltyOf ----------------------------------------------
+  test("bigramNovelty: rare transitions flag, frequent ones don't, no-bigram doc is false") {
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
+      (4L, "the cat ran"),   // (the,cat)=4 frequent, (cat,ran)=1 rare
+      (5L, "zq xv qj"),      // both bigrams unique -> all rare
+      (6L, "hello")          // single token: zero bigrams
+    ).toDF("doc_id", "text")
+    val got = TextOps.bigramNoveltyOf(docs)
+      .select($"doc_id", $"n_bigrams", $"n_rare", $"novelty_flag")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // (the,cat)=4 and (cat,sat)=3 are frequent (>= RareBelow)
+    assert(got(1L) === ((1L, 2L, 0L, false)))
+    assert(got(2L) === ((2L, 2L, 0L, false)))
+    assert(got(4L) === ((4L, 2L, 1L, true)))  // 1*20 > 2
+    assert(got(5L) === ((5L, 2L, 2L, true)))
+    assert(got(6L) === ((6L, 0L, 0L, false)))
+    assert(got.size == 6)
+  }
+
   // ---- outlierScores ------------------------------------------------
   test("outlierScores: vector opposite its label centroid is flagged") {
     val n = Seq(
