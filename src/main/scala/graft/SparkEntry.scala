@@ -35,6 +35,7 @@ object SparkEntry {
     TextOps.bigramLm,
     TextOps.bigramNovelty,
     Curation.stratifiedSample,
+    Curation.balancedSample,
     Curation.weightedSample,
     Curation.trainTestSplit,
     Curation.piiScrub,
@@ -57,6 +58,7 @@ object SparkEntry {
     Similarity.annIvf,
     Similarity.embedOutlier,
     Similarity.quantizeInt8,
+    Similarity.annPq,
     Windows.tumblingWindow,
     Windows.sessionizeBatch,
     Windows.movingAgg,
@@ -83,6 +85,7 @@ object SparkEntry {
     SinkOps.upsertKey,
     SinkOps.feedFile,
     Scd2.scd2Merge,
+    Scd2.cdcApply,
     Introspect.jsonImage,
     Introspect.schemaProbe,
     Introspect.profile,

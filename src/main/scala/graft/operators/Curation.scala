@@ -50,6 +50,58 @@ object Curation {
       .select(col("doc_id"), col("lang"), bucket.as("bucket"))
   }
 
+  /** Per-class sample size for [[balancedSample]]. */
+  val BalancedK = 50
+
+  /** Class-balanced deterministic subsample: exactly k docs per
+    * language, chosen by hash lottery — the rebalancing pass that gives
+    * a low-resource language the same weight as English in an eval set
+    * or a seed corpus. The lottery ticket is the full-resolution
+    * multiplicative hash of doc_id (not [[idBucket]]'s percent — ties
+    * would make rank k ambiguous), ordered (lot, doc_id) so rank is
+    * total and engine-identical.
+    *
+    * Two-phase at scale: ranking n docs per class to keep k would
+    * shuffle and sort the whole corpus on `lang` (and the big-class
+    * partitions are exactly the skewed ones). Instead each class's
+    * exact count (one map-combinable aggregate, broadcast back) derives
+    * a lot threshold at 4k/n — a 4× overselection — so the rank window
+    * runs over ~4k survivors per class, not n. The survivor gate is a
+    * map-side filter. Shortfall needs the class's k-th smallest lot to
+    * exceed 4× its uniform expectation: probability e^-Θ(k) under the
+    * hash's spread, and deterministic + engine-identical if it ever
+    * happened (both engines replay the same arithmetic — the oracle
+    * cannot diverge; the spec pins exactly-k on the corpus). */
+  val balancedSample: Op = Op(
+    "q_balanced_sample",
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |    ((doc_id % 1000000007) * 2654435761) % 1000000007 AS lot
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang, COUNT(*) AS n FROM h GROUP BY 1
+       |), f AS (
+       |  SELECT h.doc_id, h.lang, h.lot FROM h JOIN c USING (lang)
+       |  WHERE h.lot < LEAST(1000000007, ${4L * BalancedK * 1000000007L} // c.n)
+       |)
+       |SELECT doc_id, lang, lot, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+       |    ORDER BY lot, doc_id) AS rk
+       |  FROM f) WHERE rk <= $BalancedK""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val lot = ((col("doc_id") % 1000000007L) * 2654435761L) % 1000000007L
+    val h = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), lot.as("lot"))
+    val counts = h.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    h.join(broadcast(counts), Seq("lang"))
+      .filter(col("lot") < least(lit(1000000007L),
+        expr(s"${4L * BalancedK * 1000000007L} div n")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("lot"), col("doc_id"))))
+      .filter(col("rk") <= BalancedK)
+      .select(col("doc_id"), col("lang"), col("lot"), col("rk"))
+  }
+
   /** Leakage-safe train/test split: the split key is the SOURCE (think
     * web domain), not the document — near-duplicates cluster within a
     * source, so splitting per-document would leak eval text into

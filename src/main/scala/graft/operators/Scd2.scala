@@ -81,4 +81,53 @@ object Scd2 {
       .select(col("c_custkey"), col("segment"), col("valid_from"),
         col("valid_to"), col("valid_to").isNull.as("is_current"))
   }
+
+  /** CDC changelog compaction — the other direction from [[merge]]:
+    * given a keyed op log (Debezium feed, Kafka compacted topic, Delta
+    * change-data feed), materialize latest table STATE. Last op per key
+    * by (ts, event_id) wins; a tombstone op deletes the key. The events
+    * table plays the changelog: `error` is the tombstone (account
+    * erasure), everything else upserts `value`.
+    *
+    * Shape at scale: ONE hash aggregate keyed on the business key —
+    * `max(struct(ts, event_id, op, value))` compacts each key
+    * map-side, so the shuffle carries one partial row per key per
+    * mapper, never the log (the Kafka log-compaction shape; a 100 TB/day
+    * feed reduces to |keys| rows in flight). No window, no sort, no
+    * self-join — the ROW_NUMBER formulation the oracle uses would sort
+    * every key's history instead. Tombstones filter AFTER the aggregate:
+    * a key deleted then re-inserted keeps the re-insert (last op wins),
+    * matching MERGE semantics exactly. */
+  val cdcApply: Op = Op(
+    "q_cdc_apply",
+    """WITH last AS (
+      |  SELECT user_id, event_type, value,
+      |    CAST(epoch_us(ts) AS BIGINT) AS last_us,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+      |  FROM events
+      |)
+      |SELECT user_id, value AS last_value, last_us, n_ops
+      |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin) {
+    (spark, dir) =>
+    cdcState(Tables.events(spark, dir)
+      .select(col("user_id").as("key"), col("event_type").as("op"),
+        col("value"), unix_micros(col("ts")).as("us"), col("event_id")),
+      tombstone = "error")
+      .select(col("key").as("user_id"), col("last_value"),
+        col("last_us"), col("n_ops"))
+  }
+
+  /** [[cdcApply]] kernel over (key, op, value, us, event_id) rows:
+    * latest state per key, tombstoned keys dropped. */
+  def cdcState(log: DataFrame, tombstone: String): DataFrame =
+    log.groupBy(col("key"))
+      .agg(
+        max(struct(col("us"), col("event_id"), col("op"), col("value")))
+          .as("last"),
+        count(lit(1)).as("n_ops"))
+      .filter(col("last.op") =!= tombstone)
+      .select(col("key"), col("last.value").as("last_value"),
+        col("last.us").as("last_us"), col("n_ops"))
 }

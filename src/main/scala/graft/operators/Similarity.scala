@@ -514,6 +514,76 @@ object Similarity {
         array_max(col("qv")).as("q_max"),
         size(filter(col("qv"), x => abs(x) === 127)).as("n_sat"))
 
+  /** Product-quantization coding (Jégou et al., TPAMI 2011 — the
+    * workhorse of billion-scale ANN): split each 64-dim vector into
+    * M=8 subspaces of 8 dims, encode every subvector as the index of
+    * its nearest codebook centroid (C=16 ⇒ 4-bit codes). A vector
+    * compresses to 8 nibbles packed in ONE int64 — 64× smaller than
+    * float32×64 — and ADC search later scans codes against a per-query
+    * 8×16 lookup table instead of touching raw vectors.
+    *
+    * Everything stays exact int64: subvector L2² distances on the
+    * ×10⁶-quantized grid (diff² ≤ 4·10¹⁴, ×8 dims ≤ 3.2·10¹⁵), and the
+    * argmin-with-tiebreak is MIN over the single integer key
+    * `d2·16 + cid` (distance first, smallest centroid id on ties) —
+    * the same pack-the-ordering-into-one-integer trick as the simhash
+    * lanes, and what keeps the op DuckDB-oracle-able bit-for-bit.
+    *
+    * Scale shape: the codebook (16 rows) BROADCASTS; the ×8 subspace
+    * explode is map-local; the only shuffles are the two keyed
+    * reductions on (vec_id, m) and vec_id — both map-combinable, both
+    * carrying ≤ 8 rows per vector, never the raw corpus. Codebook
+    * TRAINING is orthogonal (swap any k-means codebook in for the
+    * seed rows); this op pins the coding kernel + distortion
+    * accounting. */
+  val annPq: Op = Op(
+    "q_ann_pq",
+    s"""WITH q AS (
+       |  SELECT vec_id, $QuantSql AS v FROM embeddings
+       |), seeds AS (
+       |  SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 16
+       |), d AS (
+       |  SELECT q.vec_id, t.m, s.cid,
+       |    list_sum(list_transform(range(1, 9),
+       |      j -> (q.v[8*t.m + j] - s.cv[8*t.m + j])
+       |         * (q.v[8*t.m + j] - s.cv[8*t.m + j]))) AS d2
+       |  FROM q, unnest(range(0, 8)) AS t(m), seeds s
+       |), best AS (
+       |  SELECT vec_id, m, MIN(d2 * 16 + cid) AS k FROM d GROUP BY 1, 2
+       |)
+       |SELECT vec_id,
+       |  CAST(SUM((k % 16) * (CAST(1 AS BIGINT) << CAST(4 * m AS INTEGER))) AS BIGINT) AS pq_code,
+       |  CAST(SUM(k // 16) AS BIGINT) AS distortion
+       |FROM best GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+    pqCodes(q, q.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
+  }
+
+  /** [[annPq]] coding kernel: (vec_id, v) × codebook (cid, cv) →
+    * (vec_id, pq_code, distortion). M=8 subspaces × 8 dims hardcoded
+    * to the corpus's 64-dim layout; codebook ≤ 16 rows (4-bit codes). */
+  def pqCodes(q: DataFrame, codebook: DataFrame): DataFrame = {
+    val subs = q.select(col("vec_id"), col("v"),
+      explode(sequence(lit(0), lit(7))).as("m"))
+    val d2 = aggregate(
+      zip_with(
+        slice(col("v"), col("m") * 8 + 1, lit(8)),
+        slice(col("cv"), col("m") * 8 + 1, lit(8)),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    subs.join(broadcast(codebook))
+      .select(col("vec_id"), col("m"), col("cid"), d2.as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("d2") * 16 + col("cid")).as("k"))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(expr("(k % 16) * shiftleft(cast(1 as bigint), cast(4 * m as int))"))
+          .as("pq_code"),
+        sum(expr("k div 16")).as("distortion"))
+  }
+
   /** 127/max|x| (0 for the all-zero vector, which quantizes to zeros). */
   def int8Scale(emb: Column): Column = {
     val m = array_max(transform(emb, x => abs(x)))

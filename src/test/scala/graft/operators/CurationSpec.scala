@@ -110,4 +110,27 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), "no all-pairs fallback")
   }
+
+  test("balanced sample: overselect gate loses nothing vs the plain full rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val got = Curation.balancedSample.build(spark, sf001)
+    // brute force: rank EVERY doc per lang on the same lottery, no gate
+    val lot = (($"doc_id" % 1000000007L) * 2654435761L) % 1000000007L
+    val want = graft.Tables.documents(spark, sf001)
+      .select($"doc_id", $"lang", lot.as("lot"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number.over(
+        Window.partitionBy($"lang").orderBy($"lot", $"doc_id")))
+      .filter($"rk" <= Curation.BalancedK)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "two-phase sample must equal the full per-class rank")
+    // every class is filled to min(k, class size)
+    val sizes = graft.Tables.documents(spark, sf001)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val kept = got.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (lang, n) =>
+      assert(kept.getOrElse(lang, 0L) == math.min(Curation.BalancedK.toLong, n),
+        s"class $lang: kept ${kept.get(lang)} of $n")
+    }
+  }
 }

@@ -228,6 +228,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(s.getLong(3) > 0)
   }
 
+  test("PQ coding: seed vectors code to themselves with zero distortion") {
+    val out = Similarity.annPq.build(spark, sf001)
+      .select($"vec_id", $"pq_code", $"distortion")
+      .as[(Long, Long, Long)].collect()
+    val all = graft.Tables.embeddings(spark, sf001).count()
+    assert(out.length == all, "every vector gets a code")
+    out.foreach { case (id, code, dist) =>
+      assert(dist >= 0L)
+      // all 8 nibbles in [0, 16)
+      (0 until 8).foreach(m => assert(((code >> (4 * m)) & 0xfL) < 16))
+      if (id < 16) {
+        // a codebook row's nearest centroid in EVERY subspace is itself
+        assert(dist == 0L, s"seed $id distortion $dist")
+        assert(code == id * 0x11111111L, s"seed $id code ${code.toHexString}")
+      }
+    }
+  }
+
   test("exact dedup groups normalized copies") {
     val docs = Seq(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "other text")

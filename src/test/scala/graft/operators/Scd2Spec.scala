@@ -57,4 +57,35 @@ class Scd2Spec extends SparkSpec {
       .as[(Option[String], Option[String])].collect().toSet
     assert(r2 === Set((Some("B"), Some("2024-02-01")), (None, None)))
   }
+
+  test("cdc compaction: last op wins, tombstone deletes, delete-then-reinsert survives") {
+    // (key, op, value, us, event_id)
+    val log = Seq(
+      (1L, "upsert", 10.0, 100L, 1L),   // key 1: upsert, upsert, DELETE
+      (1L, "upsert", 20.0, 200L, 2L),
+      (1L, "del",    0.0,  300L, 3L),
+      (2L, "del",    0.0,  100L, 4L),   // key 2: delete THEN re-insert
+      (2L, "upsert", 42.0, 200L, 5L),
+      (3L, "upsert", 7.0,  100L, 6L),   // key 3: same us, event_id breaks tie
+      (3L, "upsert", 8.0,  100L, 7L)
+    ).toDF("key", "op", "value", "us", "event_id")
+    val got = Scd2.cdcState(log, tombstone = "del")
+      .select($"key", $"last_value", $"last_us", $"n_ops")
+      .as[(Long, Double, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(1L), "tombstoned key must be absent")
+    assert(got(2L) === ((2L, 42.0, 200L, 2L)))
+    assert(got(3L) === ((3L, 8.0, 100L, 2L)))
+  }
+
+  test("cdc compaction is idempotent: re-applying the same log changes nothing") {
+    val events = graft.Tables.events(spark, sf001)
+      .select($"user_id".as("key"), $"event_type".as("op"),
+        $"value", unix_micros($"ts").as("us"), $"event_id")
+    val once = Scd2.cdcState(events, "error")
+    val twice = Scd2.cdcState(events.union(events), "error")
+      .withColumn("n_ops", ($"n_ops" / 2).cast("long"))  // doubled log doubles only the tally
+    assert(once.count() > 0)
+    assert(once.exceptAll(twice.select(once.columns.map(col): _*)).isEmpty
+      && twice.select(once.columns.map(col): _*).exceptAll(once).isEmpty)
+  }
 }
