@@ -268,27 +268,38 @@ object TextOps {
     bigramNoveltyOf(Tables.documents(spark, dir))
   }
 
-  /** [[bigramNovelty]] kernel over any (doc_id, text) frame. */
+  /** [[bigramNovelty]] kernel over any (doc_id, text) frame.
+    *
+    * `explode_outer` (not `explode`) keeps a null marker row for docs
+    * with < 2 tokens, so zero-bigram docs come out of the SAME per-doc
+    * aggregate with (0, 0, false) — no re-join against the corpus to
+    * restore them (an earlier draft paid a second documents scan and a
+    * doc-keyed join for exactly that). Null bigram keys never match the
+    * frequent set, and `count(w1)` counts only real bigrams. */
   def bigramNoveltyOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val b = docBigrams(docs)
-    val frequent = b.groupBy(col("w1"), col("w2"))
+    val w = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+    val bigrams = zip_with(
+      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val b = docs.select(col("doc_id"), explode_outer(bigrams).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val frequent = b.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= RareBelow)
       .select(col("w1"), col("w2"), lit(1).as("is_freq"))
-    val perDoc = b
-      .join(broadcast(frequent), Seq("w1", "w2"), "left")
+    b.join(broadcast(frequent), Seq("w1", "w2"), "left")
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(when(col("is_freq").isNull, 1L).otherwise(0L)).as("n_rare"))
-    docs.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+        count(col("w1")).as("n_bigrams"),
+        sum(when(col("w1").isNotNull && col("is_freq").isNull, 1L)
+          .otherwise(0L)).as("n_rare"))
       .select(
         col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
-        coalesce(col("n_rare") * 20 > col("n_bigrams"), lit(false))
-          .as("novelty_flag"))
+        col("n_bigrams"),
+        col("n_rare"),
+        (col("n_rare") * 20 > col("n_bigrams")).as("novelty_flag"))
   }
 }
