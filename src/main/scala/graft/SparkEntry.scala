@@ -59,6 +59,7 @@ object SparkEntry {
     Similarity.embedOutlier,
     Similarity.quantizeInt8,
     Similarity.annPq,
+    Similarity.pqAdc,
     Windows.tumblingWindow,
     Windows.sessionizeBatch,
     Windows.movingAgg,

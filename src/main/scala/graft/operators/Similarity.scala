@@ -561,27 +561,118 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv")))
   }
 
+  /** Subspace L2² on the quantized grid: dims [8m+1, 8m+8] of `a` vs
+    * `b` — exact int64 (diff² ≤ 4·10¹⁴, ×8 ≤ 3.2·10¹⁵). */
+  def subDist2(a: Column, b: Column, m: Column): Column =
+    aggregate(
+      zip_with(
+        slice(a, m * 8 + 1, lit(8)),
+        slice(b, m * 8 + 1, lit(8)),
+        (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** PQ assignment stage: (vec_id, m, k) where k = d2·16 + cid packs
+    * (distance, winning centroid) per subspace. */
+  def pqAssign(q: DataFrame, codebook: DataFrame): DataFrame =
+    q.select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(7))).as("m"))
+      .join(broadcast(codebook))
+      .select(col("vec_id"), col("m"), col("cid"),
+        subDist2(col("v"), col("cv"), col("m")).as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("d2") * 16 + col("cid")).as("k"))
+
   /** [[annPq]] coding kernel: (vec_id, v) × codebook (cid, cv) →
     * (vec_id, pq_code, distortion). M=8 subspaces × 8 dims hardcoded
     * to the corpus's 64-dim layout; codebook ≤ 16 rows (4-bit codes). */
-  def pqCodes(q: DataFrame, codebook: DataFrame): DataFrame = {
-    val subs = q.select(col("vec_id"), col("v"),
-      explode(sequence(lit(0), lit(7))).as("m"))
-    val d2 = aggregate(
-      zip_with(
-        slice(col("v"), col("m") * 8 + 1, lit(8)),
-        slice(col("cv"), col("m") * 8 + 1, lit(8)),
-        (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-    subs.join(broadcast(codebook))
-      .select(col("vec_id"), col("m"), col("cid"), d2.as("d2"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(col("d2") * 16 + col("cid")).as("k"))
+  def pqCodes(q: DataFrame, codebook: DataFrame): DataFrame =
+    pqAssign(q, codebook)
       .groupBy(col("vec_id"))
       .agg(
         sum(expr("(k % 16) * shiftleft(cast(1 as bigint), cast(4 * m as int))"))
           .as("pq_code"),
         sum(expr("k div 16")).as("distortion"))
+
+  /** ADC (asymmetric distance computation) search over the PQ codes —
+    * how a PQ index is actually queried at scale: the query stays
+    * uncompressed, a per-query 8×16 lookup table of subspace distances
+    * to every centroid is built ONCE (8·16 = 128 integers per query),
+    * and each candidate's approximate L2² is just 8 LUT reads summed —
+    * the code scan never touches raw vectors. Top-k per query by
+    * (adc, c_id), self-match excluded.
+    *
+    * Scale shape: the LUT (queries × 8 × 16 rows) BROADCASTS — the
+    * candidate-side code table never shuffles on content; the only
+    * code-scaled exchange carries (q_id, c_id) partial sums (8 rows
+    * pre-combine per pair), then the per-query top-k window rides the
+    * rank-limit pushdown (WindowGroupLimit). Exact by construction on
+    * the integer grid, so the DuckDB oracle reproduces it bit-for-bit.
+    *
+    * Quality note (measured in DedupSimilaritySpec): for a candidate
+    * that IS a codebook row the ADC distance equals the exact
+    * quantized L2² — the distortion the approximation adds is exactly
+    * the candidate-side assignment error, never the query side's. */
+  val pqAdc: Op = Op(
+    "q_pq_adc",
+    s"""WITH q AS (
+       |  SELECT vec_id, $QuantSql AS v FROM embeddings
+       |), seeds AS (
+       |  SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 16
+       |), d AS (
+       |  SELECT q.vec_id, t.m, s.cid,
+       |    list_sum(list_transform(range(1, 9),
+       |      j -> (q.v[8*t.m + j] - s.cv[8*t.m + j])
+       |         * (q.v[8*t.m + j] - s.cv[8*t.m + j]))) AS d2
+       |  FROM q, unnest(range(0, 8)) AS t(m), seeds s
+       |), best AS (
+       |  SELECT vec_id, m, MIN(d2 * 16 + cid) AS k FROM d GROUP BY 1, 2
+       |), codes AS (
+       |  SELECT vec_id, m, k % 16 AS cid FROM best
+       |), qs AS (
+       |  SELECT vec_id AS q_id, v AS qv FROM q WHERE vec_id < 10
+       |), lut AS (
+       |  SELECT qs.q_id, t.m, s.cid,
+       |    list_sum(list_transform(range(1, 9),
+       |      j -> (qs.qv[8*t.m + j] - s.cv[8*t.m + j])
+       |         * (qs.qv[8*t.m + j] - s.cv[8*t.m + j]))) AS d2
+       |  FROM qs, unnest(range(0, 8)) AS t(m), seeds s
+       |), adc AS (
+       |  SELECT lut.q_id, codes.vec_id AS c_id, CAST(SUM(lut.d2) AS BIGINT) AS adc
+       |  FROM codes JOIN lut ON codes.m = lut.m AND codes.cid = lut.cid
+       |  WHERE codes.vec_id <> lut.q_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT q_id, c_id, adc, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rk
+       |  FROM adc) WHERE rk <= 5""".stripMargin) { (spark, dir) =>
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+    val codebook = q.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    adcScores(q, codebook, q.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("c_id"), col("adc"), col("rk"))
+  }
+
+  /** [[pqAdc]] kernel minus the top-k cut: every (q_id, candidate)
+    * ADC distance, self excluded. */
+  def adcScores(q: DataFrame, codebook: DataFrame, queries: DataFrame)
+      : DataFrame = {
+    val codes = pqAssign(q, codebook)
+      .select(col("vec_id"), col("m"), expr("k % 16").as("cid"))
+    val lut = queries
+      .select(col("q_id"), col("qv"), explode(sequence(lit(0), lit(7))).as("m"))
+      .join(broadcast(codebook))
+      .select(col("q_id"), col("m"), col("cid"),
+        subDist2(col("qv"), col("cv"), col("m")).as("d2"))
+    codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc"))
   }
 
   /** 127/max|x| (0 for the all-zero vector, which quantizes to zeros). */

@@ -246,6 +246,63 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ADC distance to a codebook row equals the exact quantized L2²") {
+    val q = graft.Tables.embeddings(spark, sf001)
+      .select($"vec_id", Similarity.quantize($"embedding").as("v"))
+    val codebook = q.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val queries = q.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val adc = Similarity.adcScores(q, codebook, queries)
+      .filter($"vec_id" < 16) // candidates that ARE codebook rows
+    // exact quantized L2²(q, c) = qn + cn - 2·dot
+    val exact = queries
+      .withColumn("qn", Similarity.inorm2(spark, $"qv"))
+      .crossJoin(codebook.withColumn("cn", Similarity.inorm2(spark, $"cv")))
+      .filter($"q_id" =!= $"cid")
+      .select($"q_id", $"cid".as("vec_id"),
+        ($"qn" + $"cn" - Similarity.idot(spark, $"qv", $"cv") * 2).as("l2"))
+    val joined = adc.join(exact, Seq("q_id", "vec_id"))
+      .select($"adc", $"l2").as[(Long, Long)].collect()
+    assert(joined.length == 10 * 15) // 10 queries × (16 − their own row)
+    joined.foreach { case (a, e) => assert(a == e, s"adc $a != exact $e") }
+  }
+
+  test("ADC top-5 recall vs exact quantized-L2 brute force (measured floor)") {
+    val q = graft.Tables.embeddings(spark, sf001)
+      .select($"vec_id", Similarity.quantize($"embedding").as("v"))
+    val codebook = q.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val queries = q.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val adcTop = Similarity.adcScores(q, codebook, queries)
+      .withColumn("rk", org.apache.spark.sql.functions.row_number.over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"q_id").orderBy($"adc", $"vec_id")))
+      .filter($"rk" <= 5).select($"q_id", $"vec_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val exactTop = queries
+      .withColumn("qn", Similarity.inorm2(spark, $"qv"))
+      .crossJoin(q.withColumn("cn", Similarity.inorm2(spark, $"v")))
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id",
+        ($"qn" + $"cn" - Similarity.idot(spark, $"qv", $"v") * 2).as("l2"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number.over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"q_id").orderBy($"l2", $"vec_id")))
+      .filter($"rk" <= 5).select($"q_id", $"vec_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = exactTop.map { case (qid, want) =>
+      adcTop.getOrElse(qid, Set.empty).intersect(want).size / 5.0 }.toSeq
+    val mean = recalls.sum / recalls.size
+    info(f"mean ADC top-5 recall vs exact L2: $mean%.2f")
+    // 16 seed centroids on 64-dim N(0,1) data is a COARSE codebook; the
+    // point of the assertion is "the index ranks far better than
+    // chance" (chance ≈ 5/N ≈ 0.01), not production recall — a trained
+    // codebook (more centroids, k-means) is the orthogonal quality knob.
+    assert(mean >= 0.2, f"mean recall $mean%.2f below floor")
+  }
+
   test("exact dedup groups normalized copies") {
     val docs = Seq(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "other text")
