@@ -21,6 +21,7 @@ object SparkEntry {
     Revalue.unionTagged,
     Feeds.feedExport,
     Analytics.starJoin,
+    Analytics.semiJoin,
     Analytics.topKPerGroup,
     Analytics.jsonExtract,
     Analytics.funnel,

@@ -272,6 +272,32 @@ object Analytics {
           (lit(100) - centsOf(col("l_discount")))).as("revenue_units"))
   }
 
+  /** Semi join — the EXISTS shape (customers with ≥1 urgent order),
+    * completing the join-type matrix next to [[Normalize.antiJoin]]'s
+    * NOT EXISTS. A LeftSemi join is strictly cheaper than the
+    * inner-join-then-DISTINCT a naive rewrite pays: the build side
+    * stores keys only (no payload), probes short-circuit on first
+    * match, and no post-join dedup shuffle exists. The probe-side
+    * filter (`o_orderpriority = '1-URGENT'`) prunes the build input at
+    * its scan; at 100 TB the urgent-orders key set broadcasts or, past
+    * that, the semi join shuffles exactly once on the key — plan-gated
+    * in PlanQualitySpec. */
+  val semiJoin: Op = Op(
+    "q_semi_join",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')""".stripMargin) {
+    (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
   /** Top-k per group (generalizes W1/O3 from k=1): top 3 parts by revenue
     * within each brand, rank order totalized by partkey so ties are
     * deterministic. The pre-aggregation shrinks the window input from

@@ -47,6 +47,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts:\n$p")
   }
 
+  test("semi join plans LeftSemi with no post-join distinct") {
+    val p = plan(Analytics.semiJoin)
+    assert(p.contains("LeftSemi"), s"expected a LeftSemi join in:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"a semi join needs no dedup aggregate:\n$p")
+  }
+
   test("best-of-day is a hash aggregate with map-side partial combine") {
     val p = plan(Pricing.bestOfDay)
     assert(!p.contains("Window"), "top-1 should not need a window sort")
