@@ -66,6 +66,7 @@ object SparkEntry {
     Windows.movingAgg,
     Windows.timeRangeWindow,
     Windows.rollingActiveUsers,
+    Windows.gapFill,
     AsOf.asofJoin,
     AsOf.rangeJoin,
     SetPivot.intersectExcept,

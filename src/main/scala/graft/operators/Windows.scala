@@ -200,4 +200,59 @@ object Windows {
       .select(col("user_id"), expr("date_add(day, i)").as("report_day"))
       .groupBy(col("report_day"))
       .agg(countDistinct(col("user_id")).as("active_7d"))
+
+  /** Time-series densification + forward fill — the feature-store
+    * resampling primitive: a per-user daily value series has holes on
+    * inactive days; training features need a dense grid with
+    * last-known-value carry-forward (the batch twin of the as-of
+    * join's carry semantics, but GENERATING the missing rows instead
+    * of aligning two existing tables).
+    *
+    * Shape at scale: the day grid explodes from the per-user span
+    * AGGREGATE (|users| rows), never from raw events — grid size is
+    * |users| × span-days regardless of event volume; the carry is one
+    * `last(ignoreNulls)` running frame over the grid, partitioned by
+    * user (same single shuffle the grid join already needs, and AQE
+    * co-plans them). Cents stay integer end-to-end — a DOUBLE daily
+    * sum would be reduction-order-dependent and break the oracle.
+    *
+    * Each user's grid spans their OWN [min, max] day (not the corpus
+    * span): a user first seen in March must not fabricate January
+    * rows, and the first grid day always has data, so the fill never
+    * emits null. */
+  val gapFill: Op = Op(
+    "q_gap_fill",
+    """WITH d AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY 1
+      |), grid AS (
+      |  SELECT span.user_id, CAST(u.day AS DATE) AS day
+      |  FROM span, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(day)
+      |), j AS (
+      |  SELECT g.user_id, g.day, d.cents
+      |  FROM grid g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day
+      |)
+      |SELECT user_id, day,
+      |  last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS cents_filled,
+      |  cents IS NULL AS is_gap
+      |FROM j""".stripMargin) { (spark, dir) =>
+    val d = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(centsOf(col("value"))).as("cents"))
+    val grid = d.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(d, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("cents"), ignoreNulls = true).over(w).as("cents_filled"),
+        col("cents").isNull.as("is_gap"))
+  }
 }

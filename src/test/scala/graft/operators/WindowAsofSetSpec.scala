@@ -116,4 +116,34 @@ class WindowAsofSetSpec extends SparkSpec {
         s"sketch drifted beyond 5% for ${r.getAs[String]("event_type")}")
     }
   }
+
+  test("gap fill: dense per-user grid, carry-forward, own span only") {
+    val out = Windows.gapFill.build(spark, sf001)
+      .select($"user_id", $"day".cast("string"), $"cents_filled", $"is_gap")
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    // never a null fill (each user's grid starts on a data day)
+    // and per user: grid is contiguous, first day is not a gap
+    out.groupBy(_._1).foreach { case (u, rows) =>
+      val days = rows.map(_._2).sorted
+      val d0 = java.time.LocalDate.parse(days.head)
+      days.zipWithIndex.foreach { case (d, i) =>
+        assert(java.time.LocalDate.parse(d) == d0.plusDays(i.toLong),
+          s"user $u grid not dense at $d")
+      }
+      assert(!rows.minBy(_._2)._4, s"user $u first grid day marked gap")
+    }
+    // a gap row carries exactly the previous non-gap value
+    val byUser = out.groupBy(_._1)
+    val checked = byUser.values.flatMap { rows =>
+      val sorted = rows.sortBy(_._2)
+      sorted.sliding(2).collect {
+        case Array(prev, cur) if cur._4 => (prev._3, cur._3)
+      }
+    }
+    assert(checked.nonEmpty, "expected at least one gap day at sf0.001")
+    checked.foreach { case (prev, cur) =>
+      assert(cur == prev, "gap must carry the previous filled value")
+    }
+  }
 }
