@@ -495,11 +495,9 @@ object Curation {
        |         AND q.doc_id NOT IN (SELECT doc_id FROM cont) AS kept
        |FROM q JOIN repx ON q.doc_id = repx.doc_id""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"),
-      bpeishTokenCount(col("text")).as("n_tokens"))
-    val thr = toks.agg(expr("percentile(n_tokens, 0.25)").as("p25"))
-    val quality = toks.crossJoin(broadcast(thr))
-      .select(col("doc_id"), (col("n_tokens") >= col("p25")).as("quality_pass"))
+    // quality tokens + repetition ratio in ONE map pass over the text
+    // (they were two separate documents scans; the tokenizing regexes
+    // dominate these passes' CPU, so fusing them halves that cost)
     val nWords = size(split(lower(trim(col("text"))), "\\s+"))
     val total3 = greatest(nWords - 2, lit(0)).cast("long")
     val distinct3 = when(nWords >= 3,
@@ -507,14 +505,18 @@ object Curation {
     val ratio = when(total3 > 0,
       (total3 - distinct3).cast("double") / total3.cast("double"))
       .otherwise(lit(0.0))
-    val rep = docs.select(col("doc_id"),
+    val perDoc = docs.select(col("doc_id"),
+      bpeishTokenCount(col("text")).as("n_tokens"),
       when(total3 > 0, ratio <= 0.2).otherwise(lit(true)).as("rep_pass"))
+    val thr = perDoc.agg(expr("percentile(n_tokens, 0.25)").as("p25"))
     val losers = GraphOps.dupClusters.build(spark, dir)
       .filter(!col("is_canonical"))
       .select(col("doc_id"), lit(true).as("loser"))
     val contaminated = decontaminate.build(spark, dir)
       .select(col("doc_id"), lit(true).as("cont"))
-    quality.join(rep, Seq("doc_id"))
+    perDoc.crossJoin(broadcast(thr))
+      .select(col("doc_id"), (col("n_tokens") >= col("p25")).as("quality_pass"),
+        col("rep_pass"))
       .join(losers, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
       .select(col("doc_id"), col("quality_pass"), col("rep_pass"),
