@@ -88,19 +88,32 @@ object Curation {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
        |    ORDER BY lot, doc_id) AS rk
        |  FROM f) WHERE rk <= $BalancedK""".stripMargin) { (spark, dir) =>
+    balancedSampleOf(Tables.documents(spark, dir), BalancedK)
+  }
+
+  /** [[balancedSample]] kernel over any (doc_id, lang) frame, k per
+    * class. Kept parametric so the spec can exercise the overselect
+    * gate on a class LARGER than 4k (the corpus's classes at spec SF
+    * are all under it, which would leave the gate untested). */
+  def balancedSampleOf(docs: org.apache.spark.sql.DataFrame, k: Long)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lot = ((col("doc_id") % 1000000007L) * 2654435761L) % 1000000007L
-    val h = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), lot.as("lot"))
+    val h = docs.select(col("doc_id"), col("lang"),
+      idLot(col("doc_id")).as("lot"))
     val counts = h.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     h.join(broadcast(counts), Seq("lang"))
       .filter(col("lot") < least(lit(1000000007L),
-        expr(s"${4L * BalancedK * 1000000007L} div n")))
+        expr(s"${4L * k * 1000000007L} div n")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("lot"), col("doc_id"))))
-      .filter(col("rk") <= BalancedK)
+      .filter(col("rk") <= k)
       .select(col("doc_id"), col("lang"), col("lot"), col("rk"))
   }
+
+  /** Full-resolution deterministic lottery ticket from an id (the
+    * un-bucketed form of [[idBucket]]). */
+  def idLot(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((id % 1000000007L) * 2654435761L) % 1000000007L
 
   /** Leakage-safe train/test split: the split key is the SOURCE (think
     * web domain), not the document — near-duplicates cluster within a

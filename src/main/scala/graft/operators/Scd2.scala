@@ -97,14 +97,17 @@ object Scd2 {
     * self-join — the ROW_NUMBER formulation the oracle uses would sort
     * every key's history instead. Tombstones filter AFTER the aggregate:
     * a key deleted then re-inserted keeps the re-insert (last op wins),
-    * matching MERGE semantics exactly. */
+    * matching MERGE semantics exactly. The oracle ranks at `epoch_us`
+    * precision — DuckDB keeps the parquet nanoseconds Spark truncates
+    * (the events-table convention, Tables.events) — so both engines
+    * break any sub-µs tie the same way: by event_id. */
   val cdcApply: Op = Op(
     "q_cdc_apply",
     """WITH last AS (
       |  SELECT user_id, event_type, value,
       |    CAST(epoch_us(ts) AS BIGINT) AS last_us,
       |    ROW_NUMBER() OVER (PARTITION BY user_id
-      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
       |    COUNT(*) OVER (PARTITION BY user_id) AS n_ops
       |  FROM events
       |)

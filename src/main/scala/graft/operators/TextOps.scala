@@ -211,19 +211,25 @@ object TextOps {
       .filter(col("rk") <= k)
   }
 
-  /** (doc_id, w1, w2) word-bigram stream, built WITHOUT a per-document
-    * window shuffle: the token array zipped against its own shift-by-one
-    * inside the scan stage (see [[bigramLm]]). */
-  def docBigrams(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  /** The word-bigram array of `text`: the token array zipped against
+    * its own shift-by-one inside the scan stage — the ONE definition
+    * both the LM counts and the novelty gate tokenize with (a tokenizer
+    * tweak applied to a single consumer would silently desynchronize
+    * the rarity stats from the counts they're supposed to share). */
+  def bigramArray: org.apache.spark.sql.Column = {
     val w = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
-    val bigrams = zip_with(
+    zip_with(
       slice(w, lit(1), greatest(size(w) - 1, lit(0))),
       slice(w, lit(2), greatest(size(w) - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    docs.select(col("doc_id"), explode(bigrams).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
   }
+
+  /** (doc_id, w1, w2) word-bigram stream over [[bigramArray]], built
+    * WITHOUT a per-document window shuffle (see [[bigramLm]]). */
+  def docBigrams(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), explode(bigramArray).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
   /** A bigram is "rare" below this corpus frequency. */
   val RareBelow = 3
@@ -278,12 +284,7 @@ object TextOps {
     * frequent set, and `count(w1)` counts only real bigrams. */
   def bigramNoveltyOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val w = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
-    val bigrams = zip_with(
-      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
-      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
-      (a, b) => struct(a.as("w1"), b.as("w2")))
-    val b = docs.select(col("doc_id"), explode_outer(bigrams).as("bg"))
+    val b = docs.select(col("doc_id"), explode_outer(bigramArray).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val frequent = b.filter(col("w1").isNotNull)
       .groupBy(col("w1"), col("w2"))

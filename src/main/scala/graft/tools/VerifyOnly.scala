@@ -1,24 +1,16 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.SparkSession
-
 /** Dev harness (not part of the engine surface): graft.Verify for a
   * subset of ops — dump named queries + their oracle SQL so
   * `tools/check.py` can diff just the ops under active development:
   * `runMain graft.tools.VerifyOnly <sfDir> <outDir> <opName> [...]`.
+  * Session shape and JSON escaping are graft.Verify's own, so this
+  * harness cannot drift from what the driver runs.
   */
 object VerifyOnly {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, names @ _*) = args
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Verify.buildSession("8")
     new java.io.File(outDir).mkdirs()
     val qs = graft.SparkEntry.queries
     names.foreach { name =>
@@ -26,19 +18,9 @@ object VerifyOnly {
       fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = graft.SparkEntry.oracleSql.view
-      .filterKeys(names.contains)
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.Verify.writeOracleJson(
+      graft.SparkEntry.oracleSql.view.filterKeys(names.contains).toMap,
+      outDir)
     spark.stop()
   }
 }

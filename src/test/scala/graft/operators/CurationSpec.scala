@@ -111,20 +111,39 @@ class CurationSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), "no all-pairs fallback")
   }
 
-  test("balanced sample: overselect gate loses nothing vs the plain full rank") {
+  test("balanced sample: overselect gate ACTIVELY filters and loses nothing") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val got = Curation.balancedSample.build(spark, sf001)
-    // brute force: rank EVERY doc per lang on the same lottery, no gate
-    val lot = (($"doc_id" % 1000000007L) * 2654435761L) % 1000000007L
-    val want = graft.Tables.documents(spark, sf001)
-      .select($"doc_id", $"lang", lot.as("lot"))
+    // a class LARGER than 4k (900 ≫ 4·5 = 20), so the lot threshold is
+    // genuinely below the hash range and the gate must drop rows — the
+    // corpus classes at spec SF are all under 4k, which would leave the
+    // gate untested (it would pass every row and the test would compare
+    // an ungated rank against itself)
+    val k = 5L
+    val docs = (1 to 900).map(i => (i.toLong, "en")) ++
+      (901 to 1000).map(i => (i.toLong, "fr"))
+    val df = docs.toDF("doc_id", "lang")
+    val got = Curation.balancedSampleOf(df, k)
+    // the gate is active: survivors of the en class are a strict subset
+    val thresholdEn = 4L * k * 1000000007L / 900L
+    val enSurvivors = df.filter($"lang" === "en" &&
+      Curation.idLot($"doc_id") < thresholdEn).count()
+    assert(enSurvivors < 900, "gate must filter the large class")
+    assert(enSurvivors >= k, s"overselect shortfall: $enSurvivors < $k")
+    // and loses nothing vs the ungated full per-class rank
+    val want = df.select($"doc_id", $"lang", Curation.idLot($"doc_id").as("lot"))
       .withColumn("rk", org.apache.spark.sql.functions.row_number.over(
         Window.partitionBy($"lang").orderBy($"lot", $"doc_id")))
-      .filter($"rk" <= Curation.BalancedK)
+      .filter($"rk" <= k)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "two-phase sample must equal the full per-class rank")
-    // every class is filled to min(k, class size)
+    val kept = got.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("en" -> k, "fr" -> k))
+  }
+
+  test("balanced sample over the corpus: every class filled to min(k, n)") {
+    import spark.implicits._
+    val got = Curation.balancedSample.build(spark, sf001)
     val sizes = graft.Tables.documents(spark, sf001)
       .groupBy($"lang").count().as[(String, Long)].collect().toMap
     val kept = got.groupBy($"lang").count().as[(String, Long)].collect().toMap

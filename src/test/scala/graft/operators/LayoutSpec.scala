@@ -80,18 +80,24 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("compaction plan over orders: buckets partition the table, overflow bounded") {
-    val orders = graft.Tables.orders(spark, sf001)
-    val plan = Layout.compactionPlan.build(spark, sf001)
-      .select($"bucket", $"n_parts", $"n_rows", $"day_min", $"day_max")
+    // sf0.01, not sf0.001: the smaller set fits one bucket, which would
+    // make the dense-ids / disjoint-ranges / overflow assertions vacuous
+    val sf01 = "/root/testdata/sf0.01"
+    val orders = graft.Tables.orders(spark, sf01)
+    val plan = Layout.compactionPlan.build(spark, sf01)
+      .select($"bucket", $"n_parts", $"n_rows",
+        $"day_min".cast("string"), $"day_max".cast("string"))
       .collect().sortBy(_.getLong(0))
+    assert(plan.length > 1, "need multi-bucket structure for a real check")
     // dense bucket ids from 0
     assert(plan.map(_.getLong(0)).toSeq == plan.indices.map(_.toLong))
     // every order lands in exactly one bucket
     assert(plan.map(_.getLong(2)).sum == orders.count())
     // day ranges are disjoint and ordered across consecutive buckets
+    // (ISO strings compare in day order)
     plan.sliding(2).foreach {
       case Array(a, b) =>
-        assert(a.getDate(4).before(b.getDate(3)),
+        assert(a.getString(4) < b.getString(3),
           s"overlapping day ranges: $a / $b")
       case _ => ()
     }
