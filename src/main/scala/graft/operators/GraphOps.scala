@@ -129,4 +129,93 @@ object GraphOps {
         col("cluster_size"),
         (col("node") === col("lbl")).as("is_canonical"))
   }
+
+  /** Triangle counting over the co-purchase graph (parts sharing ≥2
+    * orders) — the graph-analytics kernel one step past connected
+    * components: triangle density drives clustering coefficient,
+    * community strength, and spam detection in recommendation graphs.
+    *
+    * The scale device is DEGREE-ORDERED ORIENTATION (Chiba–Nishizeki;
+    * Schank–Wagner's node-iterator++, and what GraphX/Giraph implement):
+    * orient every undirected edge from its lower-(degree, id) endpoint
+    * to the higher, so each triangle is generated EXACTLY ONCE — by its
+    * minimum-degree corner — and a hub of degree d generates wedges
+    * from its (short) out-list, never its full d² neighbor pairs: total
+    * wedge work is O(m^1.5) instead of Σd². The wedge set then
+    * semi-joins the oriented edge list. The oracle counts the same
+    * triangles via id-ordered 3-way self-join — orientation changes the
+    * generation order, never the count.
+    *
+    * Pair generation never self-joins the fact table: per-order part
+    * sets aggregate once (baskets are small), pairs explode map-locally
+    * from each sorted basket, and the (a, b) count is map-combinable. */
+  val triangleCount: Op = Op(
+    "q_triangle_count",
+    """WITH p AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), e AS (
+      |  SELECT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM p a JOIN p b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |), t AS (
+      |  SELECT COUNT(*) AS c FROM e e1
+      |  JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+      |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+      |)
+      |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+      |       CAST(t.c AS BIGINT) AS n_triangles
+      |FROM t""".stripMargin) { (spark, dir) =>
+    val baskets = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    // pairs from each sorted basket, map-local (baskets are tiny)
+    val pairCol = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + 2, size(col("ps"))),
+        y => struct(x.as("a"), y.as("b")))))
+    val edges = baskets
+      .select(explode(pairCol).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("a"), col("b"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    trianglesOf(edges)
+      .agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(nEdges)
+      .select(col("n_edges"), col("n_triangles"))
+  }
+
+  /** One row per triangle of the undirected edge frame (a, b) — corners
+    * keyed by the degree-orientation total order. */
+  def trianglesOf(edges: DataFrame): DataFrame = {
+    // total order: (degree, id) packed into one integer key
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    def key(d: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      d * 4294967296L + n
+    val keyed = edges
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(key(col("da"), col("a")).as("ka"), col("a"),
+        key(col("db"), col("b")).as("kb"), col("b"))
+    val oriented = keyed.select(
+      when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
+      when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kdst"),
+      when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"))
+    // wedges from each source's (short, by orientation) out-list
+    val wedges = oriented
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(struct(col("kdst"), col("dst")))).as("out"))
+      .select(col("src"), explode(flatten(transform(col("out"), (x, i) =>
+        transform(slice(col("out"), i + 2, size(col("out"))),
+          y => struct(x.getField("dst").as("b"), y.getField("dst").as("c")))))
+        ).as("w"))
+      .select(col("src").as("a"), col("w.b").as("b"), col("w.c").as("c"))
+    // a wedge closes iff (b -> c) is an oriented edge
+    wedges.join(oriented.select(col("src").as("b"), col("dst").as("c")),
+      Seq("b", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+  }
 }

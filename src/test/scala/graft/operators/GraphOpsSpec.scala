@@ -57,4 +57,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(crossCluster.isEmpty)
     out.unpersist()
   }
+
+  test("triangles: diamond has 2, star has 0, wheel has rim count") {
+    import spark.implicits._
+    def tri(edges: Seq[(Long, Long)]): Set[(Long, Long, Long)] =
+      GraphOps.trianglesOf(edges.toDF("a", "b"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (a, b, c) => val s = Seq(a, b, c).sorted
+          (s(0), s(1), s(2)) }.toSet
+    // K4 minus one edge: exactly the two triangles sharing the diagonal
+    assert(tri(Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))) ===
+      Set((1L, 2L, 3L), (2L, 3L, 4L)))
+    // star: hub with many leaves, no closure anywhere
+    assert(tri((2L to 9L).map(i => (1L, i))) === Set.empty)
+    // wheel: hub 0 + 5-cycle rim — one triangle per rim edge, and the
+    // hub's degree skew exercises the orientation (hub never generates
+    // its d² wedge pairs; every triangle comes from a degree-3 corner)
+    val rim = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    val wheel = rim ++ (1L to 5L).map(i => (0L, i))
+    assert(tri(wheel) === Set(
+      (0L, 1L, 2L), (0L, 2L, 3L), (0L, 3L, 4L), (0L, 4L, 5L), (0L, 1L, 5L)))
+  }
 }
