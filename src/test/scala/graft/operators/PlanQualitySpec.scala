@@ -47,6 +47,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts:\n$p")
   }
 
+  test("balanced sample rides the rank-limit pushdown, counts broadcast") {
+    val p = plan(Curation.balancedSample)
+    assert(p.contains("WindowGroupLimit"),
+      s"expected per-partition rank-limit pushdown:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"class counts should broadcast back:\n$p")
+  }
+
+  test("int8 quantization is shuffle-free map work") {
+    val p = plan(Similarity.quantizeInt8)
+    assert(!p.contains("Exchange"), s"expected zero shuffles:\n$p")
+  }
+
+  test("PQ/ADC: codebook and LUT broadcast; no code-content shuffle") {
+    for (op <- Seq(Similarity.annPq, Similarity.pqAdc)) {
+      val p = plan(op)
+      assert(p.contains("BroadcastExchange"),
+        s"${op.name}: codebook/LUT must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"${op.name}: nothing here should sort-merge:\n$p")
+    }
+  }
+
   test("semi join plans LeftSemi with no post-join distinct") {
     val p = plan(Analytics.semiJoin)
     assert(p.contains("LeftSemi"), s"expected a LeftSemi join in:\n$p")
