@@ -72,4 +72,70 @@ class PropertySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 11L), (3L, 30L)))
   }
+
+  test("triangle kernel matches the brute-force model on random graphs") {
+    // 40 random graphs on <= 12 nodes, evaluated as ONE union frame with
+    // a graph-id column so the whole property is a single Spark job
+    val graphGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(3, 12)
+      density <- Gen.choose(1, 4)
+      edges <- Gen.listOfN(n * density,
+        Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield edges.collect {
+      case (a, b) if a != b =>
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.distinct
+    val graphs = sample(graphGen, 40, 1234L)
+    def model(edges: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+      val es = edges.toSet
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      (for {
+        Seq(a, b, c) <- nodes.combinations(3)
+        if es((a, b)) && es((a, c)) && es((b, c))
+      } yield (a, b, c)).toSet
+    }
+    // one frame, graph-id offset keeps node ids disjoint across graphs
+    val all = graphs.zipWithIndex.flatMap { case (es, g) =>
+      es.map { case (a, b) => (a + g * 1000L, b + g * 1000L) }
+    }.toDF("a", "b")
+    val got = operators.GraphOps.trianglesOf(all)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, c) =>
+        val s = Seq(a, b, c).sorted; (s(0), s(1), s(2)) }
+      .groupBy(_._1 / 1000).view
+      .mapValues(_.map { case (a, b, c) =>
+        (a % 1000, b % 1000, c % 1000) }.toSet).toMap
+    graphs.zipWithIndex.foreach { case (es, g) =>
+      val want = model(es)
+      assert(got.getOrElse(g.toLong, Set.empty) === want,
+        s"graph $g (${es.size} edges): engine != model")
+    }
+  }
+
+  test("PQ assignment matches the brute-force nearest-centroid model") {
+    val q = Tables.embeddings(spark, sf001)
+      .select($"vec_id", operators.Similarity.quantize($"embedding").as("v"))
+    val codebook = q.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val cents = codebook.as[(Long, Seq[Long])].collect().sortBy(_._1)
+    val vecs = q.filter($"vec_id" < 60).as[(Long, Seq[Long])].collect()
+    def modelAssign(v: Seq[Long], m: Int): (Long, Long) = {
+      // nearest centroid in subspace m, tie -> smallest cid
+      val scored = cents.map { case (cid, cv) =>
+        val d2 = (m * 8 until m * 8 + 8)
+          .map(j => { val d = v(j) - cv(j); d * d }).sum
+        (d2, cid)
+      }
+      scored.min
+    }
+    val got = operators.Similarity.pqAssign(q.filter($"vec_id" < 60), codebook)
+      .select($"vec_id", $"m", $"k").as[(Long, Int, Long)].collect()
+      .map { case (id, m, k) => (id, m) -> ((k / 16, k % 16)) }.toMap
+    vecs.foreach { case (id, v) =>
+      (0 until 8).foreach { m =>
+        assert(got((id, m)) === modelAssign(v, m),
+          s"vec $id subspace $m: engine != model")
+      }
+    }
+  }
 }
