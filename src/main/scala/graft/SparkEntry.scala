@@ -61,6 +61,7 @@ object SparkEntry {
     Similarity.embedOutlier,
     Similarity.quantizeInt8,
     Similarity.annPq,
+    Similarity.annPqLloyd,
     Similarity.pqAdc,
     Windows.tumblingWindow,
     Windows.sessionizeBatch,

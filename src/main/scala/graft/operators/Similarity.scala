@@ -593,6 +593,123 @@ object Similarity {
           .as("pq_code"),
         sum(expr("k div 16")).as("distortion"))
 
+  /** (vec_id, m, sub8) subspace rows of the quantized vectors: the
+    * shared input of the subspace-codebook PQ paths. */
+  def pqSubspaces(q: DataFrame): DataFrame =
+    q.select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(7))).as("m"))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * 8 + 1, lit(8)).as("sub8"))
+
+  /** Assignment against a per-subspace codebook (m, cid, cv8):
+    * (vec_id, m, k) with k = d2·16 + cid (argmin + tiebreak in one
+    * integer key, as in [[pqAssign]]). */
+  def pqSubspaceAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("sub8"), col("cv8"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    subs.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cid"), d2.as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("d2") * 16 + col("cid")).as("k"))
+  }
+
+  /** PQ with the codebook refined by ONE Lloyd iteration per subspace —
+    * closing the "codebook training is the orthogonal knob" note on
+    * [[annPq]] the same way [[ivfLloydCodebook]] closed it for the
+    * coarse quantizer. Unlike IVF (cosine ⇒ scale-invariant ⇒ integer
+    * SUM centroids), PQ minimizes L2, where the mean's magnitude
+    * matters — so the refined centroid is the element-wise
+    * `floor(sum / count)`. That floor is bit-identical across engines:
+    * the quotient is at least 1/count away from any integer it isn't,
+    * vastly more than one ulp at these magnitudes, so IEEE division
+    * cannot cross the floor boundary (DuckDB's `//` on BIGINT floors
+    * the same way for both sign cases ONLY via the same float path —
+    * the oracle uses floor(CAST/CAST) too, never integer `//`, because
+    * DuckDB floors negative integer division while Spark's `div`
+    * truncates toward zero).
+    *
+    * Shape at scale: one extra pass vs [[annPq]] — the update is a
+    * (m, cid, pos)-keyed integer aggregate (≤ 8·16·8 output rows,
+    * map-combined), re-collected into 128 centroid rows and broadcast
+    * back. Cells left empty by the first assignment simply drop out of
+    * the refined codebook (deterministically, in both engines).
+    * DedupSimilaritySpec asserts the Lloyd property: total distortion
+    * strictly decreases vs the seed codebook on this corpus. */
+  val annPqLloyd: Op = Op(
+    "q_ann_pq_lloyd",
+    s"""WITH q AS (
+       |  SELECT vec_id, $QuantSql AS v FROM embeddings
+       |), subs AS (
+       |  SELECT vec_id, t.m, v[8*t.m + 1 : 8*t.m + 8] AS sub8
+       |  FROM q, unnest(range(0, 8)) AS t(m)
+       |), cb0 AS (
+       |  SELECT t.m, vec_id AS cid, v[8*t.m + 1 : 8*t.m + 8] AS cv8
+       |  FROM q, unnest(range(0, 8)) AS t(m) WHERE vec_id < 16
+       |), d0 AS (
+       |  SELECT s.vec_id, s.m, c.cid,
+       |    list_sum(list_transform(range(1, 9),
+       |      j -> (s.sub8[j] - c.cv8[j]) * (s.sub8[j] - c.cv8[j]))) AS d2
+       |  FROM subs s JOIN cb0 c ON s.m = c.m
+       |), a0 AS (
+       |  SELECT vec_id, m, MIN(d2 * 16 + cid) AS k FROM d0 GROUP BY 1, 2
+       |), members AS (
+       |  SELECT a0.m, a0.k % 16 AS cid, s.sub8
+       |  FROM a0 JOIN subs s ON a0.vec_id = s.vec_id AND a0.m = s.m
+       |), sums AS (
+       |  SELECT m, cid, t.pos,
+       |    CAST(SUM(sub8[t.pos]) AS BIGINT) AS sm,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM members, unnest(range(1, 9)) AS t(pos)
+       |  GROUP BY 1, 2, 3
+       |), cb1 AS (
+       |  SELECT m, cid,
+       |    list(CAST(floor(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+       |         ORDER BY pos) AS cv8
+       |  FROM sums GROUP BY 1, 2
+       |), d1 AS (
+       |  SELECT s.vec_id, s.m, c.cid,
+       |    list_sum(list_transform(range(1, 9),
+       |      j -> (s.sub8[j] - c.cv8[j]) * (s.sub8[j] - c.cv8[j]))) AS d2
+       |  FROM subs s JOIN cb1 c ON s.m = c.m
+       |), a1 AS (
+       |  SELECT vec_id, m, MIN(d2 * 16 + cid) AS k FROM d1 GROUP BY 1, 2
+       |)
+       |SELECT vec_id,
+       |  CAST(SUM((k % 16) * (CAST(1 AS BIGINT) << CAST(4 * m AS INTEGER))) AS BIGINT) AS pq_code,
+       |  CAST(SUM(k // 16) AS BIGINT) AS distortion
+       |FROM a1 GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+    val subs = pqSubspaces(q)
+    val cb1 = pqLloydCodebook(subs,
+      pqSubspaces(q.filter(col("vec_id") < 16))
+        .select(col("m"), col("vec_id").as("cid"), col("sub8").as("cv8")))
+    pqSubspaceAssign(subs, cb1)
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(expr("(k % 16) * shiftleft(cast(1 as bigint), cast(4 * m as int))"))
+          .as("pq_code"),
+        sum(expr("k div 16")).as("distortion"))
+  }
+
+  /** One Lloyd step on a per-subspace codebook: assign with `cb0`,
+    * recompute each (m, cid) centroid as element-wise floor-mean. */
+  def pqLloydCodebook(subs: DataFrame, cb0: DataFrame): DataFrame = {
+    val members = pqSubspaceAssign(subs, cb0)
+      .select(col("vec_id"), col("m"), expr("k % 16").as("cid"))
+      .join(subs, Seq("vec_id", "m"))
+    members
+      .select(col("m"), col("cid"), posexplode(col("sub8")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("cid"), col("pos"))
+      .agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
+      .withColumn("c",
+        floor(col("sm").cast("double") / col("n").cast("double")).cast("long"))
+      .groupBy(col("m"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("cv8"))
+  }
+
   /** ADC (asymmetric distance computation) search over the PQ codes —
     * how a PQ index is actually queried at scale: the query stays
     * uncompressed, a per-query 8×16 lookup table of subspace distances

@@ -246,6 +246,16 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ Lloyd iteration strictly decreases total distortion") {
+    def total(op: Op): Long =
+      op.build(spark, sf001).agg(sum($"distortion")).head().getLong(0)
+    val seed = total(Similarity.annPq)
+    val lloyd = total(Similarity.annPqLloyd)
+    info(s"total distortion: seed $seed -> lloyd $lloyd")
+    assert(lloyd < seed,
+      s"one Lloyd step must improve the codebook: $lloyd >= $seed")
+  }
+
   test("ADC distance to a codebook row equals the exact quantized L2²") {
     val q = graft.Tables.embeddings(spark, sf001)
       .select($"vec_id", Similarity.quantize($"embedding").as("v"))
