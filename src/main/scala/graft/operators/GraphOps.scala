@@ -174,12 +174,17 @@ object GraphOps {
     val pairCol = flatten(transform(col("ps"), (x, i) =>
       transform(slice(col("ps"), i + 2, size(col("ps"))),
         y => struct(x.as("a"), y.as("b")))))
+    // materialize once: edges feed FOUR consumers (degree count, both
+    // orientation joins, the edge tally) and each lazy reference would
+    // re-run the whole basket → pair-explode → count pipeline (measured:
+    // 27 Exchanges in the uncheckpointed plan)
     val edges = baskets
       .select(explode(pairCol).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .select(col("a"), col("b"))
+      .localCheckpoint()
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
     trianglesOf(edges)
       .agg(count(lit(1)).as("n_triangles"))
@@ -200,10 +205,12 @@ object GraphOps {
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
       .select(key(col("da"), col("a")).as("ka"), col("a"),
         key(col("db"), col("b")).as("kb"), col("b"))
+    // referenced twice (wedge generation + the closing semi-join)
     val oriented = keyed.select(
       when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
       when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kdst"),
       when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint()
     // wedges from each source's (short, by orientation) out-list
     val wedges = oriented
       .groupBy(col("src"))
