@@ -166,8 +166,11 @@ object GraphOps {
       |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
       |       CAST(t.c AS BIGINT) AS n_triangles
       |FROM t""".stripMargin) { (spark, dir) =>
+    // no .distinct() before the aggregate: collect_set already dedupes
+    // within each order (map-side partials included), and a distinct
+    // would add a second full Exchange of the fact projection
     val baskets = graft.Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
     // pairs from each sorted basket, map-local (baskets are tiny)
@@ -193,23 +196,37 @@ object GraphOps {
   }
 
   /** One row per triangle of the undirected edge frame (a, b) — corners
-    * keyed by the degree-orientation total order. */
+    * keyed by the degree-orientation total order.
+    *
+    * Lineage note: the oriented frame is `localCheckpoint`ed (it feeds
+    * wedge generation AND the closing semi-join) and, in the registered
+    * op, so is the edge frame. These blocks stay pinned until the frames
+    * are GC'd — a deliberate trade for a returned-lazily result (no
+    * release point exists before the caller consumes it); the frames are
+    * edge-list-sized, far below the corpus. A long-lived 100 TB
+    * deployment swaps in reliable `checkpoint` with directory cleanup,
+    * the same config-not-shape switch documented on the object. */
   def trianglesOf(edges: DataFrame): DataFrame = {
-    // total order: (degree, id) packed into one integer key
+    // total order: (degree, id) compared LEXICOGRAPHICALLY — never
+    // packed into one integer, which would collide for ids ≥ 2³² (this
+    // helper is generic over any edge frame, e.g. 64-bit hashed doc
+    // ids) and silently break orientation antisymmetry ⇒ lost or
+    // double-counted triangles
     val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    def key(d: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
-      d * 4294967296L + n
     val keyed = edges
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
-      .select(key(col("da"), col("a")).as("ka"), col("a"),
-        key(col("db"), col("b")).as("kb"), col("b"))
-    // referenced twice (wedge generation + the closing semi-join)
+    def ordKey(d: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      struct(d.as("d"), n.as("n"))
+    val aLower = ordKey(col("da"), col("a")) < ordKey(col("db"), col("b"))
+    // referenced twice (wedge generation + the closing semi-join);
+    // kdst = the (degree, id) order key of the edge's upper endpoint
     val oriented = keyed.select(
-      when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
-      when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kdst"),
-      when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"))
+      when(aLower, col("a")).otherwise(col("b")).as("src"),
+      when(aLower, ordKey(col("db"), col("b")))
+        .otherwise(ordKey(col("da"), col("a"))).as("kdst"),
+      when(aLower, col("b")).otherwise(col("a")).as("dst"))
       .localCheckpoint()
     // wedges from each source's (short, by orientation) out-list
     val wedges = oriented

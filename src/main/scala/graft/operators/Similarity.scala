@@ -582,16 +582,24 @@ object Similarity {
       .groupBy(col("vec_id"), col("m"))
       .agg(min(col("d2") * 16 + col("cid")).as("k"))
 
-  /** [[annPq]] coding kernel: (vec_id, v) × codebook (cid, cv) →
-    * (vec_id, pq_code, distortion). M=8 subspaces × 8 dims hardcoded
-    * to the corpus's 64-dim layout; codebook ≤ 16 rows (4-bit codes). */
-  def pqCodes(q: DataFrame, codebook: DataFrame): DataFrame =
-    pqAssign(q, codebook)
+  /** Pack per-subspace assignments (vec_id, m, k) into the final code
+    * row — THE one definition of the nibble layout, shared by the seed
+    * and Lloyd paths (two copies would let the bit packing drift from
+    * the oracle contract). `k div 16` is safe with truncating `div`
+    * because k = d2·16 + cid is non-negative by construction. */
+  def pqPack(assign: DataFrame): DataFrame =
+    assign
       .groupBy(col("vec_id"))
       .agg(
         sum(expr("(k % 16) * shiftleft(cast(1 as bigint), cast(4 * m as int))"))
           .as("pq_code"),
         sum(expr("k div 16")).as("distortion"))
+
+  /** [[annPq]] coding kernel: (vec_id, v) × codebook (cid, cv) →
+    * (vec_id, pq_code, distortion). M=8 subspaces × 8 dims hardcoded
+    * to the corpus's 64-dim layout; codebook ≤ 16 rows (4-bit codes). */
+  def pqCodes(q: DataFrame, codebook: DataFrame): DataFrame =
+    pqPack(pqAssign(q, codebook))
 
   /** (vec_id, m, sub8) subspace rows of the quantized vectors: the
     * shared input of the subspace-codebook PQ paths. */
@@ -623,11 +631,12 @@ object Similarity {
     * `floor(sum / count)`. That floor is bit-identical across engines:
     * the quotient is at least 1/count away from any integer it isn't,
     * vastly more than one ulp at these magnitudes, so IEEE division
-    * cannot cross the floor boundary (DuckDB's `//` on BIGINT floors
-    * the same way for both sign cases ONLY via the same float path —
-    * the oracle uses floor(CAST/CAST) too, never integer `//`, because
-    * DuckDB floors negative integer division while Spark's `div`
-    * truncates toward zero).
+    * cannot cross the floor boundary. The CENTROID division must go
+    * through that float path in both engines — sums go negative, and
+    * DuckDB's integer `//` floors negative quotients while Spark's
+    * `div` truncates toward zero. (The final `k // 16` distortion
+    * unpack is exempt: k = d2·16 + cid is non-negative by
+    * construction, where flooring and truncation agree.)
     *
     * Shape at scale: one extra pass vs [[annPq]] — the update is a
     * (m, cid, pos)-keyed integer aggregate (≤ 8·16·8 output rows,
@@ -685,12 +694,7 @@ object Similarity {
     val cb1 = pqLloydCodebook(subs,
       pqSubspaces(q.filter(col("vec_id") < 16))
         .select(col("m"), col("vec_id").as("cid"), col("sub8").as("cv8")))
-    pqSubspaceAssign(subs, cb1)
-      .groupBy(col("vec_id"))
-      .agg(
-        sum(expr("(k % 16) * shiftleft(cast(1 as bigint), cast(4 * m as int))"))
-          .as("pq_code"),
-        sum(expr("k div 16")).as("distortion"))
+    pqPack(pqSubspaceAssign(subs, cb1))
   }
 
   /** One Lloyd step on a per-subspace codebook: assign with `cb0`,

@@ -77,5 +77,11 @@ class GraphOpsSpec extends SparkSpec {
     val wheel = rim ++ (1L to 5L).map(i => (0L, i))
     assert(tri(wheel) === Set(
       (0L, 1L, 2L), (0L, 2L, 3L), (0L, 3L, 4L), (0L, 4L, 5L), (0L, 1L, 5L)))
+    // ids >= 2^32 (hashed doc-id scale): the (degree, id) order must be
+    // compared lexicographically — a packed d*2^32+id key would collide
+    // here and silently break orientation antisymmetry
+    val big = 1L << 33
+    val shifted = wheel.map { case (a, b) => (a + big, b + big) }
+    assert(tri(shifted).size === 5)
   }
 }
