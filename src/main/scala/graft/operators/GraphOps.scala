@@ -198,6 +198,11 @@ object GraphOps {
   /** One row per triangle of the undirected edge frame (a, b) — corners
     * keyed by the degree-orientation total order.
     *
+    * The input needs NO canonical form: duplicate edges, both
+    * orientations of the same undirected edge, and self-loops are all
+    * normalized away before counting (see the canon step below), so
+    * the count is correct over raw pair dumps, not just deduped ones.
+    *
     * Lineage note: the oriented frame is `localCheckpoint`ed (it feeds
     * wedge generation AND the closing semi-join) and, in the registered
     * op, so is the edge frame. These blocks stay pinned until the frames
@@ -207,14 +212,28 @@ object GraphOps {
     * deployment swaps in reliable `checkpoint` with directory cleanup,
     * the same config-not-shape switch documented on the object. */
   def trianglesOf(edges: DataFrame): DataFrame = {
+    // Normalize first: the helper is generic over ANY edge frame, so it
+    // cannot assume each undirected edge appears exactly once in one
+    // orientation. Duplicates or both orientations would inflate
+    // degrees and duplicate wedges (miscount); self-loops would close
+    // degenerate "triangles". least/greatest + distinct is one
+    // edge-list-sized shuffle — noise next to wedge generation — and
+    // makes the count correct for raw inputs. Callers that already
+    // canonicalized (like the registered op) pay an AQE-small dedup of
+    // an already-distinct frame.
+    val canon = edges
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
     // total order: (degree, id) compared LEXICOGRAPHICALLY — never
     // packed into one integer, which would collide for ids ≥ 2³² (this
     // helper is generic over any edge frame, e.g. 64-bit hashed doc
     // ids) and silently break orientation antisymmetry ⇒ lost or
     // double-counted triangles
-    val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val keyed = edges
+    val keyed = canon
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
     def ordKey(d: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =

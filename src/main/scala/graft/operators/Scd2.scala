@@ -123,7 +123,18 @@ object Scd2 {
   }
 
   /** [[cdcApply]] kernel over (key, op, value, us, event_id) rows:
-    * latest state per key, tombstoned keys dropped. */
+    * latest state per key, tombstoned keys dropped.
+    *
+    * PRECONDITION: `event_id` is unique per key (the events-table
+    * contract; Scd2Spec pins it on the fixture). The max-struct orders
+    * by (us, event_id) first and only then by (op, value), so when
+    * (us, event_id) truly identifies one row the payload columns never
+    * decide a winner — they ride along. If a caller ever feeds
+    * duplicate (us, event_id) pairs, the struct ordering stays
+    * DETERMINISTIC (falls through to op, then value) where the
+    * equivalent ROW_NUMBER oracle would be free to pick either row;
+    * parity therefore rests on this uniqueness, which is asserted,
+    * not assumed. */
   def cdcState(log: DataFrame, tombstone: String): DataFrame =
     log.groupBy(col("key"))
       .agg(

@@ -281,7 +281,14 @@ object TextOps {
     * aggregate with (0, 0, false) — no re-join against the corpus to
     * restore them (an earlier draft paid a second documents scan and a
     * doc-keyed join for exactly that). Null bigram keys never match the
-    * frequent set, and `count(w1)` counts only real bigrams. */
+    * frequent set, and `count(w1)` counts only real bigrams.
+    *
+    * The frequent set is corpus-derived, so its size grows with the
+    * corpus: at 100 TB the count>=RareBelow head can be far larger than
+    * any broadcast budget. No broadcast hint here on purpose — AQE
+    * sees the aggregate's actual runtime size and picks broadcast when
+    * it fits, falling back to a shuffle join when it doesn't, instead
+    * of a hinted hard driver/executor OOM. */
   def bigramNoveltyOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val b = docs.select(col("doc_id"), explode_outer(bigramArray).as("bg"))
@@ -291,7 +298,7 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= RareBelow)
       .select(col("w1"), col("w2"), lit(1).as("is_freq"))
-    b.join(broadcast(frequent), Seq("w1", "w2"), "left")
+    b.join(frequent, Seq("w1", "w2"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(col("w1")).as("n_bigrams"),

@@ -10,7 +10,11 @@ package graft.tools
 object VerifyOnly {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, names @ _*) = args
-    val spark = graft.Verify.buildSession("8")
+    // Same parallelism knob as Verify.main — cpu count changes plan
+    // shape (AQE coalescing, partition counts), so the dev harness must
+    // track the driver's session, not pin its own.
+    val spark = graft.Verify.buildSession(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     new java.io.File(outDir).mkdirs()
     val qs = graft.SparkEntry.queries
     names.foreach { name =>

@@ -84,4 +84,21 @@ class GraphOpsSpec extends SparkSpec {
     val shifted = wheel.map { case (a, b) => (a + big, b + big) }
     assert(tri(shifted).size === 5)
   }
+
+  test("triangles: raw edge dumps (dups, both orientations, self-loops) count the same") {
+    import spark.implicits._
+    def tri(edges: Seq[(Long, Long)]): Set[(Long, Long, Long)] =
+      GraphOps.trianglesOf(edges.toDF("a", "b"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (a, b, c) => val s = Seq(a, b, c).sorted
+          (s(0), s(1), s(2)) }.toSet
+    val clean = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val expected = Set((1L, 2L, 3L), (2L, 3L, 4L))
+    assert(tri(clean) === expected)
+    // every edge duplicated, some reversed, plus self-loops: degrees
+    // would inflate and wedges duplicate without the canon step
+    val raw = clean ++ clean.map(_.swap) ++ Seq((1L, 2L), (3L, 2L)) ++
+      Seq((1L, 1L), (4L, 4L))
+    assert(tri(raw) === expected)
+  }
 }

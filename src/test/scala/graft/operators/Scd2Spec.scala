@@ -77,6 +77,21 @@ class Scd2Spec extends SparkSpec {
     assert(got(3L) === ((3L, 8.0, 100L, 2L)))
   }
 
+  test("events fixture upholds cdcState's tie-break precondition: event_id unique per key") {
+    // cdcState's max(struct(us, event_id, op, value)) matches the oracle's
+    // ROW_NUMBER ... ORDER BY us DESC, event_id DESC only because
+    // (us, event_id) identifies at most one row per key. Pin that here so
+    // a fixture change that breaks it fails loudly instead of silently
+    // shifting parity onto the (op, value) tail of the struct ordering.
+    val events = graft.Tables.events(spark, sf001)
+      .select($"user_id".as("key"), $"event_id")
+    val total = events.count()
+    val distinctPairs = events.distinct().count()
+    assert(total > 0)
+    assert(distinctPairs === total,
+      s"duplicate (key, event_id) pairs: ${total - distinctPairs}")
+  }
+
   test("cdc compaction is idempotent: re-applying the same log changes nothing") {
     val events = graft.Tables.events(spark, sf001)
       .select($"user_id".as("key"), $"event_type".as("op"),
