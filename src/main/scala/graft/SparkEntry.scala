@@ -56,6 +56,7 @@ object SparkEntry {
     Dedup.fuzzyMatch,
     Similarity.annBruteForce,
     Similarity.embedNearDup,
+    Similarity.embedNearDupAnn,
     Similarity.annLsh,
     Similarity.annIvf,
     Similarity.embedOutlier,

@@ -45,6 +45,13 @@ object Similarity {
   private val QuantSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))"
 
+  /** [[quantized]] plus the label column: (vec_id, label, v, n2). */
+  def quantizedLabeled(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", inorm2(spark, col("v")))
+      .filter(col("n2") > 0)
+
   /** Quantized embeddings with positive integer norms: (vec_id, v, n2). */
   def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -161,12 +168,89 @@ object Similarity {
     * IVF-cell co-assignment (top-nprobe cells per vector), exactly
     * verified — no false positives, sub-quadratic candidates, recall<1
     * by construction at low thresholds (see [[embedNearDup]] scaladoc
-    * for the measured numbers and the geometric argument). Library API
-    * with spec coverage (subset-of-exact + recall floor), deliberately
-    * NOT the oracled op: an output that depends on probabilistic recall
-    * can't meet a hash-exact contract honestly. */
-  def embedNearDupAnn(spark: SparkSession, dir: String): DataFrame =
-    embedNearDupVia(spark, dir, allPairs = false)
+    * for the measured numbers and the geometric argument).
+    *
+    * Oracled as its OWN op — not as a drop-in for the exact kernel:
+    * every step is deterministic integer/IEEE math (seed codebook =
+    * every 50th vector; cell score = the exact quantized cosine; the
+    * top-nprobe slice totalizes ties by cent_id), so DuckDB replays
+    * the identical candidate set and the hash-exact contract holds
+    * honestly — the contract is "this canopy's verified pairs", with
+    * recall vs [[embedNearDup]] pinned separately in
+    * DedupSimilaritySpec. This is the 100 TB shape: candidates come
+    * from an equi-join on (cell, label), candidate volume is bounded
+    * by cell co-membership (sub-quadratic; pinned in
+    * DedupSimilaritySpec), and the exact kernel remains the recall
+    * reference. */
+  val embedNearDupAnn: Op = Op(
+    "q_embed_neardup_ann",
+    s"""WITH e AS (
+       |  SELECT vec_id, label, $QuantSql AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, label, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM e
+       |), nn AS (
+       |  SELECT * FROM n WHERE n2 > 0
+       |), c0 AS (
+       |  SELECT vec_id AS cent_id, v AS cv, n2 AS cn FROM nn WHERE vec_id % 50 = 0
+       |), scored AS (
+       |  SELECT a.vec_id, a.label, c.cent_id,
+       |         CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS cos
+       |  FROM nn a, c0 c
+       |), cells AS (
+       |  SELECT vec_id, label, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+       |    FROM scored) WHERE rn <= 4
+       |), cand AS (
+       |  SELECT DISTINCT a.label, a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.label = b.label AND a.vec_id < b.vec_id
+       |), pairs AS (
+       |  SELECT cand.label, cand.id_a, cand.id_b,
+       |         CAST(list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i])) AS DOUBLE)
+       |           / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS cos
+       |  FROM cand
+       |  JOIN nn x ON x.vec_id = cand.id_a
+       |  JOIN nn y ON y.vec_id = cand.id_b
+       |)
+       |SELECT label, id_a, id_b, cos FROM pairs WHERE cos >= 0.35""".stripMargin) {
+    (spark, dir) => embedNearDupVia(spark, dir, allPairs = false)
+  }
+
+  /** Cell-canopy candidate pairs of the ANN near-dup path: each vector
+    * is assigned its top-`nprobe` IVF seed cells (ties totalized by
+    * cent_id — the same order DuckDB's ROW_NUMBER produces), and a
+    * candidate is any same-label pair sharing a cell. Exposed so the
+    * sub-quadraticity of the candidate volume is measurable (and
+    * spec-pinned) independently of the verify stage. */
+
+  def cellCanopyCandidates(spark: SparkSession, e: DataFrame,
+      nprobe: Int): DataFrame = {
+    val cents = ivfSeedCodebook(e)
+    // nprobe nearest cells per vector as ONE aggregate (no window
+    // shuffle of the N×K scored rows beyond the groupBy): collect
+    // the K (small, broadcast codebook) scored cells per vector,
+    // sort by (-cos, cent_id) — same total order as annIvf — and
+    // slice the top nprobe.
+    val scored = e.join(broadcast(cents))
+      .select(col("vec_id"), col("label"),
+        struct(negate(cosine(idot(spark, col("v"), col("cv")),
+          col("n2"), col("cn"))).as("ncos"), col("cent_id").as("cell"))
+          .as("sc"))
+    val cells = scored.groupBy(col("vec_id"), col("label"))
+      .agg(slice(array_sort(collect_list(col("sc"))), 1, nprobe).as("cs"))
+      .select(col("vec_id"), col("label"),
+        explode(col("cs.cell")).as("cell"))
+    val ca = cells.alias("ca")
+    val cb = cells.alias("cb")
+    ca.join(cb,
+        col("ca.cell") === col("cb.cell") &&
+          col("ca.label") === col("cb.label") &&
+          col("ca.vec_id") < col("cb.vec_id"))
+      .select(col("ca.label").as("label"),
+        col("ca.vec_id").as("id_a"), col("cb.vec_id").as("id_b"))
+      .distinct()
+  }
 
   /** Shared body: `allPairs = true` is the exact blocked kernel (the
     * registered, oracled path); `false` is the cell-canopy candidate
@@ -174,10 +258,7 @@ object Similarity {
   def embedNearDupVia(spark: SparkSession, dir: String,
       allPairs: Boolean): DataFrame = {
     val nprobe = 4
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("v"))
-      .withColumn("n2", inorm2(spark, col("v")))
-      .filter(col("n2") > 0)
+    val e = quantizedLabeled(spark, dir)
     val candIds: DataFrame =
       if (allPairs) {
         val a = e.alias("ea")
@@ -186,32 +267,7 @@ object Similarity {
             col("ea.vec_id") < col("eb.vec_id"))
           .select(col("ea.label").as("label"),
             col("ea.vec_id").as("id_a"), col("eb.vec_id").as("id_b"))
-      } else {
-        val cents = ivfSeedCodebook(e)
-        // nprobe nearest cells per vector as ONE aggregate (no window
-        // shuffle of the N×K scored rows beyond the groupBy): collect
-        // the K (small, broadcast codebook) scored cells per vector,
-        // sort by (-cos, cent_id) — same total order as annIvf — and
-        // slice the top nprobe.
-        val scored = e.join(broadcast(cents))
-          .select(col("vec_id"), col("label"),
-            struct(negate(cosine(idot(spark, col("v"), col("cv")),
-              col("n2"), col("cn"))).as("ncos"), col("cent_id").as("cell"))
-              .as("sc"))
-        val cells = scored.groupBy(col("vec_id"), col("label"))
-          .agg(slice(array_sort(collect_list(col("sc"))), 1, nprobe).as("cs"))
-          .select(col("vec_id"), col("label"),
-            explode(col("cs.cell")).as("cell"))
-        val ca = cells.alias("ca")
-        val cb = cells.alias("cb")
-        ca.join(cb,
-            col("ca.cell") === col("cb.cell") &&
-              col("ca.label") === col("cb.label") &&
-              col("ca.vec_id") < col("cb.vec_id"))
-          .select(col("ca.label").as("label"),
-            col("ca.vec_id").as("id_a"), col("cb.vec_id").as("id_b"))
-          .distinct()
-      }
+      } else cellCanopyCandidates(spark, e, nprobe)
     candIds
       .join(e.select(col("vec_id").as("id_a"), col("v").as("va"),
         col("n2").as("na")), Seq("id_a"))

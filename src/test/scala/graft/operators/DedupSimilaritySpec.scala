@@ -127,7 +127,7 @@ class DedupSimilaritySpec extends SparkSpec {
       .select($"label", $"id_a", $"id_b", $"cos")
       .as[(Int, Long, Long, Double)].collect().toSet
     val exact = canon(Similarity.embedNearDup.build(spark, sf001))
-    val ann = canon(Similarity.embedNearDupAnn(spark, sf001))
+    val ann = canon(Similarity.embedNearDupAnn.build(spark, sf001))
     assert(exact.nonEmpty)
     // exact verification ⇒ zero false positives, identical cos values
     assert(ann.subsetOf(exact))
@@ -135,6 +135,26 @@ class DedupSimilaritySpec extends SparkSpec {
     // recall degrades toward 0.69 at sf0.1 — see Similarity scaladoc)
     val recall = ann.size.toDouble / exact.size
     assert(recall >= 0.95, s"ANN near-dup recall $recall below 0.95")
+  }
+
+  test("cell-canopy candidate volume is sub-quadratic on the corpus") {
+    // The ANN path's whole point at 100 TB: candidates come from IVF-cell
+    // co-membership, not the label-blocked cross product. Pin that the
+    // candidate count is a small fraction of the exact kernel's blocked
+    // pair count (n_l·(n_l−1)/2 summed over labels) — if a regression
+    // ever degenerates the canopy to ~all pairs, this fails loudly.
+    // Measured at sf0.1 (2000 vectors → K = 40 seed cells): the canopy
+    // must actually bite, which needs K ≫ nprobe — at sf0.001 the
+    // codebook has only 10 cells, so probing 4 of them covers ~all
+    // pairs by construction and proves nothing.
+    val e = Similarity.quantizedLabeled(spark, "/root/testdata/sf0.1")
+    val candidates = Similarity.cellCanopyCandidates(spark, e, nprobe = 4)
+      .count()
+    val blockedPairs = e.groupBy($"label").count()
+      .select(sum($"count" * ($"count" - 1))).as[Long].head() / 2
+    assert(candidates > 0)
+    assert(candidates * 2 <= blockedPairs,
+      s"canopy candidates $candidates not ≪ blocked pairs $blockedPairs")
   }
 
   test("LSH ANN returns a subset of brute-force candidates with same scores") {

@@ -93,7 +93,7 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"unexpected cartesian product in exact path:\n$p")
     // ANN variant: candidates key on the IVF cell
-    val pa = Similarity.embedNearDupAnn(spark, sf001)
+    val pa = Similarity.embedNearDupAnn.build(spark, sf001)
       .queryExecution.executedPlan.toString()
     assert(pa.contains("cell"), s"expected IVF-cell join keys in:\n$pa")
     assert(!pa.contains("CartesianProduct"),
