@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{LongArrayDot, StringRollingHash}
+import graft.expressions.{LongArrayDot, PackedBagDistance, PackedLetterBag, StringRollingHash}
 
 /** Engine extension point, installed the documented production way:
   *
@@ -33,6 +33,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("graft_dot", 2, children)
         LongArrayDot(children(0), children(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_letter_bag"),
+      new ExpressionInfo(classOf[PackedLetterBag].getName, "graft_letter_bag"),
+      (children: Seq[Expression]) => {
+        arity("graft_letter_bag", 1, children)
+        PackedLetterBag(children.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_bag_dist"),
+      new ExpressionInfo(classOf[PackedBagDistance].getName, "graft_bag_dist"),
+      (children: Seq[Expression]) => {
+        arity("graft_bag_dist", 2, children)
+        PackedBagDistance(children(0), children(1))
       }))
     e.injectFunction((
       FunctionIdentifier("graft_fingerprint"),

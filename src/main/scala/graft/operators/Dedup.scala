@@ -69,17 +69,63 @@ object Dedup {
        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
        |WHERE abs(len(a.p_name) - len(b.p_name)) <= $FuzzyMaxDist
        |  AND levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist""".stripMargin) { (spark, dir) =>
-    val p = Tables.part(spark, dir)
-    val a = p.select(col("p_brand").as("brand"),
-      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-    val b = p.select(col("p_brand").as("brand"),
-      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-    a.join(b,
-        a("brand") === b("brand") && col("key_a") < col("key_b") &&
-          abs(length(col("name_a")) - length(col("name_b"))) <= FuzzyMaxDist &&
-          levenshtein(col("name_a"), col("name_b"), FuzzyMaxDist) =!= -1)
-      .select(a("brand"), col("key_a"), col("key_b"),
+    fuzzyJoin(spark, dir, withDp = true)
+      .select(col("brand"), col("key_a"), col("key_b"),
         levenshtein(col("name_a"), col("name_b")).as("dist"))
+  }
+
+  /** Candidate pairs of [[fuzzyMatch]] AFTER the cheap lossless cuts
+    * (length band + packed bag distance) but BEFORE the banded DP.
+    * Exposed so the spec can pin the candidate volume per brand block
+    * independently of the verify stage. */
+  def fuzzyCandidates(spark: SparkSession, dir: String): DataFrame =
+    fuzzyJoin(spark, dir, withDp = false)
+
+  /** The blocked fuzzy join with every cut FUSED into the join
+    * condition, cheapest first: key order, the lossless length band,
+    * the native packed bag-distance bound, and (when `withDp`) the
+    * banded threshold Levenshtein. Conjunct order is load-bearing —
+    * And short-circuits left-to-right inside the generated join loop,
+    * so each pair pays only as much as the first cut that kills it.
+    * (An earlier draft expressed the DP as a post-join `.filter`;
+    * PushPredicateThroughJoin merged it back into the condition
+    * PREPENDED, running the O(n·k) DP before the O(1) cuts — fusing
+    * here keeps the intended order. The executed order is pinned by
+    * PlanQualitySpec.)
+    *
+    * The bag cut uses the native [[graft.expressions.PackedBagDistance]]
+    * over per-ROW packed histograms when the session has the engine
+    * extensions installed (measured 22× pair reduction past the length
+    * band at sf0.1); in a vanilla session it degrades to the two
+    * original cuts (never to a higher-order-function form — the
+    * interpreted bag was measured 6× slower than the DP it gates,
+    * PERF.md round 3). */
+  private def fuzzyJoin(spark: SparkSession, dir: String,
+      withDp: Boolean): DataFrame = {
+    val hasBag = spark.catalog.functionExists("graft_bag_dist") &&
+      spark.catalog.functionExists("graft_letter_bag")
+    val p = Tables.part(spark, dir)
+    // lengths (and bags) are per-ROW projections, never recomputed per
+    // pair inside the join loop
+    def side(key: String, name: String, len: String, bag: String) = {
+      val base = p.select(col("p_brand").as("brand"),
+        col("p_partkey").as(key), col("p_name").as(name),
+        length(col("p_name")).as(len))
+      if (hasBag) base.withColumn(bag, call_function("graft_letter_bag", col(name)))
+      else base
+    }
+    val a = side("key_a", "name_a", "len_a", "bag_a")
+    val b = side("key_b", "name_b", "len_b", "bag_b")
+    var cond = a("brand") === b("brand") && col("key_a") < col("key_b") &&
+      abs(col("len_a") - col("len_b")) <= FuzzyMaxDist
+    if (hasBag)
+      cond = cond &&
+        call_function("graft_bag_dist", col("bag_a"), col("bag_b")) <= FuzzyMaxDist
+    if (withDp)
+      cond = cond && levenshtein(col("name_a"), col("name_b"), FuzzyMaxDist) =!= -1
+    a.join(b, cond)
+      .select(a("brand"), col("key_a"), col("key_b"),
+        col("name_a"), col("name_b"))
   }
 
   /** Distinct 3-word shingles as ROWS — (lang, source, doc_id, s) —

@@ -188,6 +188,17 @@ class PlanQualitySpec extends SparkSpec {
     // the threshold arg prints as Some(2) in the join's condition line
     assert(cutLines.exists(l => l.contains("Join") && l.contains("Some(2)")),
       s"threshold levenshtein not fused into the join condition:\n$p")
+    // conjunct ORDER is load-bearing: And short-circuits left-to-right
+    // in the generated join loop, so the O(1) bag-distance bound must
+    // appear BEFORE the O(n·k) threshold DP in the fused condition.
+    // (A draft that expressed the DP as a post-join filter had it
+    // merged back PREPENDED — measured 2× slower than this order.)
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("graft_bag_dist"))
+      .getOrElse(fail(s"bag-distance cut not fused into the join:\n$p"))
+    assert(joinLine.indexOf("graft_bag_dist") <
+      joinLine.indexOf("levenshtein"),
+      s"bag cut must precede the threshold DP in:\n$joinLine")
   }
 
   test("bloom join: runtime filter reaches the fact scan") {
