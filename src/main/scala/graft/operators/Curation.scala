@@ -521,6 +521,10 @@ object Curation {
     val perDoc = docs.select(col("doc_id"),
       bpeishTokenCount(col("text")).as("n_tokens"),
       when(total3 > 0, ratio <= 0.2).otherwise(lit(true)).as("rep_pass"))
+      // three longs per doc feeding TWO consumers (the percentile
+      // aggregate and the final flag join); lazy, the tokenizer and
+      // shingle regexes — the dominant CPU here — run twice
+      .localCheckpoint()
     val thr = perDoc.agg(expr("percentile(n_tokens, 0.25)").as("p25"))
     val losers = GraphOps.dupClusters.build(spark, dir)
       .filter(!col("is_canonical"))
@@ -558,8 +562,14 @@ object Curation {
       |        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')), 0.25) AS p25
       |      FROM documents)
       |WHERE n_tokens >= p25""".stripMargin) { (spark, dir) =>
+    // materialize the (doc_id, n_tokens) projection ONCE: it feeds both
+    // the percentile aggregate and the filter pass, and the lazy form
+    // re-runs the tokenizing regex over the full text corpus for each —
+    // the regex IS this op's cost. Two longs per doc, far below the
+    // corpus; same lineage trade as triangle counting.
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), bpeishTokenCount(col("text")).as("n_tokens"))
+      .localCheckpoint()
     val thr = d.agg(
       expr("percentile(n_tokens, 0.25)").as("p25"))
     d.crossJoin(broadcast(thr))
