@@ -20,9 +20,21 @@ import graft.sources.{RunLog, Sinks}
   */
 object SinkOps {
 
+  /** Scratch root for staging stores and stream checkpoints: prefer
+    * the machine's tmpfs when one is mounted — staging is ephemeral by
+    * contract (deleted up front per run), so paying ext4 journal+fsync
+    * for it only throttles the sink round-trips. Production deployments
+    * point sinks at real storage through the explicit path arguments;
+    * this root only ever hosts the harness's own scratch. */
+  private[operators] def scratchRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm"
+    else System.getProperty("java.io.tmpdir")
+  }
+
   private[operators] def stagingDir(dir: String, tag: String): String = {
     val sfTag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_$tag$sfTag"
+    s"$scratchRoot/graft_$tag$sfTag"
   }
 
   private[operators] def deleteDir(spark: SparkSession, path: String): Unit = {

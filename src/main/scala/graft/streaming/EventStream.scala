@@ -138,6 +138,32 @@ object EventStream {
     q.stop()
   }
 
+  /** Run `body` with a fresh checkpoint dir on the machine's tmpfs
+    * (fallback: java.io.tmpdir — Spark's own default for memory-sink
+    * temp checkpoints), deleted afterwards. The checkpoint of a bounded
+    * local run is pure scratch — offset WAL + state-store deltas that
+    * die with the query — and an implicit temp checkpoint lands on
+    * disk-backed /tmp, so every micro-batch pays ext4 journal+fsync
+    * for durability nobody reads. A production stream points this at
+    * reliable storage (HDFS/S3 + RocksDB provider); the knob is the
+    * path, not the plan. */
+  private def withScratchCheckpoint[T](body: String => T): T = {
+    val shm = new java.io.File("/dev/shm")
+    val root =
+      if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val dir = s"$root/graft-ckpt-${java.util.UUID.randomUUID()}"
+    try body(dir)
+    finally {
+      def rm(f: java.io.File): Unit = {
+        val children = f.listFiles()
+        if (children != null) children.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   /** Streaming entry points pin a smaller shuffle-partition count for
     * the stream's lifetime: each shuffle partition is a state-store
     * instance, and every micro-batch commits a delta file per store —
@@ -149,8 +175,29 @@ object EventStream {
     * unaffected by partition count. */
   private def withStreamShuffle[T](spark: SparkSession)(body: => T): T = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedNoData =
+      spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    // No-data micro-batches exist to advance the watermark when the
+    // source goes quiet — eviction housekeeping. Every emission path in
+    // this module is either Complete mode (re-emits each data batch) or
+    // an append op that emits DURING the data batch
+    // (dropDuplicatesWithinWatermark emits first arrivals immediately;
+    // the stream-stream inner join emits matches as they form), so the
+    // trailing empty batches only pay offset-WAL + 8 state-store
+    // commits each without changing one output row. Bounded runs skip
+    // them; a production deployment with timeout/eviction-driven OUTPUT
+    // (e.g. Append session windows) turns them back on.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try body finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      savedNoData match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
   }
 
   /** The flagship best-of-day pipeline run INCREMENTALLY, in the shape
@@ -369,7 +416,8 @@ object EventStream {
     * oracle non-obviously.) The first-arrival row wins; only the key
     * columns are emitted, so the output set is arrival-order-independent. */
   def runDedupToMemory(
-      spark: SparkSession, dir: String, queryName: String): Unit = withStreamShuffle(spark) {
+      spark: SparkSession, dir: String, queryName: String): Unit =
+    withStreamShuffle(spark) { withScratchCheckpoint { ckpt =>
     val spanDays = derivedWatermarkDays(spark, dir)
     val stream = eventsStream(spark, dir)
       .select(col("ts"), col("user_id"), col("event_type"),
@@ -380,10 +428,11 @@ object EventStream {
       .select("user_id", "event_type", "value_cents")
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
       .start()
     q.processAllAvailable()
     q.stop()
-  }
+  } }
 
   /** Watermarked STREAM-STREAM join — the attribution shape: every
     * (click, purchase) pair of the same user where the click precedes
@@ -401,7 +450,8 @@ object EventStream {
   val AttributionWindow = "1 hour"
 
   def runAttributionToMemory(
-      spark: SparkSession, dir: String, queryName: String): Unit = withStreamShuffle(spark) {
+      spark: SparkSession, dir: String, queryName: String): Unit =
+    withStreamShuffle(spark) { withScratchCheckpoint { ckpt =>
     val spanDays = derivedWatermarkDays(spark, dir)
     val stream = eventsStream(spark, dir)
     val clicks = stream.filter(col("event_type") === "click")
@@ -416,10 +466,11 @@ object EventStream {
     val q = attributionJoin(clicks, purchases)
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
       .start()
     q.processAllAvailable()
     q.stop()
-  }
+  } }
 
   /** Native session-window aggregation on the stream — the built-in
     * twin of the `mapGroupsWithState` sessionizer (which remains the
@@ -433,7 +484,8 @@ object EventStream {
     * `gap` after the previous one starts a NEW session (`>=` in the
     * oracle, unlike the batch CTE's strict `>`). */
   def runSessionizeToMemory(
-      spark: SparkSession, dir: String, queryName: String): Unit = withStreamShuffle(spark) {
+      spark: SparkSession, dir: String, queryName: String): Unit =
+    withStreamShuffle(spark) { withScratchCheckpoint { ckpt =>
     val q = eventsStream(spark, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -444,10 +496,11 @@ object EventStream {
         col("n_events"), col("value_cents"))
       .writeStream.outputMode(OutputMode.Complete)
       .format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
       .start()
     q.processAllAvailable()
     q.stop()
-  }
+  } }
 
   /** The join core, side-injectable for tests: `clicks` needs columns
     * (click_id, click_user, click_ts·watermarked), `purchases`
@@ -468,7 +521,8 @@ object EventStream {
     * The file stores ns timestamps → stream them as long, derive µs. */
   def runWindowedToMemory(
       spark: SparkSession, dir: String, queryName: String,
-      mode: OutputMode = OutputMode.Complete): Unit = withStreamShuffle(spark) {
+      mode: OutputMode = OutputMode.Complete): Unit =
+    withStreamShuffle(spark) { withScratchCheckpoint { ckpt =>
     val stream = eventsStream(spark, dir)
     // Complete mode emits every window including still-open ones — the
     // deterministic choice for a bounded smoke run; production streams
@@ -476,8 +530,9 @@ object EventStream {
     val q = windowedAgg(stream)
       .writeStream.outputMode(mode)
       .format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
       .start()
     q.processAllAvailable()
     q.stop()
-  }
+  } }
 }
