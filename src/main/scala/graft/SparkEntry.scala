@@ -89,6 +89,7 @@ object SparkEntry {
     IngestOps.csvRoundtrip,
     SinkOps.upsertDay,
     SinkOps.upsertKey,
+    SinkOps.upsertJdbc,
     SinkOps.feedFile,
     Scd2.scd2Merge,
     Scd2.cdcApply,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Money.{centsOf, moneyUSDFromCents, parseCentsLoose}
-import graft.sources.{RunLog, Sinks}
+import graft.sources.{JdbcSink, RunLog, Sinks}
 
 /** Registered round-trips over the WRITE path (reference S7–S11 +
   * S2/S3/A5 — the engine's entire output side), so the sinks run under
@@ -148,6 +148,73 @@ object SinkOps {
       count(lit(1)).as("n_rows"),
       sum(col("v")).as("sum_v"),
       count(when(col("k").isNull, 1)).as("n_null_keys"))
+  }
+
+  /** Live-database round trip (01_import_pricecharting_csv.js:156-187
+    * writes INTO PostgreSQL): the same null-safe keyed merge as
+    * [[upsertKey]], but landed in an actual database through
+    * [[graft.sources.JdbcSink.upsertByKeyJdbc]] (embedded Derby — the
+    * in-process stand-in for live PG; identical portable
+    * UPDATE-then-INSERT statements run on both) and read back through
+    * the JDBC SOURCE like any downstream consumer. Seed write lands
+    * `existing` into an empty table (all inserts), the second write
+    * upserts `incoming` from 4 concurrent partitions (update + insert +
+    * null-key paths all exercised), and the oracle computes the merge
+    * straight from the part table — a sink that dropped, duplicated, or
+    * double-applied anything diverges on all three scalars.
+    */
+  val upsertJdbc: Op = Op(
+    "q_upsert_jdbc",
+    """WITH existing AS (
+      |  SELECT p_partkey AS k, CAST(ROUND(p_retailprice*100) AS BIGINT) AS v
+      |  FROM part
+      |  UNION ALL SELECT NULL, 111
+      |), incoming AS (
+      |  SELECT p_partkey AS k, CAST(ROUND(p_retailprice*100) AS BIGINT) + 5 AS v
+      |  FROM part WHERE p_partkey % 3 = 0
+      |  UNION ALL SELECT NULL, 222
+      |), merged AS (
+      |  SELECT e.k, e.v FROM existing e
+      |  WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.k IS NOT DISTINCT FROM e.k)
+      |  UNION ALL SELECT k, v FROM incoming
+      |)
+      |SELECT COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v,
+      |       COUNT(*) FILTER (WHERE k IS NULL) AS n_null_keys
+      |FROM merged""".stripMargin) { (spark, dir) =>
+    val dbName = "graft_upsert" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val url = s"jdbc:derby:memory:$dbName;create=true"
+    // driver-side DDL only (schema setup, not data): fresh table per run
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE prices_live")
+      catch { case _: java.sql.SQLException => () }
+      st.executeUpdate("CREATE TABLE prices_live (k BIGINT, v BIGINT)")
+      // key index: with the sink's sargable per-null-mask UPDATEs this
+      // turns each probe into an index seek — without it Derby scans the
+      // whole table per row (O(rows²) for the write)
+      st.executeUpdate("CREATE INDEX prices_live_k ON prices_live (k)")
+      st.close()
+    } finally conn.close()
+    val part = Tables.part(spark, dir)
+    def nullRow(v: Long) = spark.range(1).select(
+      lit(null).cast("long").as("k"), lit(v).as("v"))
+    val existing = part
+      .select(col("p_partkey").as("k"), centsOf(col("p_retailprice")).as("v"))
+      .unionByName(nullRow(111L))
+    val incoming = part.filter(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey").as("k"),
+        (centsOf(col("p_retailprice")) + 5).as("v"))
+      .unionByName(nullRow(222L))
+    JdbcSink.upsertByKeyJdbc(existing, url, "prices_live", Seq("k"))
+    JdbcSink.upsertByKeyJdbc(
+      incoming.repartition(4), url, "prices_live", Seq("k"))
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "prices_live").load()
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("v")).as("sum_v"),
+        count(when(col("k").isNull, 1)).as("n_null_keys"))
   }
 
   /** S11 + F13/F14 + S2/S3/A5 (exportGoogleMerchantFeed.mjs:316-398 +
