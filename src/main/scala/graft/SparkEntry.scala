@@ -90,6 +90,7 @@ object SparkEntry {
     SinkOps.upsertDay,
     SinkOps.upsertKey,
     SinkOps.upsertJdbc,
+    SinkOps.txCommit,
     SinkOps.feedFile,
     Scd2.scd2Merge,
     Scd2.cdcApply,

@@ -150,6 +150,94 @@ object SinkOps {
       count(when(col("k").isNull, 1)).as("n_null_keys"))
   }
 
+  /** S12 — the cross-output transaction the reference gets from
+    * PostgreSQL (BEGIN → two-table write → COMMIT,
+    * 02_normalize_scryfall_prices.js:195-209), over parquet via
+    * [[graft.sources.TxCommit]]: txn 1 commits a (daily, prices) pair
+    * with STALE formulas; txn 2 stages a poisoned daily output and
+    * "crashes" before writing prices (no commit — exactly the torn
+    * state S12 exists to prevent); the re-run claims the same version,
+    * overwrites the orphaned staging with corrected formulas for BOTH
+    * outputs, and commits. Readers resolve through the latest manifest,
+    * so the answer must carry txn 3's values for both outputs — stale
+    * values mean the manifest didn't advance, zeros mean the aborted
+    * staging leaked, a mix means the pair tore.
+    */
+  val txCommit: Op = Op(
+    "q_tx_commit",
+    """WITH anchor AS (SELECT CAST(MIN(l_shipdate) AS DATE) AS a FROM lineitem),
+      |daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d,
+      |         CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      |           * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS cents
+      |  FROM lineitem, anchor
+      |  WHERE CAST(l_shipdate AS DATE) >= anchor.a
+      |    AND CAST(l_shipdate AS DATE) < anchor.a + 30
+      |), existing AS (
+      |  SELECT p_partkey AS k, CAST(ROUND(p_retailprice*100) AS BIGINT) AS v
+      |  FROM part
+      |), incoming AS (
+      |  SELECT p_partkey AS k, CAST(ROUND(p_retailprice*100) AS BIGINT) + 5 AS v
+      |  FROM part WHERE p_partkey % 3 = 0
+      |), merged AS (
+      |  SELECT e.k, e.v FROM existing e
+      |  WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.k = e.k)
+      |  UNION ALL SELECT k, v FROM incoming
+      |)
+      |SELECT 'daily' AS output, COUNT(DISTINCT d) AS n_rows,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_val
+      |FROM daily
+      |UNION ALL
+      |SELECT 'prices' AS output, COUNT(*) AS n_rows,
+      |       CAST(SUM(v) AS BIGINT) AS sum_val
+      |FROM merged""".stripMargin) { (spark, dir) =>
+    val root = stagingDir(dir, "txroot")
+    deleteDir(spark, root)
+    val li = Tables.lineitem(spark, dir)
+    val anchor = li.agg(min(to_date(col("l_shipdate"))).as("a")).head.getDate(0)
+    def ts(days: Int) = java.sql.Timestamp.from(
+      anchor.toLocalDate.plusDays(days.toLong)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
+    def daily(formula: org.apache.spark.sql.Column) =
+      li.filter(col("l_shipdate") >= lit(ts(0)) &&
+          col("l_shipdate") < lit(ts(30)))
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(count(lit(1)).as("n_items"), sum(formula).as("sum_cents"))
+    val base = centsOf(col("l_extendedprice"))
+    val corrected = base * (lit(100) - centsOf(col("l_discount")))
+    val part = Tables.part(spark, dir)
+    val existing = part.select(
+      col("p_partkey").as("k"), centsOf(col("p_retailprice")).as("v"))
+    val incoming = part.filter(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey").as("k"),
+        (centsOf(col("p_retailprice")) + 5).as("v"))
+    import graft.sources.{Sinks, TxCommit}
+    // txn 1: stale pair, committed
+    val t1 = TxCommit.begin(spark, root)
+    daily(base).write.mode("overwrite").parquet(t1.stage("daily"))
+    existing.write.mode("overwrite").parquet(t1.stage("prices"))
+    require(TxCommit.commit(spark, t1,
+      Map("daily" -> t1.stage("daily"), "prices" -> t1.stage("prices"))))
+    // txn 2: crash between the writes — daily staged poisoned, no commit
+    val t2 = TxCommit.begin(spark, root)
+    daily(base).withColumn("sum_cents", lit(0L))
+      .write.mode("overwrite").parquet(t2.stage("daily"))
+    // recovery re-run: same version, overwrite staging, commit both
+    val t3 = TxCommit.begin(spark, root)
+    daily(corrected).write.mode("overwrite").parquet(t3.stage("daily"))
+    Sinks.upsertByKey(existing, incoming, Seq("k"))
+      .write.mode("overwrite").parquet(t3.stage("prices"))
+    require(TxCommit.commit(spark, t3,
+      Map("daily" -> t3.stage("daily"), "prices" -> t3.stage("prices"))))
+    val dailyBack = TxCommit.read(spark, root, "daily")
+      .agg(count(lit(1)).as("n_rows"), sum(col("sum_cents")).as("sum_val"))
+      .select(lit("daily").as("output"), col("n_rows"), col("sum_val"))
+    val pricesBack = TxCommit.read(spark, root, "prices")
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_val"))
+      .select(lit("prices").as("output"), col("n_rows"), col("sum_val"))
+    dailyBack.unionByName(pricesBack)
+  }
+
   /** Live-database round trip (01_import_pricecharting_csv.js:156-187
     * writes INTO PostgreSQL): the same null-safe keyed merge as
     * [[upsertKey]], but landed in an actual database through
