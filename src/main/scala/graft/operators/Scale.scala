@@ -10,24 +10,74 @@ import graft.functions.Money.centsOf
   */
 object Scale {
 
-  /** Hot-key-only salted equi-join — the standard fix when a handful of
+  /** Measured-skew hot-key detector — [[heavyHitters]]' diagnostic made
+    * actionable: one keyed pre-count over the fact side (map-side
+    * partial combine — the shuffle carries one partial row per distinct
+    * key per mapper, not the fact rows), then the hot threshold is
+    * DERIVED from that histogram the way AQE's skew-join defines a
+    * skewed partition: hot = count > max(skewFactor × median key count,
+    * minHot). The median is one approx-percentile row collected to the
+    * driver — metadata-sized, same bounded-anchor pattern as the
+    * streaming day probe. No declared threshold constant anywhere: a
+    * corpus with no skew yields an empty hot set and the join runs
+    * entirely unsalted.
+    */
+  def hotKeys(
+      fact: org.apache.spark.sql.DataFrame, keyCol: String,
+      skewFactor: Double = 5.0, minHot: Long = 3L): org.apache.spark.sql.DataFrame = {
+    // materialized ONCE (same per-round pattern as GraphOps CC): the
+    // median probe forces it, the hot filter below reuses it — without
+    // this the keyed pre-count runs twice
+    val counts = fact.groupBy(col(keyCol)).agg(count(lit(1)).as("key_n"))
+      .localCheckpoint()
+    val median = counts
+      .agg(expr("approx_percentile(key_n, 0.5, 1000)").as("m"))
+      .head.getLong(0)
+    val thresh = math.max(math.ceil(skewFactor * median).toLong, minHot)
+    counts.filter(col("key_n") > lit(thresh))
+      .select(col(keyCol).as("__hot_key"))
+  }
+
+  /** Hot-key-only salted equi-join with the hot set MEASURED by
+    * [[hotKeys]], not hand-fed — the standard fix when a handful of
     * join keys dominate (at 100 TB: a viral item, a null-heavy key).
     *
-    * Two-path shape: a cheap keyed pre-count (map-side partial combine —
-    * the shuffle carries one partial row per distinct key per mapper,
-    * not the fact rows) finds keys above [[HotKeyThreshold]]; that
-    * small hot set is BROADCAST to tag both sides, hot fact rows get a
-    * deterministic salt (hash of the unique row id mod N) while cold
-    * rows keep salt 0, and the dim side replicates ×N for hot keys
-    * ONLY — cold dim rows pass through once. One join on (key, salt)
-    * serves both paths; the earlier unconditional version replicated
-    * the ENTIRE dimension ×8, an 8× row blow-up bought as skew
-    * insurance for keys that never needed it. Result must equal the
-    * plain join exactly, which is what the oracle checks; AQE's
-    * skew-join split is the runtime alternative (asserted in
-    * SkewJoinSpec), salting is the planned one.
+    * Two-path shape: the measured hot set (small by construction —
+    * keys above skewFactor × median) is BROADCAST to tag both sides;
+    * hot fact rows get a deterministic salt (xxhash64 of the tiebreaker
+    * columns mod N, so identical logical rows land on the same salt and
+    * results stay deterministic) while cold rows keep salt 0, and the
+    * dim side replicates ×N for hot keys ONLY — cold dim rows pass
+    * through once. One inner join on (key, salt) serves both paths.
+    * Result must equal the plain join exactly (the oracle / spec
+    * check); AQE's skew-join split is the runtime alternative (asserted
+    * in SkewJoinSpec), salting is the planned one.
     */
-  val HotKeyThreshold = 5L
+  def autoSaltedJoin(
+      fact: org.apache.spark.sql.DataFrame, factKey: String,
+      dim: org.apache.spark.sql.DataFrame, dimKey: String,
+      salts: Int = 8, skewFactor: Double = 5.0, minHot: Long = 3L,
+      tiebreakers: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val hot = hotKeys(fact, factKey, skewFactor, minHot)
+    val tie = (if (tiebreakers.nonEmpty) tiebreakers
+               else fact.columns.toSeq).map(col)
+    val f = fact
+      .join(broadcast(hot), col(factKey) === col("__hot_key"), "left")
+      .withColumn("__salt",
+        when(col("__hot_key").isNotNull,
+          pmod(xxhash64(tie: _*), lit(salts.toLong)))
+          .otherwise(lit(0L)))
+      .drop("__hot_key").alias("f")
+    val d = dim
+      .join(broadcast(hot), col(dimKey) === col("__hot_key"), "left")
+      .withColumn("__salt",
+        explode(when(col("__hot_key").isNotNull,
+          sequence(lit(0L), lit(salts - 1L))).otherwise(array(lit(0L)))))
+      .drop("__hot_key").alias("d")
+    f.join(d, col(s"f.$factKey") === col(s"d.$dimKey") &&
+        col("f.__salt") === col("d.__salt"))
+      .drop("__salt")
+  }
 
   val saltedJoin: Op = Op(
     "q_salted_join",
@@ -36,30 +86,17 @@ object Scale {
       |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin) { (spark, dir) =>
-    val Salts = 8
-    val li = Tables.lineitem(spark, dir)
-    // lineitem carries ≤7 items per order, so threshold 5 genuinely
-    // splits the corpus: 6-7-item orders ride the salted path, the rest
-    // the plain one — both paths run under the oracle at every SF
-    val hot = li.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("key_n"))
-      .filter(col("key_n") > HotKeyThreshold)
-      .select(col("l_orderkey").as("hot_key"))
-    val f = li
-      .join(broadcast(hot), col("l_orderkey") === col("hot_key"), "left")
-      .withColumn("salt",
-        when(col("hot_key").isNotNull,
-          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(Salts)))
-          .otherwise(lit(0L)))
-      .drop("hot_key").alias("f")
-    val d = Tables.orders(spark, dir)
-      .join(broadcast(hot), col("o_orderkey") === col("hot_key"), "left")
-      .withColumn("salt",
-        explode(when(col("hot_key").isNotNull,
-          sequence(lit(0L), lit(Salts - 1L))).otherwise(array(lit(0L)))))
-      .drop("hot_key").alias("d")
-    f.join(d, col("f.l_orderkey") === col("d.o_orderkey") &&
-        col("f.salt") === col("d.salt"))
+    // lineitem carries 1–7 items per order (median 4), so skewFactor
+    // 1.25 → threshold 5 genuinely splits the corpus at every SF:
+    // 6-7-item orders ride the salted path, the rest the plain one —
+    // both paths run under the oracle. Production default is 5.0
+    // (AQE's own skew factor); the knob is the point: the THRESHOLD is
+    // measured from the key histogram either way, never declared.
+    autoSaltedJoin(
+      Tables.lineitem(spark, dir), "l_orderkey",
+      Tables.orders(spark, dir), "o_orderkey",
+      salts = 8, skewFactor = 1.25, minHot = 3L,
+      tiebreakers = Seq("l_orderkey", "l_linenumber"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         sum(centsOf(col("l_extendedprice"))).as("sum_cents"))

@@ -53,14 +53,45 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
-  test("hot-key threshold genuinely splits the corpus (both salting paths run)") {
+  test("measured hot set genuinely splits the corpus (both salting paths run)") {
     val li = graft.Tables.lineitem(spark, sf001)
-    val counts = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
-    val hot = counts.filter(col("n") > Scale.HotKeyThreshold).count()
-    val cold = counts.filter(col("n") <= Scale.HotKeyThreshold).count()
-    // a threshold that degenerates to all-hot (the old ×8 dim blow-up)
+    // the op's own knobs: 1.25 × median(=4 items/order) → threshold 5
+    val hot = Scale.hotKeys(li, "l_orderkey",
+      skewFactor = 1.25, minHot = 3L).count()
+    val all = li.select(col("l_orderkey")).distinct().count()
+    // a hot set that degenerates to all-hot (the old ×8 dim blow-up)
     // or all-cold (salting never exercised) would fail here
     assert(hot > 0, "no hot keys — the salted path never runs")
-    assert(cold > hot, "most keys must stay cold — that's the point")
+    assert(all - hot > hot, "most keys must stay cold — that's the point")
+  }
+
+  test("hotKeys finds the measured viral key and nothing else") {
+    import spark.implicits._
+    // 200 uniform keys × 4 rows + one viral key with 5000 rows:
+    // median key count 4, default skewFactor 5 → threshold 20
+    val uniform = spark.range(800).select(($"id" % 200).as("k"))
+    val viral = spark.range(5000).select(lit(777L).as("k"))
+    val fact = uniform.unionByName(viral)
+    val hot = Scale.hotKeys(fact, "k").as[Long].collect().toSet
+    assert(hot === Set(777L))
+    // no skew → empty hot set, the join would run entirely unsalted
+    assert(Scale.hotKeys(uniform, "k").count() === 0L)
+  }
+
+  test("autoSaltedJoin equals the plain join on a measured-skew corpus") {
+    import spark.implicits._
+    val fact = spark.range(10000).select(
+      when($"id" < 9000, 42L).otherwise($"id" % 50).as("k"),
+      ($"id" * 3).as("v"))
+    val dim = spark.range(50).select($"id".as("dk"), ($"id" + 100).as("w"))
+    val salted = Scale.autoSaltedJoin(fact, "k", dim, "dk",
+        tiebreakers = Seq("k", "v"))
+      .groupBy($"dk").agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+        sum($"w").as("sw"))
+    val plain = fact.join(dim, $"k" === $"dk")
+      .groupBy($"dk").agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+        sum($"w").as("sw"))
+    assert(salted.as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      .toSeq === plain.as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq)
   }
 }
