@@ -65,24 +65,26 @@ object Similarity {
     n.filter(col("vec_id") % 50 === 0).select(
       col("vec_id").as("cent_id"), col("v").as("cv"), col("n2").as("cn"))
 
-  /** Seed codebook refined by ONE Lloyd iteration. The refined centroid
-    * is the element-wise integer SUM of the cell's members — cosine is
-    * scale-invariant, so the sum ≡ the mean direction, and everything
-    * stays exact int64 (no float division): that is what keeps the
-    * refinement DuckDB-oracle-able. The iteration is posexplode →
-    * SUM per (cell, dim) → ordered re-collect — a linear N×64-row
-    * shuffle; more rounds would repeat the same job. */
-  def ivfLloydCodebook(spark: SparkSession, n: DataFrame): DataFrame = {
-    val cents0 = ivfSeedCodebook(n)
-    val scored0 = n.join(broadcast(cents0))
+  /** Nearest-centroid assignment: (cell, v, cos) per vector, centroid
+    * broadcast, argmax collapsed map-side via the min(struct) trick. */
+  def ivfAssign(spark: SparkSession, n: DataFrame, cents: DataFrame): DataFrame =
+    n.join(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cent_id"),
         cosine(idot(spark, col("v"), col("cv")), col("n2"), col("cn")).as("cos"))
-    val assign0 = scored0
       .groupBy(col("vec_id"))
       .agg(min(struct(negate(col("cos")).as("nc"), col("cent_id").as("cell"),
         col("v").as("v"))).as("best"))
-      .select(col("best.cell").as("cell"), col("best.v").as("v"))
-    assign0
+      .select(col("best.cell").as("cell"), col("best.v").as("v"),
+        negate(col("best.nc")).as("cos"))
+
+  /** Centroid update from an assignment: element-wise integer SUM of
+    * each cell's members — cosine is scale-invariant, so the sum ≡ the
+    * mean direction, and everything stays exact int64 (no float
+    * division): that is what keeps the refinement DuckDB-oracle-able.
+    * posexplode → SUM per (cell, dim) → ordered re-collect — a linear
+    * N×64-row shuffle. Cells that lose all members drop out. */
+  def ivfUpdate(spark: SparkSession, assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos")).agg(sum(col("x")).as("s"))
       .groupBy(col("cell"))
@@ -91,6 +93,47 @@ object Similarity {
       .select(col("cell").as("cent_id"), col("cv"))
       .withColumn("cn", inorm2(spark, col("cv")))
       .filter(col("cn") > 0)
+
+  /** Seed codebook refined by ONE Lloyd iteration — the deterministic
+    * iteration count the q_ann_ivf oracle replays; more rounds are the
+    * same linear job repeated ([[ivfLloydTrain]]). */
+  def ivfLloydCodebook(spark: SparkSession, n: DataFrame): DataFrame =
+    ivfUpdate(spark, ivfAssign(spark, n, ivfSeedCodebook(n)))
+
+  /** Spherical-k-means objective under a codebook: Σ best-cos (higher
+    * is better). One scalar to the driver — metadata-sized. */
+  def ivfObjective(spark: SparkSession, n: DataFrame, cents: DataFrame): Double =
+    ivfAssign(spark, n, cents).agg(sum(col("cos"))).head.getDouble(0)
+
+  /** Iterated spherical Lloyd with a convergence stop: run assign →
+    * update until the objective's relative gain drops below `tol` (or
+    * `maxIters`). A non-improving step is rolled back, so the returned
+    * codebook is the best seen and the recorded objective trace is
+    * monotone non-decreasing — the property DedupSimilaritySpec asserts
+    * at ≥3 iterations. Oracled ops stay on the deterministic ONE-step
+    * [[ivfLloydCodebook]]; this is the production training knob (each
+    * round is the same linear assign/update job — at 100 TB you pay
+    * iterations × one pass, nothing super-linear).
+    */
+  def ivfLloydTrain(
+      spark: SparkSession, n: DataFrame, maxIters: Int,
+      tol: Double = 1e-4): (DataFrame, Seq[Double]) = {
+    var cents = ivfSeedCodebook(n).localCheckpoint()
+    val trace = scala.collection.mutable.ArrayBuffer(
+      ivfObjective(spark, n, cents))
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      // codebooks are tiny (≤ N/50 rows) — checkpoint truncates the
+      // per-round lineage growth that would otherwise replan k rounds deep
+      val next = ivfUpdate(spark, ivfAssign(spark, n, cents)).localCheckpoint()
+      val obj = ivfObjective(spark, n, next)
+      val gain = obj - trace.last
+      if (gain > 0) { cents = next; trace += obj }
+      if (gain <= math.abs(trace.last) * tol) converged = true
+      it += 1
+    }
+    (cents, trace.toSeq)
   }
 
   /** Brute-force cosine top-k: queries = vec_id < 10, k = 5. */
@@ -751,6 +794,42 @@ object Similarity {
       pqSubspaces(q.filter(col("vec_id") < 16))
         .select(col("m"), col("vec_id").as("cid"), col("sub8").as("cv8")))
     pqPack(pqSubspaceAssign(subs, cb1))
+  }
+
+  /** Total quantization distortion of `subs` under codebook `cb`:
+    * Σ per-(vector, subspace) L2² to the assigned centroid, unpacked
+    * from the fused argmin key (k div 16 = d2). One exact int64 scalar
+    * to the driver. */
+  def pqDistortion(subs: DataFrame, cb: DataFrame): Long =
+    pqSubspaceAssign(subs, cb)
+      .agg(sum(expr("k div 16")).as("d")).head.getLong(0)
+
+  /** Iterated PQ Lloyd with a convergence stop: repeat
+    * [[pqLloydCodebook]] until a step's distortion decrease falls to
+    * `tol` or below (floor-mean centroids are quantized, so a step CAN
+    * fail to improve — such a step is rolled back and training stops).
+    * Returns the best codebook and the monotone strictly-decreasing
+    * distortion trace (seed first), asserted by DedupSimilaritySpec at
+    * ≥3 iterations. Oracled ops keep the deterministic one-step
+    * [[pqLloydCodebook]]; each extra round costs one more linear
+    * assign+update pass — the 100 TB shape is iterations × one pass
+    * over the subspace rows, with the ≤128-row codebook broadcast. */
+  def pqLloydTrain(
+      subs: DataFrame, cb0: DataFrame, maxIters: Int,
+      tol: Long = 0L): (DataFrame, Seq[Long]) = {
+    var cb = cb0.localCheckpoint()
+    val trace = scala.collection.mutable.ArrayBuffer(pqDistortion(subs, cb))
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val next = pqLloydCodebook(subs, cb).localCheckpoint()
+      val d = pqDistortion(subs, next)
+      val drop = trace.last - d
+      if (drop > 0) { cb = next; trace += d }
+      if (drop <= tol) converged = true
+      it += 1
+    }
+    (cb, trace.toSeq)
   }
 
   /** One Lloyd step on a per-subspace codebook: assign with `cb0`,

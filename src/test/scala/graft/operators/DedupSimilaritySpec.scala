@@ -343,4 +343,32 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(String, Long, Long)].collect().sortBy(_._2).toSeq
     assert(got === Seq(("hello world", 1L, 2L), ("other text", 3L, 1L)))
   }
+
+  test("multi-iteration IVF Lloyd: objective monotone up per step, converges") {
+    val n = Similarity.quantized(spark, sf001)
+    val (cb, trace) = Similarity.ivfLloydTrain(spark, n, maxIters = 3)
+    info(s"spherical objective trace: ${trace.mkString(" -> ")}")
+    // at least the first Lloyd step must improve on the seed (the
+    // one-step op already proves it improves mean best-cos)
+    assert(trace.size >= 2, s"no improving step recorded: $trace")
+    assert(trace.sliding(2).forall { case Seq(a, b) => b > a; case _ => true },
+      s"objective trace not strictly increasing: $trace")
+    assert(cb.count() > 0)
+  }
+
+  test("multi-iteration PQ Lloyd: distortion monotone down per step, converges") {
+    val q = graft.Tables.embeddings(spark, sf001)
+      .select($"vec_id", Similarity.quantize($"embedding").as("v"))
+    val subs = Similarity.pqSubspaces(q)
+    val cb0 = Similarity.pqSubspaces(q.filter($"vec_id" < 16))
+      .select($"m", $"vec_id".as("cid"), $"sub8".as("cv8"))
+    val (cb, trace) = Similarity.pqLloydTrain(subs, cb0, maxIters = 3)
+    info(s"distortion trace: ${trace.mkString(" -> ")}")
+    assert(trace.size >= 2, s"no improving step recorded: $trace")
+    assert(trace.sliding(2).forall { case Seq(a, b) => b < a; case _ => true },
+      s"distortion trace not strictly decreasing: $trace")
+    // convergence stop: at most maxIters adopted steps ever
+    assert(trace.size <= 4)
+    assert(cb.count() > 0)
+  }
 }
