@@ -64,6 +64,7 @@ object SparkEntry {
     Similarity.annPq,
     Similarity.annPqLloyd,
     Similarity.pqAdc,
+    Similarity.pqAdcRefine,
     Windows.tumblingWindow,
     Windows.sessionizeBatch,
     Windows.movingAgg,

@@ -914,6 +914,96 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("c_id"), col("adc"), col("rk"))
   }
 
+  /** IVFADC + refine — the standard two-stage PQ pipeline: the cheap
+    * LUT scan shortlists `shortlist` candidates per query by ADC
+    * distance, then ONLY those are re-scored exactly against the raw
+    * quantized vectors (L2² = qn + cn − 2·dot, exact int64 through the
+    * codegen'd dot), final top-`k` by exact distance. Fixes exactly the
+    * error ADC admits: candidate-side assignment distortion reordering
+    * near-ties inside the shortlist.
+    *
+    * Scale shape: the code scan still never touches raw vectors; the
+    * refine join fetches `queries × shortlist` rows by vec_id — point
+    * lookups against the vector store, ≪ N. Everything deterministic
+    * integer math, so the DuckDB oracle replays it bit-for-bit
+    * (q_pq_adc_refine); the recall gain over raw ADC is pinned in
+    * DedupSimilaritySpec. */
+  def adcRefined(
+      spark: SparkSession, q: DataFrame, codebook: DataFrame,
+      queries: DataFrame, shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val cand = adcScores(q, codebook, queries)
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val qn = queries.withColumn("qn", inorm2(spark, col("qv")))
+    val cn = q.withColumn("cn", inorm2(spark, col("v")))
+    val wExact = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+    cand.join(cn, Seq("vec_id"))
+      .join(broadcast(qn), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        (col("qn") + col("cn") - idot(spark, col("qv"), col("v")) * 2).as("d2"))
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= k)
+  }
+
+  /** [[adcRefined]] registered: ADC shortlist 25 → exact top-5. */
+  val pqAdcRefine: Op = Op(
+    "q_pq_adc_refine",
+    s"""WITH q AS (
+       |  SELECT vec_id, $QuantSql AS v FROM embeddings
+       |), seeds AS (
+       |  SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 16
+       |), d AS (
+       |  SELECT q.vec_id, t.m, s.cid,
+       |    list_sum(list_transform(range(1, 9),
+       |      j -> (q.v[8*t.m + j] - s.cv[8*t.m + j])
+       |         * (q.v[8*t.m + j] - s.cv[8*t.m + j]))) AS d2
+       |  FROM q, unnest(range(0, 8)) AS t(m), seeds s
+       |), best AS (
+       |  SELECT vec_id, m, MIN(d2 * 16 + cid) AS k FROM d GROUP BY 1, 2
+       |), codes AS (
+       |  SELECT vec_id, m, k % 16 AS cid FROM best
+       |), qs AS (
+       |  SELECT vec_id AS q_id, v AS qv FROM q WHERE vec_id < 10
+       |), lut AS (
+       |  SELECT qs.q_id, t.m, s.cid,
+       |    list_sum(list_transform(range(1, 9),
+       |      j -> (qs.qv[8*t.m + j] - s.cv[8*t.m + j])
+       |         * (qs.qv[8*t.m + j] - s.cv[8*t.m + j]))) AS d2
+       |  FROM qs, unnest(range(0, 8)) AS t(m), seeds s
+       |), adc AS (
+       |  SELECT lut.q_id, codes.vec_id AS c_id, CAST(SUM(lut.d2) AS BIGINT) AS adc
+       |  FROM codes JOIN lut ON codes.m = lut.m AND codes.cid = lut.cid
+       |  WHERE codes.vec_id <> lut.q_id
+       |  GROUP BY 1, 2
+       |), short AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS srk
+       |    FROM adc) WHERE srk <= 25
+       |), exact AS (
+       |  SELECT s.q_id, s.c_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> (qq.v[j] - cc.v[j]) * (qq.v[j] - cc.v[j]))) AS BIGINT) AS d2
+       |  FROM short s
+       |  JOIN q qq ON qq.vec_id = s.q_id
+       |  JOIN q cc ON cc.vec_id = s.c_id
+       |)
+       |SELECT q_id, c_id, d2, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rk
+       |  FROM exact) WHERE rk <= 5""".stripMargin) { (spark, dir) =>
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+    val codebook = q.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    adcRefined(spark, q, codebook,
+      q.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")),
+      shortlist = 25, k = 5)
+      .select(col("q_id"), col("c_id"), col("d2"), col("rk"))
+  }
+
   /** [[pqAdc]] kernel minus the top-k cut: every (q_id, candidate)
     * ADC distance, self excluded. */
   def adcScores(q: DataFrame, codebook: DataFrame, queries: DataFrame)

@@ -333,6 +333,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mean >= 0.2, f"mean recall $mean%.2f below floor")
   }
 
+  test("ADC+refine raises top-5 recall above raw ADC (measured, pinned)") {
+    val q = graft.Tables.embeddings(spark, sf001)
+      .select($"vec_id", Similarity.quantize($"embedding").as("v"))
+    val codebook = q.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val queries = q.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val adcTop = topSets(Similarity.adcScores(q, codebook, queries)
+      .withColumn("rk", org.apache.spark.sql.functions.row_number.over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"q_id").orderBy($"adc", $"vec_id")))
+      .filter($"rk" <= 5).select($"q_id", $"vec_id"))
+    val refinedTop = topSets(
+      Similarity.adcRefined(spark, q, codebook, queries, shortlist = 25, k = 5)
+        .select($"q_id", $"c_id"))
+    val exactTop = topSets(queries
+      .withColumn("qn", Similarity.inorm2(spark, $"qv"))
+      .crossJoin(q.withColumn("cn", Similarity.inorm2(spark, $"v")))
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id",
+        ($"qn" + $"cn" - Similarity.idot(spark, $"qv", $"v") * 2).as("l2"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number.over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"q_id").orderBy($"l2", $"vec_id")))
+      .filter($"rk" <= 5).select($"q_id", $"vec_id"))
+    def meanRecall(top: scala.collection.MapView[Long, Set[Long]]) = {
+      val rs = exactTop.map { case (qid, want) =>
+        top.getOrElse(qid, Set.empty).intersect(want).size / 5.0 }.toSeq
+      rs.sum / rs.size
+    }
+    val adcR = meanRecall(adcTop)
+    val refR = meanRecall(refinedTop)
+    info(f"mean top-5 recall: ADC $adcR%.2f -> refined $refR%.2f")
+    // refine can only fix what the shortlist contains; it must never
+    // lose recall, and on this corpus it measurably gains it
+    assert(refR >= adcR, f"refine lost recall: $refR%.2f < $adcR%.2f")
+    assert(refR > adcR, f"refine gained nothing: $refR%.2f == $adcR%.2f")
+    // floor raised above the raw-ADC contract's 0.2 (measured: 0.22 →
+    // 0.72 on this corpus; see the raw-ADC test above for why the
+    // coarse 16-seed codebook caps absolute recall)
+    assert(refR >= 0.5, f"refined recall $refR%.2f below pinned floor")
+  }
+
   test("exact dedup groups normalized copies") {
     val docs = Seq(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "other text")
