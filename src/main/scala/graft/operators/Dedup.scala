@@ -142,7 +142,7 @@ object Dedup {
       explode(wordShingles(col("text"), 3)).as("s"))
 
   /** [[shingleRows]] + per-doc distinct-shingle count (one shuffle). */
-  private def shingleRowsWithSize(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleRowsWithSize(spark: SparkSession, dir: String): DataFrame =
     shingleRows(spark, dir).withColumn("n_sh",
       count(lit(1)).over(Window.partitionBy(col("doc_id"))))
 
@@ -188,6 +188,15 @@ object Dedup {
     // quadratic in block size. Prefix filtering is the shape that
     // survives 100 TB: linear postings, candidates ∝ true near-dups.
     val rows = shingleRowsWithSize(spark, dir)
+    // exact verification on candidate pairs, row-wise: |A∩B| = count of
+    // shingles present in both docs — no arrays materialized anywhere
+    verifyExact(ngramCandidates(rows), rows, Seq("lang", "source"))
+  }
+
+  /** The AllPairs prefix-filtered candidate stage of [[ngramJaccard]],
+    * exposed so the scale soak (tools/SoakCandidates, PERF.md) can
+    * measure candidate-pair growth across corpus sizes. */
+  private[graft] def ngramCandidates(rows: DataFrame): DataFrame = {
     val freq = rows.groupBy(col("lang"), col("source"), col("s"))
       .agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("lang"), col("source"), col("doc_id"))
@@ -201,16 +210,13 @@ object Dedup {
       col("doc_id").as("doc_id_a"), col("n_sh").as("n_a"))
     val candB = prefix.select(col("lang"), col("source"), col("s"),
       col("doc_id").as("doc_id_b"), col("n_sh").as("n_b"))
-    val cand = candA.join(candB, Seq("lang", "source", "s"))
+    candA.join(candB, Seq("lang", "source", "s"))
       .filter(col("doc_id_a") < col("doc_id_b") &&
         // lossless size prefilter: J≥0.5 needs min/max size ratio ≥ 0.5
         least(col("n_a"), col("n_b")) * 2 >= greatest(col("n_a"), col("n_b")))
       .select(col("lang"), col("source"), col("doc_id_a"), col("doc_id_b"),
         col("n_a"), col("n_b"))
       .distinct()
-    // exact verification on candidate pairs, row-wise: |A∩B| = count of
-    // shingles present in both docs — no arrays materialized anywhere
-    verifyExact(cand, rows, Seq("lang", "source"))
   }
 
   /** Exact Jaccard over candidate pairs from shingle rows:
@@ -311,6 +317,19 @@ object Dedup {
 
   private[operators] def minhashLshPairs(
       spark: SparkSession, dir: String, bucketCap: Option[Int]): DataFrame = {
+    val bare = shingleRows(spark, dir)
+    // exact row-wise verification of the (small) candidate set
+    verifyExact(minhashCandidates(spark, dir, bucketCap), bare, Seq.empty)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** The banded-bucket candidate stage of [[minhashLsh]] alone
+    * (distinct pairs + sizes, pre-verification) — split out so the
+    * scale soak (tools/SoakCandidates, PERF.md) can measure
+    * candidate-pair growth across corpus sizes. */
+  private[graft] def minhashCandidates(
+      spark: SparkSession, dir: String,
+      bucketCap: Option[Int] = None): DataFrame = {
     val bands = 8
     val rowsPerBand = 4
     val k = bands * rowsPerBand
@@ -357,9 +376,7 @@ object Dedup {
         Seq("doc_id_a"))
       .join(sizes.select(col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
         Seq("doc_id_b"))
-    // exact row-wise verification of the (small) candidate set
-    verifyExact(cand, bare, Seq.empty)
-      .select("doc_id_a", "doc_id_b", "jaccard")
+    cand
   }
 
   /** Word hashes per document — the simhash input rows (exposed for the
@@ -433,7 +450,12 @@ object Dedup {
     * The deployment trade: more bands ⇒ larger guaranteed radius but
     * noisier (shorter) buckets — the registered op's 8×8/radius-7 is
     * the loose-dup end; 4×16/radius-3 (spec'd) halves the join fan-in
-    * for tight-dup corpora. The Hamming cut at the derived radius rides
+    * for tight-dup corpora. Measured (tools/SoakCandidates, PERF.md
+    * round 4): 8-bit bands have only 256 buckets, so 8×8's candidate
+    * volume grows birthday-quadratically (∝ n²/256 — log-log slope
+    * 1.95 across a 10× corpus step) while 4×16's 65 536 buckets hold
+    * the same step to 1.49; at growing n the candidate budget is held
+    * by widening bands, not by the verify stage. The Hamming cut at the derived radius rides
     * INSIDE the join condition: band buckets cluster hard on shared
     * topic vocabulary (measured 6.7M raw band collisions from 5k docs
     * at sf0.1), and the fused cut drops that to ~80k in the join stage —

@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.Dedup
+
+/** Dev harness (not part of the engine surface): the scale soak behind
+  * PERF.md's candidate-growth table — for each scale-factor dir,
+  * count the CANDIDATE pairs each banded/blocked dedup family generates
+  * (pre-verification) next to the corpus size and the true near-dup
+  * pair count, then print per-step log-log slopes. "Candidates ∝ true
+  * near-dups, not n²" is the claim that makes these families 100 TB
+  * shapes; this measures it instead of arguing it.
+  *
+  * `runMain graft.tools.SoakCandidates <sfDir> [<sfDir> ...]`
+  */
+object SoakCandidates {
+  def main(args: Array[String]): Unit = {
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    final case class Row(dir: String, docs: Long, parts: Long,
+        cand: Map[String, Long], truth: Map[String, Long])
+
+    val rows = dirs.map { dir =>
+      val docs = graft.Tables.documents(spark, dir).count()
+      val parts = graft.Tables.part(spark, dir).count()
+      val cand = Map(
+        "minhash" -> Dedup.minhashCandidates(spark, dir).count(),
+        "simhash" -> Dedup.simhashCandidates(spark, dir).count(),
+        // the tight-dup banding geometry (4×16: 65536 buckets/band) —
+        // the scale path when 8×8's 256 buckets/band go birthday-quadratic
+        "simhash4x16" -> Dedup.simhashCandidatesOf(
+          Dedup.simhashSignatures(spark, dir), 4, 16).count(),
+        "ngram" -> Dedup.ngramCandidates(
+          Dedup.shingleRowsWithSize(spark, dir)).count(),
+        "fuzzy" -> Dedup.fuzzyCandidates(spark, dir).count())
+      val truth = Map(
+        "minhash" -> Dedup.minhashLsh.build(spark, dir).count(),
+        "simhash" -> Dedup.simhash.build(spark, dir).count(),
+        "simhash4x16" -> -1L, // candidate-stage-only measurement
+        "ngram" -> Dedup.ngramJaccard.build(spark, dir).count(),
+        "fuzzy" -> Dedup.fuzzyMatch.build(spark, dir).count())
+      val r = Row(dir, docs, parts, cand, truth)
+      println(s"[soak] ${r.dir}: docs=${r.docs} parts=${r.parts} " +
+        r.cand.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"$k=cand:${v},true:${r.truth(k)}" }.mkString(" "))
+      r
+    }
+
+    // per-step growth exponents: slope = log(c2/c1) / log(n2/n1);
+    // 2.0 = quadratic, 1.0 = linear in the blocking population
+    println("[soak] family slopes per scale step (population = docs, " +
+      "fuzzy = parts):")
+    rows.sliding(2).foreach {
+      case Seq(lo, hi) =>
+        val fams = lo.cand.keys.toSeq.sorted
+        val line = fams.map { f =>
+          val n = if (f == "fuzzy") (lo.parts, hi.parts) else (lo.docs, hi.docs)
+          if (n._1 == n._2) s"$f=n/c" // same population, no slope
+          else {
+            val c = (math.max(lo.cand(f), 1L), math.max(hi.cand(f), 1L))
+            val slope = math.log(c._2.toDouble / c._1) /
+              math.log(n._2.toDouble / n._1)
+            f"$f=$slope%.2f"
+          }
+        }.mkString(" ")
+        println(s"[soak] ${lo.dir} -> ${hi.dir}: $line")
+      case _ => ()
+    }
+    spark.stop()
+  }
+}
