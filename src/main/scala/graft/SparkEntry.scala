@@ -52,6 +52,7 @@ object SparkEntry {
     Dedup.minhashLsh,
     Dedup.simhash,
     GraphOps.dupClusters,
+    GraphOps.clusterRep,
     GraphOps.triangleCount,
     Dedup.fuzzyMatch,
     Similarity.annBruteForce,

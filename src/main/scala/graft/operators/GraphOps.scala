@@ -130,6 +130,84 @@ object GraphOps {
         (col("node") === col("lbl")).as("is_canonical"))
   }
 
+  /** Cluster-representative selection — the survivor-picking stage
+    * that completes the dedup pipeline (detect pairs → cluster →
+    * KEEP THE BEST, the SlimPajama/Dolma resolution step;
+    * [[dupClusters]]' min-id canonical is the tie-break fallback, this
+    * op picks by measured QUALITY): every document gets its near-dup
+    * cluster (singleton = itself), and each cluster keeps exactly one
+    * doc by (quality_pass DESC, ws-token length DESC, doc_id ASC) —
+    * prefer passing docs, then longer, then deterministic.
+    *
+    * Scale shape: clusters come from the same iterative CC; the
+    * selection itself is ONE max(struct) hash aggregate per cluster
+    * (map-side partial — no window over the corpus), joined back
+    * broadcast-small (clusters ≪ docs). The quality columns are the
+    * registered q_text_quality metrics, so the pick is reproducible
+    * straight from the oracle SQL.
+    */
+  val clusterRep: Op = Op(
+    "q_cluster_rep",
+    s"""WITH RECURSIVE ${Dedup.jaccardPairCtes()},
+       |np AS (
+       |  SELECT doc_id_a, doc_id_b FROM pairs
+       |  WHERE CAST(i AS DOUBLE)/CAST(u AS DOUBLE) >= 0.5
+       |), edges AS (
+       |  SELECT doc_id_a AS src, doc_id_b AS dst FROM np
+       |  UNION ALL
+       |  SELECT doc_id_b, doc_id_a FROM np
+       |), reach AS (
+       |  SELECT src AS node, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+       |), cc AS (
+       |  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+       |), q AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_ws,
+       |    (len(string_split_regex(trim(text), '\\s+')) >= 5
+       |      AND CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+       |          / CAST(greatest(length(text), 1) AS DOUBLE) < 0.2) AS qp
+       |  FROM documents
+       |), lab AS (
+       |  SELECT q.doc_id, COALESCE(cc.cluster_id, q.doc_id) AS cluster_id,
+       |         q.n_ws, q.qp
+       |  FROM q LEFT JOIN cc ON cc.doc_id = q.doc_id
+       |), best AS (
+       |  SELECT cluster_id, doc_id AS rep_doc_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |      ORDER BY qp DESC, n_ws DESC, doc_id ASC) AS rn FROM lab) WHERE rn = 1
+       |)
+       |SELECT l.doc_id, l.cluster_id,
+       |       COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+       |       l.doc_id = b.rep_doc_id AS keep
+       |FROM lab l JOIN best b ON b.cluster_id = l.cluster_id""".stripMargin) {
+    (spark, dir) =>
+    import graft.functions.TextAnalysis.{punctRatio, wsTokenCount}
+    val pairs = Dedup.minhashLshPairs(spark, dir, bucketCap = None)
+      .select("doc_id_a", "doc_id_b")
+    val cc = connectedComponents(pairs, "doc_id_a", "doc_id_b")
+      .select(col("node"), col("lbl"))
+    val nWs = wsTokenCount(col("text"))
+    val docs = graft.Tables.documents(spark, dir).select(
+      col("doc_id"), nWs.as("n_ws"),
+      (nWs >= 5 && punctRatio(col("text")) < 0.2).as("qp"))
+    val lab = docs.join(cc, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
+        col("n_ws"), col("qp"))
+    // winner per cluster as ONE aggregate: max of (qp, n_ws, -doc_id)
+    // ⇔ (qp DESC, n_ws DESC, doc_id ASC) — no corpus-wide window sort
+    val best = lab.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("qp").cast("int").as("q"), col("n_ws").as("n"),
+          negate(col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster_id"), col("cluster_size"),
+        negate(col("b.nid")).as("rep_doc_id"))
+    lab.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("rep_doc_id")).as("keep"))
+  }
+
   /** Triangle counting over the co-purchase graph (parts sharing ≥2
     * orders) — the graph-analytics kernel one step past connected
     * components: triangle density drives clustering coefficient,

@@ -101,4 +101,35 @@ class GraphOpsSpec extends SparkSpec {
       Seq((1L, 1L), (4L, 4L))
     assert(tri(raw) === expected)
   }
+
+  test("cluster representative: quality beats id, length breaks quality ties, singletons keep themselves") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis.{punctRatio, wsTokenCount}
+    // cluster {1,2,3}: doc 1 is LOW quality (too short), docs 2 and 3
+    // pass — doc 3 is longer, so it must win despite the larger id.
+    // doc 9 is a singleton and keeps itself.
+    val docs = Seq(
+      (1L, "too short"),
+      (2L, "a passing document with enough tokens here"),
+      (3L, "a passing document with even more tokens than the other one"),
+      (9L, "a lone document that stands entirely alone")
+    ).toDF("doc_id", "text")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("doc_id_a", "doc_id_b")
+    val cc = GraphOps.connectedComponents(edges, "doc_id_a", "doc_id_b")
+    val nWs = wsTokenCount($"text")
+    val lab = docs
+      .select($"doc_id", nWs.as("n_ws"),
+        (nWs >= 5 && punctRatio($"text") < 0.2).as("qp"))
+      .join(cc, $"doc_id" === $"node", "left")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"),
+        $"n_ws", $"qp")
+    val best = lab.groupBy($"cluster_id")
+      .agg(max(struct($"qp".cast("int").as("q"), $"n_ws".as("n"),
+        negate($"doc_id").as("nid"))).as("b"))
+      .select($"cluster_id", negate($"b.nid").as("rep_doc_id"))
+    val got = lab.join(best, Seq("cluster_id"))
+      .select($"doc_id", ($"doc_id" === $"rep_doc_id").as("keep"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> false, 3L -> true, 9L -> true))
+  }
 }
