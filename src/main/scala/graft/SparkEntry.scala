@@ -55,6 +55,7 @@ object SparkEntry {
     GraphOps.clusterRep,
     GraphOps.triangleCount,
     Dedup.fuzzyMatch,
+    Dedup.fuzzyBest,
     Similarity.annBruteForce,
     Similarity.embedNearDup,
     Similarity.embedNearDupAnn,

@@ -25,12 +25,14 @@ import graft.functions.TextAnalysis.wordShingles
   *    (banded recall measured 1.0 across all SFs — see the op scaladoc).
   *    [[minhashLshCapped]] is the guardrail variant for corpora with
   *    degenerate mass-duplicate keys.
-  *  - SimHash: per-doc 64-bit signature (map-only), 8×8-bit bands (any
-  *    pair within Hamming 7 shares a band — pigeonhole), exact-Jaccard
-  *    verify; contract scoped to docs within
+  *  - SimHash: per-doc 64-bit signature (map-only), banded candidate
+  *    generation, exact-Jaccard verify; contract scoped to docs within
   *    [[SimhashMinShingles]]..[[SimhashWordCap]] (short docs have
   *    unstable vote margins, longer docs exceed the signature's word
-  *    window).
+  *    window). The registered default is the HYBRID candidate stage
+  *    (4×16 radius-3 banding ∪ MinHash bands — see [[simhash]] for the
+  *    measured story); the pure 8×8 radius-7 form survives as
+  *    [[simhashRadius7]].
   */
 object Dedup {
 
@@ -81,6 +83,92 @@ object Dedup {
   def fuzzyCandidates(spark: SparkSession, dir: String): DataFrame =
     fuzzyJoin(spark, dir, withDp = false)
 
+  /** Sparse-output sibling of [[fuzzyMatch]] — canonical best-match
+    * resolution instead of the full pair set. For each part, its single
+    * best match within the brand at edit distance ≤ [[FuzzyMaxDist]]
+    * (minimum distance, ties to the smallest part key); parts with no
+    * match are absent. Output is ≤ one row per part BY CONSTRUCTION —
+    * linear where the pairwise contract's output is measured-quadratic
+    * (220k pairs from 20k parts at sf0.1, PERF.md round 4: dense
+    * duplicate-name groups make the pair set itself quadratic per
+    * block, so no candidate scheme under the pairwise contract can
+    * undercut its own output).
+    *
+    * The sparse contract unlocks a cascade the pairwise one can't use:
+    *
+    *  1. Exact tier — any part sharing its exact name with another part
+    *     in the brand has best_dist = 0 and best_key = the group's
+    *     smallest other key: ONE (brand, name)-keyed window pass, no
+    *     pair enumeration at all. This tier absorbs exactly the
+    *     duplicate-name mass that makes the pairwise output quadratic
+    *     (at sf0.1, ALL 20k parts resolve here — measured).
+    *  2. Residual tier — only brand-UNIQUE names (544 of 2 000 at
+    *     sf0.01, 0 of 20 000 at sf0.1) probe the fused-cut block join
+    *     (same cuts as [[fuzzyMatch]]: length band, packed bag bound,
+    *     threshold DP), reduced per probe by one min(struct) aggregate —
+    *     the clusterRep selection shape, no corpus window sort.
+    *
+    * The probe population SHRINKS as the corpus grows (name vocabulary
+    * saturates), so candidate volume collapses with scale
+    * (tools/SoakCandidates: 2 783 → 0 across the sf0.01→sf0.1 step)
+    * while the pairwise kernel's grows at its measured 2.02. The exact
+    * kernel [[fuzzyMatch]] stays registered as the recall reference. */
+  val fuzzyBest: Op = Op(
+    "q_fuzzy_best",
+    s"""SELECT brand, key, best_key, best_dist FROM (
+       |  SELECT a.p_brand AS brand, a.p_partkey AS key,
+       |         b.p_partkey AS best_key,
+       |         levenshtein(a.p_name, b.p_name) AS best_dist,
+       |         row_number() OVER (PARTITION BY a.p_partkey
+       |           ORDER BY levenshtein(a.p_name, b.p_name), b.p_partkey) AS rn
+       |  FROM part a JOIN part b
+       |    ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
+       |  WHERE abs(len(a.p_name) - len(b.p_name)) <= $FuzzyMaxDist
+       |    AND levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
+       |) WHERE rn = 1""".stripMargin) { (spark, dir) =>
+    val parts = Tables.part(spark, dir).select(col("p_brand").as("brand"),
+      col("p_partkey").as("key"), col("p_name").as("name"))
+    // exact tier: two window passes on ONE (brand, name) shuffle — the
+    // second min must see the first (m2 = smallest key ≠ m1), hence the
+    // two selects over the same window partitioning
+    val w = Window.partitionBy(col("brand"), col("name"))
+    val g1 = parts
+      .withColumn("grp_n", count(lit(1)).over(w))
+      .withColumn("m1", min(col("key")).over(w))
+    val gs = g1.withColumn("m2",
+      min(when(col("key") =!= col("m1"), col("key"))).over(w))
+    val exactBest = gs.filter(col("grp_n") >= 2)
+      .select(col("brand"), col("key"),
+        when(col("key") === col("m1"), col("m2")).otherwise(col("m1"))
+          .as("best_key"),
+        lit(0).as("best_dist"))
+    // residual tier: brand-unique names probe the fused-cut block join
+    val uniq = gs.filter(col("grp_n") === 1)
+      .select(col("brand"), col("key"), col("name"))
+    val nearBest = fuzzyBlockJoin(spark, uniq, parts,
+        (a, b) => a =!= b, withDp = true)
+      .select(col("brand"), col("key_a").as("key"), col("key_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .groupBy(col("brand"), col("key"))
+      .agg(min(struct(col("dist"), col("key_b"))).as("best"))
+      .select(col("brand"), col("key"),
+        col("best.key_b").as("best_key"), col("best.dist").as("best_dist"))
+    exactBest.unionByName(nearBest)
+  }
+
+  /** The residual tier's candidate stage of [[fuzzyBest]] (post cheap
+    * cuts, pre DP) — exposed for the scale soak. */
+  private[graft] def fuzzyBestCandidates(
+      spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir).select(col("p_brand").as("brand"),
+      col("p_partkey").as("key"), col("p_name").as("name"))
+    val w = Window.partitionBy(col("brand"), col("name"))
+    val uniq = parts.withColumn("grp_n", count(lit(1)).over(w))
+      .filter(col("grp_n") === 1)
+      .select(col("brand"), col("key"), col("name"))
+    fuzzyBlockJoin(spark, uniq, parts, (a, b) => a =!= b, withDp = false)
+  }
+
   /** The blocked fuzzy join with every cut FUSED into the join
     * condition, cheapest first: key order, the lossless length band,
     * the native packed bag-distance bound, and (when `withDp`) the
@@ -102,21 +190,33 @@ object Dedup {
     * PERF.md round 3). */
   private def fuzzyJoin(spark: SparkSession, dir: String,
       withDp: Boolean): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_brand").as("brand"),
+      col("p_partkey").as("key"), col("p_name").as("name"))
+    fuzzyBlockJoin(spark, p, p, (a, b) => a < b, withDp)
+  }
+
+  /** The blocked fuzzy join generalized over probe/build frames (both
+    * with columns brand, key, name) and the key predicate — `<` for the
+    * unordered pair contract, `=!=` for directed best-match probes. */
+  private def fuzzyBlockJoin(spark: SparkSession,
+      probe: DataFrame, build: DataFrame,
+      keyCond: (Column, Column) => Column, withDp: Boolean): DataFrame = {
     val hasBag = spark.catalog.functionExists("graft_bag_dist") &&
       spark.catalog.functionExists("graft_letter_bag")
-    val p = Tables.part(spark, dir)
     // lengths (and bags) are per-ROW projections, never recomputed per
     // pair inside the join loop
-    def side(key: String, name: String, len: String, bag: String) = {
-      val base = p.select(col("p_brand").as("brand"),
-        col("p_partkey").as(key), col("p_name").as(name),
-        length(col("p_name")).as(len))
+    def side(df: DataFrame, key: String, name: String, len: String,
+        bag: String) = {
+      val base = df.select(col("brand"),
+        col("key").as(key), col("name").as(name),
+        length(col("name")).as(len))
       if (hasBag) base.withColumn(bag, call_function("graft_letter_bag", col(name)))
       else base
     }
-    val a = side("key_a", "name_a", "len_a", "bag_a")
-    val b = side("key_b", "name_b", "len_b", "bag_b")
-    var cond = a("brand") === b("brand") && col("key_a") < col("key_b") &&
+    val a = side(probe, "key_a", "name_a", "len_a", "bag_a")
+    val b = side(build, "key_b", "name_b", "len_b", "bag_b")
+    var cond = a("brand") === b("brand") &&
+      keyCond(col("key_a"), col("key_b")) &&
       abs(col("len_a") - col("len_b")) <= FuzzyMaxDist
     if (hasBag)
       cond = cond &&
@@ -427,13 +527,15 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash candidate pairs — doc pairs sharing any of 8 × 8-bit bands
-    * of the 64-bit signature, kept when signature Hamming distance ≤ 7.
-    * By pigeonhole, 8 bands GUARANTEE every pair within Hamming 7 shares
-    * a band — candidate recall at radius 7 is exactly 1, not
-    * probabilistic. Exposed for the band-coverage spec. */
+  /** Legacy-geometry SimHash candidate pairs — doc pairs sharing any of
+    * 8 × 8-bit bands of the 64-bit signature, kept when signature
+    * Hamming distance ≤ 7. By pigeonhole, 8 bands GUARANTEE every pair
+    * within Hamming 7 shares a band — candidate recall at radius 7 is
+    * exactly 1, not probabilistic. Exposed for the band-coverage spec;
+    * measured birthday-quadratic at scale (PERF.md) — the registered op
+    * uses the hybrid stage instead. */
   def simhashCandidates(spark: SparkSession, dir: String): DataFrame =
-    simhashCandidatesOf(simhashSignatures(spark, dir))
+    simhashCandidatesOf(simhashSignatures(spark, dir), bands = 8, bitsPerBand = 8)
 
   /** Banded candidate pairs over an arbitrary (doc_id, simhash) frame —
     * the op feeds only in-scope (≥[[SimhashMinShingles]]-shingle) docs
@@ -447,25 +549,43 @@ object Dedup {
     * pigeonhole — a pair within Hamming `bands - 1` has fewer differing
     * bits than bands, so some band holds none of them and collides;
     * candidate recall at that radius is exactly 1, not probabilistic.
-    * The deployment trade: more bands ⇒ larger guaranteed radius but
-    * noisier (shorter) buckets — the registered op's 8×8/radius-7 is
-    * the loose-dup end; 4×16/radius-3 (spec'd) halves the join fan-in
-    * for tight-dup corpora. Measured (tools/SoakCandidates, PERF.md
-    * round 4): 8-bit bands have only 256 buckets, so 8×8's candidate
-    * volume grows birthday-quadratically (∝ n²/256 — log-log slope
-    * 1.95 across a 10× corpus step) while 4×16's 65 536 buckets hold
-    * the same step to 1.49; at growing n the candidate budget is held
-    * by widening bands, not by the verify stage. The Hamming cut at the derived radius rides
-    * INSIDE the join condition: band buckets cluster hard on shared
-    * topic vocabulary (measured 6.7M raw band collisions from 5k docs
-    * at sf0.1), and the fused cut drops that to ~80k in the join stage —
-    * dropDuplicates then shuffles the survivors, not the collision
-    * fan-out. */
+    * The default is the scale geometry, 4×16/radius-3 (the Manku
+    * WWW'07 operating point): measured candidate exponent 1.49 across
+    * the sf0.01→sf0.1 10× step vs 1.95 for 8×8/radius-7. Round-5
+    * measurement (tools/SimhashGeom) pinned down WHY the 8×8 geometry
+    * is quadratic — and why no bucket-widening fixes it at radius 7:
+    * the corpus' Hamming≤7 pair set is ITSELF quadratic (topic clusters
+    * put ~40k doc pairs of 5k docs within signature Hamming 7 at sf0.1;
+    * 4×16 with the cut raised to 7 re-measures at slope 1.95, and the
+    * lossless size prefilter removes only 13% of that mass). Any
+    * candidate stage with guaranteed recall at radius 7 must enumerate
+    * that set — sub-quadratic simhash REQUIRES the tight radius, which
+    * in turn misses true pairs whose signatures are noisy (per-bit flip
+    * rate ≈ 0.1 at J≈0.9 for 30-100-shingle docs; measured: radius 3
+    * alone misses 3/21, 4/18, 19/178 true pairs across the SFs). The
+    * registered op therefore pairs this tier with MinHash-band
+    * candidates — see [[simhash]]. The Hamming cut at the derived
+    * radius rides INSIDE the join condition: band buckets cluster hard
+    * on shared topic vocabulary (measured 6.7M raw band collisions from
+    * 5k docs at sf0.1 at 8×8), and the fused cut drops that inside the
+    * join stage — dropDuplicates then shuffles the survivors, not the
+    * collision fan-out. */
   def simhashCandidatesOf(
-      sigs: DataFrame, bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+      sigs: DataFrame, bands: Int = 4, bitsPerBand: Int = 16,
+      cutRadius: Option[Int] = None): DataFrame = {
     require(bands * bitsPerBand == 64,
       s"bands ($bands) × bitsPerBand ($bitsPerBand) must tile the 64-bit signature")
-    val radius = bands - 1 // pigeonhole guarantee, derived — not a knob
+    // The GUARANTEED radius follows from the banding by pigeonhole
+    // (bands - 1). The fused Hamming CUT may sit above it: the cut is a
+    // cost lever before exact verification, never a correctness gate —
+    // raising it past the guarantee admits pairs whose band collision is
+    // probabilistic rather than guaranteed (recall for those must be
+    // established by measurement on the target corpus, as the registered
+    // op does via tools/SimhashGeom).
+    val radius = cutRadius.getOrElse(bands - 1)
+    require(radius >= bands - 1,
+      s"cutRadius ($radius) below the pigeonhole guarantee (${bands - 1}) " +
+        "would silently drop guaranteed-colliding pairs")
     val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map(bd =>
@@ -494,55 +614,120 @@ object Dedup {
     * length-robust (measured recall 1.0 on the same corpus). */
   val SimhashMinShingles = 32
 
-  /** SimHash near-dup detection, two-stage: banded-signature candidate
-    * generation (map-only signatures, band-bucket join — the shape that
-    * survives 100 TB) followed by exact-Jaccard verification, so the
-    * output is exactly the J≥0.5 near-dup pair set over in-scope docs:
-    * ≥[[SimhashMinShingles]] shingles (short-doc vote margins are
-    * unstable) and ≤[[SimhashWordCap]] words (the signature's word
+  /** In-scope (doc_id, n_sh) for the simhash contract: docs with
+    * ≥[[SimhashMinShingles]] distinct shingles (short-doc vote margins
+    * are unstable) and ≤[[SimhashWordCap]] words (the signature's word
     * window — gating BOTH sides keeps signatures exact for every
     * in-scope doc, so the slice cap can never silently break the
-    * oracle). Oracled against the all-pairs exact SQL with the same
-    * gates: in-scope pairs max out at signature Hamming 7 (measured
-    * across all SFs by tools/Explore), inside the radius-7 pigeonhole
-    * guarantee — so candidate recall on the contract set is exactly 1. */
+    * oracle). Scope applied BEFORE banding: out-of-scope docs can't
+    * appear in any contract pair, and shrinking the banding population
+    * shrinks the candidate join quadratically. */
+  private[graft] def simhashScopeSizes(
+      spark: SparkSession, dir: String): DataFrame = {
+    val wordsOk = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("n_words"))
+      .filter(col("n_words") <= SimhashWordCap)
+      .select("doc_id")
+    shingleRows(spark, dir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .filter(col("n_sh") >= SimhashMinShingles)
+      .join(wordsOk, Seq("doc_id"))
+  }
+
+  /** Attach in-scope sizes to candidate pairs (scope-filtering them in
+    * the same joins) and apply the lossless size prefilter: J≥0.5
+    * requires min/max distinct-shingle ratio ≥ 0.5 — drops hamming-near
+    * but size-skewed candidates before the exact-verify shingle join. */
+  private def scopeAndSizeBand(cand: DataFrame, sizes: DataFrame): DataFrame =
+    cand
+      .join(sizes.select(col("doc_id").as("doc_id_a"), col("n_sh").as("n_a")),
+        Seq("doc_id_a"))
+      .join(sizes.select(col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
+        Seq("doc_id_b"))
+      .filter(least(col("n_a"), col("n_b")) * 2 >=
+        greatest(col("n_a"), col("n_b")))
+
+  /** The registered candidate stage of [[simhash]]: the 4×16/radius-3
+    * banded tier UNION MinHash-band candidates, scope-filtered and
+    * size-banded — exposed so tools/SoakCandidates measures the stage
+    * the op actually runs. */
+  private[graft] def simhashHybridCandidates(
+      spark: SparkSession, dir: String): DataFrame = {
+    val sizes = simhashScopeSizes(spark, dir)
+    val inScopeSigs = simhashSignatures(spark, dir)
+      .join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("simhash"))
+    val tight = simhashCandidatesOf(inScopeSigs) // 4×16, radius 3
+      .select("doc_id_a", "doc_id_b")
+    val noisy = minhashCandidates(spark, dir)
+      .select("doc_id_a", "doc_id_b")
+    scopeAndSizeBand(
+      tight.union(noisy).dropDuplicates("doc_id_a", "doc_id_b"), sizes)
+  }
+
+  /** SimHash near-dup detection, two-stage: banded-signature candidate
+    * generation (map-only signatures, band-bucket join) followed by
+    * exact-Jaccard verification, so the output is exactly the J≥0.5
+    * near-dup pair set over in-scope docs (see [[simhashScopeSizes]]).
+    * Oracled against the all-pairs exact SQL with the same gates.
+    *
+    * The candidate stage is a measured-sub-quadratic HYBRID — two tiers,
+    * each covering the other's failure mode:
+    *
+    *  1. 4×16/radius-3 banding (the Manku WWW'07 web-scale operating
+    *     point): pigeonhole-GUARANTEED recall at signature Hamming ≤ 3,
+    *     candidate exponent 1.49 measured across the sf0.01→sf0.1 step.
+    *  2. MinHash band candidates ([[minhashCandidates]], 8 bands × 4
+    *     rows): per-shingle MIN signatures are length-robust where
+    *     simhash vote margins are not — banding collision probability at
+    *     J=0.9 is 1−(1−0.9⁴)⁸ ≈ 0.9999, measured deterministically 1.0
+    *     on this corpus (signatures are fixed xxhash64 — the SAME
+    *     measured-recall basis as the three green minhash oracles);
+    *     candidate exponent 1.01 measured.
+    *
+    * Why not one tier? Round-5 measurement (tools/SimhashGeom, PERF.md):
+    * in-scope true pairs (all at J≥0.9) reach signature Hamming 7 — the
+    * per-bit flip rate of a J≈0.9 pair is ≈0.1 regardless of doc length
+    * in the 30-100-shingle range where this corpus' near-dups live, so
+    * radius-3 banding alone misses 3/21, 4/18, 19/178 across the SFs.
+    * But guaranteeing recall at radius 7 forces the candidate set to
+    * contain EVERY Hamming≤7 pair, and that set is itself quadratic on
+    * topic-clustered corpora (~40k pairs from 5k docs at sf0.1;
+    * geometry-independent — 4×16 with the cut raised to 7 re-measures
+    * at slope 1.95, same as 8×8). The radius-7 single-tier form
+    * survives as [[simhashRadius7]] for small blocks; the hybrid is the
+    * 100 TB default: both tiers linear-ish, union recall 1.0 measured
+    * across all SFs. */
   val simhash: Op = Op(
     "q_simhash",
     allPairsJaccardSql(
       s"""
          |   AND len(a.sh) >= $SimhashMinShingles AND len(b.sh) >= $SimhashMinShingles
          |   AND a.n_words <= $SimhashWordCap AND b.n_words <= $SimhashWordCap""".stripMargin)) { (spark, dir) =>
-    val bare = shingleRows(spark, dir)
-      .select(col("doc_id"), col("s"))
-    // length gates applied BEFORE banding: short docs can't appear in
-    // any in-scope pair (and drive the candidate join quadratically),
-    // and docs beyond the signature's word window are out of scope too —
-    // the oracle carries the SAME upper gate, so a >60k-word doc whose
-    // truncated signature drifts past Hamming 7 can never become a
-    // silent contract break: it simply isn't in the contract.
-    val wordsOk = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(split(lower(trim(col("text"))), "\\s+")).as("n_words"))
-      .filter(col("n_words") <= SimhashWordCap)
-      .select("doc_id")
-    val sizes = bare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      .filter(col("n_sh") >= SimhashMinShingles)
-      .join(wordsOk, Seq("doc_id"))
+    verifyExact(simhashHybridCandidates(spark, dir),
+        shingleRows(spark, dir).select(col("doc_id"), col("s")), Seq.empty)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** Single-tier 8×8/radius-7 variant — the former registered wiring.
+    * Its recall argument needs no second tier (in-scope pairs max out at
+    * signature Hamming 7, measured across all SFs by tools/Explore,
+    * inside the radius-7 pigeonhole guarantee), but its candidate stage
+    * must enumerate the corpus' whole Hamming≤7 pair set, which is
+    * measured-quadratic on topic-clustered text (exponent 1.95) — a
+    * small-block tool, not a 100 TB default. Kept as the recall
+    * reference: equals [[simhash]] output wherever both run (spec). */
+  def simhashRadius7(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = simhashScopeSizes(spark, dir)
     val inScopeSigs = simhashSignatures(spark, dir)
       .join(sizes, Seq("doc_id"))
       .select(col("doc_id"), col("simhash"))
-    val cand = simhashCandidatesOf(inScopeSigs)
-      .select("doc_id_a", "doc_id_b")
-      .join(sizes.select(col("doc_id").as("doc_id_a"), col("n_sh").as("n_a")),
-        Seq("doc_id_a"))
-      .join(sizes.select(col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
-        Seq("doc_id_b"))
-      // lossless size prefilter (as in ngramJaccard): J≥0.5 requires
-      // min/max distinct-shingle ratio ≥ 0.5 — drops hamming-near but
-      // size-skewed candidates before the exact-verify shingle join
-      .filter(least(col("n_a"), col("n_b")) * 2 >=
-        greatest(col("n_a"), col("n_b")))
-    verifyExact(cand, bare, Seq.empty)
+    val cand = scopeAndSizeBand(
+      simhashCandidatesOf(inScopeSigs, bands = 8, bitsPerBand = 8)
+        .select("doc_id_a", "doc_id_b"), sizes)
+    verifyExact(cand, shingleRows(spark, dir).select(col("doc_id"), col("s")),
+        Seq.empty)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 }

@@ -36,20 +36,29 @@ object SoakCandidates {
       val parts = graft.Tables.part(spark, dir).count()
       val cand = Map(
         "minhash" -> Dedup.minhashCandidates(spark, dir).count(),
-        "simhash" -> Dedup.simhashCandidates(spark, dir).count(),
-        // the tight-dup banding geometry (4×16: 65536 buckets/band) —
-        // the scale path when 8×8's 256 buckets/band go birthday-quadratic
+        // the REGISTERED q_simhash candidate stage (round 5): hybrid
+        // 4×16/radius-3 banding ∪ minhash bands, scope+size filtered
+        "simhash" -> Dedup.simhashHybridCandidates(spark, dir).count(),
+        // legacy single-tier 8×8/radius-7 (measured birthday-quadratic —
+        // kept for the comparison row)
+        "simhash8x8" -> Dedup.simhashCandidates(spark, dir).count(),
+        // the tight banded tier alone (4×16: 65536 buckets/band)
         "simhash4x16" -> Dedup.simhashCandidatesOf(
           Dedup.simhashSignatures(spark, dir), 4, 16).count(),
         "ngram" -> Dedup.ngramCandidates(
           Dedup.shingleRowsWithSize(spark, dir)).count(),
-        "fuzzy" -> Dedup.fuzzyCandidates(spark, dir).count())
+        "fuzzy" -> Dedup.fuzzyCandidates(spark, dir).count(),
+        // sparse-output sibling: residual-tier candidates only (the
+        // exact tier is a window pass with no pair enumeration)
+        "fuzzybest" -> Dedup.fuzzyBestCandidates(spark, dir).count())
       val truth = Map(
         "minhash" -> Dedup.minhashLsh.build(spark, dir).count(),
         "simhash" -> Dedup.simhash.build(spark, dir).count(),
+        "simhash8x8" -> -1L, // candidate-stage-only measurement
         "simhash4x16" -> -1L, // candidate-stage-only measurement
         "ngram" -> Dedup.ngramJaccard.build(spark, dir).count(),
-        "fuzzy" -> Dedup.fuzzyMatch.build(spark, dir).count())
+        "fuzzy" -> Dedup.fuzzyMatch.build(spark, dir).count(),
+        "fuzzybest" -> Dedup.fuzzyBest.build(spark, dir).count())
       val r = Row(dir, docs, parts, cand, truth)
       println(s"[soak] ${r.dir}: docs=${r.docs} parts=${r.parts} " +
         r.cand.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -65,7 +74,8 @@ object SoakCandidates {
       case Seq(lo, hi) =>
         val fams = lo.cand.keys.toSeq.sorted
         val line = fams.map { f =>
-          val n = if (f == "fuzzy") (lo.parts, hi.parts) else (lo.docs, hi.docs)
+          val n = if (f.startsWith("fuzzy")) (lo.parts, hi.parts)
+            else (lo.docs, hi.docs)
           if (n._1 == n._2) s"$f=n/c" // same population, no slope
           else {
             val c = (math.max(lo.cand(f), 1L), math.max(hi.cand(f), 1L))

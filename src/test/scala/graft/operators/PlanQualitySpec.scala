@@ -100,17 +100,18 @@ class PlanQualitySpec extends SparkSpec {
       s"unexpected cartesian product in ANN variant:\n$pa")
   }
 
-  test("simhash plans band-bucket equi-join with the hamming cut fused in") {
+  test("simhash plans band-bucket equi-joins with the hamming cut fused in") {
     val p = plan(Dedup.simhash)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
-      s"simhash candidates must come from the band equi-join:\n$p")
-    // the <=7 cut must ride the JOIN NODE ITSELF (fused into the join
-    // stage), not a post-dedup filter — reverting that reintroduces the
-    // 6.7M-row dedup shuffle this plan exists to avoid. In the plan
-    // string the join's non-equi condition prints on the join's own
-    // line, so some "<= 7" line must also name the join.
-    val cutLines = p.linesIterator.filter(_.contains("<= 7")).toSeq
+      s"simhash candidates must come from band equi-joins:\n$p")
+    // the tight tier's radius-3 cut must ride the JOIN NODE ITSELF
+    // (fused into the join stage), not a post-dedup filter — reverting
+    // that reintroduces the raw band-collision dedup shuffle this plan
+    // exists to avoid. In the plan string the join's non-equi condition
+    // prints on the join's own line, so some "<= 3" line must also name
+    // the join.
+    val cutLines = p.linesIterator.filter(_.contains("<= 3")).toSeq
     assert(cutLines.nonEmpty, s"missing hamming cut in:\n$p")
     assert(cutLines.exists(_.contains("Join")),
       s"hamming cut not fused into the join condition:\n$p")
