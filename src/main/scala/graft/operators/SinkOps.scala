@@ -44,16 +44,21 @@ object SinkOps {
   }
 
   /** S7/S9 (`ON CONFLICT DO UPDATE` / delete-then-insert-day,
-    * revalueCollection.mjs:135-165): two OVERLAPPING day-batches flow
-    * through [[Sinks.upsertByDay]] — batch 1 aggregates days [0,20)
+    * revalueCollection.mjs:135-165), TRANSACTIONAL since round 5: two
+    * OVERLAPPING day-batches land through [[graft.sources.TxStore
+    * .stageDays]] — each batch is one manifest commit that stages only
+    * its incoming days and carries every other day forward (partition-
+    * level copy-on-write; the reference's DELETE WHERE as_of_date=$1 +
+    * INSERT inside its transaction). Batch 1 aggregates days [0,20)
     * from the lineitem anchor with the base-cents formula, batch 2
-    * "recomputes" days [10,30) with a corrected formula (discounted
-    * revenue units). Last write wins per day partition, so what must
-    * land on disk is batch 1 for [0,10) and batch 2 for [10,30) — which
-    * is exactly what the oracle computes from lineitem directly. The
-    * overwritten days [10,20) are where a broken sink shows up: append
-    * semantics would double them, full-table overwrite would lose
-    * [0,10).
+    * recomputes days [10,30) with a corrected formula (discounted
+    * revenue units). Last COMMIT wins per day, so what a
+    * manifest-resolved reader must see is batch 1 for [0,10) and batch
+    * 2 for [10,30) — exactly what the oracle computes from lineitem
+    * directly. The overwritten days [10,20) are where a broken sink
+    * shows up: append semantics would double them, full-table overwrite
+    * would lose [0,10), and a manifest that failed to carry forward
+    * would also lose [0,10).
     */
   val upsertDay: Op = Op(
     "q_upsert_day",
@@ -94,23 +99,33 @@ object SinkOps {
         .groupBy(to_date(col("l_shipdate")).as("as_of_date"))
         .agg(count(lit(1)).as("n_items"), sum(formula).as("sum_cents"))
     val base = centsOf(col("l_extendedprice"))
-    Sinks.upsertByDay(batch(0, 20, base), out, "as_of_date")
-    Sinks.upsertByDay(
-      batch(10, 30, base * (lit(100) - centsOf(col("l_discount")))),
-      out, "as_of_date")
-    spark.read.parquet(out)
+    import graft.sources.TxStore
+    TxStore.transact(spark, out) { txn =>
+      TxStore.stageDays(txn, batch(0, 20, base), "as_of_date")
+    }
+    TxStore.transact(spark, out) { txn =>
+      TxStore.stageDays(txn,
+        batch(10, 30, base * (lit(100) - centsOf(col("l_discount")))),
+        "as_of_date")
+    }
+    TxStore.readDays(spark, out)
       .select(col("as_of_date").cast("date").as("as_of_date"),
         col("n_items"), col("sum_cents"))
   }
 
   /** S8/J5 (update-then-insert without a unique index,
     * 02_normalize_scryfall_prices.js:159-193): null-safe keyed merge via
-    * [[Sinks.upsertByKey]] — incoming rows (every third part, repriced
-    * +5¢, plus a NULL-keyed row) replace their existing twins, everything
-    * else is kept — then a full parquet round-trip and a three-scalar
-    * reduction. The NULL-keyed row is the point: `=` would keep BOTH
-    * null rows (9 extra cents of sum and one extra row here), `<=>`
-    * replaces exactly one.
+    * [[Sinks.upsertByKey]], TRANSACTIONAL since round 5: the seed state
+    * and the merge each commit through the [[graft.sources.TxStore]]
+    * manifest (read committed → merge → stage new version → atomic
+    * commit-point flip; the old version stays live until the flip, the
+    * reference's UPDATE-then-INSERT inside one BEGIN/COMMIT). Incoming
+    * rows (every third part, repriced +5¢, plus a NULL-keyed row)
+    * replace their existing twins, everything else is kept — then a
+    * manifest-resolved round-trip and a three-scalar reduction. The
+    * NULL-keyed row is the point: `=` would keep BOTH null rows (9
+    * extra cents of sum and one extra row here), `<=>` replaces exactly
+    * one.
     */
   val upsertKey: Op = Op(
     "q_upsert_key",
@@ -142,9 +157,14 @@ object SinkOps {
       .select(col("p_partkey").as("k"),
         (centsOf(col("p_retailprice")) + 5).as("v"))
       .unionByName(nullRow(222L))
-    Sinks.upsertByKey(existing, incoming, Seq("k"))
-      .write.mode("overwrite").parquet(out)
-    spark.read.parquet(out).agg(
+    import graft.sources.{TxCommit, TxStore}
+    TxStore.transact(spark, out) { txn =>
+      TxStore.stageFull(txn, "prices", existing)
+    }
+    TxStore.transact(spark, out) { txn =>
+      TxStore.stageKeyed(spark, txn, "prices", incoming, Seq("k"))
+    }
+    TxCommit.read(spark, out, "prices").agg(
       count(lit(1)).as("n_rows"),
       sum(col("v")).as("sum_v"),
       count(when(col("k").isNull, 1)).as("n_null_keys"))
@@ -156,9 +176,11 @@ object SinkOps {
     * [[graft.sources.TxCommit]]: txn 1 commits a (daily, prices) pair
     * with STALE formulas; txn 2 stages a poisoned daily output and
     * "crashes" before writing prices (no commit — exactly the torn
-    * state S12 exists to prevent); the re-run claims the same version,
-    * overwrites the orphaned staging with corrected formulas for BOTH
-    * outputs, and commits. Readers resolve through the latest manifest,
+    * state S12 exists to prevent); the re-run claims the same version
+    * under its own staging token (the crashed attempt's dir is an
+    * orphan, invisible and vacuum-collectable), writes corrected
+    * formulas for BOTH outputs, and commits. Readers resolve through
+    * the latest manifest,
     * so the answer must carry txn 3's values for both outputs — stale
     * values mean the manifest didn't advance, zeros mean the aborted
     * staging leaked, a mix means the pair tore.
@@ -222,7 +244,8 @@ object SinkOps {
     val t2 = TxCommit.begin(spark, root)
     daily(base).withColumn("sum_cents", lit(0L))
       .write.mode("overwrite").parquet(t2.stage("daily"))
-    // recovery re-run: same version, overwrite staging, commit both
+    // recovery re-run: same version, own staging token (t2's dir stays
+    // an invisible orphan), commit both
     val t3 = TxCommit.begin(spark, root)
     daily(corrected).write.mode("overwrite").parquet(t3.stage("daily"))
     Sinks.upsertByKey(existing, incoming, Seq("k"))

@@ -14,8 +14,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * missing piece, built the way table formats do it (a Delta/Iceberg
   * commit log reduced to exactly what the engine needs):
   *
-  *  - each transaction stages EVERY output under a fresh version dir
-  *    (`<root>/data/<output>/v<NNNNNNNN>/`) — never touching live data;
+  *  - each transaction stages EVERY output under a fresh per-TRANSACTION
+  *    dir (`<root>/data/<output>/v<NNNNNNNN>-<token>/` — the token makes
+  *    racing transactions' staging disjoint) — never touching live data;
   *  - the commit point is ONE file: `<root>/_commits/v<NNNNNNNN>.json`,
   *    written to a temp name and atomically renamed into place. Readers
   *    resolve every output through the HIGHEST committed manifest, so
@@ -26,7 +27,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    reference's own cron-replay model);
   *  - two committers racing the same version: rename-if-absent means
   *    exactly one wins; the loser re-stages at the next version (the
-  *    caller's retry loop — optimistic concurrency, same as Delta).
+  *    caller's retry loop — optimistic concurrency, same as Delta), and
+  *    its already-staged dirs are orphans the winner's readers can never
+  *    resolve (disjoint staging tokens), collected by [[vacuum]].
   *
   * Atomic-rename is a real property of HDFS and POSIX filesystems; on
   * S3-class object stores the rename becomes a conditional PUT
@@ -39,11 +42,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TxCommit {
 
   /** An open transaction: outputs staged under `version`, nothing
-    * visible until [[commit]] succeeds. */
-  final case class Txn(root: String, version: Long) {
+    * visible until [[commit]] succeeds. `token` makes the staging path
+    * unique PER TRANSACTION, not per version: two committers racing the
+    * same version stage into disjoint dirs, so the loser can never have
+    * scribbled over data the winner's manifest points at (the same
+    * reason Delta/Iceberg data files carry unique names independent of
+    * the commit version). The loser's dir becomes an orphan that
+    * [[vacuum]] collects. */
+  final case class Txn(root: String, version: Long, token: String) {
     /** Staging dir for one named output of this transaction. */
     def stage(output: String): String =
-      f"$root/data/$output/v$version%08d"
+      f"$root/data/$output/v$version%08d-$token"
   }
 
   private def fs(spark: SparkSession, root: String): FileSystem =
@@ -63,9 +72,11 @@ object TxCommit {
     }.sorted
   }
 
-  /** Begin a transaction at the next unclaimed version. */
+  /** Begin a transaction at the next unclaimed version, with a fresh
+    * staging token. */
   def begin(spark: SparkSession, root: String): Txn =
-    Txn(root, versions(spark, root).lastOption.getOrElse(0L) + 1L)
+    Txn(root, versions(spark, root).lastOption.getOrElse(0L) + 1L,
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12))
 
   /** Publish `outputs` (name → staged path, normally `txn.stage(name)`
     * for each) as one atomic commit. Returns false if another
@@ -130,7 +141,15 @@ object TxCommit {
   }
 
   /** Drop manifests and data dirs older than the last `keep` committed
-    * versions. The latest pair always survives. */
+    * versions, plus ORPHANED staging dirs — dirs staged by transactions
+    * that crashed or lost their version race (per-transaction staging
+    * tokens mean losers never overwrite live data, but their dirs
+    * linger). An orphan is any version-pattern data dir not referenced
+    * by a surviving manifest whose version is ≤ the latest committed
+    * one: its version was claimed by some committed manifest, so no
+    * future commit can ever reference it. Staging for an IN-FLIGHT
+    * transaction (version > latest committed) is left alone. The latest
+    * pair always survives. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2): Unit = {
     require(keep >= 1, "must keep at least the latest version")
     val vs = versions(spark, root)
@@ -145,6 +164,36 @@ object TxCommit {
         .filterNot(live.contains)
         .foreach(p => f.delete(new Path(p), true))
       f.delete(new Path(commitsDir(root), f"v$v%08d.json"), false)
+    }
+    vs.lastOption.foreach { latestV =>
+      // listStatus returns scheme-qualified paths; manifests record the
+      // caller's plain strings — qualify both sides before comparing
+      val liveQualified = live.map(p => f.makeQualified(new Path(p)))
+      stagedDataDirs(spark, root)
+        .filter { case (_, v) => v <= latestV }
+        .filterNot { case (p, _) => liveQualified.contains(f.makeQualified(p)) }
+        .foreach { case (p, _) => f.delete(p, true) }
+    }
+  }
+
+  private val StagedDirName = """v(\d{8})(?:-[0-9a-f]+)?""".r
+
+  /** All version-pattern staging dirs under `<root>/data`, recursively
+    * (output names may contain '/'), with their parsed versions. */
+  private def stagedDataDirs(
+      spark: SparkSession, root: String): Seq[(Path, Long)] = {
+    val f = fs(spark, root)
+    val dataRoot = new Path(s"$root/data")
+    if (!f.exists(dataRoot)) Seq.empty
+    else {
+      def walk(p: Path): Seq[(Path, Long)] =
+        f.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+          st.getPath.getName match {
+            case StagedDirName(v) => Seq(st.getPath -> v.toLong)
+            case _ => walk(st.getPath)
+          }
+        }
+      walk(dataRoot)
     }
   }
 

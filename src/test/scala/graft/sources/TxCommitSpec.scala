@@ -54,8 +54,9 @@ class TxCommitSpec extends SparkSpec {
     val beta = TxCommit.read(spark, root, "beta").as[(Long, String)].collect()
     assert(alpha.toSet === Set(1L -> "a1"))
     assert(beta.toSet === Set(1L -> "b1"))
-    // recovery: a re-run claims the SAME version, overwrites the orphaned
-    // staging, writes BOTH outputs, commits — poison never surfaces
+    // recovery: a re-run claims the SAME version under its own staging
+    // token (the poison dir stays an invisible orphan), writes BOTH
+    // outputs, commits — poison never surfaces
     val v2 = commitPair(root, Seq(2L -> "a2"), Seq(2L -> "b2"))
     assert(v2 === 2L)
     val m = TxCommit.latest(spark, root)
@@ -100,16 +101,67 @@ class TxCommitSpec extends SparkSpec {
     assert(v3 === 3L)
   }
 
+  test("racing transactions stage into disjoint dirs: the loser cannot corrupt the winner") {
+    // the unsound shape this guards against: staging paths derived from
+    // the version alone would let the LOSER overwrite the winner's
+    // now-live data dir before its commit is refused — readers resolving
+    // the winning manifest would see the loser's rows
+    val root = freshRoot("stageiso")
+    commitPair(root, Seq(1L -> "a1"), Seq(1L -> "b1"))
+    val ta = TxCommit.begin(spark, root)
+    val tb = TxCommit.begin(spark, root)
+    assert(ta.version === tb.version)
+    assert(ta.stage("alpha") !== tb.stage("alpha"))
+    // winner stages and commits first
+    dfOf(2L -> "WINNER").write.mode("overwrite").parquet(ta.stage("alpha"))
+    dfOf(2L -> "WB").write.mode("overwrite").parquet(ta.stage("beta"))
+    assert(TxCommit.commit(spark, ta,
+      Map("alpha" -> ta.stage("alpha"), "beta" -> ta.stage("beta"))))
+    // loser stages AFTER the winner is live — in the version-only layout
+    // this write would clobber the winner's committed data
+    dfOf(2L -> "LOSER").write.mode("overwrite").parquet(tb.stage("alpha"))
+    assert(!TxCommit.commit(spark, tb, Map("alpha" -> tb.stage("alpha"))))
+    // the winner's committed rows are untouched
+    assert(TxCommit.read(spark, root, "alpha").as[(Long, String)].collect()
+      .toSet === Set(2L -> "WINNER"))
+  }
+
+  test("vacuum collects orphaned staging from crashed and losing transactions") {
+    val root = freshRoot("orphan")
+    commitPair(root, Seq(1L -> "a1"), Seq(1L -> "b1"))
+    // a crashed transaction: staged, never committed
+    val tCrash = TxCommit.begin(spark, root)
+    dfOf(9L -> "CRASH").write.mode("overwrite").parquet(tCrash.stage("alpha"))
+    // recovery commits the same version under its own token
+    commitPair(root, Seq(2L -> "a2"), Seq(2L -> "b2"))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(tCrash.stage("alpha"))), "orphan staged dir present")
+    TxCommit.vacuum(spark, root, keep = 2)
+    // both committed versions survive; the orphan is gone
+    assert(TxCommit.versions(spark, root) === Seq(1L, 2L))
+    assert(!fs.exists(new Path(tCrash.stage("alpha"))), "orphan collected")
+    assert(TxCommit.read(spark, root, "alpha").as[(Long, String)].collect()
+      .toSet === Set(2L -> "a2"))
+    // in-flight staging ABOVE the latest committed version is left alone
+    val tLive = TxCommit.begin(spark, root)
+    dfOf(3L -> "LIVE").write.mode("overwrite").parquet(tLive.stage("alpha"))
+    TxCommit.vacuum(spark, root, keep = 2)
+    assert(fs.exists(new Path(tLive.stage("alpha"))),
+      "in-flight staging must survive vacuum")
+  }
+
   test("vacuum drops old versions but the kept tail stays readable") {
     val root = freshRoot("vacuum")
     commitPair(root, Seq(1L -> "a1"), Seq(1L -> "b1"))
     commitPair(root, Seq(2L -> "a2"), Seq(2L -> "b2"))
     commitPair(root, Seq(3L -> "a3"), Seq(3L -> "b3"))
+    val v1Alpha = TxCommit.manifest(spark, root, 1L)("alpha")
+    val v3Alpha = TxCommit.manifest(spark, root, 3L)("alpha")
     TxCommit.vacuum(spark, root, keep = 1)
     assert(TxCommit.versions(spark, root) === Seq(3L))
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new Path(s"$root/data/alpha/v00000001")))
-    assert(fs.exists(new Path(s"$root/data/alpha/v00000003")))
+    assert(!fs.exists(new Path(v1Alpha)))
+    assert(fs.exists(new Path(v3Alpha)))
     assert(TxCommit.read(spark, root, "alpha").as[(Long, String)].collect()
       .toSet === Set(3L -> "a3"))
   }
