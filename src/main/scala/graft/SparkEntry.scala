@@ -67,6 +67,7 @@ object SparkEntry {
     Similarity.annPqLloyd,
     Similarity.pqAdc,
     Similarity.pqAdcRefine,
+    Similarity.pqAdcTrained,
     Windows.tumblingWindow,
     Windows.sessionizeBatch,
     Windows.movingAgg,

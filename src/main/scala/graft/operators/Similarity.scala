@@ -709,16 +709,18 @@ object Similarity {
         slice(col("v"), col("m") * 8 + 1, lit(8)).as("sub8"))
 
   /** Assignment against a per-subspace codebook (m, cid, cv8):
-    * (vec_id, m, k) with k = d2·16 + cid (argmin + tiebreak in one
-    * integer key, as in [[pqAssign]]). */
-  def pqSubspaceAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    * (vec_id, m, k) with k = d2·nc + cid (argmin + tiebreak in one
+    * integer key, as in [[pqAssign]]); `nc` is the codebook size per
+    * subspace (centroid ids are < nc). */
+  def pqSubspaceAssign(subs: DataFrame, cb: DataFrame, nc: Int = 16)
+      : DataFrame = {
     val d2 = aggregate(
       zip_with(col("sub8"), col("cv8"), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
     subs.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("m"), col("cid"), d2.as("d2"))
       .groupBy(col("vec_id"), col("m"))
-      .agg(min(col("d2") * 16 + col("cid")).as("k"))
+      .agg(min(col("d2") * nc + col("cid")).as("k"))
   }
 
   /** PQ with the codebook refined by ONE Lloyd iteration per subspace —
@@ -834,9 +836,10 @@ object Similarity {
 
   /** One Lloyd step on a per-subspace codebook: assign with `cb0`,
     * recompute each (m, cid) centroid as element-wise floor-mean. */
-  def pqLloydCodebook(subs: DataFrame, cb0: DataFrame): DataFrame = {
-    val members = pqSubspaceAssign(subs, cb0)
-      .select(col("vec_id"), col("m"), expr("k % 16").as("cid"))
+  def pqLloydCodebook(subs: DataFrame, cb0: DataFrame, nc: Int = 16)
+      : DataFrame = {
+    val members = pqSubspaceAssign(subs, cb0, nc)
+      .select(col("vec_id"), col("m"), expr(s"k % $nc").as("cid"))
       .join(subs, Seq("vec_id", "m"))
     members
       .select(col("m"), col("cid"), posexplode(col("sub8")).as(Seq("pos", "x")))
@@ -930,22 +933,18 @@ object Similarity {
     * DedupSimilaritySpec. */
   def adcRefined(
       spark: SparkSession, q: DataFrame, codebook: DataFrame,
-      queries: DataFrame, shortlist: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-    val cand = adcScores(q, codebook, queries)
-      .withColumn("srk", row_number().over(wAdc))
-      .filter(col("srk") <= shortlist)
-      .select(col("q_id"), col("vec_id"))
-    val qn = queries.withColumn("qn", inorm2(spark, col("qv")))
-    val cn = q.withColumn("cn", inorm2(spark, col("v")))
-    val wExact = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
-    cand.join(cn, Seq("vec_id"))
-      .join(broadcast(qn), Seq("q_id"))
-      .select(col("q_id"), col("vec_id").as("c_id"),
-        (col("qn") + col("cn") - idot(spark, col("qv"), col("v")) * 2).as("d2"))
-      .withColumn("rk", row_number().over(wExact))
-      .filter(col("rk") <= k)
+      queries: DataFrame, shortlist: Int, k: Int): DataFrame =
+    refineShortlist(spark, q, queries, adcScores(q, codebook, queries),
+      shortlist, k)
+
+  /** [[adcRefined]] over a TRAINED per-subspace codebook: the full
+    * production PQ pipeline (train → code → LUT scan → exact refine). */
+  def adcRefinedTrained(
+      spark: SparkSession, q: DataFrame, queries: DataFrame,
+      steps: Int, shortlist: Int, k: Int, nc: Int = 16): DataFrame = {
+    val cb = pqTrainedCodebook(q, steps, nc).localCheckpoint()
+    refineShortlist(spark, q, queries, adcScoresSub(q, cb, queries, nc),
+      shortlist, k)
   }
 
   /** [[adcRefined]] registered: ADC shortlist 25 → exact top-5. */
@@ -1004,6 +1003,106 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("d2"), col("rk"))
   }
 
+  /** Oracle SQL for [[adcRefinedTrained]]: the full train→code→LUT→
+    * refine chain as DuckDB CTEs, with `steps` Lloyd refinements
+    * unrolled (fixed iteration count keeps the chain replayable
+    * CTE-for-CTE — no driver-side convergence branch). Shares the
+    * floor-mean centroid argument of [[annPqLloyd]]'s oracle. */
+  private def trainedAdcSql(
+      nc: Int, steps: Int, shortlist: Int, k: Int): String = {
+    def assign(cb: String, out: String) =
+      s"""$out AS (
+         |  SELECT s.vec_id, s.m,
+         |    MIN(list_sum(list_transform(range(1, 9),
+         |      j -> (s.sub8[j] - c.cv8[j]) * (s.sub8[j] - c.cv8[j])))
+         |      * $nc + c.cid) AS k
+         |  FROM subs s JOIN $cb c ON s.m = c.m GROUP BY 1, 2
+         |)"""
+    val lloyd = (1 to steps).map { i =>
+      s"""${assign(s"cb${i - 1}", s"a$i")}, members$i AS (
+         |  SELECT a.m, a.k % $nc AS cid, s.sub8
+         |  FROM a$i a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m
+         |), sums$i AS (
+         |  SELECT m, cid, t.pos,
+         |    CAST(SUM(sub8[t.pos]) AS BIGINT) AS sm,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM members$i, unnest(range(1, 9)) AS t(pos)
+         |  GROUP BY 1, 2, 3
+         |), cb$i AS (
+         |  SELECT m, cid,
+         |    list(CAST(floor(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+         |         ORDER BY pos) AS cv8
+         |  FROM sums$i GROUP BY 1, 2
+         |)"""
+    }.mkString(", ")
+    s"""WITH q AS (
+       |  SELECT vec_id, $QuantSql AS v FROM embeddings
+       |), subs AS (
+       |  SELECT vec_id, t.m, v[8*t.m + 1 : 8*t.m + 8] AS sub8
+       |  FROM q, unnest(range(0, 8)) AS t(m)
+       |), cb0 AS (
+       |  SELECT t.m, vec_id AS cid, v[8*t.m + 1 : 8*t.m + 8] AS cv8
+       |  FROM q, unnest(range(0, 8)) AS t(m) WHERE vec_id < $nc
+       |), $lloyd, ${assign(s"cb$steps", "af")}, codes AS (
+       |  SELECT vec_id, m, k % $nc AS cid FROM af
+       |), qs AS (
+       |  SELECT vec_id AS q_id, v AS qv FROM q WHERE vec_id < 10
+       |), qsubs AS (
+       |  SELECT q_id, t.m, qv[8*t.m + 1 : 8*t.m + 8] AS sub8
+       |  FROM qs, unnest(range(0, 8)) AS t(m)
+       |), lut AS (
+       |  SELECT u.q_id, c.m, c.cid,
+       |    list_sum(list_transform(range(1, 9),
+       |      j -> (u.sub8[j] - c.cv8[j]) * (u.sub8[j] - c.cv8[j]))) AS d2
+       |  FROM qsubs u JOIN cb$steps c ON u.m = c.m
+       |), adc AS (
+       |  SELECT lut.q_id, codes.vec_id AS c_id, CAST(SUM(lut.d2) AS BIGINT) AS adc
+       |  FROM codes JOIN lut ON codes.m = lut.m AND codes.cid = lut.cid
+       |  WHERE codes.vec_id <> lut.q_id
+       |  GROUP BY 1, 2
+       |), short AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS srk
+       |    FROM adc) WHERE srk <= $shortlist
+       |), exact AS (
+       |  SELECT s.q_id, s.c_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> (qq.v[j] - cc.v[j]) * (qq.v[j] - cc.v[j]))) AS BIGINT) AS d2
+       |  FROM short s
+       |  JOIN q qq ON qq.vec_id = s.q_id
+       |  JOIN q cc ON cc.vec_id = s.c_id
+       |)
+       |SELECT q_id, c_id, d2, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rk
+       |  FROM exact) WHERE rk <= $k""".stripMargin
+  }
+
+  /** [[adcRefinedTrained]] registered — the production PQ pipeline
+    * searching the TRAINED codebook instead of the 16-seed one: 64
+    * centroids per subspace, 2 Lloyd refinements, ADC shortlist 100 →
+    * exact top-5. Config chosen by measurement (tools/AdcProbe):
+    * refined top-5 recall vs exact brute force is 0.98 at sf0.001 and
+    * 0.84 at sf0.1, vs 0.72/0.36 for the seed-codebook shortlist-25
+    * registration (`q_pq_adc_refine`, kept as the minimal-pipeline
+    * reference). The spec floor (≥ 0.8, DedupSimilaritySpec) rides the
+    * sf0.001 measurement with margin.
+    *
+    * Scale shape: identical to [[adcRefined]] — training adds `steps`
+    * linear assign+update passes (8·64-row codebook broadcast back
+    * each round), the LUT is still queries × 8 × 64 rows broadcast,
+    * the refine is `queries × shortlist` point lookups. */
+  val pqAdcTrained: Op = Op(
+    "q_pq_adc_trained", trainedAdcSql(nc = 64, steps = 2,
+      shortlist = 100, k = 5)) { (spark, dir) =>
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+    adcRefinedTrained(spark, q,
+      q.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")),
+      steps = 2, shortlist = 100, k = 5, nc = 64)
+      .select(col("q_id"), col("c_id"), col("d2"), col("rk"))
+  }
+
   /** [[pqAdc]] kernel minus the top-k cut: every (q_id, candidate)
     * ADC distance, self excluded. */
   def adcScores(q: DataFrame, codebook: DataFrame, queries: DataFrame)
@@ -1019,6 +1118,64 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("d2")).as("adc"))
+  }
+
+  /** [[adcScores]] against a per-SUBSPACE codebook (m, cid, cv8) — the
+    * TRAINED-codebook twin: codes assign via [[pqSubspaceAssign]], the
+    * per-query LUT measures query slices against the trained centroids.
+    * Same broadcast shape (codebook and LUT are metadata-sized; the
+    * code-scaled exchange carries partial sums only). */
+  def adcScoresSub(q: DataFrame, cb: DataFrame, queries: DataFrame,
+      nc: Int = 16): DataFrame = {
+    val codes = pqSubspaceAssign(pqSubspaces(q), cb, nc)
+      .select(col("vec_id"), col("m"), expr(s"k % $nc").as("cid"))
+    val d2 = aggregate(
+      zip_with(col("sub8"), col("cv8"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    val lut = queries
+      .select(col("q_id"), col("qv"), explode(sequence(lit(0), lit(7))).as("m"))
+      .select(col("q_id"), col("m"),
+        slice(col("qv"), col("m") * 8 + 1, lit(8)).as("sub8"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("m"), col("cid"), d2.as("d2"))
+    codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc"))
+  }
+
+  /** Exact re-rank of an ADC shortlist (shared by [[adcRefined]] and
+    * the trained path): point-lookup join of shortlisted (q_id, vec_id)
+    * pairs against the raw quantized vectors, exact int64 L2² through
+    * the codegen'd dot, top-`k` per query. */
+  def refineShortlist(spark: SparkSession, q: DataFrame, queries: DataFrame,
+      scores: DataFrame, shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val cand = scores
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val qn = queries.withColumn("qn", inorm2(spark, col("qv")))
+    val cn = q.withColumn("cn", inorm2(spark, col("v")))
+    val wExact = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+    cand.join(cn, Seq("vec_id"))
+      .join(broadcast(qn), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        (col("qn") + col("cn") - idot(spark, col("qv"), col("v")) * 2).as("d2"))
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= k)
+  }
+
+  /** `steps` deterministic Lloyd refinements of the 16-seed subspace
+    * codebook — the FIXED-iteration twin of [[pqLloydTrain]] (no
+    * driver-side convergence branch, so a SQL oracle can replay the
+    * exact same chain CTE-for-CTE). */
+  def pqTrainedCodebook(q: DataFrame, steps: Int, nc: Int = 16): DataFrame = {
+    val subs = pqSubspaces(q)
+    val cb0 = pqSubspaces(q.filter(col("vec_id") < nc))
+      .select(col("m"), col("vec_id").as("cid"), col("sub8").as("cv8"))
+    (1 to steps).foldLeft(cb0)((cb, _) => pqLloydCodebook(subs, cb, nc))
   }
 
   /** 127/max|x| (0 for the all-zero vector, which quantizes to zeros). */
