@@ -70,23 +70,32 @@ object CsvIngest {
     * lexicographic file name (timestamped export names — the common
     * vendor convention — make that calendar order), and by row position
     * within each file; the key's winner is the last row of the
-    * lexicographically-last file containing it. `monotonically_increasing_id`
-    * alone is NOT file-ordered across files — Spark packs read splits
-    * largest-first, so a later-but-bigger file would get LOWER ids and
-    * silently lose (covered by a CsvIngestSpec case with two files whose
-    * winners differ). Within one file the id is position-monotone:
-    * equal-size splits keep offset order through Spark's stable
-    * size sort, and the smaller tail split sorts after them.
+    * lexicographically-last file containing it. Row position within a
+    * file is the pair (`_metadata.file_block_start`,
+    * `monotonically_increasing_id`): the metadata column orders the
+    * file's read SPLITS by their physical byte offset, and the id is
+    * monotone within a single split by construction (partitionId in the
+    * high bits, a per-partition counter below). Neither half alone is
+    * file-ordered — `monotonically_increasing_id` across splits follows
+    * Spark's internal largest-first split packing, so a
+    * later-but-bigger file would get LOWER ids and silently lose, and a
+    * multi-split file's id order depends on packing internals — but the
+    * pair depends on nothing beyond "a split is read sequentially".
+    * (CSV scans don't expose `_metadata.row_index`; that exact-row form
+    * is Parquet-only.) Both traps are covered by CsvIngestSpec: two
+    * files whose winners differ, and one large file read as multiple
+    * splits.
     */
   def dedupeLastPerKey(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     val withPos = df
-      .withColumn("__file", input_file_name())
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__blk", col("_metadata.file_block_start"))
       .withColumn("__pos", monotonically_increasing_id())
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__file").desc, col("__pos").desc)
+      .orderBy(col("__file").desc, col("__blk").desc, col("__pos").desc)
     withPos.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__file", "__pos", "__rn")
+      .drop("__file", "__blk", "__pos", "__rn")
   }
 
   /** Full E1 pipeline: read → normalize → resolve → row guards → money

@@ -81,12 +81,10 @@ class CsvIngestSpec extends SparkSpec {
   test("within-one-large-file last-write-wins survives file splitting") {
     // one file large enough to be read as SEVERAL splits (tiny
     // maxPartitionBytes forces it), the same key at the head and at the
-    // tail. monotonically_increasing_id is position-monotone within a
-    // file only because Spark's size-desc split packing is a STABLE
-    // sort (equal-size splits keep offset order, the smaller tail split
-    // sorts last); this pins that contract so a Spark upgrade that
-    // changed split packing would fail HERE instead of silently picking
-    // the wrong winner in production.
+    // tail. The (_metadata.file_block_start, monotonically_increasing_id)
+    // pair orders splits by physical byte offset and rows within a split
+    // sequentially, so the winner must be the tail row no matter how the
+    // scan packs splits into partitions.
     val dir = Files.createTempDirectory("fx_bigfile")
     val filler = (100 to 3000).map(i => s"$i,Filler item number $i,$$1.00,NES,padpadpad")
     Files.writeString(dir.resolve("big.csv"), (Seq(
