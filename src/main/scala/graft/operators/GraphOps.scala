@@ -145,6 +145,15 @@ object GraphOps {
     * broadcast-small (clusters ≪ docs). The quality columns are the
     * registered q_text_quality metrics, so the pick is reproducible
     * straight from the oracle SQL.
+    *
+    * Oracle-parity precondition (shared with [[Dedup.minhashLsh]] /
+    * [[dupClusters]], and amplified here because one missed pair can
+    * split a cluster and flip many keep flags): the oracle derives
+    * pairs from EXACT all-pairs Jaccard while the build uses MinHash-
+    * LSH candidates, so hash-exact parity relies on the corpus having
+    * no pairs in the J∈(0.2, 0.9) band where 8×4 banded recall is
+    * probabilistic rather than deterministically 1.0 — see the recall
+    * note on [[Dedup.minhashLsh]].
     */
   val clusterRep: Op = Op(
     "q_cluster_rep",

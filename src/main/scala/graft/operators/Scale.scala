@@ -30,9 +30,14 @@ object Scale {
     // this the keyed pre-count runs twice
     val counts = fact.groupBy(col(keyCol)).agg(count(lit(1)).as("key_n"))
       .localCheckpoint()
-    val median = counts
+    val medianRow = counts
       .agg(expr("approx_percentile(key_n, 0.5, 1000)").as("m"))
-      .head.getLong(0)
+      .head
+    // empty fact → NULL percentile → no skew, empty hot set (the
+    // documented degenerate case: the join runs entirely unsalted)
+    if (medianRow.isNullAt(0))
+      return counts.filter(lit(false)).select(col(keyCol).as("__hot_key"))
+    val median = medianRow.getLong(0)
     val thresh = math.max(math.ceil(skewFactor * median).toLong, minHot)
     counts.filter(col("key_n") > lit(thresh))
       .select(col(keyCol).as("__hot_key"))

@@ -49,8 +49,11 @@ import org.apache.spark.sql.types._
   *    RETRY the batch with backoff — retry is safe precisely because
   *    the batch is idempotent. A production target indexes the key
   *    columns, which shrinks the lock footprint to the touched rows.
-  *  - two incoming rows with the SAME key race across partitions;
-  *    callers dedup per key first (the import scripts do the same).
+  *  - WITHIN a partition, same-key rows resolve last-wins (each batch
+  *    dedups by key keeping the last row; across batches the later
+  *    batch's UPDATE overwrites). ACROSS partitions same-key rows
+  *    still race; callers partition or dedup by key first (the import
+  *    scripts do the same).
   */
 // Serializable because foreachPartition's closure compiles to an
 // instance method of this (stateless) object — the task ships the
@@ -132,24 +135,56 @@ object JdbcSink extends Serializable {
               }
             }
 
+            def bindUpd(upd: java.sql.PreparedStatement,
+                row: org.apache.spark.sql.Row): Unit = {
+              var pos = 1
+              valIdx.foreach { f => setParam(upd, pos, row, f); pos += 1 }
+              keyIdx.foreach { f =>
+                if (!row.isNullAt(f)) { setParam(upd, pos, row, f); pos += 1 }
+              }
+            }
+
             def applyBatchOnce(): Unit = {
+              // dedup the batch by key, LAST occurrence wins: without
+              // this, two same-key rows in one batch would both UPDATE
+              // (both matching nothing on first sight of the key), then
+              // both INSERT — duplicate rows from a single partition.
+              // Null keys compare as values here (mask partitioning
+              // makes (null, 1) and (0, 1) distinct entries).
+              val deduped = {
+                val last = scala.collection.mutable.LinkedHashMap
+                  .empty[Seq[Any], org.apache.spark.sql.Row]
+                pending.foreach { row =>
+                  last.update(
+                    keyIdx.map(i => if (row.isNullAt(i)) null else row.get(i))
+                      .toSeq, row)
+                }
+                last.values
+              }
               // group by null-mask; order within a group is row order,
               // and cross-group order is irrelevant because masks
               // partition the key space (a mask-0 row can never collide
               // with a mask-1 row's key)
-              val byMask = pending.groupBy(maskOf)
+              val byMask = deduped.toSeq.groupBy(maskOf)
               var hasInserts = false
               byMask.foreach { case (mask, group) =>
                 val upd = updFor(mask)
-                group.foreach { row =>
-                  var pos = 1
-                  valIdx.foreach { f => setParam(upd, pos, row, f); pos += 1 }
-                  keyIdx.foreach { f =>
-                    if (!row.isNullAt(f)) { setParam(upd, pos, row, f); pos += 1 }
-                  }
-                  upd.addBatch()
-                }
-                val updated = upd.executeBatch()
+                group.foreach { row => bindUpd(upd, row); upd.addBatch() }
+                val batchCounts = upd.executeBatch()
+                // drivers may report batch success without per-row
+                // counts (Statement.SUCCESS_NO_INFO, e.g. MySQL with
+                // rewriteBatchedStatements, Oracle's batch default);
+                // treating -2 as "updated" would silently drop the
+                // insert. Fall back to per-row execution — safe because
+                // the UPDATE sets absolute values, so re-executing a
+                // row that DID update is idempotent and returns the
+                // true match count.
+                val updated =
+                  if (batchCounts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO))
+                    group.map { row =>
+                      bindUpd(upd, row); upd.executeUpdate()
+                    }.toArray
+                  else batchCounts
                 // rows whose UPDATE matched nothing are the inserts
                 var i = 0
                 while (i < group.length) {

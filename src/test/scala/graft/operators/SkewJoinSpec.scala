@@ -76,6 +76,9 @@ class SkewJoinSpec extends SparkSpec {
     assert(hot === Set(777L))
     // no skew → empty hot set, the join would run entirely unsalted
     assert(Scale.hotKeys(uniform, "k").count() === 0L)
+    // EMPTY fact → NULL median percentile → still the documented
+    // "no skew" degenerate case, not an NPE
+    assert(Scale.hotKeys(uniform.limit(0), "k").count() === 0L)
   }
 
   test("autoSaltedJoin equals the plain join on a measured-skew corpus") {

@@ -71,6 +71,27 @@ class JdbcSinkSpec extends SparkSpec {
     }
   }
 
+  test("same key twice in one batch: last occurrence wins, no duplicate row") {
+    withTable(
+      "CREATE TABLE dupkey (k BIGINT, v VARCHAR(10))", "dupkey") {
+      // single partition, batchSize large enough that all three rows
+      // share ONE batch: without the per-batch key dedup both k=1 rows
+      // would UPDATE (matching nothing), then both INSERT — two rows
+      val batch = Seq((1L, "first"), (2L, "other"), (1L, "last"))
+        .toDF("k", "v").coalesce(1)
+      JdbcSink.upsertByKeyJdbc(batch, url, "dupkey", Seq("k"), batchSize = 500)
+      val got = readBack("dupkey").as[(Long, String)].collect().toSet
+      assert(got === Set((1L, "last"), (2L, "other")))
+      // and a null key pair dedups the same way (null-safe key equality)
+      val nulls = Seq((Option.empty[Long], "n1"), (Option.empty[Long], "n2"))
+        .toDF("k", "v").coalesce(1)
+      JdbcSink.upsertByKeyJdbc(nulls, url, "dupkey", Seq("k"), batchSize = 500)
+      val got2 = readBack("dupkey").as[(Option[Long], String)].collect().toSet
+      assert(got2 === Set((Some(1L), "last"), (Some(2L), "other"),
+        (None, "n2")))
+    }
+  }
+
   test("composite keys and typed columns survive the round trip") {
     withTable(
       """CREATE TABLE typed (k1 BIGINT, k2 VARCHAR(10), d DOUBLE,
