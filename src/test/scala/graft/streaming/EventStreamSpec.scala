@@ -9,8 +9,8 @@ import java.sql.Timestamp
 class EventStreamSpec extends SparkSpec {
 
   test("windowedAgg over a parquet-backed stream matches batch groupBy") {
-    EventStream.runWindowedToMemory(spark, sf001, "ev_agg")
-    val streamed = spark.table("ev_agg")
+    val t = EventStream.runWindowedToMemory(spark, sf001, "ev_agg")
+    val streamed = spark.table(t)
       .agg(sum("n")).collect().head.getLong(0)
     assert(streamed === 1000L) // every sf0.001 event lands in a window
   }
