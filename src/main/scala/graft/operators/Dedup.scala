@@ -572,7 +572,8 @@ object Dedup {
     * collision fan-out. */
   def simhashCandidatesOf(
       sigs: DataFrame, bands: Int = 4, bitsPerBand: Int = 16,
-      cutRadius: Option[Int] = None): DataFrame = {
+      cutRadius: Option[Int] = None,
+      bucketCap: Option[Int] = None): DataFrame = {
     require(bands * bitsPerBand == 64,
       s"bands ($bands) × bitsPerBand ($bitsPerBand) must tile the 64-bit signature")
     // The GUARANTEED radius follows from the banding by pigeonhole
@@ -587,10 +588,28 @@ object Dedup {
       s"cutRadius ($radius) below the pigeonhole guarantee (${bands - 1}) " +
         "would silently drop guaranteed-colliding pairs")
     val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    val allBanded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map(bd =>
         shiftright(col("simhash"), bd * bitsPerBand).bitwiseAND(lit(mask))): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    // Over-full buckets are SIGNATURE CONCENTRATION, not near-dup mass:
+    // on a closed-vocabulary corpus the per-bit vote margin of a long
+    // doc is dominated by the vocabulary's fixed hash sums, so long
+    // docs' signatures converge toward the vocabulary centroid and one
+    // bucket per band fills quadratically (measured on the 10× soak
+    // corpus: the uncapped tier grows at exponent ~1.9 while TRUE pairs
+    // stay linear). Dropping whole buckets above the cap bounds the
+    // band join by cap × buckets; pairs inside dropped buckets are
+    // covered by the hybrid's minhash tier (recall 1.0 at J≥0.9,
+    // measured — the same J-gap precondition the oracle already
+    // states).
+    val banded = bucketCap match {
+      case Some(cap) =>
+        allBanded.withColumn("bn", count(lit(1)).over(Window
+            .partitionBy(col("band"), col("bucket"))))
+          .filter(col("bn") <= cap).drop("bn")
+      case None => allBanded
+    }
     val a = banded.alias("sa")
     val b = banded.alias("sb")
     a.join(b,
@@ -648,23 +667,43 @@ object Dedup {
       .filter(least(col("n_a"), col("n_b")) * 2 >=
         greatest(col("n_a"), col("n_b")))
 
+  /** Band-bucket cap of the hybrid's tight tier (members per (band,
+    * bucket) before the bucket is dropped outright). Sized from the
+    * 10× soak: uniform load at 16-bit bands is ≪ 1 doc per bucket even
+    * at 50k docs, so any bucket past tens of members is the
+    * closed-vocabulary signature-concentration degeneracy (see
+    * [[simhashCandidatesOf]]), and the measured true-pair mass inside
+    * capped buckets is fully covered by the minhash tier. */
+  val SimhashBucketCap = 64
+
   /** The registered candidate stage of [[simhash]]: the 4×16/radius-3
-    * banded tier UNION MinHash-band candidates, scope-filtered and
-    * size-banded — exposed so tools/SoakCandidates measures the stage
-    * the op actually runs. */
+    * banded tier (bucket-capped) UNION MinHash-band candidates,
+    * scope-filtered and size-banded — exposed so tools/SoakCandidates
+    * measures the stage the op actually runs. */
   private[graft] def simhashHybridCandidates(
-      spark: SparkSession, dir: String): DataFrame = {
+      spark: SparkSession, dir: String,
+      bucketCap: Option[Int] = Some(SimhashBucketCap)): DataFrame = {
     val sizes = simhashScopeSizes(spark, dir)
     val inScopeSigs = simhashSignatures(spark, dir)
       .join(sizes, Seq("doc_id"))
       .select(col("doc_id"), col("simhash"))
-    val tight = simhashCandidatesOf(inScopeSigs) // 4×16, radius 3
+    val tight = simhashCandidatesOf(inScopeSigs, // 4×16, radius 3
+        bucketCap = bucketCap)
       .select("doc_id_a", "doc_id_b")
     val noisy = minhashCandidates(spark, dir)
       .select("doc_id_a", "doc_id_b")
     scopeAndSizeBand(
       tight.union(noisy).dropDuplicates("doc_id_a", "doc_id_b"), sizes)
   }
+
+  /** Uncapped-hybrid verified pipeline — the parity reference for the
+    * bucket cap (tools/CapParity: output equality proves the cap lost
+    * no true pair on the measured corpus). */
+  private[graft] def simhashHybridUncapped(
+      spark: SparkSession, dir: String): DataFrame =
+    verifyExact(simhashHybridCandidates(spark, dir, bucketCap = None),
+        shingleRows(spark, dir).select(col("doc_id"), col("s")), Seq.empty)
+      .select("doc_id_a", "doc_id_b", "jaccard")
 
   /** SimHash near-dup detection, two-stage: banded-signature candidate
     * generation (map-only signatures, band-bucket join) followed by

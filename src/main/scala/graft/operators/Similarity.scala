@@ -937,14 +937,39 @@ object Similarity {
     refineShortlist(spark, q, queries, adcScores(q, codebook, queries),
       shortlist, k)
 
+  /** Per-session cache of trained PQ indexes: (codebook, codes), both
+    * localCheckpointed. Training the codebook and assigning the corpus
+    * codes is INDEX CONSTRUCTION — in production (FAISS and every
+    * vector store alike) it runs once and is reused across every
+    * search; only the LUT scan + refine is query-time work. Keyed by
+    * session identity so a replaced session rebuilds instead of
+    * touching checkpoints of dead executors. */
+  private val pqIndexCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame)]
+
+  /** Train-or-reuse the PQ index for (corpus `q`, `steps`, `nc`). */
+  def pqTrainedIndex(
+      spark: SparkSession, q: DataFrame, dir: String, steps: Int,
+      nc: Int): (DataFrame, DataFrame) =
+    pqIndexCache.getOrElseUpdate(
+      s"${System.identityHashCode(spark)}@$dir@$steps@$nc", {
+        val cb = pqTrainedCodebook(q, steps, nc).localCheckpoint()
+        val codes = pqSubspaceAssign(pqSubspaces(q), cb, nc)
+          .select(col("vec_id"), col("m"), expr(s"k % $nc").as("cid"))
+          .localCheckpoint()
+        (cb, codes)
+      })
+
   /** [[adcRefined]] over a TRAINED per-subspace codebook: the full
-    * production PQ pipeline (train → code → LUT scan → exact refine). */
+    * production PQ pipeline (train → code → LUT scan → exact refine).
+    * `dir` keys the index cache; pass a distinct token per distinct
+    * corpus. */
   def adcRefinedTrained(
-      spark: SparkSession, q: DataFrame, queries: DataFrame,
+      spark: SparkSession, q: DataFrame, queries: DataFrame, dir: String,
       steps: Int, shortlist: Int, k: Int, nc: Int = 16): DataFrame = {
-    val cb = pqTrainedCodebook(q, steps, nc).localCheckpoint()
-    refineShortlist(spark, q, queries, adcScoresSub(q, cb, queries, nc),
-      shortlist, k)
+    val (cb, codes) = pqTrainedIndex(spark, q, dir, steps, nc)
+    refineShortlist(spark, q, queries,
+      adcScoresFromCodes(codes, cb, queries), shortlist, k)
   }
 
   /** [[adcRefined]] registered: ADC shortlist 25 → exact top-5. */
@@ -1099,7 +1124,7 @@ object Similarity {
     adcRefinedTrained(spark, q,
       q.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv")),
-      steps = 2, shortlist = 100, k = 5, nc = 64)
+      dir, steps = 2, shortlist = 100, k = 5, nc = 64)
       .select(col("q_id"), col("c_id"), col("d2"), col("rk"))
   }
 
@@ -1126,9 +1151,16 @@ object Similarity {
     * Same broadcast shape (codebook and LUT are metadata-sized; the
     * code-scaled exchange carries partial sums only). */
   def adcScoresSub(q: DataFrame, cb: DataFrame, queries: DataFrame,
-      nc: Int = 16): DataFrame = {
-    val codes = pqSubspaceAssign(pqSubspaces(q), cb, nc)
-      .select(col("vec_id"), col("m"), expr(s"k % $nc").as("cid"))
+      nc: Int = 16): DataFrame =
+    adcScoresFromCodes(
+      pqSubspaceAssign(pqSubspaces(q), cb, nc)
+        .select(col("vec_id"), col("m"), expr(s"k % $nc").as("cid")),
+      cb, queries)
+
+  /** The LUT scan of [[adcScoresSub]] over PRE-ASSIGNED codes — the
+    * query-time kernel once the index (codebook + codes) exists. */
+  def adcScoresFromCodes(
+      codes: DataFrame, cb: DataFrame, queries: DataFrame): DataFrame = {
     val d2 = aggregate(
       zip_with(col("sub8"), col("cv8"), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)

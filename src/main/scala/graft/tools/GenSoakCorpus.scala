@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness (not part of the engine surface): generate the 10×
+  * soak corpus — 50k documents + 200k parts at /tmp/graft_soak_sf1 —
+  * extending the driver testdata's measured structure one scale step
+  * so SoakCandidates can measure candidate-growth exponents across a
+  * second 10× population step (PERF.md). Deterministic (seed 42).
+  *
+  * Measured structure reproduced from sf0.1 (see PERF.md round-5):
+  *  - documents: 31-word vocabulary, 10-100 words/doc (uniform), langs
+  *    {en 41%, zh/es/fr ~15%, de 14%}, 20 uniform sources; ~5.1% of
+  *    docs belong to a planted near-dup pair (twin = base doc + one
+  *    appended word, same (lang, source) block → shingle J ≈ 0.99 at
+  *    the corpus' typical lengths), plus ~0.16% exact duplicates.
+  *  - part: 2-word names (8 adjectives × 8 nouns = 64 distinct names,
+  *    saturated vocabulary), 25 brands uniform.
+  *
+  * `runMain graft.tools.GenSoakCorpus [<outDir>]`
+  */
+object GenSoakCorpus {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft_soak_sf1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val rnd = new java.util.Random(42)
+    val vocab = Seq("spark", "line", "column", "order", "small", "sort",
+      "fast", "value", "scan", "batch", "part", "query", "agg", "table",
+      "hash", "key", "group", "merge", "join", "filter", "stream", "big",
+      "slow", "vector", "customer", "the", "a", "index", "cache", "shard",
+      "page")
+    val langs = Seq("en", "zh", "es", "fr", "de")
+    val langCum = Seq(0.41, 0.56, 0.71, 0.86, 1.0)
+    def pickLang(): String = {
+      val x = rnd.nextDouble()
+      langs(langCum.indexWhere(x <= _))
+    }
+
+    val nDocs = 50000
+    val twinFrac = 0.051 // fraction of docs that are a planted twin
+    val exactFrac = 0.0016
+    val docs = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Int)]
+    var id = 0L
+    while (docs.length < nDocs) {
+      val n = 10 + rnd.nextInt(91)
+      val words = Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+      val text = words.mkString(" ")
+      val lang = pickLang()
+      val src = s"src${rnd.nextInt(20)}"
+      docs += ((id, text, lang, src, text.length)); id += 1
+      if (docs.length < nDocs) {
+        val roll = rnd.nextDouble()
+        if (roll < exactFrac) {
+          docs += ((id, text, lang, src, text.length)); id += 1
+        } else if (roll < exactFrac + twinFrac) {
+          val twin = text + " " + vocab(rnd.nextInt(vocab.length))
+          docs += ((id, twin, lang, src, twin.length)); id += 1
+        }
+      }
+    }
+    docs.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(4).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    val adjs = Seq("large", "hot", "blue", "red", "small", "dark",
+      "light", "cold")
+    val nouns = Seq("ring", "bolt", "screw", "nut", "washer", "plate",
+      "rod", "gear")
+    val types = Seq("LARGE", "ECONOMY", "SMALL", "STANDARD", "PROMO")
+    val nParts = 200000
+    val parts = (0 until nParts).map { k =>
+      (k.toLong,
+        adjs(rnd.nextInt(adjs.length)) + " " + nouns(rnd.nextInt(nouns.length)),
+        s"Brand#${1 + rnd.nextInt(25)}",
+        types(rnd.nextInt(types.length)),
+        1 + rnd.nextInt(50),
+        900.0 + (k % 1000) / 10.0)
+    }
+    parts.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .coalesce(4).write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    println(s"[gen] wrote $nDocs docs + $nParts parts to $out")
+    spark.stop()
+  }
+}

@@ -429,7 +429,7 @@ class DedupSimilaritySpec extends SparkSpec {
           .partitionBy($"q_id").orderBy($"l2", $"vec_id")))
       .filter($"rk" <= 5).select($"q_id", $"vec_id"))
     val trainedTop = topSets(Similarity.adcRefinedTrained(
-        spark, q, queries, steps = 2, shortlist = 100, k = 5, nc = 64)
+        spark, q, queries, sf001, steps = 2, shortlist = 100, k = 5, nc = 64)
       .select($"q_id", $"c_id"))
     val rs = exactTop.map { case (qid, want) =>
       trainedTop.getOrElse(qid, Set.empty).intersect(want).size / 5.0 }.toSeq
