@@ -51,6 +51,9 @@ object SparkEntry {
     Dedup.ngramJaccard,
     Dedup.minhashLsh,
     Dedup.simhash,
+    Dedup.dedupIncremental,
+    Spans.spanDedup,
+    Spans.spanCoverage,
     GraphOps.dupClusters,
     GraphOps.clusterRep,
     GraphOps.triangleCount,

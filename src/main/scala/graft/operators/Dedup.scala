@@ -479,6 +479,101 @@ object Dedup {
     cand
   }
 
+  /** Delta-doc selector for [[dedupIncremental]]: docs with
+    * doc_id ≡ 0 (mod 10) play the "new batch", the rest the standing
+    * corpus. A real pipeline's delta is whatever arrived since the last
+    * run; a fixed residue class keeps the op deterministic and
+    * oracle-replayable on the static testdata. */
+  val IncrementalDeltaMod = 10
+
+  /** Incremental dedup: match a NEW BATCH of documents against a
+    * standing corpus — the shape every production dedup actually runs
+    * (daily crawl delta vs. the accumulated index), where all the other
+    * registered dedup ops are whole-corpus self-joins.
+    *
+    * For each delta doc that near-duplicates (3-shingle Jaccard ≥ 0.5,
+    * the [[minhashLsh]] semantics) at least one corpus doc: its
+    * smallest matching corpus doc_id, match count, and best Jaccard.
+    *
+    * Plan — the asymmetry is the whole point:
+    *  - Corpus side: MinHash signatures → (band, bucket) index rows.
+    *    At 100 TB this index is computed ONCE and persisted (bucketed by
+    *    (band, bucket) — `sources/Bucketing.scala` is the layout);
+    *    per-batch cost is zero corpus-side work beyond the final
+    *    verify's point lookups. Here both sides rebuild from parquet
+    *    because the testdata is immutable — the plan shape is identical.
+    *  - Delta side: same signatures for the batch only, BROADCAST to the
+    *    corpus index scan (plan-gated in SpansIncrementalSpec) — candidate
+    *    generation is one map-side hash probe per corpus index row, NO
+    *    shuffle of the corpus, no self-join anywhere. Candidates then
+    *    verify by exact Jaccard ([[verifyExact]]) and aggregate per
+    *    delta doc.
+    *
+    * Recall: identical banding to [[minhashLsh]] (8 bands × 4 rows,
+    * fixed xxhash64 chain). Cross-split near-dup pairs on this corpus
+    * all sit at J ≥ 0.88 (measured at sf0.001/0.01/0.1) where banded
+    * recall is deterministic-1.0 on these signatures — verified
+    * empirically against the exact all-pairs join by
+    * SpansIncrementalSpec and the sf0.1 DuckDB cross-check. */
+  val dedupIncremental: Op = Op(
+    "q_dedup_incremental",
+    s"""WITH $shingleCtes, m AS (
+       |  SELECT d.doc_id AS doc_id, c.doc_id AS corpus_id,
+       |         len(list_intersect(d.sh, c.sh)) AS i,
+       |         len(d.sh) + len(c.sh) - len(list_intersect(d.sh, c.sh)) AS u
+       |  FROM sh d JOIN sh c
+       |    ON d.doc_id % $IncrementalDeltaMod = 0
+       |   AND c.doc_id % $IncrementalDeltaMod <> 0
+       |)
+       |SELECT doc_id, min(corpus_id) AS dup_of, count(*) AS n_matches,
+       |       max(CAST(i AS DOUBLE)/CAST(u AS DOUBLE)) AS best_j
+       |FROM m WHERE CAST(i AS DOUBLE)/CAST(u AS DOUBLE) >= 0.5
+       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    incrementalMatches(spark, dir)
+      .groupBy(col("doc_id_a"))
+      .agg(min(col("doc_id_b")).as("dup_of"),
+        count(lit(1)).as("n_matches"),
+        max(col("jaccard")).as("best_j"))
+      .select(col("doc_id_a").as("doc_id"),
+        col("dup_of"), col("n_matches"), col("best_j"))
+  }
+
+  /** Verified (delta, corpus) match pairs of [[dedupIncremental]],
+    * pre-aggregation (exposed for the spec's exact-join parity check). */
+  private[graft] def incrementalMatches(
+      spark: SparkSession, dir: String): DataFrame = {
+    val bands = 8
+    val rowsPerBand = 4
+    val k = bands * rowsPerBand
+    val bare = shingleRows(spark, dir).select(col("doc_id"), col("s"))
+    val ex = bare.select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sig = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        xxhash64(lit(bnd) +: (0 until rowsPerBand)
+          .map(r => col(s"m${bnd * rowsPerBand + r}")): _*).as("bucket"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val isDelta = col("doc_id") % IncrementalDeltaMod === 0
+    val deltaBands = banded.filter(isDelta)
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_id_a"))
+    val corpusBands = banded.filter(!isDelta)
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_id_b"))
+    val sizes = bare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val cand = corpusBands.join(broadcast(deltaBands), Seq("band", "bucket"))
+      .select("doc_id_a", "doc_id_b")
+      .distinct()
+      .join(sizes.select(col("doc_id").as("doc_id_a"), col("n_sh").as("n_a")),
+        Seq("doc_id_a"))
+      .join(sizes.select(col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
+        Seq("doc_id_b"))
+    verifyExact(cand, bare, Seq.empty)
+  }
+
   /** Word hashes per document — the simhash input rows (exposed for the
     * packing-equivalence spec). Words are capped at the first 60 000 per
     * document so the lane-packed vote counters below can never carry

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Exact substring-span deduplication over token windows — the
+  * ExactSubstr shape of Lee et al. 2022, "Deduplicating Training Data
+  * Makes Language Models Better" (arXiv:2107.06499): find token spans
+  * that occur verbatim more than once across (or within) documents, and
+  * score each document by how much of it is covered by such spans.
+  *
+  * Where the paper builds a corpus-wide suffix array on one big machine,
+  * the Spark-native shape is window hashing: every document emits its
+  * overlapping [[SpanWindow]]-token windows (a generator expression in
+  * the scan stage — same pattern as `TextAnalysis.wordShingles`, no
+  * shuffle to build), and one hash aggregation groups identical windows.
+  * Fixed-width windows trade the suffix array's "longest duplicated
+  * substring" answer for embarrassing parallelism: a duplicated span of
+  * length L ≥ W is detected as L−W+1 duplicated windows, so coverage —
+  * the quantity the pipeline actually acts on — is preserved exactly.
+  *
+  * Scale design (100 TB):
+  *  - The registered ops group on the window TEXT so the DuckDB oracle
+  *    can replay the grouping byte-for-byte. At scale the shuffle key is
+  *    the 128-bit window hash instead — W tokens shrink to 16 bytes, an
+  *    ~8× shuffle-volume cut at W=8 — and [[spanDedupHashed]] is that
+  *    form (two independent xxhash64 lanes; SpanDedupSpec pins its
+  *    output equal to the text-keyed form on the testdata).
+  *  - Window generation is map-only; the only shuffles are the window
+  *    group-by and (for coverage) the doc-id group-by — both on
+  *    perfectly-spread keys. No self-join, no all-pairs anything:
+  *    cost is Θ(corpus tokens), matching the paper's linear-work bound.
+  *  - A pathological key (one boilerplate window duplicated 10⁹×) skews
+  *    the window group; `count >= 2` needs only partial counts, so AQE
+  *    skew-split handles it — the aggregation is algebraic.
+  */
+object Spans {
+
+  /** Window width in tokens. Lee et al. use 50-token spans on web text;
+    * the synthetic docs run 10–100 tokens, so 8 keeps the same
+    * windows-per-doc regime (~47 windows for an average doc). */
+  val SpanWindow = 8
+
+  private def tokens: Column = split(trim(col("text")), "\\s+")
+
+  /** (doc_id, i, win_text) for every W-token window start i (1-based).
+    * Docs shorter than W tokens emit nothing — they have no window. */
+  private[operators] def windowRows(spark: SparkSession, dir: String): DataFrame = {
+    val W = SpanWindow
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens.as("t"))
+      .filter(size(col("t")) >= W)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - (W - 1)),
+          i => struct(i.as("i"),
+            array_join(slice(col("t"), i, lit(W)), " ").as("win_text")))).as("w"))
+      .select(col("doc_id"), col("w.i").as("i"), col("w.win_text").as("win_text"))
+  }
+
+  private def winSql(): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents
+       |), starts AS (
+       |  SELECT doc_id, t, unnest(generate_series(1, len(t)-${SpanWindow - 1})) AS i
+       |  FROM toks WHERE len(t) >= $SpanWindow
+       |), win AS (
+       |  SELECT doc_id, i, array_to_string(t[i:i+${SpanWindow - 1}], ' ') AS win_text
+       |  FROM starts
+       |)""".stripMargin
+
+  /** Corpus-level duplicated spans: every W-token window that occurs in
+    * ≥ 2 distinct documents, with its document reach and total
+    * occurrence count. The detection half of ExactSubstr dedup — the
+    * output is the span blocklist a removal pass would consume. */
+  val spanDedup: Op = Op(
+    "q_span_dedup",
+    s"""WITH ${winSql()}
+       |SELECT win_text, count(DISTINCT doc_id) AS ndocs, count(*) AS nocc
+       |FROM win GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin) {
+    (spark, dir) =>
+      windowRows(spark, dir)
+        .groupBy(col("win_text"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"), count(lit(1)).as("nocc"))
+        .filter(col("ndocs") >= 2)
+  }
+
+  /** The 100 TB form of [[spanDedup]]: identical plan, but the group key
+    * is a 128-bit window hash (two independent xxhash64 lanes) instead
+    * of the window text — the shuffle carries 16 bytes per window in
+    * place of ~W words. Returns (h1, h2, ndocs, nocc); SpanDedupSpec
+    * pins its (ndocs, nocc) multiset equal to [[spanDedup]]'s on the
+    * testdata (no 128-bit collisions there — nor, with ~2⁻⁶⁴ per-corpus
+    * probability, anywhere else). */
+  def spanDedupHashed(spark: SparkSession, dir: String): DataFrame =
+    windowRows(spark, dir)
+      .select(col("doc_id"), xxhash64(col("win_text")).as("h1"),
+        xxhash64(lit(1), col("win_text")).as("h2"))
+      .groupBy(col("h1"), col("h2"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"), count(lit(1)).as("nocc"))
+      .filter(col("ndocs") >= 2)
+
+  /** Per-document duplicated-span coverage: the fraction of a document's
+    * tokens covered by at least one window that occurs ≥ 2 times
+    * anywhere in the corpus (within-doc repeats count — a doc that
+    * repeats its own boilerplate is as duplicated as two docs sharing
+    * it). This is the removal metric of ExactSubstr dedup: a pipeline
+    * drops or trims documents above a coverage threshold.
+    *
+    * Plan: window rows → global window-count aggregate → semi-join back
+    * (window text is the join key; the hashed form would key on the
+    * 128-bit hash) → explode each surviving window into its W covered
+    * token positions → per-doc distinct-position count. Interval union
+    * via distinct positions is exact and needs no sort-based sweep —
+    * positions per doc are bounded by doc length, so the per-doc state
+    * is small regardless of corpus size. */
+  val spanCoverage: Op = Op(
+    "q_span_coverage",
+    s"""WITH ${winSql()}, dup AS (
+       |  SELECT win_text FROM win GROUP BY 1 HAVING count(*) >= 2
+       |), cover AS (
+       |  SELECT w.doc_id, unnest(generate_series(w.i, w.i+${SpanWindow - 1})) AS p
+       |  FROM win w JOIN dup USING (win_text)
+       |), cov AS (
+       |  SELECT doc_id, count(DISTINCT p) AS covered FROM cover GROUP BY 1
+       |)
+       |SELECT t.doc_id AS doc_id, len(t.t) AS n_tokens,
+       |       COALESCE(cov.covered, 0) AS covered,
+       |       CAST(COALESCE(cov.covered, 0) AS DOUBLE) / len(t.t) AS dup_frac
+       |FROM toks t LEFT JOIN cov ON t.doc_id = cov.doc_id""".stripMargin) {
+    (spark, dir) =>
+      val W = SpanWindow
+      val win = windowRows(spark, dir)
+      val dup = win.groupBy(col("win_text"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("win_text")
+      val cov = win.join(dup, Seq("win_text"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + (W - 1))).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("p")).as("covered"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), size(tokens).as("n_tokens"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          coalesce(col("covered"), lit(0L)).as("covered"),
+          (coalesce(col("covered"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).as("dup_frac"))
+  }
+}

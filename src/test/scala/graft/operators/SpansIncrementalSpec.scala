@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Span-dedup family (Spans.scala) + incremental dedup behavior:
+  * window-generation arithmetic, hashed-key parity, coverage
+  * invariants, and incremental output vs the exact delta×corpus join.
+  */
+class SpansIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = Spans.SpanWindow
+
+  test("window rows: each doc with n>=W tokens emits exactly n-W+1 windows") {
+    val expected = graft.Tables.documents(spark, sf001)
+      .select($"doc_id", size(split(trim($"text"), "\\s+")).as("n"))
+      .filter($"n" >= W)
+      .select($"doc_id", ($"n" - (W - 1)).cast("long").as("exp"))
+      .as[(Long, Long)].collect().toMap
+    val got = Spans.windowRows(spark, sf001)
+      .groupBy($"doc_id").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    // spot-check one window's content: first 8 tokens of the doc
+    val (docId, _) = expected.head
+    val row = graft.Tables.documents(spark, sf001)
+      .filter($"doc_id" === docId).select($"text").as[String].head()
+    val firstWin = row.trim.split("\\s+").take(W).mkString(" ")
+    val gotWin = Spans.windowRows(spark, sf001)
+      .filter($"doc_id" === docId && $"i" === 1)
+      .select($"win_text").as[String].head()
+    assert(gotWin === firstWin)
+  }
+
+  test("hashed span dedup carries the same duplicate structure as text-keyed") {
+    val textKeyed = Spans.spanDedup.build(spark, sf001)
+      .select($"ndocs", $"nocc").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val hashKeyed = Spans.spanDedupHashed(spark, sf001)
+      .select($"ndocs", $"nocc").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(textKeyed.nonEmpty, "expected duplicated windows in testdata")
+    assert(hashKeyed === textKeyed)
+  }
+
+  test("span coverage: every doc present, covered within bounds, frac exact") {
+    val rows = Spans.spanCoverage.build(spark, sf001)
+      .select($"doc_id", $"n_tokens", $"covered", $"dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    val nDocs = graft.Tables.documents(spark, sf001).count()
+    assert(rows.length.toLong === nDocs)
+    rows.foreach { case (id, n, cov, frac) =>
+      assert(cov >= 0 && cov <= n, s"doc $id: covered $cov outside [0,$n]")
+      assert(frac === cov.toDouble / n.toDouble, s"doc $id: frac mismatch")
+      if (n < W) assert(cov === 0L, s"doc $id shorter than W has coverage")
+    }
+    assert(rows.exists(_._3 > 0), "expected some covered docs in testdata")
+  }
+
+  test("coverage agrees with a driver-side recomputation from window rows") {
+    val wins = Spans.windowRows(spark, sf001)
+      .select($"doc_id", $"i", $"win_text")
+      .as[(Long, Int, String)].collect()
+    val dupTexts = wins.groupBy(_._3).filter(_._2.length >= 2).keySet
+    val expected = wins.filter(w => dupTexts.contains(w._3))
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(w => w._2 until (w._2 + W)).distinct.length.toLong)
+      .toMap
+    val got = Spans.spanCoverage.build(spark, sf001)
+      .filter($"covered" > 0)
+      .select($"doc_id", $"covered").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("incremental dedup equals the exact delta-vs-corpus join") {
+    // ground truth: all-pairs exact Jaccard across the split, no LSH
+    val d = graft.Tables.documents(spark, sf001).select(
+      $"doc_id", graft.functions.TextAnalysis.wordShingles($"text", 3).as("sh"))
+    val delta = d.filter($"doc_id" % Dedup.IncrementalDeltaMod === 0)
+      .select($"doc_id".as("ia"), $"sh".as("sa"))
+    val corpus = d.filter($"doc_id" % Dedup.IncrementalDeltaMod =!= 0)
+      .select($"doc_id".as("ib"), $"sh".as("sb"))
+    val truth = delta.join(corpus,
+        (size(array_intersect($"sa", $"sb")).cast("double") /
+          size(array_union($"sa", $"sb")).cast("double")) >= 0.5)
+      .groupBy($"ia")
+      .agg(min($"ib").as("dup_of"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Dedup.dedupIncremental.build(spark, sf001)
+      .select($"doc_id", $"dup_of", $"n_matches")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "expected cross-split near-dups in testdata")
+    assert(got === truth)
+  }
+
+  test("incremental dedup probes the corpus index via a broadcast of the delta") {
+    val p = Dedup.dedupIncremental.build(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"),
+      s"delta band probe should broadcast, not shuffle the corpus:\n$p")
+  }
+}
