@@ -541,6 +541,15 @@ object Dedup {
   /** Verified (delta, corpus) match pairs of [[dedupIncremental]],
     * pre-aggregation (exposed for the spec's exact-join parity check). */
   private[graft] def incrementalMatches(
+      spark: SparkSession, dir: String): DataFrame =
+    verifyExact(incrementalCandidates(spark, dir),
+      shingleRows(spark, dir).select(col("doc_id"), col("s")), Seq.empty)
+
+  /** The band-probe candidate stage of [[dedupIncremental]] alone
+    * (distinct delta×corpus pairs + sizes, pre-verification) — split out
+    * so the scale soak (tools/SoakCandidates, PERF.md) can measure its
+    * candidate growth like the self-join families'. */
+  private[graft] def incrementalCandidates(
       spark: SparkSession, dir: String): DataFrame = {
     val bands = 8
     val rowsPerBand = 4
@@ -571,7 +580,7 @@ object Dedup {
         Seq("doc_id_a"))
       .join(sizes.select(col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
         Seq("doc_id_b"))
-    verifyExact(cand, bare, Seq.empty)
+    cand
   }
 
   /** Word hashes per document — the simhash input rows (exposed for the

@@ -50,7 +50,10 @@ object SoakCandidates {
         "fuzzy" -> Dedup.fuzzyCandidates(spark, dir).count(),
         // sparse-output sibling: residual-tier candidates only (the
         // exact tier is a window pass with no pair enumeration)
-        "fuzzybest" -> Dedup.fuzzyBestCandidates(spark, dir).count())
+        "fuzzybest" -> Dedup.fuzzyBestCandidates(spark, dir).count(),
+        // incremental delta-vs-corpus probe (round 5): delta bands
+        // broadcast against the corpus band index
+        "incremental" -> Dedup.incrementalCandidates(spark, dir).count())
       val truth = Map(
         "minhash" -> Dedup.minhashLsh.build(spark, dir).count(),
         "simhash" -> Dedup.simhash.build(spark, dir).count(),
@@ -58,7 +61,8 @@ object SoakCandidates {
         "simhash4x16" -> -1L, // candidate-stage-only measurement
         "ngram" -> Dedup.ngramJaccard.build(spark, dir).count(),
         "fuzzy" -> Dedup.fuzzyMatch.build(spark, dir).count(),
-        "fuzzybest" -> Dedup.fuzzyBest.build(spark, dir).count())
+        "fuzzybest" -> Dedup.fuzzyBest.build(spark, dir).count(),
+        "incremental" -> Dedup.incrementalMatches(spark, dir).count())
       val r = Row(dir, docs, parts, cand, truth)
       println(s"[soak] ${r.dir}: docs=${r.docs} parts=${r.parts} " +
         r.cand.toSeq.sortBy(_._1).map { case (k, v) =>
