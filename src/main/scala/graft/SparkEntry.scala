@@ -110,6 +110,7 @@ object SparkEntry {
     StreamingOps.streamBestOfDay,
     StreamingOps.streamJoin,
     StreamingOps.streamSessionize,
+    StreamingOps.streamIncrDedup,
     MultimodalOps.multimodalFeatures,
   )
 

@@ -124,17 +124,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright. Read nanos as a plain long and
-    * expose a derived µs `ts` (integer `div`, not `/` — epoch nanos
-    * exceed double's 53-bit mantissa) plus the raw `ts_ns`.
+  /** events table, with `ts` normalized to a session-TZ TIMESTAMP at µs
+    * precision regardless of how the file stores it — the driver has
+    * shipped both encodings across rounds:
+    *  - INT64 TIMESTAMP(NANOS): Spark's reader rejects it outright, so
+    *    read nanos as a plain long (`nanosAsLong`) and derive µs with
+    *    integer `div` (not `/` — epoch nanos exceed double's 53-bit
+    *    mantissa). DuckDB truncates the same ns to µs in `epoch_us`, so
+    *    the oracles agree.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (TIMESTAMP_NTZ in
+    *    Spark): cast to TIMESTAMP — the session is pinned UTC, so the
+    *    wall-clock instant is preserved bit-for-bit.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts_ns div 1000)"))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestamp_micros(ts_ns div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -423,6 +423,70 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  /** MinHash banding geometry shared by every LSH path below: k = 32
+    * hashes as 8 bands × 4 rows. */
+  private[graft] val MinhashBands = 8
+  private[graft] val MinhashRowsPerBand = 4
+
+  /** (doc_id, band, bucket) MinHash banded index rows — THE single
+    * signature/banding construction behind [[minhashCandidates]] and
+    * [[incrementalCandidates]]. The incremental op's oracle equality
+    * rests on its banding being IDENTICAL to [[minhashLsh]]'s (same
+    * k, same band split, same xxhash64 chain), so that identity is
+    * enforced structurally here rather than by keeping two copies in
+    * sync.
+    *
+    * Signature as k compiled MIN aggregates over shingle ROWS (the
+    * size-free variant — MIN is duplicate- and count-insensitive, so
+    * the signature needs no n_sh window shuffle):
+    * higher-order `transform` lambdas are interpreted per element, so
+    * k×|sh| lambda dispatches per doc cost ~10× the same math as
+    * codegen'd aggregate expressions. One string hash per shingle, k
+    * fixed-width re-hashes, map-side partial min — the shuffle
+    * carries k longs per doc. */
+  private[graft] def bandedSignatures(
+      spark: SparkSession, dir: String): DataFrame = {
+    val k = MinhashBands * MinhashRowsPerBand
+    val ex = shingleRows(spark, dir)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sig = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until MinhashBands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        xxhash64(lit(bnd) +: (0 until MinhashRowsPerBand)
+          .map(r => col(s"m${bnd * MinhashRowsPerBand + r}")): _*).as("bucket"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
+  /** Per-session cache of the MinHash index for a corpus dir: the
+    * (doc_id, band, bucket) banded rows and the per-doc distinct-shingle
+    * counts, both localCheckpointed. Signing the corpus is INDEX
+    * CONSTRUCTION — at 100 TB it runs once and is persisted bucketed by
+    * (band, bucket) (`sources/Bucketing.scala` is the layout); every
+    * consumer (pair dedup, clustering, representative selection,
+    * incremental delta probes, the simhash hybrid tier) then probes the
+    * same index, exactly as the PQ search family reuses its trained
+    * (codebook, codes) index ([[Similarity.pqTrainedIndex]]). Keyed by
+    * session identity so a replaced session rebuilds instead of touching
+    * checkpoints of dead executors. The cached frames are byte-identical
+    * to fresh construction (same deterministic xxhash64 chain —
+    * DedupSimilaritySpec pins the parity), so oracles are unaffected. */
+  private val minhashIndexCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame)]
+
+  private[graft] def minhashIndex(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    minhashIndexCache.getOrElseUpdate(
+      s"${System.identityHashCode(spark)}@$dir", {
+        val banded = bandedSignatures(spark, dir).localCheckpoint()
+        val sizes = shingleRows(spark, dir).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sh")).localCheckpoint()
+        (banded, sizes)
+      })
+
   /** The banded-bucket candidate stage of [[minhashLsh]] alone
     * (distinct pairs + sizes, pre-verification) — split out so the
     * scale soak (tools/SoakCandidates, PERF.md) can measure
@@ -430,30 +494,7 @@ object Dedup {
   private[graft] def minhashCandidates(
       spark: SparkSession, dir: String,
       bucketCap: Option[Int] = None): DataFrame = {
-    val bands = 8
-    val rowsPerBand = 4
-    val k = bands * rowsPerBand
-    val bare = shingleRows(spark, dir)
-    // Signature as k compiled MIN aggregates over shingle ROWS (the
-    // size-free variant — MIN is duplicate- and count-insensitive, so
-    // the signature needs no n_sh window shuffle):
-    // higher-order `transform` lambdas are interpreted per element, so
-    // k×|sh| lambda dispatches per doc cost ~10× the same math as
-    // codegen'd aggregate expressions. One string hash per shingle, k
-    // fixed-width re-hashes, map-side partial min — the shuffle
-    // carries k longs per doc.
-    val ex = bare.select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    val sig = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    val bandCols = (0 until bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        xxhash64(lit(bnd) +: (0 until rowsPerBand)
-          .map(r => col(s"m${bnd * rowsPerBand + r}")): _*).as("bucket"))
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
+    val (banded, sizes) = minhashIndex(spark, dir)
     val members = bucketCap match {
       case Some(cap) =>
         banded.withColumn("rn",
@@ -464,7 +505,6 @@ object Dedup {
           .drop("rn")
       case None => banded
     }
-    val sizes = bare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val cand = members.select(col("band"), col("bucket"),
         col("doc_id").as("doc_id_a"))
       .join(members.select(col("band"), col("bucket"),
@@ -500,8 +540,9 @@ object Dedup {
     *    At 100 TB this index is computed ONCE and persisted (bucketed by
     *    (band, bucket) — `sources/Bucketing.scala` is the layout);
     *    per-batch cost is zero corpus-side work beyond the final
-    *    verify's point lookups. Here both sides rebuild from parquet
-    *    because the testdata is immutable — the plan shape is identical.
+    *    verify's point lookups. The per-session [[minhashIndex]] cache
+    *    plays that persisted index here — signatures are built once per
+    *    corpus dir and every probe reuses them.
     *  - Delta side: same signatures for the batch only, BROADCAST to the
     *    corpus index scan (plan-gated in SpansIncrementalSpec) — candidate
     *    generation is one map-side hash probe per corpus index row, NO
@@ -510,7 +551,9 @@ object Dedup {
     *    delta doc.
     *
     * Recall: identical banding to [[minhashLsh]] (8 bands × 4 rows,
-    * fixed xxhash64 chain). Cross-split near-dup pairs on this corpus
+    * fixed xxhash64 chain) — enforced structurally, both paths build
+    * their index rows from the one [[bandedSignatures]] helper.
+    * Cross-split near-dup pairs on this corpus
     * all sit at J ≥ 0.88 (measured at sf0.001/0.01/0.1) where banded
     * recall is deterministic-1.0 on these signatures — verified
     * empirically against the exact all-pairs join by
@@ -551,28 +594,12 @@ object Dedup {
     * candidate growth like the self-join families'. */
   private[graft] def incrementalCandidates(
       spark: SparkSession, dir: String): DataFrame = {
-    val bands = 8
-    val rowsPerBand = 4
-    val k = bands * rowsPerBand
-    val bare = shingleRows(spark, dir).select(col("doc_id"), col("s"))
-    val ex = bare.select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    val sig = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    val bandCols = (0 until bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        xxhash64(lit(bnd) +: (0 until rowsPerBand)
-          .map(r => col(s"m${bnd * rowsPerBand + r}")): _*).as("bucket"))
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
+    val (banded, sizes) = minhashIndex(spark, dir)
     val isDelta = col("doc_id") % IncrementalDeltaMod === 0
     val deltaBands = banded.filter(isDelta)
       .select(col("band"), col("bucket"), col("doc_id").as("doc_id_a"))
     val corpusBands = banded.filter(!isDelta)
       .select(col("band"), col("bucket"), col("doc_id").as("doc_id_b"))
-    val sizes = bare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val cand = corpusBands.join(broadcast(deltaBands), Seq("band", "bucket"))
       .select("doc_id_a", "doc_id_b")
       .distinct()

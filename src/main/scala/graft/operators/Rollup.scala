@@ -18,8 +18,9 @@ import graft.functions.Ladders.confidenceGrade
   * Determinism: the window anchor is max(event date) in the data (the
   * reference anchors at now(), which can never hash-match an oracle);
   * "latest sale" totalizes its order with event_id. Timestamps are
-  * compared at DATE granularity because the parquet is nanosecond
-  * precision — Spark truncates ns→µs on read while DuckDB keeps ns.
+  * compared at DATE granularity — safe under both events-file
+  * encodings (ns, where Spark truncates to µs while DuckDB keeps ns,
+  * and the current µs).
   *
   * Scale notes: one shuffle on (card_key, grade); percentile is an exact
   * sort-based aggregate per group — group cardinality is the key count,

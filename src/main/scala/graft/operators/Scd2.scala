@@ -98,9 +98,9 @@ object Scd2 {
     * every key's history instead. Tombstones filter AFTER the aggregate:
     * a key deleted then re-inserted keeps the re-insert (last op wins),
     * matching MERGE semantics exactly. The oracle ranks at `epoch_us`
-    * precision — DuckDB keeps the parquet nanoseconds Spark truncates
-    * (the events-table convention, Tables.events) — so both engines
-    * break any sub-µs tie the same way: by event_id. */
+    * precision (the events-table convention, Tables.events — exact
+    * under both the ns and µs file encodings) — so both engines break
+    * any sub-µs tie the same way: by event_id. */
   val cdcApply: Op = Op(
     "q_cdc_apply",
     """WITH last AS (

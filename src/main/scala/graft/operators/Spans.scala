@@ -25,7 +25,7 @@ import graft.Tables
   *    can replay the grouping byte-for-byte. At scale the shuffle key is
   *    the 128-bit window hash instead — W tokens shrink to 16 bytes, an
   *    ~8× shuffle-volume cut at W=8 — and [[spanDedupHashed]] is that
-  *    form (two independent xxhash64 lanes; SpanDedupSpec pins its
+  *    form (two independent xxhash64 lanes; SpansIncrementalSpec pins its
   *    output equal to the text-keyed form on the testdata).
   *  - Window generation is map-only; the only shuffles are the window
   *    group-by and (for coverage) the doc-id group-by — both on
@@ -89,7 +89,7 @@ object Spans {
   /** The 100 TB form of [[spanDedup]]: identical plan, but the group key
     * is a 128-bit window hash (two independent xxhash64 lanes) instead
     * of the window text — the shuffle carries 16 bytes per window in
-    * place of ~W words. Returns (h1, h2, ndocs, nocc); SpanDedupSpec
+    * place of ~W words. Returns (h1, h2, ndocs, nocc); SpansIncrementalSpec
     * pins its (ndocs, nocc) multiset equal to [[spanDedup]]'s on the
     * testdata (no 128-bit collisions there — nor, with ~2⁻⁶⁴ per-corpus
     * probability, anywhere else). */

@@ -100,6 +100,24 @@ object StreamingOps {
       EventStream.runSessionizeToMemory(spark, dir, "q_stream_sessionize_mem"))
   }
 
+  /** Streaming incremental dedup ≡ the batch delta-vs-corpus op — the
+    * SAME oracle as [[Dedup.dedupIncremental]]. The stream emits the
+    * verified match log (stateless probe of the static MinHash index —
+    * [[EventStream.runIncrDedupToMemory]]); the op rolls the log up per
+    * delta doc in batch (distinct first: a pair verified in several
+    * bands appears once per band in the log). */
+  val streamIncrDedup: Op = Op(
+    "q_stream_incr_dedup",
+    Dedup.dedupIncremental.oracle.get) { (spark, dir) =>
+    spark.table(EventStream.runIncrDedupToMemory(
+        spark, dir, "q_stream_incr_dedup_mem"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(min(col("corpus_id")).as("dup_of"),
+        count(lit(1)).as("n_matches"),
+        max(col("jaccard")).as("best_j"))
+  }
+
   val streamTumbling: Op = Op(
     "q_stream_tumbling",
     """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_us,

@@ -13,9 +13,10 @@ import graft.functions.Money.centsOf
   * which has no frame windows, SURVEY §2.5).
   *
   * Determinism across engines: all time arithmetic happens on epoch
-  * MICROSECONDS as BIGINT (the parquet stores ns; Spark truncates
-  * ns→µs on read exactly like DuckDB does), and every window order is
-  * totalized with the row's unique id.
+  * MICROSECONDS as BIGINT (the events file has shipped as both ns and
+  * µs across driver rounds — both engines agree at µs under either
+  * encoding), and every window order is totalized with the row's
+  * unique id.
   *
   * Scale notes: sessionization is ONE shuffle on user_id, then two
   * in-partition window passes over the same sort (Catalyst reuses the
@@ -137,10 +138,10 @@ object Windows {
     * equal timestamps as peers).
     *
     * Cross-engine determinism: both engines order and frame on epoch
-    * MICROSECONDS as plain integers — the parquet file stores
-    * nanosecond timestamps which Spark truncates to µs while DuckDB
-    * keeps ns, so framing on the raw timestamp would disagree at
-    * sub-µs boundaries; `epoch_us`/`unix_micros` pin identical frames.
+    * MICROSECONDS as plain integers — under the ns file encoding Spark
+    * truncates to µs while DuckDB keeps ns, so framing on the raw
+    * timestamp would disagree at sub-µs boundaries;
+    * `epoch_us`/`unix_micros` pin identical frames either way.
     * Sums are integer cents (order-independent).
     *
     * Scale: one shuffle on user_id, one sort per partition — the RANGE

@@ -485,17 +485,24 @@ object EventStream {
       .toDays + 2
   }
 
-  /** Parquet-backed stream of the events table (the file stores ns
-    * timestamps → stream them as long, derive µs) — the one source
-    * shape shared by every streaming entry point below. */
+  /** Parquet-backed stream of the events table — the one source shape
+    * shared by every streaming entry point below. `ts` is normalized to
+    * a session-TZ TIMESTAMP whichever way the file stores it (ns-as-long
+    * or µs TIMESTAMP_NTZ — the driver has shipped both; same dual
+    * handling as `Tables.events`). */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // FileStreamSource requires a directory source; glob-filter the table
-    spark.readStream.schema(fileSchema)
+    val raw = spark.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    fileSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Streaming exact dedup on a content key — the ingest-dedup stage of
@@ -524,6 +531,80 @@ object EventStream {
         .withWatermark("ts", s"$spanDays days")
         .dropDuplicatesWithinWatermark("user_id", "event_type", "value_cents")
         .select("user_id", "event_type", "value_cents")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
+  /** Streaming INCREMENTAL near-dup dedup — the continuous-ingestion
+    * twin of [[graft.operators.Dedup.dedupIncremental]]: delta
+    * documents arrive as a stream and probe the STATIC corpus MinHash
+    * index (`Dedup.minhashIndex` — the session-cached form of the
+    * persisted, bucketed index a 100 TB deployment maintains).
+    *
+    * The streaming pipeline is entirely STATELESS — there is no state
+    * store anywhere:
+    *  - per-doc MinHash signatures are per-ROW expressions
+    *    (`array_min` over the shingle array per hash lane — no
+    *    aggregation, unlike the corpus-signing path which MIN-aggregates
+    *    exploded shingle rows for shuffle volume; same xxhash64 chain,
+    *    so buckets collide exactly with the index),
+    *  - band probe rows explode map-side,
+    *  - candidate generation and exact-Jaccard verification are two
+    *    stream-static BROADCAST joins (array_intersect against the
+    *    corpus shingle arrays — per-row math, provably equal to the
+    *    batch row-join verify on distinct shingle arrays).
+    * Per-batch cost is the batch's own docs × broadcast probe; nothing
+    * accumulates across batches. The memory sink holds the verified
+    * (doc_id, corpus_id, jaccard) match LOG — duplicated when a pair
+    * shares several bands; the registered op rolls it up per delta doc
+    * in batch. In production the log is a parquet/Delta sink and the
+    * rollup a downstream view — the standard streaming-ETL split. At
+    * 100 TB the corpus side outgrows a broadcast and the probe becomes
+    * a co-located join on the (band, bucket)-bucketed index layout
+    * (`sources/Bucketing.scala`); the stream side stays map-only. */
+  def runIncrDedupToMemory(
+      spark: SparkSession, dir: String, queryName: String): String =
+    runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
+      import graft.operators.Dedup
+      val mod = Dedup.IncrementalDeltaMod
+      val (banded, _) = Dedup.minhashIndex(spark, dir)
+      val corpusBands = broadcast(banded
+        .filter(col("doc_id") % mod =!= 0)
+        .select(col("doc_id").as("corpus_id"), col("band"), col("bucket")))
+      val corpusSh = broadcast(graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") % mod =!= 0)
+        .select(col("doc_id").as("corpus_id"),
+          graft.functions.TextAnalysis.wordShingles(col("text"), 3).as("sh_c")))
+      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val delta = spark.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % mod === 0)
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.wordShingles(col("text"), 3).as("sh"))
+      val k = Dedup.MinhashBands * Dedup.MinhashRowsPerBand
+      val withSig = (0 until k).foldLeft(delta) { (df, i) =>
+        df.withColumn(s"m$i",
+          array_min(transform(col("sh"), s => xxhash64(xxhash64(s), lit(i)))))
+      }
+      val bandCols = (0 until Dedup.MinhashBands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          xxhash64(lit(bnd) +: (0 until Dedup.MinhashRowsPerBand)
+            .map(r => col(s"m${bnd * Dedup.MinhashRowsPerBand + r}")): _*)
+            .as("bucket"))
+      }
+      val probes = withSig
+        .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("sh"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val inter = size(array_intersect(col("sh"), col("sh_c")))
+      val uni = size(col("sh")) + size(col("sh_c")) - inter
+      probes.join(corpusBands, Seq("band", "bucket"))
+        .join(corpusSh, Seq("corpus_id"))
+        .withColumn("jaccard", inter.cast("double") / uni.cast("double"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_id"), col("corpus_id"), col("jaccard"))
         .writeStream.outputMode(OutputMode.Append)
         .format("memory").queryName(table)
         .option("checkpointLocation", ckpt)
@@ -609,8 +690,9 @@ object EventStream {
         col("purchase_cents"))
 
   /** Wire a parquet-backed stream of the events table to a memory sink
-    * (local smoke; swap readStream source + sink for kafka/files in prod).
-    * The file stores ns timestamps → stream them as long, derive µs. */
+    * (local smoke; swap readStream source + sink for kafka/files in
+    * prod). `ts` normalizes to µs whichever way the file stores it
+    * ([[eventsStream]]). */
   def runWindowedToMemory(
       spark: SparkSession, dir: String, queryName: String,
       mode: OutputMode = OutputMode.Complete): String =

@@ -33,6 +33,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === truth) // verified-exact output ⊆ truth; LSH recall ⊇ here
   }
 
+  test("session-cached minhash index equals fresh signature construction") {
+    // minhashIndex localCheckpoints bandedSignatures + sizes once per
+    // (session, dir); every LSH consumer reads through it. Pin the
+    // cached frames byte-equal to a fresh build so a cache-path change
+    // can never silently shift what the oracles verify.
+    val (banded, sizes) = Dedup.minhashIndex(spark, sf001)
+    val fresh = Dedup.bandedSignatures(spark, sf001)
+      .as[(Long, Int, Long)].collect().toSet
+    val cached = banded.as[(Long, Int, Long)].collect().toSet
+    assert(cached === fresh)
+    val freshSizes = Dedup.shingleRowsWithSize(spark, sf001)
+      .select($"doc_id", $"n_sh").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(sizes.as[(Long, Long)].collect().toSet === freshSizes)
+  }
+
   test("lane-packed simhash equals the per-bit reference computation") {
     // recompute every signature on the driver from the SAME word-hash
     // rows, with the obvious per-bit majority vote — guards the packed

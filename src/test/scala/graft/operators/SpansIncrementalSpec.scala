@@ -95,9 +95,48 @@ class SpansIncrementalSpec extends SparkSpec {
   }
 
   test("incremental dedup probes the corpus index via a broadcast of the delta") {
-    val p = Dedup.dedupIncremental.build(spark, sf001)
-      .queryExecution.executedPlan.toString()
-    assert(p.contains("BroadcastHashJoin"),
-      s"delta band probe should broadcast, not shuffle the corpus:\n$p")
+    // Gate the candidate stage ALONE, and require that the broadcast
+    // side of some hash join is the DELTA band rows (its subtree carries
+    // the doc_id % 10 = 0 filter) — a BroadcastHashJoin appearing
+    // anywhere (e.g. an auto-broadcast sizes join) must not satisfy
+    // this test while the band probe itself shuffles the corpus.
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = Dedup.incrementalCandidates(spark, sf001)
+      .queryExecution.sparkPlan
+    val buildSides = plan.collect { case j: BroadcastHashJoinExec =>
+      (j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }).toString()
+    }
+    assert(buildSides.nonEmpty,
+      s"delta band probe should broadcast, not shuffle the corpus:\n$plan")
+    assert(buildSides.exists(s => s.contains("% 10) = 0")),
+      "no BroadcastHashJoin builds on the delta-side filter " +
+        s"(doc_id % 10 = 0); build sides were:\n${buildSides.mkString("\n---\n")}")
+  }
+
+  test("recall premise: every cross-split pair at J >= 0.5 sits at J >= 0.88") {
+    // dedupIncremental's exact-join oracle holds because 8x4 banded LSH
+    // recall is deterministic-1.0 only for high-J pairs; the measured
+    // corpus property backing that is "no cross-split pair falls in
+    // (0.5, 0.88)". Pin the premise so a testdata change that breaks it
+    // fails HERE with a clear message, not via an opaque oracle
+    // hash mismatch.
+    val d = graft.Tables.documents(spark, sf001).select(
+      $"doc_id", graft.functions.TextAnalysis.wordShingles($"text", 3).as("sh"))
+    val delta = d.filter($"doc_id" % Dedup.IncrementalDeltaMod === 0)
+      .select($"doc_id".as("ia"), $"sh".as("sa"))
+    val corpus = d.filter($"doc_id" % Dedup.IncrementalDeltaMod =!= 0)
+      .select($"doc_id".as("ib"), $"sh".as("sb"))
+    val j = size(array_intersect($"sa", $"sb")).cast("double") /
+      size(array_union($"sa", $"sb")).cast("double")
+    val midBand = delta.join(corpus, j >= 0.5 && j < 0.88)
+      .select($"ia", $"ib").as[(Long, Long)].collect()
+    assert(midBand.isEmpty,
+      "cross-split pairs in the LSH recall grey zone (0.5, 0.88) — " +
+        "dedupIncremental's exact-join oracle premise is broken for: " +
+        midBand.mkString(", "))
   }
 }

@@ -149,6 +149,33 @@ class EventStreamSpec extends SparkSpec {
     assert(got.exceptAll(w).isEmpty && w.exceptAll(got).isEmpty)
   }
 
+  test("streaming incremental dedup equals the batch delta-vs-corpus twin") {
+    import spark.implicits._
+    val batch = graft.operators.Dedup.dedupIncremental.build(spark, sf001)
+      .select($"doc_id", $"dup_of", $"n_matches", $"best_j")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = graft.operators.StreamingOps.streamIncrDedup.build(spark, sf001)
+      .select($"doc_id", $"dup_of", $"n_matches", $"best_j")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty, "expected cross-split near-dups in testdata")
+    assert(got === batch)
+  }
+
+  test("streaming incremental dedup plan is stateless (no state store ops)") {
+    // the whole point: per-row signatures + stream-static broadcast
+    // joins — no streaming aggregation, no dropDuplicates state, no
+    // stream-stream join buffers. A stateful operator sneaking in would
+    // turn the unbounded delta stream into unbounded state at 100 TB.
+    graft.operators.StreamingOps.streamIncrDedup.build(spark, sf001).count()
+    val active = spark.streams.active.find(
+      _.name.startsWith("q_stream_incr_dedup_mem"))
+    assert(active.nonEmpty, "live incremental-dedup query not found")
+    val progress = active.get.lastProgress
+    assert(progress != null)
+    assert(progress.stateOperators.isEmpty,
+      s"expected zero stateful operators, got: ${progress.json}")
+  }
+
   test("stream-stream attribution join buffers across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
