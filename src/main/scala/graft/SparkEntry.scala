@@ -52,6 +52,7 @@ object SparkEntry {
     Dedup.minhashLsh,
     Dedup.simhash,
     Dedup.dedupIncremental,
+    Dedup.dedupIncrementalBucketed,
     Spans.spanDedup,
     Spans.spanCoverage,
     GraphOps.dupClusters,

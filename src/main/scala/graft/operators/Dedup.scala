@@ -572,14 +572,20 @@ object Dedup {
        |       max(CAST(i AS DOUBLE)/CAST(u AS DOUBLE)) AS best_j
        |FROM m WHERE CAST(i AS DOUBLE)/CAST(u AS DOUBLE) >= 0.5
        |GROUP BY 1""".stripMargin) { (spark, dir) =>
-    incrementalMatches(spark, dir)
+    incrementalRollup(incrementalMatches(spark, dir))
+  }
+
+  /** Per-delta-doc rollup of verified (delta, corpus, jaccard) matches —
+    * shared by the broadcast and bucketed-index probe forms so their
+    * outputs cannot drift. */
+  private[graft] def incrementalRollup(matches: DataFrame): DataFrame =
+    matches
       .groupBy(col("doc_id_a"))
       .agg(min(col("doc_id_b")).as("dup_of"),
         count(lit(1)).as("n_matches"),
         max(col("jaccard")).as("best_j"))
       .select(col("doc_id_a").as("doc_id"),
         col("dup_of"), col("n_matches"), col("best_j"))
-  }
 
   /** Verified (delta, corpus) match pairs of [[dedupIncremental]],
     * pre-aggregation (exposed for the spec's exact-join parity check). */
@@ -608,6 +614,62 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
         Seq("doc_id_b"))
     cand
+  }
+
+  /** The BUCKETED-INDEX form of the incremental probe — the explicit
+    * 100 TB layout every LSH scaladoc here points at, demonstrated: the
+    * corpus (band, bucket, doc_id) index rows are PERSISTED as a
+    * hash-clustered, sorted table (`Bucketing.writeBucketedKeys` on the
+    * composite key), so the per-batch probe plans as a sort-merge join
+    * whose index side reads straight from the bucket files — NO
+    * corpus-side Exchange, ever (plan-gated in SpansIncrementalSpec);
+    * the only shuffle is the (small) delta band frame repartitioning to
+    * the index's bucket layout. The broadcast probe
+    * ([[incrementalCandidates]]) wins while the delta fits in executor
+    * memory; this is the form that survives a delta too big to
+    * broadcast — index-side cost stays one streamed merge per bucket
+    * regardless of delta size. The table is written once per (session,
+    * corpus dir) and reused, like every layout artifact; the merge hint
+    * pins SMJ so a small bench-scale delta can't silently flip the
+    * demonstration back to a broadcast. */
+  private[graft] def bucketedIncrementalCandidates(
+      spark: SparkSession, dir: String): DataFrame = {
+    val table = "gb_minhash_idx_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val (banded, sizes) = minhashIndex(spark, dir)
+    val isDelta = col("doc_id") % IncrementalDeltaMod === 0
+    if (!spark.catalog.tableExists(table)) {
+      // bucket files can survive a previous session whose in-memory
+      // catalog died with it — clear them or saveAsTable refuses
+      SinkOps.deleteDir(spark,
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
+      graft.sources.Bucketing.writeBucketedKeys(
+        banded.filter(!isDelta)
+          .select(col("band"), col("bucket"), col("doc_id").as("doc_id_b")),
+        table, Seq("band", "bucket"), 16)
+    }
+    val idx = spark.table(table).hint("merge")
+    val deltaBands = banded.filter(isDelta)
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_id_a"))
+    deltaBands.join(idx, Seq("band", "bucket"))
+      .select("doc_id_a", "doc_id_b")
+      .distinct()
+      .join(sizes.select(col("doc_id").as("doc_id_a"), col("n_sh").as("n_a")),
+        Seq("doc_id_a"))
+      .join(sizes.select(col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
+        Seq("doc_id_b"))
+  }
+
+  /** [[dedupIncremental]] through the persisted bucketed index — same
+    * oracle (identical output by construction: same banding, same
+    * exact verify, same rollup; only the candidate join's physical
+    * layout differs). Registered so the bench measures the bucketed
+    * probe as its own steady-state number. */
+  val dedupIncrementalBucketed: Op = Op(
+    "q_dedup_incr_bucketed",
+    dedupIncremental.oracle.get) { (spark, dir) =>
+    incrementalRollup(verifyExact(
+      bucketedIncrementalCandidates(spark, dir),
+      shingleRows(spark, dir).select(col("doc_id"), col("s")), Seq.empty))
   }
 
   /** Word hashes per document — the simhash input rows (exposed for the

@@ -33,6 +33,17 @@ object Bucketing {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** [[writeBucketed]] over a COMPOSITE key — hash-clustered and sorted
+    * by all of `keys` (e.g. the (band, bucket) MinHash index layout). */
+  def writeBucketedKeys(
+      df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
   /** Join two same-bucketed tables on their bucket keys. Equality of
     * bucket counts is the caller's contract — mismatched counts silently
     * fall back to a shuffled join (Spark re-partitions the smaller). */

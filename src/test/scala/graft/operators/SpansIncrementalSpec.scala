@@ -117,6 +117,43 @@ class SpansIncrementalSpec extends SparkSpec {
         s"(doc_id % 10 = 0); build sides were:\n${buildSides.mkString("\n---\n")}")
   }
 
+  test("bucketed-index incremental dedup equals the broadcast-probe op") {
+    val broadcastForm = Dedup.dedupIncremental.build(spark, sf001)
+      .select($"doc_id", $"dup_of", $"n_matches", $"best_j")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val bucketedForm = Dedup.dedupIncrementalBucketed.build(spark, sf001)
+      .select($"doc_id", $"dup_of", $"n_matches", $"best_j")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(broadcastForm.nonEmpty)
+    assert(bucketedForm === broadcastForm)
+  }
+
+  test("bucketed probe: sort-merge join, zero Exchange above the index scan") {
+    // the layout's whole value: the persisted corpus index is read
+    // straight from its bucket files — a shuffle sneaking in above the
+    // index scan means the bucketing stopped satisfying the join's
+    // distribution requirement and the 100 TB probe re-shuffles the
+    // corpus every batch.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = Dedup.bucketedIncrementalCandidates(spark, sf001)
+      .queryExecution.sparkPlan
+    val smjs = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"expected a sort-merge probe join in:\n$plan")
+    val probe = smjs.find { j =>
+      j.left.toString.contains("gb_minhash_idx_") ||
+        j.right.toString.contains("gb_minhash_idx_")
+    }
+    assert(probe.nonEmpty,
+      s"no SMJ reads the bucketed index table:\n$plan")
+    val idxSide =
+      if (probe.get.left.toString.contains("gb_minhash_idx_")) probe.get.left
+      else probe.get.right
+    val idxShuffles = idxSide.collect { case e: ShuffleExchangeExec => e }
+    assert(idxShuffles.isEmpty,
+      s"corpus index side of the probe join re-shuffles:\n$idxSide")
+  }
+
   test("recall premise: every cross-split pair at J >= 0.5 sits at J >= 0.88") {
     // dedupIncremental's exact-join oracle holds because 8x4 banded LSH
     // recall is deterministic-1.0 only for high-J pairs; the measured
