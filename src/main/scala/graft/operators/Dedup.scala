@@ -287,10 +287,18 @@ object Dedup {
     // all-pairs on this corpus); the all-pairs block product is
     // quadratic in block size. Prefix filtering is the shape that
     // survives 100 TB: linear postings, candidates ∝ true near-dups.
-    val rows = shingleRowsWithSize(spark, dir)
+    // per-doc distinct-shingle counts come from the session-cached
+    // index (one groupBy shuffle amortized across the whole dedup
+    // family — minhashIndex) joined back onto the posting rows, instead
+    // of a COUNT window over them: saves a full posting-rows shuffle
+    // per run. The tiny sizes frame auto-broadcasts (no hint — AQE
+    // decides, as everywhere corpus-derived frames are joined).
+    val bare = shingleRows(spark, dir)
+    val (_, sizes) = minhashIndex(spark, dir)
+    val rows = bare.join(sizes, Seq("doc_id"))
     // exact verification on candidate pairs, row-wise: |A∩B| = count of
     // shingles present in both docs — no arrays materialized anywhere
-    verifyExact(ngramCandidates(rows), rows, Seq("lang", "source"))
+    verifyExact(ngramCandidates(rows), bare, Seq("lang", "source"))
   }
 
   /** The AllPairs prefix-filtered candidate stage of [[ngramJaccard]],
