@@ -113,6 +113,7 @@ object SparkEntry {
     StreamingOps.streamSessionize,
     StreamingOps.streamIncrDedup,
     MultimodalOps.multimodalFeatures,
+    MultimodalOps.mediaDedup,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

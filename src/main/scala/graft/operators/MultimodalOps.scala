@@ -68,4 +68,34 @@ object MultimodalOps {
         avg(element_at(col("features"), 1)).as("mean_f0"),
         max(col("media.width")).as("max_width"))
   }
+
+  /** Asset-level exact dedup — the content-digest pass every multimodal
+    * pipeline runs before training (identical bytes under different
+    * asset ids: re-uploads, mirrored scrapes). Group key = sha-256 OF
+    * THE CONTENT BYTES, so the shuffle carries a 32-byte digest per
+    * asset regardless of blob size and spreads perfectly (digests are
+    * uniform); at 100 TB the digest is computed once at ingest next to
+    * the bytes, and this is one hash aggregate — the `q_dedup_exact`
+    * shape applied to binary columns. Survivor = smallest asset id,
+    * the deterministic choice replay needs. The fixture's duplicate
+    * part names produce genuinely duplicated blobs (same synthesis as
+    * [[multimodalFeatures]]' content column: the bytes ARE
+    * unhex(sha256(name)), so that hex digest is exactly the content's
+    * digest-identity — a real pipeline digests the blob bytes at
+    * ingest, same 32-byte key either way). */
+  val mediaDedup: Op = Op(
+    "q_media_dedup",
+    """SELECT sha256(p_name) AS content_sha,
+      |       CAST(min(p_partkey) AS BIGINT) AS rep_asset,
+      |       COUNT(*) AS n_copies
+      |FROM part GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin) {
+    (spark, dir) =>
+    Tables.part(spark, dir)
+      .select(col("p_partkey").as("asset_id"),
+        sha2(col("p_name"), 256).as("content_sha"))
+      .groupBy(col("content_sha"))
+      .agg(min(col("asset_id")).as("rep_asset"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 2)
+  }
 }

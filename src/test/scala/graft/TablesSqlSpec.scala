@@ -33,4 +33,27 @@ class TablesSqlSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(n === 1000L) // every sf0.001 event has a derived µs timestamp
   }
+
+  test("Tables.events normalizes both file encodings to the same µs instants") {
+    // The driver has shipped events.ts as INT64 nanos (rounds 1-5) and
+    // as µs TIMESTAMP_NTZ (round 6+). The ns branch would be dead code
+    // on current testdata — keep it alive against a fixture so a future
+    // regeneration flip can't silently break either path.
+    import spark.implicits._
+    val truth = Tables.events(spark, sf001)
+      .select($"event_id", unix_micros($"ts"))
+      .as[(Long, Long)].collect().toMap
+    assert(truth.nonEmpty)
+    val fixtureDir = "/tmp/graft-events-ns-fixture"
+    // same instants, ns-as-long encoding (LongType column named ts —
+    // exactly what nanosAsLong yields on a TIMESTAMP(NANOS) file)
+    Tables.events(spark, sf001)
+      .select($"event_id", (unix_micros($"ts") * 1000L).as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$fixtureDir/events.parquet")
+    val viaNs = Tables.events(spark, fixtureDir)
+      .select($"event_id", unix_micros($"ts"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaNs === truth)
+  }
 }

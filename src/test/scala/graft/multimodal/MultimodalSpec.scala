@@ -113,6 +113,21 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("content"))
   }
 
+  test("media dedup: duplicate blobs grouped, survivor is the smallest id") {
+    import spark.implicits._
+    val got = graft.operators.MultimodalOps.mediaDedup.build(spark, sf001)
+      .select($"content_sha", $"rep_asset", $"n_copies")
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty, "fixture should contain duplicated part names")
+    // recompute from the same synthesis: groups of identical content
+    val truth = graft.Tables.part(spark, sf001)
+      .select($"p_partkey".as[Long], sha2($"p_name", 256).as[String])
+      .collect().groupBy(_._2).filter(_._2.length >= 2)
+      .map { case (sha, rows) =>
+        (sha, rows.map(_._1).min, rows.length.toLong) }.toSet
+    assert(got.toSet === truth)
+  }
+
   test("resize clamps the long side, preserves aspect floor") {
     val assets = Multimodal.syntheticAssets(spark, 10)
     val resized = Multimodal.resize(assets, 64)
