@@ -569,47 +569,64 @@ object EventStream {
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
       import graft.operators.Dedup
       val mod = Dedup.IncrementalDeltaMod
-      val (banded, _) = Dedup.minhashIndex(spark, dir)
-      val corpusBands = broadcast(banded
-        .filter(col("doc_id") % mod =!= 0)
-        .select(col("doc_id").as("corpus_id"), col("band"), col("bucket")))
-      val corpusSh = broadcast(graft.Tables.documents(spark, dir)
-        .filter(col("doc_id") % mod =!= 0)
-        .select(col("doc_id").as("corpus_id"),
-          graft.functions.TextAnalysis.wordShingles(col("text"), 3).as("sh_c")))
       val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
       val delta = spark.readStream.schema(docsSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(col("doc_id") % mod === 0)
-        .select(col("doc_id"),
-          graft.functions.TextAnalysis.wordShingles(col("text"), 3).as("sh"))
-      val k = Dedup.MinhashBands * Dedup.MinhashRowsPerBand
-      val withSig = (0 until k).foldLeft(delta) { (df, i) =>
-        df.withColumn(s"m$i",
-          array_min(transform(col("sh"), s => xxhash64(xxhash64(s), lit(i)))))
-      }
-      val bandCols = (0 until Dedup.MinhashBands).map { bnd =>
-        struct(lit(bnd).as("band"),
-          xxhash64(lit(bnd) +: (0 until Dedup.MinhashRowsPerBand)
-            .map(r => col(s"m${bnd * Dedup.MinhashRowsPerBand + r}")): _*)
-            .as("bucket"))
-      }
-      val probes = withSig
-        .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("sh"),
-          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      val inter = size(array_intersect(col("sh"), col("sh_c")))
-      val uni = size(col("sh")) + size(col("sh_c")) - inter
-      probes.join(corpusBands, Seq("band", "bucket"))
-        .join(corpusSh, Seq("corpus_id"))
-        .withColumn("jaccard", inter.cast("double") / uni.cast("double"))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_id"), col("corpus_id"), col("jaccard"))
+      incrDedupMatchLog(spark, dir, delta)
         .writeStream.outputMode(OutputMode.Append)
         .format("memory").queryName(table)
         .option("checkpointLocation", ckpt)
         .start()
     }
+
+  /** The whole stream-side transform of [[runIncrDedupToMemory]]:
+    * delta docs (doc_id, text, …) → verified match-log rows
+    * (doc_id, corpus_id, jaccard) against `dir`'s standing corpus.
+    * Takes ANY frame — streaming or batch — because it is stateless by
+    * construction; the batching-invariance spec drives it through a
+    * MemoryStream split into several micro-batches and pins the output
+    * equal to the single-batch run (per-row math + stream-static joins
+    * means each row's result depends on that row alone, so ANY source
+    * batching yields the same log, exactly like the reference's
+    * idempotent cron replay). */
+  def incrDedupMatchLog(
+      spark: SparkSession, dir: String, delta: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val mod = Dedup.IncrementalDeltaMod
+    val (banded, _) = Dedup.minhashIndex(spark, dir)
+    val corpusBands = broadcast(banded
+      .filter(col("doc_id") % mod =!= 0)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bucket")))
+    val corpusSh = broadcast(graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % mod =!= 0)
+      .select(col("doc_id").as("corpus_id"),
+        graft.functions.TextAnalysis.wordShingles(col("text"), 3).as("sh_c")))
+    val shDelta = delta.select(col("doc_id"),
+      graft.functions.TextAnalysis.wordShingles(col("text"), 3).as("sh"))
+    val k = Dedup.MinhashBands * Dedup.MinhashRowsPerBand
+    val withSig = (0 until k).foldLeft(shDelta) { (df, i) =>
+      df.withColumn(s"m$i",
+        array_min(transform(col("sh"), s => xxhash64(xxhash64(s), lit(i)))))
+    }
+    val bandCols = (0 until Dedup.MinhashBands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        xxhash64(lit(bnd) +: (0 until Dedup.MinhashRowsPerBand)
+          .map(r => col(s"m${bnd * Dedup.MinhashRowsPerBand + r}")): _*)
+          .as("bucket"))
+    }
+    val probes = withSig
+      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val inter = size(array_intersect(col("sh"), col("sh_c")))
+    val uni = size(col("sh")) + size(col("sh_c")) - inter
+    probes.join(corpusBands, Seq("band", "bucket"))
+      .join(corpusSh, Seq("corpus_id"))
+      .withColumn("jaccard", inter.cast("double") / uni.cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_id"), col("corpus_id"), col("jaccard"))
+  }
 
   /** Watermarked STREAM-STREAM join — the attribution shape: every
     * (click, purchase) pair of the same user where the click precedes

@@ -161,6 +161,42 @@ class EventStreamSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("incremental dedup match log is batching-invariant across micro-batches") {
+    // the scaladoc claim "correct for ANY batching" — drive the exact
+    // stream transform through a MemoryStream split into 3 micro-batches
+    // and pin the union of emitted logs equal to the one-shot batch run.
+    import spark.implicits._
+    val mod = graft.operators.Dedup.IncrementalDeltaMod
+    val deltaDocs = graft.Tables.documents(spark, sf001)
+      .filter($"doc_id" % mod === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(deltaDocs.length >= 3)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = EventStream.incrDedupMatchLog(spark, sf001,
+        src.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("incr_dedup_split_test")
+      .option("checkpointLocation",
+        s"/tmp/graft-split-ckpt-${java.util.UUID.randomUUID()}")
+      .start()
+    try {
+      deltaDocs.grouped((deltaDocs.length + 2) / 3).foreach { g =>
+        src.addData(g.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val split = spark.table("incr_dedup_split_test")
+        .select($"doc_id", $"corpus_id", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val oneShot = EventStream.incrDedupMatchLog(spark, sf001,
+          graft.Tables.documents(spark, sf001).filter($"doc_id" % mod === 0))
+        .select($"doc_id", $"corpus_id", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(oneShot.nonEmpty)
+      assert(split === oneShot)
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup plan is stateless (no state store ops)") {
     // the whole point: per-row signatures + stream-static broadcast
     // joins — no streaming aggregation, no dropDuplicates state, no
