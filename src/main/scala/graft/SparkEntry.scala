@@ -58,6 +58,7 @@ object SparkEntry {
     GraphOps.dupClusters,
     GraphOps.clusterRep,
     GraphOps.triangleCount,
+    GraphOps.pagerank,
     Dedup.fuzzyMatch,
     Dedup.fuzzyBest,
     Similarity.annBruteForce,

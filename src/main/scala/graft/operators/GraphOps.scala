@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph stage of the dedup pipeline (north star, SURVEY §7.4): pair
@@ -253,33 +253,127 @@ object GraphOps {
       |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
       |       CAST(t.c AS BIGINT) AS n_triangles
       |FROM t""".stripMargin) { (spark, dir) =>
-    // no .distinct() before the aggregate: collect_set already dedupes
-    // within each order (map-side partials included), and a distinct
-    // would add a second full Exchange of the fact projection
+    val edges = copurchaseEdges(spark, dir)
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    trianglesOf(edges)
+      .agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(nEdges)
+      .select(col("n_edges"), col("n_triangles"))
+  }
+
+  /** The co-purchase edge frame shared by [[triangleCount]] and
+    * [[pagerank]]: undirected (a, b), a < b, parts co-occurring in ≥ 2
+    * orders. Pair generation never self-joins the fact table: per-order
+    * part sets aggregate once (baskets are small; no pre-`distinct` —
+    * collect_set dedupes with map-side partials, a distinct would add a
+    * second full Exchange), pairs explode map-locally from each sorted
+    * basket, and the (a, b) count is map-combinable. The frame is
+    * localCheckpointed: it feeds several consumers in each caller and
+    * each lazy reference would re-run the basket → pair-explode → count
+    * pipeline (measured: 27 Exchanges in triangleCount's uncheckpointed
+    * plan). */
+  private[graft] def copurchaseEdges(
+      spark: SparkSession, dir: String): DataFrame = {
     val baskets = graft.Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-    // pairs from each sorted basket, map-local (baskets are tiny)
     val pairCol = flatten(transform(col("ps"), (x, i) =>
       transform(slice(col("ps"), i + 2, size(col("ps"))),
         y => struct(x.as("a"), y.as("b")))))
-    // materialize once: edges feed FOUR consumers (degree count, both
-    // orientation joins, the edge tally) and each lazy reference would
-    // re-run the whole basket → pair-explode → count pipeline (measured:
-    // 27 Exchanges in the uncheckpointed plan)
-    val edges = baskets
+    baskets
       .select(explode(pairCol).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .select(col("a"), col("b"))
       .localCheckpoint()
-    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-    trianglesOf(edges)
-      .agg(count(lit(1)).as("n_triangles"))
-      .crossJoin(nEdges)
-      .select(col("n_edges"), col("n_triangles"))
+  }
+
+  /** PageRank fixed-point scale: ranks live in units of 10⁻¹² (S
+    * divisible by 20, so the base term (1−d)·S = 3S/20 is exact). */
+  val PagerankScale = 1000000000000L
+  /** Damping d = 17/20 (0.85, the Brin–Page constant, as an exact
+    * rational so the contract stays in integer arithmetic). */
+  val PagerankIters = 3
+
+  /** PageRank over the co-purchase graph — the influence ranking
+    * completing the graph-analytics trio (connected components,
+    * triangles, PageRank). Undirected edges walk both ways.
+    *
+    * The CONTRACT is an integer fixed-point iteration, not the real-
+    * valued recurrence: with rank units of 1/[[PagerankScale]],
+    *   r₀(v) = S,
+    *   rₖ₊₁(v) = 3S/20 + (17 · Σ_{u→v} (rₖ(u) div outdeg(u))) div 20,
+    * every division a floor on non-negative longs. Floors make each
+    * iterate EXACTLY representable, so Spark and DuckDB produce
+    * hash-identical BIGINTs — the same portability device as the
+    * integer ANN kernels (float PageRank sums are shuffle-order-
+    * dependent and could never hash-match an oracle). Three iterations
+    * pin the shape; the error vs the converged real ranking is the
+    * usual power-iteration tail, irrelevant to the contract.
+    *
+    * Scale shape: the classic Pregel loop — per-iteration cost is one
+    * edge⋈rank hash join (shuffle on src) + one dst-keyed partial-
+    * combined aggregate; the (src, dst, outdeg) frame is built once and
+    * localCheckpointed, each iterate is checkpointed so lineage stays
+    * one-iteration deep (the CC device). At 100 TB both sides pre-
+    * partition on node id once and every iteration reuses that
+    * partitioning; dangling nodes cannot exist (bidirectional edges ⇒
+    * in-degree = out-degree ≥ 1 for every node in the frame). */
+  val pagerank: Op = Op(
+    "q_pagerank",
+    s"""WITH p AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), e0 AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM p a JOIN p b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |), ed AS (
+       |  SELECT a AS src, b AS dst FROM e0
+       |  UNION ALL SELECT b, a FROM e0
+       |), deg AS (
+       |  SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY 1
+       |), r0 AS (
+       |  SELECT src AS node, CAST($PagerankScale AS BIGINT) AS r FROM deg
+       |), r1 AS (
+       |  SELECT ed.dst AS node,
+       |         ${3 * PagerankScale / 20} + (17 * SUM(r0.r // deg.outdeg)) // 20 AS r
+       |  FROM ed JOIN r0 ON r0.node = ed.src JOIN deg ON deg.src = ed.src
+       |  GROUP BY 1
+       |), r2 AS (
+       |  SELECT ed.dst AS node,
+       |         ${3 * PagerankScale / 20} + (17 * SUM(r1.r // deg.outdeg)) // 20 AS r
+       |  FROM ed JOIN r1 ON r1.node = ed.src JOIN deg ON deg.src = ed.src
+       |  GROUP BY 1
+       |), r3 AS (
+       |  SELECT ed.dst AS node,
+       |         ${3 * PagerankScale / 20} + (17 * SUM(r2.r // deg.outdeg)) // 20 AS r
+       |  FROM ed JOIN r2 ON r2.node = ed.src JOIN deg ON deg.src = ed.src
+       |  GROUP BY 1
+       |)
+       |SELECT node, CAST(r AS BIGINT) AS rank FROM r3""".stripMargin) {
+    (spark, dir) =>
+    val und = copurchaseEdges(spark, dir)
+    val ed = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // (src, dst, outdeg) built once — the static side of every iteration
+    val withDeg = ed.join(deg, Seq("src")).localCheckpoint()
+    val base = 3 * PagerankScale / 20
+    var r = deg.select(col("src").as("node"),
+      lit(PagerankScale).as("r"))
+    for (_ <- 1 to PagerankIters) {
+      r = withDeg.join(r, withDeg("src") === r("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(17 * s) div 20")).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("node"), col("r").as("rank"))
   }
 
   /** One row per triangle of the undirected edge frame (a, b) — corners

@@ -102,6 +102,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(tri(raw) === expected)
   }
 
+  test("pagerank equals a driver-side fixed-point recomputation") {
+    import spark.implicits._
+    val edges = GraphOps.copurchaseEdges(spark, sf001)
+      .as[(Long, Long)].collect()
+    assert(edges.nonEmpty, "expected co-purchase edges at sf0.001")
+    val adj = (edges ++ edges.map { case (a, b) => (b, a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val s = GraphOps.PagerankScale
+    val base = 3 * s / 20
+    var r = adj.keys.map(_ -> s).toMap
+    for (_ <- 1 to GraphOps.PagerankIters) {
+      val contrib = scala.collection.mutable.Map
+        .empty[Long, Long].withDefaultValue(0L)
+      for ((u, vs) <- adj; c = r(u) / vs.length; v <- vs) contrib(v) += c
+      r = adj.keys.map(v => v -> (base + 17 * contrib(v) / 20)).toMap
+    }
+    val got = GraphOps.pagerank.build(spark, sf001)
+      .as[(Long, Long)].collect().toMap
+    assert(got === r)
+  }
+
+  test("pagerank: a mutually-linked pair is a fixed point at exactly S") {
+    // two nodes joined only to each other: each iteration gives
+    // base + (17·(S div 1)) div 20 = 0.15S + 0.85S = S — pins the
+    // base/damping arithmetic with no floor slack anywhere
+    val s = GraphOps.PagerankScale
+    assert(3 * s / 20 + 17 * s / 20 === s)
+  }
+
   test("cluster representative: quality beats id, length breaks quality ties, singletons keep themselves") {
     import spark.implicits._
     import graft.functions.TextAnalysis.{punctRatio, wsTokenCount}
