@@ -316,11 +316,16 @@ object GraphOps {
     * Scale shape: the classic Pregel loop — per-iteration cost is one
     * edge⋈rank hash join (shuffle on src) + one dst-keyed partial-
     * combined aggregate; the (src, dst, outdeg) frame is built once and
-    * localCheckpointed, each iterate is checkpointed so lineage stays
-    * one-iteration deep (the CC device). At 100 TB both sides pre-
-    * partition on node id once and every iteration reuses that
-    * partitioning; dangling nodes cannot exist (bidirectional edges ⇒
-    * in-degree = out-degree ≥ 1 for every node in the frame). */
+    * localCheckpointed. The iterates themselves stay LAZY: each feeds
+    * exactly one consumer (the next iteration), so at a small fixed k
+    * the whole 3-deep DAG executes once and per-iterate checkpoints
+    * would be pure materialization overhead — the opposite trade from
+    * [[connectedComponents]], whose unbounded rounds must checkpoint to
+    * stop lineage growth; a convergence-loop PageRank (large k) flips
+    * back to that cadence. At 100 TB both sides pre-partition on node
+    * id once and every iteration reuses that partitioning; dangling
+    * nodes cannot exist (bidirectional edges ⇒ in-degree = out-degree
+    * ≥ 1 for every node in the frame). */
   val pagerank: Op = Op(
     "q_pagerank",
     s"""WITH p AS (
@@ -371,7 +376,6 @@ object GraphOps {
         .agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
           (lit(base) + expr("(17 * s) div 20")).as("r"))
-        .localCheckpoint()
     }
     r.select(col("node"), col("r").as("rank"))
   }
