@@ -113,6 +113,7 @@ object SparkEntry {
     StreamingOps.streamJoin,
     StreamingOps.streamSessionize,
     StreamingOps.streamIncrDedup,
+    StreamingOps.streamDecontaminate,
     MultimodalOps.multimodalFeatures,
     MultimodalOps.mediaDedup,
   )

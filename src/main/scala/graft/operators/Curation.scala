@@ -22,6 +22,12 @@ import graft.functions.TextAnalysis._
   */
 object Curation {
 
+  /** The benchmark split: docs with doc_id ≡ 0 (mod 29) play the fixed
+    * eval suite in both decontamination ops (the oracle SQL inlines the
+    * literal — it IS the contract; this constant exists so the
+    * streaming twin cannot drift from it). */
+  private[graft] val BenchSplitMod = 29
+
   /** Deterministic bucket in [0,100) from an id: Knuth multiplicative
     * hash, pre-reduced so the product stays within int64 for ANY id. */
   private def idBucket(id: org.apache.spark.sql.Column) =

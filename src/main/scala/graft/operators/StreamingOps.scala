@@ -118,6 +118,21 @@ object StreamingOps {
         max(col("jaccard")).as("best_j"))
   }
 
+  /** Streaming benchmark decontamination ≡ the batch gate — the SAME
+    * oracle as [[Curation.decontaminate]]. The stream emits the
+    * (doc_id, g8, bench_doc_id) match log statelessly
+    * ([[EventStream.runDecontaminateToMemory]]); the rollup counts
+    * distinct grams / bench docs per train doc in batch. */
+  val streamDecontaminate: Op = Op(
+    "q_stream_decontaminate",
+    Curation.decontaminate.oracle.get) { (spark, dir) =>
+    spark.table(EventStream.runDecontaminateToMemory(
+        spark, dir, "q_stream_decontaminate_mem"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g8")).as("n_shared_ngrams"),
+        countDistinct(col("bench_doc_id")).as("n_bench_docs"))
+  }
+
   val streamTumbling: Op = Op(
     "q_stream_tumbling",
     """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_us,

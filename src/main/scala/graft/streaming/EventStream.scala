@@ -628,6 +628,43 @@ object EventStream {
       .select(col("doc_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Streaming benchmark decontamination — the curation gate run at
+    * INGEST, the second demonstration (after [[runIncrDedupToMemory]])
+    * that the corpus-hygiene family is stateless against a fixed
+    * reference set. The benchmark suite is FIXED and small (MBs of eval
+    * text vs 100 TB/day of arriving train data), so its exploded
+    * distinct 8-grams BROADCAST; each arriving train doc explodes its
+    * own grams map-side and inner-joins the broadcast — the emitted
+    * match log (doc_id, g8, bench_doc_id) is exactly the batch op's
+    * pre-aggregation join, and the registered op rolls it up per doc in
+    * batch. No state store anywhere; per-batch cost is the batch's own
+    * grams × a broadcast probe, nothing accumulates. Rows are unique by
+    * construction (both gram lists are per-doc distinct), so the log
+    * needs no dedup before rollup. */
+  def runDecontaminateToMemory(
+      spark: SparkSession, dir: String, queryName: String): String =
+    runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
+      val mod = graft.operators.Curation.BenchSplitMod
+      val bench = broadcast(graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") % mod === 0)
+        .select(col("doc_id").as("bench_doc_id"),
+          explode(graft.functions.TextAnalysis.wordShingles(col("text"), 8))
+            .as("g8")))
+      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val train = spark.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % mod =!= 0)
+        .select(col("doc_id"),
+          explode(graft.functions.TextAnalysis.wordShingles(col("text"), 8))
+            .as("g8"))
+      train.join(bench, Seq("g8"))
+        .select(col("doc_id"), col("g8"), col("bench_doc_id"))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
   /** Watermarked STREAM-STREAM join — the attribution shape: every
     * (click, purchase) pair of the same user where the click precedes
     * the purchase by at most [[AttributionWindow]]. Both sides carry a

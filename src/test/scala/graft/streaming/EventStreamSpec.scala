@@ -212,6 +212,24 @@ class EventStreamSpec extends SparkSpec {
       s"expected zero stateful operators, got: ${progress.json}")
   }
 
+  test("streaming decontamination equals the batch gate, stateless") {
+    import spark.implicits._
+    val batch = graft.operators.Curation.decontaminate.build(spark, sf001)
+      .select($"doc_id", $"n_shared_ngrams", $"n_bench_docs")
+      .as[(Long, Long, Long)].collect().toSet
+    val got = graft.operators.StreamingOps.streamDecontaminate
+      .build(spark, sf001)
+      .select($"doc_id", $"n_shared_ngrams", $"n_bench_docs")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "expected contaminated train docs in testdata")
+    assert(got === batch)
+    val active = spark.streams.active.find(
+      _.name.startsWith("q_stream_decontaminate_mem"))
+    assert(active.nonEmpty)
+    assert(active.get.lastProgress.stateOperators.isEmpty,
+      s"expected zero stateful operators: ${active.get.lastProgress.json}")
+  }
+
   test("stream-stream attribution join buffers across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
