@@ -73,6 +73,8 @@ object SparkEntry {
     Similarity.pqAdc,
     Similarity.pqAdcRefine,
     Similarity.pqAdcTrained,
+    Similarity.knnGraph,
+    Similarity.semdedup,
     Windows.tumblingWindow,
     Windows.sessionizeBatch,
     Windows.movingAgg,

@@ -269,21 +269,7 @@ object Similarity {
 
   def cellCanopyCandidates(spark: SparkSession, e: DataFrame,
       nprobe: Int): DataFrame = {
-    val cents = ivfSeedCodebook(e)
-    // nprobe nearest cells per vector as ONE aggregate (no window
-    // shuffle of the N×K scored rows beyond the groupBy): collect
-    // the K (small, broadcast codebook) scored cells per vector,
-    // sort by (-cos, cent_id) — same total order as annIvf — and
-    // slice the top nprobe.
-    val scored = e.join(broadcast(cents))
-      .select(col("vec_id"), col("label"),
-        struct(negate(cosine(idot(spark, col("v"), col("cv")),
-          col("n2"), col("cn"))).as("ncos"), col("cent_id").as("cell"))
-          .as("sc"))
-    val cells = scored.groupBy(col("vec_id"), col("label"))
-      .agg(slice(array_sort(collect_list(col("sc"))), 1, nprobe).as("cs"))
-      .select(col("vec_id"), col("label"),
-        explode(col("cs.cell")).as("cell"))
+    val cells = canopyCells(spark, e, nprobe)
     val ca = cells.alias("ca")
     val cb = cells.alias("cb")
     ca.join(cb,
@@ -293,6 +279,29 @@ object Similarity {
       .select(col("ca.label").as("label"),
         col("ca.vec_id").as("id_a"), col("cb.vec_id").as("id_b"))
       .distinct()
+  }
+
+  /** Per-vector top-`nprobe` canopy cells from the seed codebook:
+    * (vec_id, label, cell). The shared assignment stage of
+    * [[cellCanopyCandidates]], [[knnGraph]] and [[semdedup]] —
+    * nprobe nearest cells per vector as ONE aggregate (no window
+    * shuffle of the N×K scored rows beyond the groupBy): collect
+    * the K (small, broadcast codebook) scored cells per vector,
+    * sort by (-cos, cent_id) — same total order as annIvf / DuckDB's
+    * `ROW_NUMBER() OVER (ORDER BY cos DESC, cent_id)` — and slice
+    * the top nprobe. */
+  def canopyCells(spark: SparkSession, e: DataFrame,
+      nprobe: Int): DataFrame = {
+    val cents = ivfSeedCodebook(e)
+    val scored = e.join(broadcast(cents))
+      .select(col("vec_id"), col("label"),
+        struct(negate(cosine(idot(spark, col("v"), col("cv")),
+          col("n2"), col("cn"))).as("ncos"), col("cent_id").as("cell"))
+          .as("sc"))
+    scored.groupBy(col("vec_id"), col("label"))
+      .agg(slice(array_sort(collect_list(col("sc"))), 1, nprobe).as("cs"))
+      .select(col("vec_id"), col("label"),
+        explode(col("cs.cell")).as("cell"))
   }
 
   /** Shared body: `allPairs = true` is the exact blocked kernel (the
@@ -1220,4 +1229,182 @@ object Similarity {
     * [−127, 127] — asserted in DedupSimilaritySpec). */
   def int8Vector(emb: Column, scale: Column): Column =
     transform(emb, x => round(x.cast("double") * scale).cast("int"))
+
+  /** k-NN GRAPH over the corpus embeddings — the self-join sibling of
+    * [[annBruteForce]] (which is queries-vs-corpus): every vector gets
+    * its top-k nearest neighbors by exact integer cosine, with the
+    * candidate set bounded by the cell canopy (top-`nprobe` seed cells
+    * per vector, a pair is a candidate iff it shares a cell) instead
+    * of the N² cross join. This is the building block under semantic
+    * dedup, diversity sampling and graph-based curation.
+    *
+    * Determinism: candidates are the deterministic canopy (same top-4
+    * cell rule DuckDB replays via ROW_NUMBER), cosines are exact-int
+    * dots cast to double, and top-k ties totalize by neighbor id — so
+    * the oracle hash-matches including the rank column.
+    *
+    * Scale shape: the canopy probe is the measured sub-quadratic
+    * candidate generator of `q_embed_neardup_ann` (soaked exponent in
+    * PERF.md) minus the label block — candidate volume per vector is
+    * bounded by its cells' occupancy, and the per-vector top-k is ONE
+    * map-side-combined aggregate (collect the candidate scores per
+    * src, sort, slice — no corpus-wide window). At 100 TB: persist
+    * the cell assignment bucketed by cell (the [[annIvf]] layout), and
+    * each cell's contribution is an independent block — K grows ∝N so
+    * per-cell work stays constant. */
+  val knnGraph: Op = Op(
+    "q_knn_graph",
+    s"""WITH e AS (
+       |  SELECT vec_id, $QuantSql AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM e
+       |), nn AS (
+       |  SELECT * FROM n WHERE n2 > 0
+       |), c0 AS (
+       |  SELECT vec_id AS cent_id, v AS cv, n2 AS cn FROM nn WHERE vec_id % 50 = 0
+       |), scored AS (
+       |  SELECT a.vec_id, c.cent_id,
+       |         CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS cos
+       |  FROM nn a, c0 c
+       |), cells AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+       |    FROM scored) WHERE rn <= 4
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |), sc AS (
+       |  SELECT cand.src AS vec_id, cand.dst AS nn_id,
+       |         CAST(list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i])) AS DOUBLE)
+       |           / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS cos
+       |  FROM cand
+       |  JOIN nn x ON x.vec_id = cand.src
+       |  JOIN nn y ON y.vec_id = cand.dst
+       |)
+       |SELECT vec_id, rank, nn_id, cos FROM (
+       |  SELECT vec_id, nn_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rank
+       |  FROM sc) WHERE rank <= 5""".stripMargin) { (spark, dir) =>
+    val k = 5
+    val e = quantized(spark, dir).withColumn("label", lit(0))
+    val cells = canopyCells(spark, e, nprobe = 4).select("vec_id", "cell")
+    val ka = cells.alias("ka")
+    val kb = cells.alias("kb")
+    val cand = ka.join(kb,
+        col("ka.cell") === col("kb.cell") &&
+          col("ka.vec_id") =!= col("kb.vec_id"))
+      .select(col("ka.vec_id").as("src"), col("kb.vec_id").as("dst"))
+      .distinct()
+    val scoredPairs = cand
+      .join(e.select(col("vec_id").as("src"), col("v").as("vs"),
+        col("n2").as("ns")), Seq("src"))
+      .join(e.select(col("vec_id").as("dst"), col("v").as("vd"),
+        col("n2").as("nd")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        cosine(idot(spark, col("vs"), col("vd")),
+          col("ns"), col("nd")).as("cos"))
+    scoredPairs
+      .groupBy(col("src"))
+      .agg(slice(array_sort(collect_list(struct(
+        negate(col("cos")).as("ncos"),
+        col("dst").as("nn_id"),
+        col("cos").as("cos")))), 1, k).as("top"))
+      .select(col("src").as("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.nn_id").as("nn_id"), col("col.cos").as("cos"))
+  }
+
+  /** Semantic dedup over embeddings (the SemDeDup recipe: cluster with
+    * a coarse quantizer, then prune near-duplicate pairs WITHIN each
+    * cluster, keeping the member farthest from the centroid — the
+    * diversity-preserving choice). Contract details:
+    *
+    *  - clusters = nearest seed cell (top-1 canopy, K = N/50 cells);
+    *  - keep order within a cluster = (cos-to-centroid ASC, vec_id) —
+    *    the LOWEST-similarity member survives first;
+    *  - a member is DROPPED iff some keep-order-earlier member of its
+    *    cluster has pairwise cosine ≥ τ = 0.35 (the corpus's near-dup
+    *    threshold, same as q_embed_neardup). One join, no iteration:
+    *    this is the one-pass relaxation of the sequential greedy scan
+    *    (it can additionally drop a member whose only earlier
+    *    near-neighbor was itself dropped — a deliberate, documented
+    *    over-drop that keeps the operator a single self-join).
+    *
+    * Scale shape: the pairwise stage is cluster-bounded all-pairs —
+    * Σ n_c² work with K ∝ N keeps E[n_c] constant, so candidate volume
+    * grows ∝N (same bound the canopy soak measures); the keep-order
+    * comparison rides the SAME equi-join on cell (order predicate is a
+    * join filter, not a window), and survivor selection is one
+    * left_anti. At 100 TB: train a fixed codebook ([[pqLloydTrain]]),
+    * split oversized cells hierarchically, persist assignment bucketed
+    * by cell — each cell dedups independently. */
+  val semdedup: Op = Op(
+    "q_semdedup",
+    s"""WITH e AS (
+       |  SELECT vec_id, label, $QuantSql AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, label, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM e
+       |), nn AS (
+       |  SELECT * FROM n WHERE n2 > 0
+       |), c0 AS (
+       |  SELECT vec_id AS cent_id, v AS cv, n2 AS cn FROM nn WHERE vec_id % 50 = 0
+       |), scored AS (
+       |  SELECT a.vec_id, a.label, c.cent_id,
+       |         CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS cos
+       |  FROM nn a, c0 c
+       |), asg AS (
+       |  SELECT vec_id, label, cell, cos_cent FROM (
+       |    SELECT vec_id, label, cent_id AS cell, cos AS cos_cent,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+       |    FROM scored) WHERE rn = 1
+       |), dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.cell = b.cell
+       |    AND (a.cos_cent < b.cos_cent
+       |         OR (a.cos_cent = b.cos_cent AND a.vec_id < b.vec_id))
+       |  JOIN nn x ON x.vec_id = a.vec_id
+       |  JOIN nn y ON y.vec_id = b.vec_id
+       |  WHERE CAST(list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i])) AS DOUBLE)
+       |          / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) >= 0.35
+       |)
+       |SELECT vec_id, label, cell, cos_cent FROM asg
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin) {
+    (spark, dir) =>
+      val asg = semdedupAssign(spark, dir)
+      val a = asg.select(col("vec_id").as("a_id"), col("cell").as("a_cell"),
+        col("cos_cent").as("a_cc"), col("v").as("va"), col("n2").as("na"))
+      val b = asg.select(col("vec_id").as("b_id"), col("cell").as("b_cell"),
+        col("cos_cent").as("b_cc"), col("v").as("vb"), col("n2").as("nb"))
+      val dropped = a.join(b,
+          col("a_cell") === col("b_cell") &&
+            (col("a_cc") < col("b_cc") ||
+              (col("a_cc") === col("b_cc") && col("a_id") < col("b_id"))))
+        .filter(cosine(idot(spark, col("va"), col("vb")),
+          col("na"), col("nb")) >= 0.35)
+        .select(col("b_id").as("vec_id"))
+        .distinct()
+      asg.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"), col("cell"), col("cos_cent"))
+  }
+
+  /** Top-1 cell assignment with the centroid similarity kept:
+    * (vec_id, label, cell, cos_cent, v, n2). The argmax collapses
+    * map-side via the min(struct) trick — the broadcast fan-out never
+    * reaches a shuffle. */
+  def semdedupAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantizedLabeled(spark, dir)
+    val cents = ivfSeedCodebook(e)
+    e.join(broadcast(cents))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        min(struct(
+          negate(cosine(idot(spark, col("v"), col("cv")),
+            col("n2"), col("cn"))).as("ncos"),
+          col("cent_id").as("cell"))).as("best"),
+        first(col("v")).as("v"), first(col("n2")).as("n2"))
+      .select(col("vec_id"), col("label"), col("best.cell").as("cell"),
+        negate(col("best.ncos")).as("cos_cent"), col("v"), col("n2"))
+  }
 }
