@@ -61,8 +61,8 @@ object Similarity {
 
   /** Seed coarse-quantizer codebook: every 50th vector, so k grows as
     * N/50 with the data. (cent_id, cv, cn). */
-  def ivfSeedCodebook(n: DataFrame): DataFrame =
-    n.filter(col("vec_id") % 50 === 0).select(
+  def ivfSeedCodebook(n: DataFrame, stride: Int = 50): DataFrame =
+    n.filter(col("vec_id") % stride === 0).select(
       col("vec_id").as("cent_id"), col("v").as("cv"), col("n2").as("cn"))
 
   /** Nearest-centroid assignment: (cell, v, cos) per vector, centroid
@@ -291,17 +291,25 @@ object Similarity {
     * `ROW_NUMBER() OVER (ORDER BY cos DESC, cent_id)` — and slice
     * the top nprobe. */
   def canopyCells(spark: SparkSession, e: DataFrame,
-      nprobe: Int): DataFrame = {
-    val cents = ivfSeedCodebook(e)
+      nprobe: Int, carryVec: Boolean = false,
+      stride: Int = 50): DataFrame = {
+    val cents = ivfSeedCodebook(e, stride)
     val scored = e.join(broadcast(cents))
-      .select(col("vec_id"), col("label"),
+      .select(col("vec_id"), col("label"), col("v"), col("n2"),
         struct(negate(cosine(idot(spark, col("v"), col("cv")),
           col("n2"), col("cn"))).as("ncos"), col("cent_id").as("cell"))
           .as("sc"))
-    scored.groupBy(col("vec_id"), col("label"))
-      .agg(slice(array_sort(collect_list(col("sc"))), 1, nprobe).as("cs"))
-      .select(col("vec_id"), col("label"),
-        explode(col("cs.cell")).as("cell"))
+    val top = slice(array_sort(collect_list(col("sc"))), 1, nprobe).as("cs")
+    if (carryVec)
+      scored.groupBy(col("vec_id"), col("label"))
+        .agg(top, first(col("v")).as("v"), first(col("n2")).as("n2"))
+        .select(col("vec_id"), col("label"), col("v"), col("n2"),
+          explode(col("cs.cell")).as("cell"))
+    else
+      scored.groupBy(col("vec_id"), col("label"))
+        .agg(top)
+        .select(col("vec_id"), col("label"),
+          explode(col("cs.cell")).as("cell"))
   }
 
   /** Shared body: `allPairs = true` is the exact blocked kernel (the
@@ -1261,7 +1269,7 @@ object Similarity {
        |), nn AS (
        |  SELECT * FROM n WHERE n2 > 0
        |), c0 AS (
-       |  SELECT vec_id AS cent_id, v AS cv, n2 AS cn FROM nn WHERE vec_id % 50 = 0
+       |  SELECT vec_id AS cent_id, v AS cv, n2 AS cn FROM nn WHERE vec_id % 10 = 0
        |), scored AS (
        |  SELECT a.vec_id, c.cent_id,
        |         CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])) AS DOUBLE)
@@ -1270,7 +1278,7 @@ object Similarity {
        |), cells AS (
        |  SELECT vec_id, cent_id AS cell FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
-       |    FROM scored) WHERE rn <= 4
+       |    FROM scored) WHERE rn <= 8
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
@@ -1288,31 +1296,67 @@ object Similarity {
        |  FROM sc) WHERE rank <= 5""".stripMargin) { (spark, dir) =>
     val k = 5
     val e = quantized(spark, dir).withColumn("label", lit(0))
-    val cells = canopyCells(spark, e, nprobe = 4).select("vec_id", "cell")
+    // Vectors ride THROUGH the canopy: the cell self-join scores each
+    // co-occurrence inline (no separate vector-attach joins, no
+    // candidate-distinct shuffle — the only shuffle after the canopy
+    // carries skinny (ncos, nn_id, cos) structs). A pair sharing
+    // several cells yields byte-identical structs, removed by
+    // array_distinct inside the per-src top-k aggregate — equivalent
+    // to distinct-then-score because the cosine is a deterministic
+    // function of the pair.
+    // Graph canopy: TIGHTER cells, MORE probes than the near-dup
+    // canopy (stride 10 → K = N/10 cells, occupancy ~10·nprobe;
+    // nprobe 8). Measured at sf0.1 this Pareto-dominates the stride-50
+    // near-dup geometry: 1.08M vs 1.40M candidates AND rank-1 recall
+    // 0.80 vs 0.75 — small cells bound the per-cell quadratic term,
+    // extra probes buy the recall back. Recall floor pinned in spec.
+    val cellsV = canopyCells(spark, e, nprobe = 8, carryVec = true,
+      stride = 10)
+    val pa = cellsV.select(col("cell"), col("vec_id").as("src"),
+      col("v").as("vs"), col("n2").as("ns"))
+    val pb = cellsV.select(col("cell"), col("vec_id").as("dst"),
+      col("v").as("vd"), col("n2").as("nd"))
+    val scoredPairs = pa.join(pb, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("cell"), col("src"), col("dst"),
+        cosine(idot(spark, col("vs"), col("vd")),
+          col("ns"), col("nd")).as("cos"))
+    // Hierarchical top-k: per-(cell, src) top-k first — the join output
+    // is already hash-partitioned by cell, and HashPartitioning(cell)
+    // satisfies ClusteredDistribution(cell, src), so this aggregate
+    // adds NO exchange; the scored-pair volume never shuffles. The
+    // global merge then moves only ≤ nprobe·k structs per vector.
+    // Union-of-per-cell-top-k ⊇ global top-k because every candidate
+    // appears in some cell's list; a dst reached via several cells
+    // yields byte-identical structs, removed by array_distinct.
+    val perCell = scoredPairs
+      .groupBy(col("cell"), col("src"))
+      .agg(slice(array_sort(collect_list(struct(
+        negate(col("cos")).as("ncos"),
+        col("dst").as("nn_id"),
+        col("cos").as("cos")))), 1, k).as("t"))
+    perCell
+      .groupBy(col("src"))
+      .agg(slice(array_distinct(array_sort(flatten(collect_list(col("t"))))),
+        1, k).as("top"))
+      .select(col("src").as("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.nn_id").as("nn_id"), col("col.cos").as("cos"))
+  }
+
+  /** Candidate edge set of [[knnGraph]] (pre-scoring): distinct ordered
+    * (src, dst) pairs sharing a canopy cell. Exposed so the soak can
+    * measure its growth exponent directly. */
+  def knnCandidates(spark: SparkSession, e: DataFrame): DataFrame = {
+    val cells = canopyCells(spark, e, nprobe = 8, stride = 10)
+      .select("vec_id", "cell")
     val ka = cells.alias("ka")
     val kb = cells.alias("kb")
-    val cand = ka.join(kb,
+    ka.join(kb,
         col("ka.cell") === col("kb.cell") &&
           col("ka.vec_id") =!= col("kb.vec_id"))
       .select(col("ka.vec_id").as("src"), col("kb.vec_id").as("dst"))
       .distinct()
-    val scoredPairs = cand
-      .join(e.select(col("vec_id").as("src"), col("v").as("vs"),
-        col("n2").as("ns")), Seq("src"))
-      .join(e.select(col("vec_id").as("dst"), col("v").as("vd"),
-        col("n2").as("nd")), Seq("dst"))
-      .select(col("src"), col("dst"),
-        cosine(idot(spark, col("vs"), col("vd")),
-          col("ns"), col("nd")).as("cos"))
-    scoredPairs
-      .groupBy(col("src"))
-      .agg(slice(array_sort(collect_list(struct(
-        negate(col("cos")).as("ncos"),
-        col("dst").as("nn_id"),
-        col("cos").as("cos")))), 1, k).as("top"))
-      .select(col("src").as("vec_id"), posexplode(col("top")))
-      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.nn_id").as("nn_id"), col("col.cos").as("cos"))
   }
 
   /** Semantic dedup over embeddings (the SemDeDup recipe: cluster with
@@ -1373,20 +1417,28 @@ object Similarity {
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin) {
     (spark, dir) =>
       val asg = semdedupAssign(spark, dir)
-      val a = asg.select(col("vec_id").as("a_id"), col("cell").as("a_cell"),
-        col("cos_cent").as("a_cc"), col("v").as("va"), col("n2").as("na"))
-      val b = asg.select(col("vec_id").as("b_id"), col("cell").as("b_cell"),
-        col("cos_cent").as("b_cc"), col("v").as("vb"), col("n2").as("nb"))
-      val dropped = a.join(b,
-          col("a_cell") === col("b_cell") &&
-            (col("a_cc") < col("b_cc") ||
-              (col("a_cc") === col("b_cc") && col("a_id") < col("b_id"))))
+      val dropped = semdedupOrderedPairs(asg)
         .filter(cosine(idot(spark, col("va"), col("vb")),
           col("na"), col("nb")) >= 0.35)
         .select(col("b_id").as("vec_id"))
         .distinct()
       asg.join(dropped, Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("label"), col("cell"), col("cos_cent"))
+  }
+
+  /** Keep-order-respecting within-cluster pairs of [[semdedup]]
+    * (pre-threshold): a is keep-order-earlier than b in the same cell.
+    * Exposed so the soak can measure the cluster-bounded all-pairs
+    * volume directly. */
+  def semdedupOrderedPairs(asg: DataFrame): DataFrame = {
+    val a = asg.select(col("vec_id").as("a_id"), col("cell").as("a_cell"),
+      col("cos_cent").as("a_cc"), col("v").as("va"), col("n2").as("na"))
+    val b = asg.select(col("vec_id").as("b_id"), col("cell").as("b_cell"),
+      col("cos_cent").as("b_cc"), col("v").as("vb"), col("n2").as("nb"))
+    a.join(b,
+      col("a_cell") === col("b_cell") &&
+        (col("a_cc") < col("b_cc") ||
+          (col("a_cc") === col("b_cc") && col("a_id") < col("b_id"))))
   }
 
   /** Top-1 cell assignment with the centroid similarity kept:

@@ -1,7 +1,8 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.operators.Dedup
+import org.apache.spark.sql.functions.lit
+import graft.operators.{Dedup, Similarity}
 
 /** Dev harness (not part of the engine surface): the scale soak behind
   * PERF.md's candidate-growth table — for each scale-factor dir,
@@ -28,12 +29,13 @@ object SoakCandidates {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    final case class Row(dir: String, docs: Long, parts: Long,
+    final case class Row(dir: String, docs: Long, parts: Long, vecs: Long,
         cand: Map[String, Long], truth: Map[String, Long])
 
     val rows = dirs.map { dir =>
       val docs = graft.Tables.documents(spark, dir).count()
       val parts = graft.Tables.part(spark, dir).count()
+      val vecs = Similarity.quantized(spark, dir).count()
       val cand = Map(
         "minhash" -> Dedup.minhashCandidates(spark, dir).count(),
         // the REGISTERED q_simhash candidate stage (round 5): hybrid
@@ -53,7 +55,14 @@ object SoakCandidates {
         "fuzzybest" -> Dedup.fuzzyBestCandidates(spark, dir).count(),
         // incremental delta-vs-corpus probe (round 5): delta bands
         // broadcast against the corpus band index
-        "incremental" -> Dedup.incrementalCandidates(spark, dir).count())
+        "incremental" -> Dedup.incrementalCandidates(spark, dir).count(),
+        // kNN graph candidate edges (cell canopy, no label block) and
+        // SemDeDup cluster-bounded ordered pairs — population = vectors
+        "knn" -> Similarity.knnCandidates(spark,
+          Similarity.quantized(spark, dir).withColumn("label", lit(0)))
+          .count(),
+        "semdedup" -> Similarity.semdedupOrderedPairs(
+          Similarity.semdedupAssign(spark, dir)).count())
       val truth = Map(
         "minhash" -> Dedup.minhashLsh.build(spark, dir).count(),
         "simhash" -> Dedup.simhash.build(spark, dir).count(),
@@ -62,9 +71,12 @@ object SoakCandidates {
         "ngram" -> Dedup.ngramJaccard.build(spark, dir).count(),
         "fuzzy" -> Dedup.fuzzyMatch.build(spark, dir).count(),
         "fuzzybest" -> Dedup.fuzzyBest.build(spark, dir).count(),
-        "incremental" -> Dedup.incrementalMatches(spark, dir).count())
-      val r = Row(dir, docs, parts, cand, truth)
+        "incremental" -> Dedup.incrementalMatches(spark, dir).count(),
+        "knn" -> Similarity.knnGraph.build(spark, dir).count(),
+        "semdedup" -> Similarity.semdedup.build(spark, dir).count())
+      val r = Row(dir, docs, parts, vecs, cand, truth)
       println(s"[soak] ${r.dir}: docs=${r.docs} parts=${r.parts} " +
+        s"vecs=${r.vecs} " +
         r.cand.toSeq.sortBy(_._1).map { case (k, v) =>
           s"$k=cand:${v},true:${r.truth(k)}" }.mkString(" "))
       r
@@ -73,12 +85,13 @@ object SoakCandidates {
     // per-step growth exponents: slope = log(c2/c1) / log(n2/n1);
     // 2.0 = quadratic, 1.0 = linear in the blocking population
     println("[soak] family slopes per scale step (population = docs, " +
-      "fuzzy = parts):")
+      "fuzzy = parts, knn/semdedup = vectors):")
     rows.sliding(2).foreach {
       case Seq(lo, hi) =>
         val fams = lo.cand.keys.toSeq.sorted
         val line = fams.map { f =>
           val n = if (f.startsWith("fuzzy")) (lo.parts, hi.parts)
+            else if (f == "knn" || f == "semdedup") (lo.vecs, hi.vecs)
             else (lo.docs, hi.docs)
           if (n._1 == n._2) s"$f=n/c" // same population, no slope
           else {
