@@ -59,6 +59,7 @@ object SparkEntry {
     GraphOps.clusterRep,
     GraphOps.triangleCount,
     GraphOps.pagerank,
+    GraphOps.communities,
     Dedup.fuzzyMatch,
     Dedup.fuzzyBest,
     Similarity.annBruteForce,

@@ -380,6 +380,94 @@ object GraphOps {
     r.select(col("node"), col("r").as("rank"))
   }
 
+  /** Label-propagation rounds for [[communities]]: few and fixed, the
+    * same pinned-shape device as [[PagerankIters]]. */
+  val LpaIters = 3
+
+  /** Label-propagation community detection over the co-purchase graph —
+    * the fourth classic next to components, triangles and PageRank.
+    * Communities differ from connected components: LPA converges to
+    * DENSE neighborhoods (a bridge edge doesn't merge two tight
+    * clusters the way CC's min-label flood does).
+    *
+    * Contract (deterministic synchronous LPA): label₀(v) = v; each
+    * round every node adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — a total order, so
+    * no RNG anywhere (classic async LPA breaks ties randomly; the
+    * deterministic form is what can hash-match an oracle).
+    * [[LpaIters]] fixed rounds pin the shape.
+    *
+    * Scale shape: per round one edge⋈label hash join (shuffle on src)
+    * + TWO partial-combined aggregates — (dst, lbl) counts, then the
+    * per-dst argmax via min(struct(-count, label)) — each map-side
+    * combinable, nothing corpus-wide; the edge frame builds once.
+    * Like PageRank the iterates stay lazy (fixed small round count,
+    * one consumer each); an until-convergence variant flips to the
+    * per-round localCheckpoint cadence of [[connectedComponents]]. At
+    * 100 TB both sides pre-partition on node id once. */
+  val communities: Op = Op(
+    "q_communities",
+    s"""WITH p AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), e0 AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM p a JOIN p b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |), ed AS (
+       |  SELECT a AS src, b AS dst FROM e0
+       |  UNION ALL SELECT b, a FROM e0
+       |), l0 AS (
+       |  SELECT DISTINCT src AS node, src AS lbl FROM ed
+       |), l1 AS (
+       |  SELECT dst AS node, lbl FROM (
+       |    SELECT ed.dst, l0.lbl, COUNT(*) AS c,
+       |           ROW_NUMBER() OVER (PARTITION BY ed.dst
+       |             ORDER BY COUNT(*) DESC, l0.lbl) AS rn
+       |    FROM ed JOIN l0 ON l0.node = ed.src
+       |    GROUP BY ed.dst, l0.lbl) WHERE rn = 1
+       |), l2 AS (
+       |  SELECT dst AS node, lbl FROM (
+       |    SELECT ed.dst, l1.lbl, COUNT(*) AS c,
+       |           ROW_NUMBER() OVER (PARTITION BY ed.dst
+       |             ORDER BY COUNT(*) DESC, l1.lbl) AS rn
+       |    FROM ed JOIN l1 ON l1.node = ed.src
+       |    GROUP BY ed.dst, l1.lbl) WHERE rn = 1
+       |), l3 AS (
+       |  SELECT dst AS node, lbl FROM (
+       |    SELECT ed.dst, l2.lbl, COUNT(*) AS c,
+       |           ROW_NUMBER() OVER (PARTITION BY ed.dst
+       |             ORDER BY COUNT(*) DESC, l2.lbl) AS rn
+       |    FROM ed JOIN l2 ON l2.node = ed.src
+       |    GROUP BY ed.dst, l2.lbl) WHERE rn = 1
+       |)
+       |SELECT node, lbl AS community FROM l3""".stripMargin) {
+    (spark, dir) =>
+    val und = copurchaseEdges(spark, dir)
+    lpaOf(und, LpaIters)
+  }
+
+  /** Synchronous deterministic LPA over an undirected edge frame
+    * (a, b): labels start as node ids, each round every node adopts
+    * its neighbors' mode label (ties → smallest). Exposed for crafted-
+    * graph specs; the registered op runs it on the co-purchase frame. */
+  def lpaOf(und: DataFrame, iters: Int): DataFrame = {
+    val ed = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var l = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      l = ed.join(l, ed("src") === l("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("b"))
+        .select(col("dst").as("node"), col("b.lbl").as("lbl"))
+    }
+    l.select(col("node"), col("lbl").as("community"))
+  }
+
   /** One row per triangle of the undirected edge frame (a, b) — corners
     * keyed by the degree-orientation total order.
     *

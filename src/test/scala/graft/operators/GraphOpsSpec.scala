@@ -161,4 +161,42 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Boolean)].collect().toMap
     assert(got === Map(1L -> false, 2L -> false, 3L -> true, 9L -> true))
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.lpaOf(edges.toDF("a", "b"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("lpa: a bridge between two triangles does NOT merge them (unlike CC)") {
+    // barbell: triangle {1,2,3} - bridge 3-10 - triangle {10,11,12}.
+    // CC floods min label 1 everywhere; deterministic LPA keeps the
+    // dense sides apart (hand-simulated 3 synchronous min-tie rounds).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 10L), (10L, 11L), (10L, 12L), (11L, 12L))
+    val got = lpa(edges)
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(10L) === got(11L) && got(11L) === got(12L))
+    assert(got(1L) !== got(10L), s"bridge merged the triangles: $got")
+    val labels = cc(edges.map { case (a, b) => (a, b) })
+    assert(labels.values.toSet.size === 1) // CC merges; the contrast
+  }
+
+  test("lpa: clique adopts one label; tie-break is the smallest label") {
+    // 4-clique: round 1 every node sees three distinct labels (all
+    // count 1) -> adopts the smallest neighbor label; converges to a
+    // single community.
+    val got = lpa(Seq((5L, 6L), (5L, 7L), (5L, 8L),
+      (6L, 7L), (6L, 8L), (7L, 8L)))
+    assert(got.values.toSet.size === 1)
+  }
+
+  test("lpa on the co-purchase graph: node set matches pagerank's, several communities") {
+    val com = GraphOps.communities.build(spark, sf001).cache()
+    val pr = GraphOps.pagerank.build(spark, sf001)
+    assert(com.count() === pr.count())
+    val k = com.select("community").distinct().count()
+    assert(k > 1 && k < com.count(),
+      s"expected a nontrivial community structure, got $k communities")
+  }
 }
