@@ -117,6 +117,7 @@ object SparkEntry {
     StreamingOps.streamSessionize,
     StreamingOps.streamIncrDedup,
     StreamingOps.streamDecontaminate,
+    StreamingOps.streamAnnProbe,
     MultimodalOps.multimodalFeatures,
     MultimodalOps.mediaDedup,
   )

@@ -1441,6 +1441,73 @@ object Similarity {
           (col("a_cc") === col("b_cc") && col("a_id") < col("b_id"))))
   }
 
+  /** Arrivals stream of the ANN probe: vec_id % 7 == 0 (decoupled from
+    * the stride-10 centroid rule so arriving vectors are not exactly
+    * the centroids). */
+  val StreamAnnMod = 7
+
+  /** Arrival-time ANN probe — the per-ROW form of [[knnGraph]]'s
+    * canopy search, built so a STREAM can run it with zero state:
+    * takes ANY (vec_id, embedding) frame (streaming or batch) and for
+    * each row alone
+    *   1. scores the BROADCAST seed-centroid array in an array
+    *      expression and slices its top-nprobe cells (the canopy,
+    *      same (-cos, cent_id) order [[canopyCells]] aggregates);
+    *   2. pulls each probed cell's member list with ONE `element_at`
+    *      into the BROADCAST cell→members map (the in-memory stand-in
+    *      for the (cell)-bucketed persisted index — the lookup a
+    *      100 TB deployment serves with partition-pruned point reads);
+    *   3. exact-scores the candidates and sorts/slices top-k inside
+    *      the row (duplicates via shared cells are byte-identical
+    *      structs, removed by array_distinct — [[knnGraph]]'s merge).
+    * No aggregation, no join keyed on the stream side, no window ⇒
+    * result depends on each row alone, so ANY source batching yields
+    * the same output and a streaming run carries NO state store.
+    * Output ≡ [[knnGraph]] restricted to the probed vec_ids —
+    * spec-pinned, and the streaming registration reuses knnGraph's
+    * oracle with that restriction appended. */
+  def annProbeRows(spark: SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
+    val k = 5
+    val nprobe = 8
+    val e = quantized(spark, dir).withColumn("label", lit(0))
+    val cells = canopyCells(spark, e, nprobe, carryVec = true, stride = 10)
+    val cellMap = cells.groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("n2")))
+        .as("members"))
+      .agg(map_from_entries(collect_list(struct(col("cell"), col("members"))))
+        .as("cmap"))
+    val centArr = ivfSeedCodebook(e, 10)
+      .agg(collect_list(struct(col("cent_id"), col("cv"), col("cn")))
+        .as("cents"))
+    val q = queries
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", inorm2(spark, col("qv")))
+      .filter(col("qn") > 0)
+      .crossJoin(broadcast(centArr))
+      .crossJoin(broadcast(cellMap))
+    val myCells = slice(array_sort(transform(col("cents"), c =>
+      struct(negate(cosine(idot(spark, col("qv"), c.getField("cv")),
+        col("qn"), c.getField("cn"))).as("ncos"),
+        c.getField("cent_id").as("cell")))), 1, nprobe)
+    // every probed cell exists in the map: probed cells are centroid
+    // ids, and each centroid has itself as a member (self-cos = 1)
+    val cand = filter(
+      flatten(transform(myCells, mc =>
+        element_at(col("cmap"), mc.getField("cell")))),
+      m => m.getField("vec_id") =!= col("vec_id"))
+    val cos = (m: Column) =>
+      cosine(idot(spark, col("qv"), m.getField("v")),
+        col("qn"), m.getField("n2"))
+    val top = slice(array_distinct(array_sort(transform(cand, m =>
+      struct(negate(cos(m)).as("ncos"),
+        m.getField("vec_id").as("nn_id"),
+        cos(m).as("cos"))))), 1, k)
+    q.select(col("vec_id"), posexplode(top))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.nn_id").as("nn_id"), col("col.cos").as("cos"))
+  }
+
   /** Top-1 cell assignment with the centroid similarity kept:
     * (vec_id, label, cell, cos_cent, v, n2). The argmax collapses
     * map-side via the min(struct) trick — the broadcast fan-out never

@@ -133,6 +133,18 @@ object StreamingOps {
         countDistinct(col("bench_doc_id")).as("n_bench_docs"))
   }
 
+  /** Streaming ANN probe ≡ the batch kNN graph restricted to the
+    * arriving vectors — knnGraph's oracle with that restriction
+    * appended ([[EventStream.runAnnProbeToMemory]]; stateless, so the
+    * memory table already holds the final rows — no rollup). */
+  val streamAnnProbe: Op = Op(
+    "q_stream_ann",
+    Similarity.knnGraph.oracle.get +
+      s" AND vec_id % ${Similarity.StreamAnnMod} = 0") { (spark, dir) =>
+    spark.table(
+      EventStream.runAnnProbeToMemory(spark, dir, "q_stream_ann_mem"))
+  }
+
   val streamTumbling: Op = Op(
     "q_stream_tumbling",
     """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_us,

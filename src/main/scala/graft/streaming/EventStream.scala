@@ -641,6 +641,33 @@ object EventStream {
     * grams × a broadcast probe, nothing accumulates. Rows are unique by
     * construction (both gram lists are per-doc distinct), so the log
     * needs no dedup before rollup. */
+  /** Arrival-time ANN retrieval — the third stateless ingest pattern
+    * (after the incremental-dedup probe and benchmark decontamination),
+    * extending it from text to EMBEDDINGS: arriving vectors probe the
+    * standing corpus's canopy index and emit their exact-scored top-k
+    * neighbors map-side. The whole search is per-row array expressions
+    * over two broadcasts (seed-centroid array + cell→members map —
+    * [[graft.operators.Similarity.annProbeRows]]), so there is no
+    * state store, no stream-side shuffle, and batching cannot change
+    * one output row. At 100 TB the cell map outgrows a broadcast and
+    * the `element_at` lookup becomes a partition-pruned point read of
+    * the (cell)-bucketed persisted index; the stream side stays
+    * map-only. */
+  def runAnnProbeToMemory(
+      spark: SparkSession, dir: String, queryName: String): String =
+    runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
+      import graft.operators.Similarity
+      val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+      val arrivals = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id") % Similarity.StreamAnnMod === 0)
+      Similarity.annProbeRows(spark, dir, arrivals)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
   def runDecontaminateToMemory(
       spark: SparkSession, dir: String, queryName: String): String =
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>

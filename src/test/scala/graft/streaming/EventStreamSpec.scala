@@ -230,6 +230,26 @@ class EventStreamSpec extends SparkSpec {
       s"expected zero stateful operators: ${active.get.lastProgress.json}")
   }
 
+  test("streaming ANN probe equals the batch kNN graph restricted to arrivals, stateless") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    val batch = S.knnGraph.build(spark, sf001)
+      .filter($"vec_id" % S.StreamAnnMod === 0)
+      .select($"vec_id", $"rank", $"nn_id", $"cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = graft.operators.StreamingOps.streamAnnProbe
+      .build(spark, sf001)
+      .select($"vec_id", $"rank", $"nn_id", $"cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty, "expected arriving probe vectors in testdata")
+    assert(got === batch)
+    val active = spark.streams.active.find(
+      _.name.startsWith("q_stream_ann_mem"))
+    assert(active.nonEmpty)
+    assert(active.get.lastProgress.stateOperators.isEmpty,
+      s"expected zero stateful operators: ${active.get.lastProgress.json}")
+  }
+
   test("stream-stream attribution join buffers across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
