@@ -76,6 +76,7 @@ object SparkEntry {
     Similarity.pqAdcTrained,
     Similarity.knnGraph,
     Similarity.semdedup,
+    Similarity.hardNegatives,
     Windows.tumblingWindow,
     Windows.sessionizeBatch,
     Windows.movingAgg,

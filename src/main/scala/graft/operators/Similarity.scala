@@ -1344,6 +1344,87 @@ object Similarity {
         col("col.nn_id").as("nn_id"), col("col.cos").as("cos"))
   }
 
+  /** Hard-negative mining for contrastive training — for every anchor
+    * vector, the top-3 highest-cosine candidates with a DIFFERENT
+    * label: the "looks similar, isn't" examples an embedding model
+    * trains against. The candidate set is the same graph canopy as
+    * [[knnGraph]] (stride 10, nprobe 8) — hard negatives are by
+    * definition CLOSE, which is exactly what shared cells surface;
+    * a uniformly random negative would be easy, and a full scan to
+    * guarantee the globally hardest is the N² the canopy exists to
+    * avoid. Same hierarchical per-(cell, src) top-k (no added
+    * exchange), same byte-identical-struct dedup; label ride-along is
+    * the only difference. */
+  val hardNegatives: Op = Op(
+    "q_hard_negatives",
+    s"""WITH e AS (
+       |  SELECT vec_id, label, $QuantSql AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, label, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM e
+       |), nn AS (
+       |  SELECT * FROM n WHERE n2 > 0
+       |), c0 AS (
+       |  SELECT vec_id AS cent_id, v AS cv, n2 AS cn FROM nn WHERE vec_id % 10 = 0
+       |), scored AS (
+       |  SELECT a.vec_id, c.cent_id,
+       |         CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS cos
+       |  FROM nn a, c0 c
+       |), cells AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+       |    FROM scored) WHERE rn <= 8
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  JOIN nn x ON x.vec_id = a.vec_id
+       |  JOIN nn y ON y.vec_id = b.vec_id
+       |  WHERE x.label <> y.label
+       |), sc AS (
+       |  SELECT cand.src AS vec_id, x.label, cand.dst AS neg_id,
+       |         y.label AS neg_label,
+       |         CAST(list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i])) AS DOUBLE)
+       |           / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS cos
+       |  FROM cand
+       |  JOIN nn x ON x.vec_id = cand.src
+       |  JOIN nn y ON y.vec_id = cand.dst
+       |)
+       |SELECT vec_id, label, rank, neg_id, neg_label, cos FROM (
+       |  SELECT vec_id, label, neg_id, neg_label, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neg_id) AS rank
+       |  FROM sc) WHERE rank <= 3""".stripMargin) { (spark, dir) =>
+    val k = 3
+    val e = quantizedLabeled(spark, dir)
+    val cellsV = canopyCells(spark, e, nprobe = 8, carryVec = true,
+      stride = 10)
+    val pa = cellsV.select(col("cell"), col("vec_id").as("src"),
+      col("label").as("la"), col("v").as("vs"), col("n2").as("ns"))
+    val pb = cellsV.select(col("cell"), col("vec_id").as("dst"),
+      col("label").as("lb"), col("v").as("vd"), col("n2").as("nd"))
+    val scoredPairs = pa.join(pb, Seq("cell"))
+      .filter(col("la") =!= col("lb"))
+      .select(col("cell"), col("src"), col("la"), col("dst"), col("lb"),
+        cosine(idot(spark, col("vs"), col("vd")),
+          col("ns"), col("nd")).as("cos"))
+    val perCell = scoredPairs
+      .groupBy(col("cell"), col("src"), col("la"))
+      .agg(slice(array_sort(collect_list(struct(
+        negate(col("cos")).as("ncos"),
+        col("dst").as("neg_id"),
+        col("lb").as("neg_label"),
+        col("cos").as("cos")))), 1, k).as("t"))
+    perCell
+      .groupBy(col("src"), col("la"))
+      .agg(slice(array_distinct(array_sort(flatten(collect_list(col("t"))))),
+        1, k).as("top"))
+      .select(col("src").as("vec_id"), col("la").as("label"),
+        posexplode(col("top")))
+      .select(col("vec_id"), col("label"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.neg_id").as("neg_id"), col("col.neg_label").as("neg_label"),
+        col("col.cos").as("cos"))
+  }
+
   /** Candidate edge set of [[knnGraph]] (pre-scoring): distinct ordered
     * (src, dst) pairs sharing a canopy cell. Exposed so the soak can
     * measure its growth exponent directly. */

@@ -89,6 +89,47 @@ class KnnSemdedupSpec extends SparkSpec {
     assert(witnessed.count() === dropped.count())
   }
 
+  test("hard negatives: cross-label only, contiguous ranks, hardness recall") {
+    val hn = Similarity.hardNegatives.build(spark, sf001).cache()
+    assert(hn.filter($"label" === $"neg_label").count() === 0)
+    val byVec = hn.groupBy($"vec_id")
+      .agg(count(lit(1)).as("n"), min($"rank").as("mn"), max($"rank").as("mx"))
+      .filter($"mn" =!= 1 || $"mx" =!= $"n" || $"n" > 3)
+    assert(byVec.count() === 0)
+    // recall vs the exact hardest cross-label negative (full cross join)
+    val e = Similarity.quantizedLabeled(spark, sf001)
+    val x = e.select($"vec_id".as("src"), $"label".as("la"),
+      $"v".as("vs"), $"n2".as("ns"))
+    val y = e.select($"vec_id".as("dst"), $"label".as("lb"),
+      $"v".as("vd"), $"n2".as("nd"))
+    val truth = x.join(y, $"la" =!= $"lb")
+      .select($"src",
+        Similarity.cosine(Similarity.idot(spark, $"vs", $"vd"),
+          $"ns", $"nd").as("cos"), $"dst")
+      .groupBy($"src")
+      .agg(max(struct($"cos", negate($"dst").as("nd"))).as("b"))
+      .select($"src".as("vec_id"), negate($"b.nd").as("true_neg"))
+    val got = hn.filter($"rank" === 1).select($"vec_id", $"neg_id")
+    val joined = truth.join(got, Seq("vec_id"), "left").cache()
+    val n = joined.count()
+    val hit = joined.filter($"neg_id" === $"true_neg").count()
+    assert(hit.toDouble / n >= 0.7,
+      s"hardest-negative recall ${hit.toDouble / n} below floor")
+  }
+
+  test("knn plan gate: per-cell top-k adds no exchange over the pair join") {
+    // shuffle budget: canopy aggregate (×2 sides) + the pair join's two
+    // sort-merge sides + ONE final per-src merge = 5. A 6th shuffle
+    // means the hierarchical aggregate lost its cell co-partitioning
+    // and the scored-pair volume is crossing the wire again.
+    // after execution AQE's toString prints the final plan AND repeats
+    // the initial plan — count only the first (current) section
+    val plan = knn.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 5, s"expected <= 5 shuffle exchanges, got $shuffles")
+  }
+
   test("plan gates: both ops are window-free; codebook joins broadcast") {
     for (df <- Seq(knn, sem)) {
       val plan = df.queryExecution.executedPlan.toString
