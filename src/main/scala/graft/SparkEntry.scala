@@ -60,6 +60,7 @@ object SparkEntry {
     GraphOps.triangleCount,
     GraphOps.pagerank,
     GraphOps.communities,
+    TextOps.vocabGrowth,
     Dedup.fuzzyMatch,
     Dedup.fuzzyBest,
     Similarity.annBruteForce,

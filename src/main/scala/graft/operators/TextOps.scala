@@ -310,4 +310,80 @@ object TextOps {
         col("n_rare"),
         (col("n_rare") * 20 > col("n_bigrams")).as("novelty_flag"))
   }
+
+  /** Docs per ingestion batch of [[vocabGrowth]]. */
+  val VocabBatchSize = 100
+
+  /** Vocabulary-growth telemetry over ingestion order — the Heaps-law
+    * curve a continuous-ingest pipeline watches: per batch of
+    * [[VocabBatchSize]] docs (doc_id order = arrival order), the token
+    * volume, the batch-distinct vocabulary, the NEW tokens (corpus
+    * first-seen in this batch) and the cumulative vocabulary. A corpus
+    * whose n_new stops decaying is drifting (new domain, new language,
+    * or garbage); one whose curve flattens early is saturating.
+    * Tokenization is the corpus-wide `[a-z]+` convention of
+    * [[bigramArray]].
+    *
+    * Scale shape: the token stream reduces through two map-combinable
+    * aggregates — (batch, tok) distinct, then min(batch) per token —
+    * so the shuffle carries one row per distinct (batch, token) and
+    * one per token; everything after is METADATA-sized (one row per
+    * batch), where the running total's window sort is free. At 100 TB
+    * the first-seen frame IS the incremental vocabulary index: persist
+    * it keyed by token and each new batch anti-joins it instead of
+    * recomputing history. */
+  val vocabGrowth: Op = Op(
+    "q_vocab_growth",
+    s"""WITH d AS (
+       |  SELECT doc_id // $VocabBatchSize AS batch, lower(text) AS lt FROM documents
+       |), t AS (
+       |  SELECT batch, unnest(regexp_extract_all(lt, '[a-z]+')) AS tok FROM d
+       |), bt AS (
+       |  SELECT DISTINCT batch, tok FROM t
+       |), fs AS (
+       |  SELECT tok, MIN(batch) AS fb FROM bt GROUP BY 1
+       |), nn AS (
+       |  SELECT fb AS batch, COUNT(*) AS n_new FROM fs GROUP BY 1
+       |), dc AS (
+       |  SELECT batch, COUNT(*) AS n_distinct FROM bt GROUP BY 1
+       |), ti AS (
+       |  SELECT batch, COUNT(*) AS n_tokens FROM t GROUP BY 1
+       |), dd AS (
+       |  SELECT batch, COUNT(*) AS n_docs FROM d GROUP BY 1
+       |)
+       |SELECT dd.batch AS batch, n_docs,
+       |  COALESCE(n_tokens, 0) AS n_tokens,
+       |  COALESCE(n_distinct, 0) AS n_distinct,
+       |  COALESCE(nn.n_new, 0) AS n_new,
+       |  CAST(SUM(COALESCE(nn.n_new, 0)) OVER (ORDER BY dd.batch) AS BIGINT)
+       |    AS vocab_cum
+       |FROM dd
+       |LEFT JOIN ti ON ti.batch = dd.batch
+       |LEFT JOIN dc ON dc.batch = dd.batch
+       |LEFT JOIN nn ON nn.batch = dd.batch""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+      .select(expr(s"doc_id div $VocabBatchSize").as("batch"),
+        lower(col("text")).as("lt"))
+    val t = docs.select(col("batch"),
+      explode(regexp_extract_all(col("lt"), lit("[a-z]+"), lit(0)))
+        .as("tok"))
+    val bt = t.select(col("batch"), col("tok")).distinct()
+    val nNew = bt.groupBy(col("tok")).agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_new"))
+    val nDistinct = bt.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val nTokens = t.groupBy(col("batch")).agg(count(lit(1)).as("n_tokens"))
+    val nDocs = docs.groupBy(col("batch")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nDocs
+      .join(nTokens, Seq("batch"), "left")
+      .join(nDistinct, Seq("batch"), "left")
+      .join(nNew, Seq("batch"), "left")
+      .select(col("batch"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("vocab_cum", sum(col("n_new")).over(w))
+  }
 }

@@ -171,4 +171,29 @@ class ProfilingSpec extends SparkSpec {
     }
     assert(h.map(_._1).distinct.length === h.length)
   }
+
+  // ---- vocabGrowth ---------------------------------------------------
+  test("vocab growth: cumulative curve reconciles with the corpus vocabulary") {
+    val g = TextOps.vocabGrowth.build(spark, sf001).cache()
+    val rows = g.orderBy($"batch")
+      .select($"batch", $"n_docs", $"n_tokens", $"n_distinct", $"n_new",
+        $"vocab_cum")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // batch 0 has never seen anything: every distinct token is new
+    assert(rows.head._5 === rows.head._4)
+    // per-batch sanity and a monotone, correctly-accumulated curve
+    rows.foreach { r =>
+      assert(r._4 <= r._3, s"distinct > instances in $r")
+      assert(r._5 <= r._4, s"new > distinct in $r")
+    }
+    val cums = rows.map(_._6)
+    assert(cums === rows.map(_._5).scanLeft(0L)(_ + _).tail)
+    // the final cumulative vocabulary IS the corpus-wide distinct count
+    val corpusVocab = graft.Tables.documents(spark, sf001)
+      .select(explode(regexp_extract_all(lower($"text"), lit("[a-z]+"),
+        lit(0))).as("tok"))
+      .select($"tok").distinct().count()
+    assert(cums.last === corpusVocab)
+  }
 }
