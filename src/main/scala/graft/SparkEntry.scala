@@ -61,6 +61,7 @@ object SparkEntry {
     GraphOps.pagerank,
     GraphOps.communities,
     TextOps.vocabGrowth,
+    TextOps.hashEmbed,
     Dedup.fuzzyMatch,
     Dedup.fuzzyBest,
     Similarity.annBruteForce,

@@ -311,6 +311,54 @@ object TextOps {
         (col("n_rare") * 20 > col("n_bigrams")).as("novelty_flag"))
   }
 
+  /** Feature-hash dimensionality of [[hashEmbed]]. */
+  val HashDim = 32
+
+  /** Feature hashing (the hashing trick, Weinberger et al. ICML'09):
+    * each document becomes a fixed-[[HashDim]]-dimension signed
+    * token-count vector with NO vocabulary build — bucket =
+    * fingerprint(token) mod D, sign from the next hash bit, counts
+    * summed per (doc, bucket). The zero-state featurizer: unlike
+    * TF-IDF there is no corpus pass to learn a vocabulary, so it
+    * works on an unbounded stream and never needs re-fitting.
+    * Emitted relationally as (doc_id, bucket, w) sparse rows, w ≠ 0.
+    *
+    * Deterministic across engines because the fingerprint is the
+    * integer rolling hash ([[graft.functions.TextAnalysis.fingerprint]],
+    * replayed in the oracle via list_reduce) and everything after is
+    * integer arithmetic. Scale shape: map-only hash + ONE
+    * map-combinable (doc, bucket) aggregate — the shuffle carries at
+    * most D rows per document. */
+  val hashEmbed: Op = Op(
+    "q_hash_embed",
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+       |  FROM t
+       |)
+       |SELECT doc_id, fp % $HashDim AS bucket,
+       |  CAST(SUM(CASE WHEN (fp // $HashDim) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w
+       |FROM f GROUP BY 1, 2
+       |HAVING SUM(CASE WHEN (fp // $HashDim) % 2 = 0 THEN 1 ELSE -1 END) <> 0""".stripMargin) {
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
+            lit(0))).as("tok"))
+        .select(col("doc_id"), fingerprint(col("tok")).as("fp"))
+        .select(col("doc_id"), (col("fp") % HashDim).as("bucket"),
+          when(expr(s"(fp div $HashDim) % 2") === 0, 1L)
+            .otherwise(-1L).as("sign"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(sum(col("sign")).as("w"))
+        .filter(col("w") =!= 0)
+  }
+
   /** Docs per ingestion batch of [[vocabGrowth]]. */
   val VocabBatchSize = 100
 

@@ -196,4 +196,27 @@ class ProfilingSpec extends SparkSpec {
       .select($"tok").distinct().count()
     assert(cums.last === corpusVocab)
   }
+
+  // ---- hashEmbed -----------------------------------------------------
+  test("feature hashing: sparse rows equal a driver-side recomputation") {
+    val got = TextOps.hashEmbed.build(spark, sf001)
+      .filter($"doc_id" < 20)
+      .select($"doc_id", $"bucket", $"w")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def fp(tok: String): Long =
+      tok.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val docs = graft.Tables.documents(spark, sf001)
+      .filter($"doc_id" < 20)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(docs.nonEmpty)
+    val expected = docs.flatMap { case (id, text) =>
+      "[a-z]+".r.findAllIn(text.toLowerCase).map { tok =>
+        val f = fp(tok)
+        ((id, f % TextOps.HashDim), if ((f / TextOps.HashDim) % 2 == 0) 1L else -1L)
+      }
+    }.groupMapReduce(_._1)(_._2)(_ + _).filter(_._2 != 0)
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
 }
