@@ -88,7 +88,21 @@ object GenSoakCorpus {
         "p_retailprice")
       .coalesce(4).write.mode("overwrite").parquet(s"$out/part.parquet")
 
-    println(s"[gen] wrote $nDocs docs + $nParts parts to $out")
+    // embeddings, one 10× step past sf0.1 (2000 → 20000): measured
+    // structure is random UNIT vectors (within- and cross-label cosine
+    // distributions are indistinguishable — E[cos]≈0, sd≈1/8, near-dup
+    // pairs are the upper tail), labels uniform over 10, 64 dims float.
+    val nVecs = 20000
+    val dim = 64
+    val vecs = (0 until nVecs).map { k =>
+      val arr = Array.fill(dim)(rnd.nextGaussian())
+      val nrm = math.sqrt(arr.map(x => x * x).sum)
+      (k.toLong, arr.map(x => (x / nrm).toFloat).toSeq, rnd.nextInt(10).toLong)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"[gen] wrote $nDocs docs + $nParts parts + $nVecs vecs to $out")
     spark.stop()
   }
 }
