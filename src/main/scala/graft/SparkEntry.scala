@@ -79,6 +79,7 @@ object SparkEntry {
     Similarity.knnGraph,
     Similarity.semdedup,
     Similarity.hardNegatives,
+    Similarity.cleanEmbeddings,
     Windows.tumblingWindow,
     Windows.sessionizeBatch,
     Windows.movingAgg,

@@ -1522,6 +1522,82 @@ object Similarity {
           (col("a_cc") === col("b_cc") && col("a_id") < col("b_id"))))
   }
 
+  /** Embedding-side clean-corpus capstone (the [[graft.operators
+    * .Curation]] `q_clean_corpus` shape applied to vectors): one
+    * verdict row per vector composing the two embedding gates —
+    * SemDeDup survival ([[semdedup]]: no keep-order-earlier
+    * cluster-mate at cosine ≥ 0.35) and centroid-outlier rejection
+    * ([[embedOutlier]]: cosine to the own-label sum-centroid ≥ −0.05).
+    * kept = survivor AND not outlier, with both scores carried so the
+    * verdict is auditable. Scale shape: the union of its parts — the
+    * cluster-bounded pair join and two broadcast centroid passes; the
+    * final assembly is two vec_id equi-joins. */
+  val cleanEmbeddings: Op = Op(
+    "q_clean_embeddings",
+    s"""WITH e AS (
+       |  SELECT vec_id, label, $QuantSql AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, label, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM e
+       |), nn AS (
+       |  SELECT * FROM n WHERE n2 > 0
+       |), c0 AS (
+       |  SELECT vec_id AS cent_id, v AS cv, n2 AS cn FROM nn WHERE vec_id % 50 = 0
+       |), scored AS (
+       |  SELECT a.vec_id, a.label, c.cent_id,
+       |         CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS cos
+       |  FROM nn a, c0 c
+       |), asg AS (
+       |  SELECT vec_id, label, cell, cos_cent FROM (
+       |    SELECT vec_id, label, cent_id AS cell, cos AS cos_cent,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+       |    FROM scored) WHERE rn = 1
+       |), dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.cell = b.cell
+       |    AND (a.cos_cent < b.cos_cent
+       |         OR (a.cos_cent = b.cos_cent AND a.vec_id < b.vec_id))
+       |  JOIN nn x ON x.vec_id = a.vec_id
+       |  JOIN nn y ON y.vec_id = b.vec_id
+       |  WHERE CAST(list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i])) AS DOUBLE)
+       |          / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) >= 0.35
+       |), ox AS (
+       |  SELECT label, i AS pos, v[i] AS x FROM nn, unnest(range(1, len(v)+1)) AS t(i)
+       |), ocs AS (
+       |  SELECT label, pos, sum(x) AS s FROM ox GROUP BY label, pos
+       |), oc AS (
+       |  SELECT label, list(s ORDER BY pos) AS cv FROM ocs GROUP BY label
+       |), ocn AS (
+       |  SELECT label, cv, list_sum(list_transform(cv, x -> x*x)) AS cn2 FROM oc
+       |  WHERE list_sum(list_transform(cv, x -> x*x)) > 0
+       |), osc AS (
+       |  SELECT nn.vec_id,
+       |         CAST(list_sum(list_transform(range(1, len(nn.v)+1), i -> nn.v[i]*ocn.cv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(nn.n2 AS DOUBLE)) * sqrt(CAST(ocn.cn2 AS DOUBLE))) AS cos_centroid
+       |  FROM nn JOIN ocn ON nn.label = ocn.label
+       |)
+       |SELECT asg.vec_id, asg.label, asg.cell, asg.cos_cent, osc.cos_centroid,
+       |  (asg.vec_id NOT IN (SELECT vec_id FROM dropped)
+       |   AND osc.cos_centroid >= -0.05) AS kept
+       |FROM asg JOIN osc ON osc.vec_id = asg.vec_id""".stripMargin) {
+    (spark, dir) =>
+      val asg = semdedupAssign(spark, dir)
+      val dropped = semdedupOrderedPairs(asg)
+        .filter(cosine(idot(spark, col("va"), col("vb")),
+          col("na"), col("nb")) >= 0.35)
+        .select(col("b_id").as("vec_id"))
+        .distinct()
+        .withColumn("is_dup", lit(true))
+      val osc = outlierScores(spark, quantizedLabeled(spark, dir))
+        .select(col("vec_id"), col("cos_centroid"))
+      asg
+        .join(dropped, Seq("vec_id"), "left")
+        .join(osc, Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col("cell"), col("cos_cent"),
+          col("cos_centroid"),
+          (col("is_dup").isNull && col("cos_centroid") >= -0.05).as("kept"))
+  }
+
   /** Arrivals stream of the ANN probe: vec_id % 7 == 0 (decoupled from
     * the stride-10 centroid rule so arriving vectors are not exactly
     * the centroids). */

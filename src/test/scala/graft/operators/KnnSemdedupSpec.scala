@@ -117,6 +117,21 @@ class KnnSemdedupSpec extends SparkSpec {
       s"hardest-negative recall ${hit.toDouble / n} below floor")
   }
 
+  test("clean embeddings: verdicts reconcile with the component gates") {
+    val clean = Similarity.cleanEmbeddings.build(spark, sf001).cache()
+    val kept = clean.filter($"kept").select($"vec_id")
+    val survivors = sem.select($"vec_id")
+    val nonOutliers = Similarity.embedOutlier.build(spark, sf001)
+      .filter(!$"is_outlier").select($"vec_id")
+    val expected = survivors.join(nonOutliers, Seq("vec_id")).select($"vec_id")
+    assert(kept.except(expected).count() === 0)
+    assert(expected.except(kept).count() === 0)
+    // one verdict row per assigned vector, kept strictly between 0 and all
+    assert(clean.count() === asg.count())
+    val k = kept.count()
+    assert(k > 0 && k < clean.count())
+  }
+
   test("knn plan gate: per-cell top-k adds no exchange over the pair join") {
     // shuffle budget: canopy aggregate (×2 sides) + the pair join's two
     // sort-merge sides + ONE final per-src merge = 5. A 6th shuffle
