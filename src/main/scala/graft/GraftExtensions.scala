@@ -21,6 +21,8 @@ import graft.expressions.{LongArrayDot, PackedBagDistance, PackedLetterBag, Stri
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // optimizer tier: runs in the user-provided batch after pushdown
+    e.injectOptimizerRule(_ => graft.plans.ThresholdLevenshtein)
     // exact-arity builders: surplus arguments must be an analysis error,
     // never silently dropped (graft_fingerprint(a, b) returning the
     // fingerprint of `a` alone would be a plausible-looking wrong answer)
