@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // optimizer tier: runs in the user-provided batch after pushdown
     e.injectOptimizerRule(_ => graft.plans.ThresholdLevenshtein)
+    // planner tier: whole-operator strategy for the native as-of join
+    e.injectPlannerStrategy(_ => graft.plans.GraftAsOfStrategy)
     // exact-arity builders: surplus arguments must be an analysis error,
     // never silently dropped (graft_fingerprint(a, b) returning the
     // fingerprint of `a` alone would be a plausible-looking wrong answer)

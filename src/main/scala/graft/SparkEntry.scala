@@ -87,6 +87,7 @@ object SparkEntry {
     Windows.rollingActiveUsers,
     Windows.gapFill,
     AsOf.asofJoin,
+    AsOf.asofNative,
     AsOf.rangeJoin,
     SetPivot.intersectExcept,
     SetPivot.pivotFlags,

@@ -1,8 +1,10 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.plans.{AsOfJoinPlan, GraftAsOfStrategy}
 import graft.functions.Money.centsOf
 
 /** As-of (point-in-time) join and range (interval) join — operators
@@ -27,10 +29,9 @@ import graft.functions.Money.centsOf
   */
 object AsOf {
 
-  val asofJoin: Op = Op(
-    "q_asof_join",
-    // Oracle decorrelates via arg_max over the inequality join — output
-    // must equal the carry-forward implementation exactly.
+  // Shared by the carry-forward twin (q_asof_join) and the native exec
+  // (q_asof_native): both must equal the decorrelated arg_max form.
+  private val asofOracle =
     """WITH ev AS (
       |  SELECT event_id, user_id, CAST(ts AS DATE) AS event_date
       |  FROM events
@@ -49,7 +50,9 @@ object AsOf {
       |)
       |SELECT ev.event_id, ev.user_id, ev.event_date,
       |       m.asof_orderkey, m.asof_cents
-      |FROM ev LEFT JOIN matched m ON ev.event_id = m.event_id""".stripMargin) { (spark, dir) =>
+      |FROM ev LEFT JOIN matched m ON ev.event_id = m.event_id""".stripMargin
+
+  val asofJoin: Op = Op("q_asof_join", asofOracle) { (spark, dir) =>
     val ev = Tables.events(spark, dir).select(
       col("event_id"), col("user_id"),
       to_date(col("ts")).as("event_date"))
@@ -131,5 +134,65 @@ object AsOf {
       .groupBy(col("o_orderkey"), col("order_day"))
       .agg(sum(col("n_items")).as("n_shipped"),
         sum(col("day_cents")).as("shipped_cents"))
+  }
+
+  /** As-of join as a first-class engine operator: builds a
+    * [[graft.plans.AsOfJoinPlan]] over the two frames' analyzed plans
+    * and lets the planner produce [[graft.plans.AsOfJoinExec]] — one
+    * co-partitioning shuffle per side, one in-partition sort, one
+    * forward merge. See the exec's scaladoc for why this beats both
+    * SQL-expressible shapes after the shuffle.
+    *
+    * `keys` pairs (probeCol → stateCol); `time` likewise; `tieBreak`
+    * state columns break equal (key, time) ties by GREATEST tuple.
+    * Output = all probe columns, then all state columns (null-padded
+    * when no state row is at-or-before the probe time) — project after
+    * the call; the projection lands above the exec and prunes through
+    * its children.
+    */
+  def asofJoinNative(
+      probe: DataFrame, state: DataFrame,
+      keys: Seq[(String, String)],
+      time: (String, String),
+      tieBreak: Seq[String]): DataFrame = {
+    val spark = probe.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // vanilla-session fallback; the documented install path is
+    // spark.sql.extensions=graft.GraftExtensions (idempotent with it:
+    // the planner takes the first candidate plan)
+    if (!spark.experimental.extraStrategies.exists(_ eq GraftAsOfStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftAsOfStrategy
+    val lp = probe.queryExecution.analyzed
+    val rp = state.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, AsOfJoinPlan(
+      lp, rp,
+      keys.map(k => attr(lp, k._1)), keys.map(k => attr(rp, k._2)),
+      attr(lp, time._1), attr(rp, time._2),
+      tieBreak.map(attr(rp, _))))
+  }
+
+  /** The carry-forward twin's exact contract, executed by the native
+    * whole-operator path — same oracle, column-identical output.
+    */
+  val asofNative: Op = Op("q_asof_native", asofOracle) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      to_date(col("ts")).as("event_date"))
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").as("s_user"),
+      to_date(col("o_orderdate")).as("s_time"),
+      col("o_orderkey").as("asof_orderkey"),
+      centsOf(col("o_totalprice")).as("asof_cents"))
+    asofJoinNative(ev, o,
+      keys = Seq("user_id" -> "s_user"),
+      time = "event_date" -> "s_time",
+      tieBreak = Seq("asof_orderkey"))
+      .select(col("event_id"), col("user_id"), col("event_date"),
+        col("asof_orderkey"), col("asof_cents"))
   }
 }
