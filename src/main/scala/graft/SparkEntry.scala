@@ -62,6 +62,7 @@ object SparkEntry {
     GraphOps.communities,
     TextOps.vocabGrowth,
     TextOps.hashEmbed,
+    TextOps.bm25,
     Dedup.fuzzyMatch,
     Dedup.fuzzyBest,
     Similarity.annBruteForce,

@@ -434,4 +434,109 @@ object TextOps {
         coalesce(col("n_new"), lit(0L)).as("n_new"))
       .withColumn("vocab_cum", sum(col("n_new")).over(w))
   }
+
+  /** BM25 top-k retrieval over the corpus — the lexical half of a
+    * retrieval stack next to the ANN family (north-star extension; the
+    * reference's closest surface is its ILIKE product search,
+    * scripts/feeds/buildGoogleFeed.js:53-57, which scans unranked).
+    *
+    * Contract: every doc with `doc_id % 101 = 0` is a query; its query
+    * terms are its distinct tokens of length ≥ 7 (the rare-term tail —
+    * short tokens are stopword-dominated and would drag in every doc).
+    * Each query retrieves the top-[[Bm25K]] OTHER docs by a rational-idf
+    * BM25 with k1 = 6/5, b = 3/4, evaluated in INTEGER fixed-point
+    * (the PageRank device: float BM25 sums are shuffle-order-dependent
+    * and can never hash-match an oracle):
+    *
+    *  - idf_fp     = ⌊10⁶ · (N − df + ½)/(df + ½)⌋
+    *                 = (10⁶ · (2N − 2df + 1)) div (2df + 1)
+    *    — Robertson's idf argument without the log wrap; exactly
+    *    representable, same df-monotonicity, no transcendentals.
+    *  - tfnorm_fp  = ⌊10⁶ · tf(k1+1) / (tf + k1(1−b+b·dl/avgdl))⌋ with
+    *    avgdl = T/N substituted and the fraction cleared:
+    *                 (10⁶ · 44·tf·T) div (20·tf·T + 6·T + 18·dl·N)
+    *  - score(q,d) = Σ_t idf_fp(t) · tfnorm_fp(d,t)  — BIGINT-exact in
+    *    both engines (≤ ~2·10¹⁷ at any tested scale).
+    *
+    * Plan shape at 100 TB: the query-term table is tiny by construction
+    * (|queries| · rare terms), so candidate generation is a BROADCAST
+    * join against the postings — the corpus never shuffles to meet the
+    * queries. Document length rides the tokenize pass as a fused
+    * `size(tokens)` column (no per-doc join), per-term df is computed
+    * only for query terms, and the one real shuffle is the final
+    * (query, doc) score aggregate, whose volume is bounded by postings
+    * of matched terms. Top-k runs agg-before-window: the window sees
+    * one row per (query, doc), never raw postings.
+    */
+  val Bm25K = 10
+
+  val bm25: Op = Op(
+    "q_bm25",
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), words AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks
+       |), tf AS (
+       |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM words GROUP BY doc_id, dl, term
+       |), df AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+       |), stats AS (
+       |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |         CAST(SUM(dl) AS BIGINT) AS t_tokens
+       |  FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM tf GROUP BY doc_id)
+       |), qterms AS (
+       |  SELECT doc_id AS qid, term FROM tf
+       |  WHERE doc_id % 101 = 0 AND length(term) >= 7
+       |), hits AS (
+       |  SELECT q.qid, tf.doc_id,
+       |         ((CAST(1000000 AS BIGINT) * (2*s.n_docs - 2*df.df + 1)) // (2*df.df + 1))
+       |         * ((CAST(1000000 AS BIGINT) * 44 * tf.tf * s.t_tokens)
+       |            // (20*tf.tf*s.t_tokens + 6*s.t_tokens + 18*tf.dl*s.n_docs)) AS part
+       |  FROM qterms q
+       |  JOIN tf ON tf.term = q.term AND tf.doc_id <> q.qid
+       |  JOIN df ON df.term = q.term
+       |  CROSS JOIN stats s
+       |), scored AS (
+       |  SELECT qid, doc_id, CAST(SUM(part) AS BIGINT) AS score
+       |  FROM hits GROUP BY qid, doc_id
+       |)
+       |SELECT qid, doc_id, score, rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |            ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $Bm25K""".stripMargin) { (spark, dir) =>
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+    val words = toks.select(col("doc_id"),
+      size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
+    // tf is the shared base of three branches (query terms, query-term
+    // df, candidate postings) — pin it once so the tokenize + aggregate
+    // lineage executes once (the q_clean_corpus device)
+    val tf = words.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
+    val qterms = tf.filter(col("doc_id") % 101 === 0 && length(col("term")) >= 7)
+      .select(col("doc_id").as("qid"), col("term"))
+    val qtermSet = qterms.select("term").distinct()
+    // df only for query terms: the full-vocabulary aggregate never runs
+    val qdf = tf.join(broadcast(qtermSet), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = tf.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    val hits = tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(qdf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        (expr("(1000000 * (2*n_docs - 2*df + 1)) div (2*df + 1)") *
+          expr("(1000000 * 44 * tf * t_tokens) div " +
+            "(20*tf*t_tokens + 6*t_tokens + 18*dl*n_docs)")).as("part"))
+    val scored = hits.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("part")).as("score"))
+    scored.withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rnk") <= Bm25K)
+      .select("qid", "doc_id", "score", "rnk")
+  }
 }
