@@ -124,6 +124,7 @@ object SparkEntry {
     StreamingOps.streamIncrDedup,
     StreamingOps.streamDecontaminate,
     StreamingOps.streamAnnProbe,
+    StreamingOps.streamBm25,
     MultimodalOps.multimodalFeatures,
     MultimodalOps.mediaDedup,
   )

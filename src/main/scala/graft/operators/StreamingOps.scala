@@ -145,6 +145,23 @@ object StreamingOps {
       EventStream.runAnnProbeToMemory(spark, dir, "q_stream_ann_mem"))
   }
 
+  /** Streaming BM25 probe ≡ the batch retrieval op — the SAME oracle as
+    * [[TextOps.bm25]]: every query doc arrives on the stream, probes the
+    * standing rare-term index statelessly, and the batch rollup
+    * aggregates scores and ranks. */
+  val streamBm25: Op = Op(
+    "q_stream_bm25",
+    TextOps.bm25.oracle.get) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    spark.table(EventStream.runBm25ToMemory(spark, dir, "q_stream_bm25_mem"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("part")).as("score"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rnk") <= TextOps.Bm25K)
+      .select("qid", "doc_id", "score", "rnk")
+  }
+
   val streamTumbling: Op = Op(
     "q_stream_tumbling",
     """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_us,

@@ -469,6 +469,16 @@ object TextOps {
     * one row per (query, doc), never raw postings.
     */
   val Bm25K = 10
+  val Bm25QueryMod = 101
+
+  /** The fixed-point BM25 term contribution — shared verbatim by the
+    * batch op and the streaming probe so the two paths cannot drift.
+    * Expects columns tf, df, dl, n_docs, t_tokens in scope.
+    */
+  private[graft] val bm25PartCol =
+    (expr("(1000000 * (2*n_docs - 2*df + 1)) div (2*df + 1)") *
+      expr("(1000000 * 44 * tf * t_tokens) div " +
+        "(20*tf*t_tokens + 6*t_tokens + 18*dl*n_docs)")).as("part")
 
   val bm25: Op = Op(
     "q_bm25",
@@ -488,7 +498,7 @@ object TextOps {
        |  FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM tf GROUP BY doc_id)
        |), qterms AS (
        |  SELECT doc_id AS qid, term FROM tf
-       |  WHERE doc_id % 101 = 0 AND length(term) >= 7
+       |  WHERE doc_id % $Bm25QueryMod = 0 AND length(term) >= 7
        |), hits AS (
        |  SELECT q.qid, tf.doc_id,
        |         ((CAST(1000000 AS BIGINT) * (2*s.n_docs - 2*df.df + 1)) // (2*df.df + 1))
@@ -516,7 +526,7 @@ object TextOps {
     // lineage executes once (the q_clean_corpus device)
     val tf = words.groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf")).localCheckpoint()
-    val qterms = tf.filter(col("doc_id") % 101 === 0 && length(col("term")) >= 7)
+    val qterms = tf.filter(col("doc_id") % Bm25QueryMod === 0 && length(col("term")) >= 7)
       .select(col("doc_id").as("qid"), col("term"))
     val qtermSet = qterms.select("term").distinct()
     // df only for query terms: the full-vocabulary aggregate never runs
@@ -528,15 +538,64 @@ object TextOps {
       .filter(col("doc_id") =!= col("qid"))
       .join(broadcast(qdf), Seq("term"))
       .crossJoin(broadcast(stats))
-      .select(col("qid"), col("doc_id"),
-        (expr("(1000000 * (2*n_docs - 2*df + 1)) div (2*df + 1)") *
-          expr("(1000000 * 44 * tf * t_tokens) div " +
-            "(20*tf*t_tokens + 6*t_tokens + 18*dl*n_docs)")).as("part"))
+      .select(col("qid"), col("doc_id"), bm25PartCol)
     val scored = hits.groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("part")).as("score"))
     scored.withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
       .filter(col("rnk") <= Bm25K)
       .select("qid", "doc_id", "score", "rnk")
+  }
+
+  /** Standing BM25 index for the streaming probe: postings restricted
+    * to terms of length ≥ 7 — by contract the ONLY terms a query can
+    * carry — each row already joined with its term df and the doc's dl.
+    * Rare-term postings are a small fraction of the corpus (the Zipf
+    * head is all short tokens), which is what makes the index
+    * broadcastable where full postings never would be; a df cap is the
+    * documented second bound if a corpus breaks that assumption.
+    */
+  private[graft] def bm25RareIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+    val words = toks.select(col("doc_id"),
+      size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
+      .filter(length(col("term")) >= 7)
+    val tf = words.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(tf.groupBy(col("term")).agg(count(lit(1)).as("df")), Seq("term"))
+  }
+
+  /** Corpus scalars the probe needs: (n_docs, t_tokens) over ALL tokens
+    * (dl counts every token, not just rare ones). One driver-side row —
+    * bounded metadata, same device as the derived watermark. */
+  private[graft] def bm25Stats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Long) = {
+    val r = Tables.documents(spark, dir)
+      .select(size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Stateless streaming BM25 probe: arriving query docs explode to
+    * their distinct rare terms map-side and broadcast-join the standing
+    * index — no state store, no stream-side shuffle before the sink.
+    * Emits the (qid, doc_id, part) match log; the registered op rolls
+    * up scores and ranks in batch (the stream-incr-dedup pattern).
+    */
+  private[graft] def bm25ProbeRows(spark: org.apache.spark.sql.SparkSession,
+      dir: String, arrivals: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (nDocs, tTokens) = bm25Stats(spark, dir)
+    val qterms = arrivals.select(col("doc_id").as("qid"),
+      explode(array_distinct(filter(
+        split(lower(trim(col("text"))), "\\s+"),
+        t => length(t) >= 7))).as("term"))
+    qterms.join(broadcast(bm25RareIndex(spark, dir)), Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("t_tokens", lit(tTokens))
+      .select(col("qid"), col("doc_id"), bm25PartCol)
   }
 }

@@ -668,6 +668,28 @@ object EventStream {
         .start()
     }
 
+  /** Stateless streaming BM25 probe — retrieval at ingest: arriving
+    * query docs (doc_id % Bm25QueryMod = 0, the registered contract's
+    * query set) probe the standing rare-term postings index and emit
+    * the per-term match log. Zero state operators; parity with the
+    * batch op is exact because the probe's index, stats, and part
+    * expression are the batch op's own (shared code, not twins).
+    */
+  def runBm25ToMemory(
+      spark: SparkSession, dir: String, queryName: String): String =
+    runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
+      import graft.operators.TextOps
+      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val arrivals = spark.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % TextOps.Bm25QueryMod === 0)
+      TextOps.bm25ProbeRows(spark, dir, arrivals)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
   def runDecontaminateToMemory(
       spark: SparkSession, dir: String, queryName: String): String =
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>

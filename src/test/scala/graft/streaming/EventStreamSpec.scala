@@ -250,6 +250,24 @@ class EventStreamSpec extends SparkSpec {
       s"expected zero stateful operators: ${active.get.lastProgress.json}")
   }
 
+  test("streaming BM25 probe equals the batch retrieval op, stateless") {
+    import spark.implicits._
+    val batch = graft.operators.TextOps.bm25.build(spark, sf001)
+      .select($"qid", $"doc_id", $"score", $"rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = graft.operators.StreamingOps.streamBm25
+      .build(spark, sf001)
+      .select($"qid", $"doc_id", $"score", $"rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "expected retrieval hits in testdata")
+    assert(got === batch)
+    val active = spark.streams.active.find(
+      _.name.startsWith("q_stream_bm25_mem"))
+    assert(active.nonEmpty)
+    assert(active.get.lastProgress.stateOperators.isEmpty,
+      s"expected zero stateful operators: ${active.get.lastProgress.json}")
+  }
+
   test("stream-stream attribution join buffers across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
