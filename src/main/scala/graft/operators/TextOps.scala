@@ -578,6 +578,113 @@ object TextOps {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Impact-ordered index pruning (Anh & Moffat's static pruning,
+    * re-expressed relationally): keep only the top-[[Bm25PrunePostings]]
+    * postings per term by fixed-point impact (the tfnorm factor — the
+    * per-posting score ceiling, since idf is constant within a term).
+    *
+    * Why it exists: the soak measured the UNPRUNED match log at
+    * exponent ~2.1 across sf0.01→sf0.1 — the query set grows with the
+    * corpus AND each query term's posting list grows with the corpus,
+    * so the log is quadratic even though per-query work is "only"
+    * linear. Capping postings per term bounds per-query candidates at
+    * |query terms| · P regardless of corpus size, which turns the
+    * match log linear in the number of queries — the sparse-output
+    * sibling move (fuzzyBest, embedNearDupAnn) applied to retrieval.
+    * True df still scores idf (standard static pruning: stats are
+    * corpus stats, only the traversal is truncated).
+    */
+  val Bm25PrunePostings = 32
+
+  private[graft] def bm25PrunedIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val (nDocs, tTokens) = bm25Stats(spark, dir)
+    bm25RareIndex(spark, dir)
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("t_tokens", lit(tTokens))
+      .withColumn("impact",
+        expr("(1000000 * 44 * tf * t_tokens) div " +
+          "(20*tf*t_tokens + 6*t_tokens + 18*dl*n_docs)"))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("term"))
+        .orderBy(col("impact").desc, col("doc_id").asc)))
+      .filter(col("pr") <= Bm25PrunePostings)
+      .drop("pr", "impact", "n_docs", "t_tokens")
+  }
+
+  /** BM25 over the impact-pruned index — the registered 100 TB
+    * retrieval shape. Contract identical to [[bm25]] except postings
+    * truncated to the top-[[Bm25PrunePostings]] impacts per term
+    * (deterministic: impact desc, doc_id asc), which the oracle
+    * replays exactly. Rank quality vs the unpruned op is pinned in
+    * Bm25Spec (measured rank-1 agreement).
+    */
+  val bm25Pruned: Op = Op(
+    "q_bm25_pruned",
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), words AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks
+       |), tf AS (
+       |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM words GROUP BY doc_id, dl, term
+       |), df AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+       |), stats AS (
+       |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |         CAST(SUM(dl) AS BIGINT) AS t_tokens
+       |  FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM tf GROUP BY doc_id)
+       |), imp AS (
+       |  SELECT tf.doc_id, tf.dl, tf.term, tf.tf,
+       |         ((CAST(1000000 AS BIGINT) * 44 * tf.tf * s.t_tokens)
+       |          // (20*tf.tf*s.t_tokens + 6*s.t_tokens + 18*tf.dl*s.n_docs)) AS impact
+       |  FROM tf CROSS JOIN stats s
+       |  WHERE length(tf.term) >= 7
+       |), pruned AS (
+       |  SELECT doc_id, dl, term, tf FROM (
+       |    SELECT imp.*, ROW_NUMBER() OVER (PARTITION BY term
+       |              ORDER BY impact DESC, doc_id ASC) AS pr
+       |    FROM imp)
+       |  WHERE pr <= $Bm25PrunePostings
+       |), qterms AS (
+       |  SELECT doc_id AS qid, term FROM tf
+       |  WHERE doc_id % $Bm25QueryMod = 0 AND length(term) >= 7
+       |), hits AS (
+       |  SELECT q.qid, p.doc_id,
+       |         ((CAST(1000000 AS BIGINT) * (2*s.n_docs - 2*df.df + 1)) // (2*df.df + 1))
+       |         * ((CAST(1000000 AS BIGINT) * 44 * p.tf * s.t_tokens)
+       |            // (20*p.tf*s.t_tokens + 6*s.t_tokens + 18*p.dl*s.n_docs)) AS part
+       |  FROM qterms q
+       |  JOIN pruned p ON p.term = q.term AND p.doc_id <> q.qid
+       |  JOIN df ON df.term = q.term
+       |  CROSS JOIN stats s
+       |), scored AS (
+       |  SELECT qid, doc_id, CAST(SUM(part) AS BIGINT) AS score
+       |  FROM hits GROUP BY qid, doc_id
+       |)
+       |SELECT qid, doc_id, score, rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |            ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $Bm25K""".stripMargin) { (spark, dir) =>
+    val (nDocs, tTokens) = bm25Stats(spark, dir)
+    val idx = bm25PrunedIndex(spark, dir)
+    val qterms = bm25RareIndex(spark, dir)
+      .filter(col("doc_id") % Bm25QueryMod === 0)
+      .select(col("doc_id").as("qid"), col("term"))
+    val hits = idx.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("t_tokens", lit(tTokens))
+      .select(col("qid"), col("doc_id"), bm25PartCol)
+    val scored = hits.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("part")).as("score"))
+    scored.withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rnk") <= Bm25K)
+      .select("qid", "doc_id", "score", "rnk")
+  }
+
   /** Stateless streaming BM25 probe: arriving query docs explode to
     * their distinct rare terms map-side and broadcast-join the standing
     * index — no state store, no stream-side shuffle before the sink.

@@ -1,8 +1,8 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.lit
-import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions.{col, lit}
+import graft.operators.{Dedup, Similarity, TextOps}
 
 /** Dev harness (not part of the engine surface): the scale soak behind
   * PERF.md's candidate-growth table — for each scale-factor dir,
@@ -62,7 +62,22 @@ object SoakCandidates {
           Similarity.quantized(spark, dir).withColumn("label", lit(0)))
           .count(),
         "semdedup" -> Similarity.semdedupOrderedPairs(
-          Similarity.semdedupAssign(spark, dir)).count())
+          Similarity.semdedupAssign(spark, dir)).count(),
+        // BM25 match-log rows (query terms x matched postings) — the
+        // volume the one real shuffle carries; population = docs.
+        // NOTE: near-degenerate on the synthetic 10x corpus (its 31-word
+        // vocabulary has ONE >=7-char term), same closed-vocabulary
+        // saturation caveat as ngram.
+        "bm25" -> TextOps.bm25ProbeRows(spark, dir,
+          graft.Tables.documents(spark, dir)
+            .filter(col("doc_id") % TextOps.Bm25QueryMod === 0)).count(),
+        // impact-pruned sibling: candidates bounded by |qterms| * P
+        "bm25pruned" -> TextOps.bm25PrunedIndex(spark, dir)
+          .join(org.apache.spark.sql.functions.broadcast(
+            TextOps.bm25RareIndex(spark, dir)
+              .filter(col("doc_id") % TextOps.Bm25QueryMod === 0)
+              .select(col("doc_id").as("qid"), col("term"))), Seq("term"))
+          .filter(col("doc_id") =!= col("qid")).count())
       val truth = Map(
         "minhash" -> Dedup.minhashLsh.build(spark, dir).count(),
         "simhash" -> Dedup.simhash.build(spark, dir).count(),
@@ -73,7 +88,20 @@ object SoakCandidates {
         "fuzzybest" -> Dedup.fuzzyBest.build(spark, dir).count(),
         "incremental" -> Dedup.incrementalMatches(spark, dir).count(),
         "knn" -> Similarity.knnGraph.build(spark, dir).count(),
-        "semdedup" -> Similarity.semdedup.build(spark, dir).count())
+        "semdedup" -> Similarity.semdedup.build(spark, dir).count(),
+        "bm25" -> TextOps.bm25.build(spark, dir).count(),
+        "bm25pruned" -> TextOps.bm25Pruned.build(spark, dir).count())
+      // broadcastability of the standing BM25 index: rare-term postings
+      // as a fraction of all (doc, term) postings
+      val allPostings = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.lower(
+              org.apache.spark.sql.functions.trim(col("text"))), "\\s+"))
+          .as("term")).distinct().count()
+      val idxRows = TextOps.bm25RareIndex(spark, dir).count()
+      println(f"[soak] $dir bm25 index: $idxRows rows of $allPostings postings " +
+        f"(${100.0 * idxRows / math.max(allPostings, 1)}%.1f%%)")
       val r = Row(dir, docs, parts, vecs, cand, truth)
       println(s"[soak] ${r.dir}: docs=${r.docs} parts=${r.parts} " +
         s"vecs=${r.vecs} " +

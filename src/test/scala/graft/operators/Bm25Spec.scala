@@ -41,6 +41,28 @@ class Bm25Spec extends SparkSpec {
       "rank-1 doc shares no rare term with its query")
   }
 
+  test("pruned sibling: postings capped per term, rank-1 preserved") {
+    // the scale contract: every term keeps at most P postings, so
+    // per-query candidates are bounded by |query terms| * P at ANY
+    // corpus size (the soak-measured fix for the unpruned log's ~2.1
+    // growth exponent)
+    val perTerm = TextOps.bm25PrunedIndex(spark, sf001)
+      .groupBy("term").count()
+    assert(perTerm.filter(col("count") > TextOps.Bm25PrunePostings).isEmpty,
+      s"a term kept more than ${TextOps.Bm25PrunePostings} postings")
+    // pruning must not change who wins: rank-1 agreement with the
+    // unpruned op (measured 1.0 at sf0.001/sf0.01/sf0.1; pinned lower)
+    val full = out.filter(col("rnk") === 1)
+      .select("qid", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pruned = TextOps.bm25Pruned.build(spark, sf001)
+      .filter(col("rnk") === 1).select("qid", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = full.keys.count(q => pruned.get(q).contains(full(q)))
+    assert(agree.toDouble / full.size >= 0.9,
+      s"rank-1 agreement $agree/${full.size} below the 0.9 floor")
+  }
+
   test("plan: queries broadcast into postings; window over aggregates only") {
     val p = out.queryExecution.executedPlan.toString
     val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
