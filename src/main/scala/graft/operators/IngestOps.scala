@@ -76,4 +76,91 @@ object IngestOps {
       sum(col("loose_price_cents")).as("sum_cents"),
       count(when(col("loose_price_cents").isNull, 1)).as("n_unparsed"))
   }
+
+  /** JSONL ingest with corrupt-line quarantine — the interchange format
+    * of large-scale text corpora (C4, The Pile, RedPajama all ship as
+    * JSON lines; the reference's closest shape is its tolerant JSON
+    * payload parse, 02_normalize_scryfall_prices.js:82-88). Every
+    * [[JsonlCorruptMod]]-th line of the staged feed is deliberately
+    * malformed; the reader must parse the rest with an EXPLICIT schema
+    * (nested `meta` struct — no schema inference, which at 100 TB means
+    * a full extra pass over the data), keep malformed lines as null
+    * structs instead of failing the job (the reference's tolerant-parse
+    * semantics at source level), and account for every quarantined
+    * line.
+    *
+    * The staged fixture is a pure function of `documents` (same
+    * listing-signature reuse as the CSV fixture), so the oracle
+    * recomputes the identical per-lang aggregate straight from parquet.
+    */
+  val JsonlCorruptMod = 97
+
+  val jsonlIngest: Op = Op(
+    "q_jsonl_ingest",
+    s"""WITH good AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |         CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+       |  FROM documents WHERE doc_id % $JsonlCorruptMod <> 0 GROUP BY lang
+       |), bad AS (
+       |  SELECT '_corrupt' AS lang, COUNT(*) AS n_docs,
+       |         CAST(0 AS BIGINT) AS sum_chars
+       |  FROM documents WHERE doc_id % $JsonlCorruptMod = 0
+       |)
+       |SELECT * FROM good UNION ALL SELECT * FROM bad""".stripMargin) {
+    (spark, dir) =>
+    val jsonDir = SinkOps.stagingDir(dir, "jsonl")
+    val marker = new org.apache.hadoop.fs.Path(s"$jsonDir/_SUCCESS")
+    val sigPath = new org.apache.hadoop.fs.Path(s"$jsonDir/_SRC_SIG")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // :v2 — fixture layout version: bump to invalidate staged dirs
+    // when the generator changes (the signature otherwise only tracks
+    // the SOURCE listing)
+    val srcSig = graft.sources.RunLog
+      .sourceSignature(spark, dir, "documents.parquet") + ":v2"
+    val fixtureValid = fs.exists(marker) && fs.exists(sigPath) && {
+      val in = fs.open(sigPath)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) == srcSig
+      finally in.close()
+    }
+    if (!fixtureValid) {
+      Tables.documents(spark, dir).select(
+          when(col("doc_id") % JsonlCorruptMod === 0,
+            // malformed from the FIRST byte (bare token before the
+            // object): PERMISSIVE from_json must fail the whole line —
+            // a tail-truncated object would be kept PARTIALLY (doc_id
+            // parsed, meta null), which is type-mismatch salvage, not
+            // quarantine
+            concat(lit("TRUNC{\"doc_id\": "), col("doc_id"), lit("}")))
+          .otherwise(to_json(struct(col("doc_id"),
+            struct(col("lang"), col("source")).as("meta"),
+            col("text"))))
+          .as("value"))
+        .write.mode("overwrite").text(jsonDir)
+      val out = fs.create(sigPath, true)
+      try out.write(srcSig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // text + from_json rather than the json source: Spark refuses a
+    // query that touches ONLY the corrupt-record column of a raw JSON
+    // scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and from_json keeps the
+    // same explicit-schema contract — a malformed line parses to an
+    // ALL-NULL struct (PERMISSIVE never fails the job) and the raw line
+    // stays in `value` for quarantine. Every valid feed line carries
+    // doc_id by contract, so `doc_id IS NULL` IS the quarantine test.
+    val parsed = spark.read.text(jsonDir)
+      .select(col("value"), from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, meta STRUCT<lang: STRING, source: STRING>, " +
+            "text STRING")).as("r"))
+    val good = parsed.filter(col("r.doc_id").isNotNull)
+      .groupBy(col("r.meta.lang").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("r.text"))).as("sum_chars"))
+    val bad = parsed.filter(col("r.doc_id").isNull)
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit("_corrupt").as("lang"), col("n_docs"),
+        lit(0L).as("sum_chars"))
+    good.unionByName(bad)
+  }
 }
