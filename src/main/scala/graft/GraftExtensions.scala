@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{LongArrayDot, PackedBagDistance, PackedLetterBag, StringRollingHash}
+import graft.expressions.{LongArrayDot, PackedBagDistance, PackedLetterBag, StringRollingHash, TopKAgg}
 
 /** Engine extension point, installed the documented production way:
   *
@@ -51,6 +51,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("graft_bag_dist", 2, children)
         PackedBagDistance(children(0), children(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        arity("graft_topk", 2, children)
+        val k = children(1) match {
+          case e if e.foldable && e.dataType ==
+            org.apache.spark.sql.types.IntegerType =>
+            val v = e.eval(null)
+            if (v == null) throw new IllegalArgumentException(
+              "graft_topk: k must not be null")
+            v.asInstanceOf[Int]
+          case _ => throw new IllegalArgumentException(
+            "graft_topk: k must be a literal INT")
+        }
+        TopKAgg(children.head, k)
       }))
     e.injectFunction((
       FunctionIdentifier("graft_fingerprint"),

@@ -328,6 +328,40 @@ object Analytics {
     partrev.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
   }
 
+  /** The same top-3-per-brand contract through the engine's native
+    * bounded-heap aggregate [[graft.expressions.TopKAgg]] instead of a
+    * window: `graft_topk(struct(revenue_cents, -p_partkey), 3)` keeps a
+    * 3-element min-heap per group with PARTIAL aggregation — each
+    * mapper ships at most 3 rows per (mapper, brand) into the shuffle
+    * and the plan contains no Window operator at all (spec-gated).
+    * The negated tiebreak makes "largest struct" = (revenue DESC,
+    * partkey ASC), exactly the oracle's ROW_NUMBER ordering.
+    */
+  val topKNative: Op = Op("q_topk_native", topKPerGroup.oracle.get) {
+    (spark, dir) =>
+    val partrev = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(centsOf(col("l_extendedprice"))).as("revenue_cents"))
+    if (!spark.catalog.functionExists("graft_topk")) {
+      // vanilla session: same contract through the window form
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("revenue_cents").desc, col("p_partkey").asc)
+      partrev.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+    } else {
+      partrev.groupBy(col("p_brand"))
+        .agg(call_function("graft_topk",
+          struct(col("revenue_cents"), (-col("p_partkey")).as("neg_pk")),
+          lit(3)).as("top"))
+        .select(col("p_brand"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("p_brand"),
+          (-col("t.neg_pk")).as("p_partkey"),
+          col("t.revenue_cents").as("revenue_cents"),
+          (col("pos") + 1).as("rk"))
+    }
+  }
+
   /** S5/P9/F23: schema-on-read JSON — key-existence filter + typed
     * extraction from a JSON string column (ref `payload ? 'prices'` and
     * `->>`, 02_normalize:82-88). `get_json_object` returns NULL on
