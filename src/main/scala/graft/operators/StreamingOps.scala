@@ -145,6 +145,28 @@ object StreamingOps {
       EventStream.runAnnProbeToMemory(spark, dir, "q_stream_ann_mem"))
   }
 
+  /** Exactly-once streaming commit: the events rollup built from
+    * per-micro-batch deltas published through the transactional
+    * manifest store with version = batchId + 1 (replayed batches
+    * no-op against their committed manifest — see
+    * [[graft.sources.TxStore.commitStreamBatch]]). The oracle is the
+    * plain batch rollup: the store's union of deltas must equal it
+    * EXACTLY, which it only can if no batch is ever lost or doubled. */
+  val streamTx: Op = Op(
+    "q_stream_tx",
+    """SELECT CAST(ts AS DATE) AS day, event_type,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val root = SinkOps.stagingDir(dir, "stream_tx")
+    EventStream.runTxRollup(spark, dir, root)
+    graft.sources.TxCommit.readAll(spark, root, "rollup",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "day DATE, event_type STRING, n BIGINT, value_cents BIGINT"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("value_cents")).as("value_cents"))
+  }
+
   /** Streaming BM25 probe ≡ the batch retrieval op — the SAME oracle as
     * [[TextOps.bm25]]: every query doc arrives on the stream, probes the
     * standing rare-term index statelessly, and the batch rollup

@@ -140,6 +140,22 @@ object TxCommit {
     spark.read.parquet(path)
   }
 
+  /** Union a named output across EVERY committed version — the log-of-
+    * appends reading mode (each version's data stands alone, the store
+    * is their union), used by the exactly-once streaming sink where
+    * version v holds micro-batch v-1's delta. Versions missing the
+    * output contribute nothing. Empty store → empty frame of `schema`.
+    */
+  def readAll(spark: SparkSession, root: String, output: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val paths = versions(spark, root)
+      .flatMap(v => manifest(spark, root, v).get(output))
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
   /** Drop manifests and data dirs older than the last `keep` committed
     * versions, plus ORPHANED staging dirs — dirs staged by transactions
     * that crashed or lost their version race (per-transaction staging

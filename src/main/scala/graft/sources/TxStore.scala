@@ -117,4 +117,31 @@ object TxStore {
     require(paths.nonEmpty, s"no committed '$prefix/*' outputs at $root")
     spark.read.parquet(paths: _*)
   }
+
+  /** Exactly-once micro-batch commit: publish `batch` as the delta of
+    * Structured Streaming micro-batch `batchId`, idempotently.
+    *
+    * foreachBatch is AT-LEAST-ONCE — after a crash the restarted query
+    * re-delivers the last unacknowledged batch with the SAME batchId.
+    * Pinning the transaction version to batchId + 1 turns the commit
+    * manifest into the acknowledgment: a replayed batch finds its
+    * version already committed and skips (returns false, stages
+    * nothing), and a zombie racing a live committer on the same version
+    * loses the rename-if-absent and its staging dir becomes a vacuum
+    * orphan. Either way version v holds EXACTLY one copy of batch v-1
+    * — the Delta-sink `txnVersion` idempotence protocol on this
+    * engine's own manifest store. Read the store with
+    * [[TxCommit.readAll]] (the union of per-batch deltas).
+    */
+  def commitStreamBatch(spark: SparkSession, root: String, batchId: Long,
+      output: String, batch: DataFrame): Boolean = {
+    val version = batchId + 1
+    if (TxCommit.versions(spark, root).contains(version)) false
+    else {
+      val txn = TxCommit.Txn(root, version,
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+      batch.write.mode("overwrite").parquet(txn.stage(output))
+      TxCommit.commit(spark, txn, Map(output -> txn.stage(output)))
+    }
+  }
 }

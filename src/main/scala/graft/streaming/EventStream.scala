@@ -138,6 +138,57 @@ object EventStream {
     q.stop()
   }
 
+  /** Exactly-once streaming rollup into the transactional store: each
+    * micro-batch's (day, event_type) delta commits through
+    * [[graft.sources.TxStore.commitStreamBatch]] with version pinned to
+    * batchId + 1, so a crash-replayed batch is detected by its already-
+    * committed manifest and skipped — at-least-once foreachBatch
+    * squeezed to exactly-once by the store, not the source. The runner
+    * is deliberately one-shot with a scratch checkpoint: a RE-invocation
+    * replays the source from batch 0 and every commit no-ops against
+    * the standing manifests (idempotence doing the work a long-lived
+    * query's offset log would). The store wipes when the SOURCE listing
+    * signature changes — regenerated testdata must not reconcile
+    * against a stale log.
+    */
+  def runTxRollup(spark: SparkSession, dir: String, root: String): Unit =
+    withStreamShuffle(spark) {
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val sigPath = new org.apache.hadoop.fs.Path(s"$root/_SRC_SIG")
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val srcSig = graft.sources.RunLog
+        .sourceSignature(spark, dir, "events.parquet")
+      val sigOk = fs.exists(sigPath) && {
+        val in = fs.open(sigPath)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) == srcSig
+        finally in.close()
+      }
+      if (!sigOk) {
+        fs.delete(rootPath, true)
+        fs.mkdirs(rootPath)
+        val out = fs.create(sigPath, true)
+        try out.write(srcSig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      val stream = eventsStream(spark, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      withScratchCheckpoint { ckpt =>
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val rollup = batch.groupBy(col("day"), col("event_type"))
+              .agg(count(lit(1)).as("n"), sum(col("cents")).as("value_cents"))
+            graft.sources.TxStore.commitStreamBatch(
+              spark, root, batchId, "rollup", rollup): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+    }
+
   /** Run `body` with a fresh checkpoint dir on the machine's tmpfs
     * (fallback: java.io.tmpdir — Spark's own default for memory-sink
     * temp checkpoints), deleted afterwards. The checkpoint of a bounded
