@@ -52,7 +52,16 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures a bounded stdout tail; with 100+ queries the JSON
+    // line can exceed it and arrive truncated (round 5 recorded parsed:null).
+    // Persist the same line to a file so the full bench always survives.
+    try {
+      val w = new java.io.PrintWriter("BENCH_SELF.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -620,6 +620,69 @@ object Curation {
       PackBudget)
   }
 
+  /** Temperature-flattened source mixing, α = 1/2 — the multilingual /
+    * multi-source rebalancing rule of mC4 and XLM-R (sample source i
+    * with probability ∝ pᵢ^α): where [[mixAssembly]] equalizes token
+    * share outright (the α → 0 limit), this compresses shares toward
+    * uniform while keeping their order, so low-resource sources are
+    * upweighted without drowning the head.
+    *
+    * Engine-portable arithmetic: the per-source weight is the INTEGER
+    * floor(sqrt(src_tokens)·1000) — summing doubles across sources
+    * would make Σw order-dependent, summing BIGINTs is exact, and the
+    * ×1000 scale keeps the truncation ~1e-5 relative so near-equal
+    * sources still compress strictly — and the factor
+    * qᵢ/pᵢ = (wᵢ·T)/(Σw·tᵢ) is two exact-int products and one IEEE
+    * division, identical in both engines. Fractional copies resolve by
+    * the same deterministic id-hash lottery as [[mixAssembly]]. One
+    * corpus scan; factors live on a #sources-row aggregate and
+    * broadcast back. */
+  val temperatureMix: Op = Op(
+    "q_temperature_mix",
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |  FROM documents
+       |), s AS (
+       |  SELECT source, SUM(n_tokens) AS src_tokens FROM d GROUP BY source
+       |), w AS (
+       |  SELECT source, src_tokens,
+       |         CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) * 1000) AS BIGINT) AS wgt
+       |  FROM s
+       |), f AS (
+       |  SELECT source,
+       |         (CAST(wgt AS DOUBLE) * CAST(SUM(src_tokens) OVER () AS DOUBLE))
+       |           / (CAST(SUM(wgt) OVER () AS DOUBLE) * CAST(src_tokens AS DOUBLE)) AS factor
+       |  FROM w
+       |)
+       |SELECT d.doc_id, d.source, d.n_tokens, f.factor,
+       |       CAST(floor(f.factor) AS BIGINT)
+       |         + CASE WHEN CAST($idBucketSql AS DOUBLE)
+       |                     < (f.factor - floor(f.factor)) * 100
+       |                THEN 1 ELSE 0 END AS n_copies
+       |FROM d JOIN f ON d.source = f.source""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        bpeishTokenCount(col("text")).as("n_tokens"))
+    val bySrc = d.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("wgt",
+        floor(sqrt(col("src_tokens").cast("double")) * 1000).cast("long"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val factors = bySrc.select(col("source"),
+      ((col("wgt").cast("double") *
+        sum(col("src_tokens")).over(wAll).cast("double"))
+        / (sum(col("wgt")).over(wAll).cast("double")
+          * col("src_tokens").cast("double"))).as("factor"))
+    val frac = col("factor") - floor(col("factor")).cast("double")
+    d.join(broadcast(factors), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("factor"),
+        (floor(col("factor")) +
+          when(idBucket(col("doc_id")).cast("double") < frac * 100, 1L)
+            .otherwise(0L)).as("n_copies"))
+  }
+
   /** [[packSequences]] kernel over (doc_id, source, n_tokens) rows. */
   def packByPrefixSum(d: org.apache.spark.sql.DataFrame, budget: Long)
       : org.apache.spark.sql.DataFrame = {

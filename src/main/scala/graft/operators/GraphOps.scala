@@ -272,6 +272,76 @@ object GraphOps {
     * each lazy reference would re-run the basket → pair-explode → count
     * pipeline (measured: 27 Exchanges in triangleCount's uncheckpointed
     * plan). */
+  /** k-core peel depth and threshold. 3 rounds of k=3 peeling — the
+    * same bounded-iteration contract as [[communities]]/[[pagerank]]
+    * (a fixed unrollable round count keeps the DuckDB oracle exact);
+    * [[GraphOpsSpec]] checks the corpus actually CONVERGES within the
+    * budget, so the bound is not silently truncating the fixpoint. */
+  val KcoreK = 3
+  val KcoreRounds = 3
+
+  /** k-core decomposition (bounded peel) — the graph-trio's density
+    * filter: iteratively drop nodes with degree < k, keeping only the
+    * subgraph where every survivor has ≥ k surviving neighbors (the
+    * dense backbone used to focus expensive analytics — triangle /
+    * community work — on the part of the graph that can have
+    * structure). Per round: ONE map-combinable degree aggregate over
+    * the current edge set + two semi-joins filtering edges to
+    * surviving endpoints; iterates stay lazy ([[pagerank]]'s device),
+    * the static start is the localCheckpointed co-purchase edge list.
+    * Output: surviving nodes with their degree inside the peeled
+    * subgraph. */
+  val kcore: Op = Op(
+    "q_kcore",
+    s"""WITH p AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), e0 AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM p a JOIN p b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |), ed0 AS (
+       |  SELECT a AS src, b AS dst FROM e0
+       |  UNION ALL SELECT b, a FROM e0
+       |), a1 AS (
+       |  SELECT src FROM ed0 GROUP BY src HAVING COUNT(*) >= $KcoreK
+       |), ed1 AS (
+       |  SELECT src, dst FROM ed0
+       |  WHERE src IN (SELECT src FROM a1) AND dst IN (SELECT src FROM a1)
+       |), a2 AS (
+       |  SELECT src FROM ed1 GROUP BY src HAVING COUNT(*) >= $KcoreK
+       |), ed2 AS (
+       |  SELECT src, dst FROM ed1
+       |  WHERE src IN (SELECT src FROM a2) AND dst IN (SELECT src FROM a2)
+       |), a3 AS (
+       |  SELECT src FROM ed2 GROUP BY src HAVING COUNT(*) >= $KcoreK
+       |), ed3 AS (
+       |  SELECT src, dst FROM ed2
+       |  WHERE src IN (SELECT src FROM a3) AND dst IN (SELECT src FROM a3)
+       |)
+       |SELECT src AS node, COUNT(*) AS deg FROM ed3 GROUP BY 1""".stripMargin) {
+    (spark, dir) =>
+    val und = copurchaseEdges(spark, dir)
+    kcoreOf(und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst"))),
+      KcoreK, KcoreRounds)
+  }
+
+  /** [[kcore]] kernel over a SYMMETRIC (src, dst) edge frame. */
+  def kcoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var ed = edges
+    for (_ <- 1 to rounds) {
+      val alive = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src"))
+      ed = ed
+        .join(alive, Seq("src"), "left_semi")
+        .join(alive.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+    }
+    ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   private[graft] def copurchaseEdges(
       spark: SparkSession, dir: String): DataFrame = {
     val baskets = graft.Tables.lineitem(spark, dir)

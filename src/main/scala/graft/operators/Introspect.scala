@@ -180,4 +180,118 @@ object Introspect {
         max(col("l_extendedprice")).as("max_price"),
         sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"))
   }
+
+  /** Data-quality expectation suite (the deequ/Delta-expectations
+    * shape): validate an incoming batch against declared constraints —
+    * null rate, key uniqueness, enum domain, value range, referential
+    * integrity — and emit one verdict row per check with exact
+    * violation counts.
+    *
+    * The reference enforces these imperatively row-by-row at ingest
+    * (scripts/pricing/01_import_pricecharting_csv.js:96-118 skips rows
+    * with missing ids/names; its schema relies on PG constraints); at
+    * 100 TB constraint checking must instead be a declarative batch
+    * job with ONE scan for every row-local check — here all four
+    * row-local checks fuse into a single map-side-combinable aggregate
+    * (plan-gated in [[DqChecksSpec]]) — plus one anti-join per
+    * referential check with the dimension side broadcast.
+    *
+    * The validated batch is `orders` plus a crafted bad batch (negative
+    * keys, so it cannot collide) carrying exactly one violation of each
+    * kind; the oracle replays the same UNION ALL, so every check is
+    * exercised with n_violations > 0 rather than vacuously green. */
+  val dqChecks: Op = Op(
+    "q_dq_checks",
+    """WITH batch AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+      |  UNION ALL SELECT -1, NULL, 'O', 100.0
+      |  UNION ALL SELECT -2, 1, 'X', 100.0
+      |  UNION ALL SELECT -3, 1, 'O', -50.0
+      |  UNION ALL SELECT -4, 1, 'O', 100.0
+      |  UNION ALL SELECT -4, 1, 'O', 100.0
+      |  UNION ALL SELECT -5, -999999, 'O', 100.0
+      |), rowlocal AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |         COUNT(*) FILTER (WHERE o_custkey IS NULL) AS n_null_cust,
+      |         COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS n_bad_status,
+      |         COUNT(*) FILTER (WHERE o_totalprice <= 0) AS n_nonpos,
+      |         COUNT(DISTINCT o_orderkey) AS n_distinct_pk,
+      |         COUNT(o_custkey) AS n_custkey
+      |  FROM batch
+      |), orphan AS (
+      |  SELECT COUNT(*) AS n FROM batch b
+      |  WHERE b.o_custkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = b.o_custkey)
+      |)
+      |SELECT 'null_custkey' AS check_name, n_null_cust AS n_violations,
+      |       n_rows AS n_checked, n_null_cust = 0 AS passed FROM rowlocal
+      |UNION ALL
+      |SELECT 'invalid_status', n_bad_status, n_rows, n_bad_status = 0 FROM rowlocal
+      |UNION ALL
+      |SELECT 'nonpositive_totalprice', n_nonpos, n_rows, n_nonpos = 0 FROM rowlocal
+      |UNION ALL
+      |SELECT 'duplicate_orderkey', n_rows - n_distinct_pk, n_rows,
+      |       n_rows = n_distinct_pk FROM rowlocal
+      |UNION ALL
+      |SELECT 'fk_orphan_custkey', orphan.n, rowlocal.n_custkey, orphan.n = 0
+      |FROM orphan, rowlocal""".stripMargin) { (spark, dir) =>
+    val batch = dqBatch(spark, dir)
+    val rl = batch.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("o_custkey").isNull, 1)).as("n_null_cust"),
+      count(when(!col("o_orderstatus").isin("O", "F", "P"), 1))
+        .as("n_bad_status"),
+      count(when(col("o_totalprice") <= 0, 1)).as("n_nonpos"),
+      countDistinct(col("o_orderkey")).as("n_distinct_pk"),
+      count(col("o_custkey")).as("n_custkey"))
+    val orphans = batch
+      .filter(col("o_custkey").isNotNull)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    // ONE stats row (row-local aggregate × broadcast orphan count),
+    // exploded into the five verdict rows — the batch is scanned once
+    // for every row-local check and once for the referential one,
+    // never per check
+    def v(name: String, viol: org.apache.spark.sql.Column,
+        checked: org.apache.spark.sql.Column) =
+      struct(lit(name).as("check_name"), viol.as("n_violations"),
+        checked.as("n_checked"))
+    rl.crossJoin(broadcast(orphans))
+      .select(explode(array(
+        v("null_custkey", col("n_null_cust"), col("n_rows")),
+        v("invalid_status", col("n_bad_status"), col("n_rows")),
+        v("nonpositive_totalprice", col("n_nonpos"), col("n_rows")),
+        v("duplicate_orderkey",
+          col("n_rows") - col("n_distinct_pk"), col("n_rows")),
+        v("fk_orphan_custkey", col("n_orphans"), col("n_custkey"))))
+        .as("c"))
+      .select(col("c.check_name").as("check_name"),
+        col("c.n_violations").as("n_violations"),
+        col("c.n_checked").as("n_checked"),
+        (col("c.n_violations") === 0).as("passed"))
+  }
+
+  /** The validated batch: `orders` + the crafted bad batch (one
+    * violation of each kind, negative keys so they cannot collide). */
+  private[operators] def dqBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    // one LocalRelation, not six single-row unions: Catalyst pushes the
+    // referential anti-join into every union branch, so per-row frames
+    // would each re-probe the dimension table
+    val bad = Seq(
+      (-1L, None: Option[Long], "O", 100.0),
+      (-2L, Some(1L), "X", 100.0),
+      (-3L, Some(1L), "O", -50.0),
+      (-4L, Some(1L), "O", 100.0),
+      (-4L, Some(1L), "O", 100.0),
+      (-5L, Some(-999999L), "O", 100.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .union(bad)
+  }
 }

@@ -384,4 +384,144 @@ object SinkOps {
         (col("logged_count") === col("n_rows") && col("n_log_rows") >= 1)
           .as("log_count_matches"))
   }
+
+  /** Time travel through the commit manifest — the read-side payoff of
+    * the S12 transaction protocol ([[graft.sources.TxCommit]]): commit
+    * a per-priority aggregate BEFORE a delta batch lands (base slice,
+    * o_orderkey % 10 ≠ 0), commit again after, then read BOTH versions
+    * — v_old through `readAsOf`, v_new through the latest manifest —
+    * and reconcile them side by side. The old version's rows are
+    * untouched by the new commit (old manifests resolve the exact data
+    * dirs that were live then; commits never mutate, they add), which
+    * is what makes audit/debug/reproduce-yesterday's-training-set
+    * queries O(manifest read) at any table size.
+    *
+    * Reference anchor: the reference's snapshots table keeps only
+    * *current* state (UPDATE in place,
+    * 02_normalize_scryfall_prices.js:159-193) — reproducing last week's
+    * valuation needs a restore from backup; the versioned store makes
+    * it one manifest lookup. */
+  val timeTravel: Op = Op(
+    "q_time_travel",
+    """WITH oldv AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n_old,
+      |         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents_old
+      |  FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY 1
+      |), newv AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n_new,
+      |         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents_new
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT newv.o_orderpriority, n_old, cents_old, n_new, cents_new,
+      |       n_new - n_old AS n_added
+      |FROM newv JOIN oldv USING (o_orderpriority)""".stripMargin) {
+    (spark, dir) =>
+    import graft.sources.TxCommit
+    val root = stagingDir(dir, "timetravel")
+    deleteDir(spark, root)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val orders = Tables.orders(spark, dir)
+    val t1 = TxCommit.begin(spark, root)
+    agg(orders.filter(col("o_orderkey") % 10 =!= 0))
+      .write.mode("overwrite").parquet(t1.stage("stats"))
+    require(TxCommit.commit(spark, t1, Map("stats" -> t1.stage("stats"))))
+    val t2 = TxCommit.begin(spark, root)
+    agg(orders).write.mode("overwrite").parquet(t2.stage("stats"))
+    require(TxCommit.commit(spark, t2, Map("stats" -> t2.stage("stats"))))
+    val vOld = TxCommit.versions(spark, root).head
+    val old = TxCommit.readAsOf(spark, root, "stats", vOld)
+      .select(col("o_orderpriority"), col("n").as("n_old"),
+        col("cents").as("cents_old"))
+    val latest = TxCommit.read(spark, root, "stats")
+      .select(col("o_orderpriority"), col("n").as("n_new"),
+        col("cents").as("cents_new"))
+    latest.join(broadcast(old), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_old"), col("cents_old"),
+        col("n_new"), col("cents_new"),
+        (col("n_new") - col("n_old")).as("n_added"))
+  }
+
+  /** Change feed between two committed versions (the `table_changes` /
+    * CDC-read surface — the producer twin of `q_cdc_apply`, which
+    * CONSUMES a change stream): diff the keyed snapshot at v_old
+    * against v_new into (key, change_type, old/new values) rows via
+    * ONE full-outer join of the two manifest-resolved states —
+    * new-only → insert, old-only → delete, both-but-different →
+    * update; unchanged rows never reach the feed. At 100 TB both
+    * sides are manifest-pruned scans and the join shuffles only the
+    * two snapshots being compared (never history); day-partitioned
+    * stores prune further to partitions the manifests disagree on.
+    *
+    * The fixture commits part prices (v1 = all parts at list price;
+    * v2 = every 3rd repriced +5¢, every 11th-not-3rd retired, three
+    * new negative-key parts), so all three change types appear. The
+    * reference updates prices in place and keeps no feed
+    * (02_normalize_scryfall_prices.js:159-193) — downstream consumers
+    * must re-diff full snapshots, exactly what this op renders
+    * unnecessary. */
+  val changeFeed: Op = Op(
+    "q_change_feed",
+    """WITH oldv AS (
+      |  SELECT p_partkey AS k, CAST(ROUND(p_retailprice*100) AS BIGINT) AS v
+      |  FROM part
+      |), newv AS (
+      |  SELECT p_partkey AS k, CAST(ROUND(p_retailprice*100) AS BIGINT) + 5 AS v
+      |  FROM part WHERE p_partkey % 3 = 0
+      |  UNION ALL
+      |  SELECT p_partkey, CAST(ROUND(p_retailprice*100) AS BIGINT)
+      |  FROM part WHERE p_partkey % 3 <> 0 AND p_partkey % 11 <> 0
+      |  UNION ALL SELECT -1, 101
+      |  UNION ALL SELECT -2, 202
+      |  UNION ALL SELECT -3, 303
+      |)
+      |SELECT COALESCE(o.k, n.k) AS k,
+      |       CASE WHEN o.k IS NULL THEN 'insert'
+      |            WHEN n.k IS NULL THEN 'delete'
+      |            ELSE 'update' END AS change_type,
+      |       o.v AS v_old, n.v AS v_new
+      |FROM oldv o FULL OUTER JOIN newv n ON o.k = n.k
+      |WHERE o.k IS NULL OR n.k IS NULL OR o.v <> n.v""".stripMargin) {
+    (spark, dir) =>
+    import graft.sources.TxCommit
+    import spark.implicits._
+    val root = stagingDir(dir, "changefeed")
+    deleteDir(spark, root)
+    val prices = Tables.part(spark, dir)
+      .select(col("p_partkey").as("k"),
+        round(col("p_retailprice") * 100).cast("long").as("v"))
+    val t1 = TxCommit.begin(spark, root)
+    prices.write.mode("overwrite").parquet(t1.stage("prices"))
+    require(TxCommit.commit(spark, t1, Map("prices" -> t1.stage("prices"))))
+    val v2state = prices.filter(col("k") % 3 === 0)
+      .select(col("k"), (col("v") + 5).as("v"))
+      .unionByName(prices.filter(col("k") % 3 =!= 0 && col("k") % 11 =!= 0))
+      .unionByName(Seq((-1L, 101L), (-2L, 202L), (-3L, 303L)).toDF("k", "v"))
+    val t2 = TxCommit.begin(spark, root)
+    v2state.write.mode("overwrite").parquet(t2.stage("prices"))
+    require(TxCommit.commit(spark, t2, Map("prices" -> t2.stage("prices"))))
+    val vOld = TxCommit.versions(spark, root).head
+    changesBetween(
+      TxCommit.readAsOf(spark, root, "prices", vOld),
+      TxCommit.read(spark, root, "prices"))
+  }
+
+  /** [[changeFeed]] kernel: diff two (k, v) snapshots into change rows. */
+  def changesBetween(
+      oldState: org.apache.spark.sql.DataFrame,
+      newState: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val o = oldState.select(col("k").as("ok"), col("v").as("v_old"))
+    val n = newState.select(col("k").as("nk"), col("v").as("v_new"))
+    o.join(n, col("ok") === col("nk"), "full_outer")
+      .filter(col("ok").isNull || col("nk").isNull ||
+        col("v_old") =!= col("v_new"))
+      .select(coalesce(col("ok"), col("nk")).as("k"),
+        when(col("ok").isNull, "insert")
+          .when(col("nk").isNull, "delete")
+          .otherwise("update").as("change_type"),
+        col("v_old"), col("v_new"))
+  }
 }

@@ -140,6 +140,18 @@ object TxCommit {
     spark.read.parquet(path)
   }
 
+  /** Time travel: read a named output AS OF a specific committed
+    * version — the version's manifest resolves the exact data dirs
+    * that were live at that commit, untouched by later commits (until
+    * [[vacuum]] retires them). */
+  def readAsOf(spark: SparkSession, root: String, output: String,
+      version: Long): DataFrame = {
+    val m = manifest(spark, root, version)
+    val path = m.getOrElse(output, throw new IllegalArgumentException(
+      s"output '$output' not in manifest v$version (has: ${m.keys.mkString(",")})"))
+    spark.read.parquet(path)
+  }
+
   /** Union a named output across EVERY committed version — the log-of-
     * appends reading mode (each version's data stands alone, the store
     * is their union), used by the exactly-once streaming sink where

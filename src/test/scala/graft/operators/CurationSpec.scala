@@ -26,6 +26,51 @@ class CurationSpec extends SparkSpec {
     assert(enKept / kept < enAll / total)
   }
 
+  test("temperature mix flattens shares toward uniform, preserving order") {
+    val out = Curation.temperatureMix.build(spark, sf001).cache()
+    // per-source BEFORE share vs expected AFTER share (factor·tokens)
+    val by = out.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("t"),
+        sum(col("factor") * col("n_tokens")).as("after"),
+        sum(col("n_copies") * col("n_tokens")).as("copied"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble,
+        r.getDouble(2), r.getLong(3).toDouble))
+    assert(by.length > 1, "need multiple sources for mixing to mean anything")
+    val total = by.map(_._2).sum
+    val totalAfter = by.map(_._3).sum
+    for (pair <- by.sortBy(-_._2).sliding(2) if pair.length == 2) {
+      val Array((_, ti, ai, _), (_, tj, aj, _)) = pair
+      // order preserved…
+      assert(ai / totalAfter >= aj / totalAfter - 1e-12,
+        "temperature must not invert source order")
+      // …but ratios compressed (the α=1/2 property; skip near-ties
+      // where the ~1e-5 integer-weight truncation could mask it)
+      if (ti / tj > 1.001)
+        assert((ai / aj) < (ti / tj) - 1e-12,
+          s"share ratio must compress: after ${ai / aj} vs before ${ti / tj}")
+    }
+    // token budget approximately preserved: expected post-mix tokens == total
+    // up to the integer-sqrt weight truncation; realized copies add the
+    // per-doc lottery rounding on top
+    assert(math.abs(totalAfter - total) / total < 0.02,
+      s"expected post-mix budget drifted: $totalAfter vs $total")
+    val copied = by.map(_._4).sum
+    assert(math.abs(copied - total) / total < 0.05,
+      s"realized copies drifted from budget: $copied vs $total")
+    // low-resource upweighted: the smallest source's factor exceeds the
+    // largest source's factor
+    val fBySrc = out.select(col("source"), col("factor")).distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val smallest = by.minBy(_._2)._1
+    val largest = by.maxBy(_._2)._1
+    assert(fBySrc(smallest) > fBySrc(largest),
+      "temperature must upweight the low-resource source")
+    // determinism
+    val again = Curation.temperatureMix.build(spark, sf001)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    out.unpersist()
+  }
+
   test("train/test split never splits a source (leakage safety)") {
     val s = Curation.trainTestSplit.build(spark, sf001)
     val bySource = s.groupBy(col("source"))

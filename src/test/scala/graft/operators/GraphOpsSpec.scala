@@ -199,4 +199,48 @@ class GraphOpsSpec extends SparkSpec {
     assert(k > 1 && k < com.count(),
       s"expected a nontrivial community structure, got $k communities")
   }
+
+  private def kcore(edges: Seq[(Long, Long)], k: Int, rounds: Int = 3)
+      : Map[Long, Long] = {
+    import spark.implicits._
+    val sym = edges.toDF("src", "dst")
+    val both = sym.unionByName(
+      sym.select(col("dst").as("src"), col("src").as("dst")))
+    GraphOps.kcoreOf(both, k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kcore: star collapses in two peels; clique survives whole") {
+    // star: hub 0 with 5 leaves — leaves die at k=2 round 1, hub
+    // (degree now 0) dies round 2
+    val star = (1L to 5L).map(i => (0L, i))
+    assert(kcore(star, 2) === Map.empty)
+    // 4-clique: every node has degree 3 — the 3-core keeps everything
+    val clique = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    assert(kcore(clique, 3) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("kcore: a tail hanging off a clique peels away without harming it") {
+    // 4-clique + path 3-10-11: 11 dies (deg 1), then 10, then the
+    // bridge endpoint 3 keeps its in-clique degree 3
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 10L), (10L, 11L))
+    assert(kcore(g, 3) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("kcore on the co-purchase graph converges within the round budget") {
+    val got = GraphOps.kcore.build(spark, sf001).cache()
+    // one more peel changes nothing: the bounded contract reached the
+    // true k-core fixpoint on this corpus
+    val und = GraphOps.copurchaseEdges(spark, sf001)
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val more = GraphOps.kcoreOf(sym, GraphOps.KcoreK, GraphOps.KcoreRounds + 1)
+    assert(got.exceptAll(more).isEmpty && more.exceptAll(got).isEmpty,
+      "an extra peel round changed the core — raise KcoreRounds")
+    // every survivor keeps >= k neighbors inside the core
+    assert(got.filter(col("deg") < GraphOps.KcoreK).count() === 0)
+    assert(got.count() > 0, "corpus 3-core must be non-empty")
+    got.unpersist()
+  }
 }

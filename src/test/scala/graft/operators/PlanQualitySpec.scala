@@ -171,6 +171,15 @@ class PlanQualitySpec extends SparkSpec {
       s"expected at most 2 parquet scans, got $scans:\n$p")
   }
 
+  test("temperature mix broadcasts per-source factors over one map pass") {
+    val p = plan(Curation.temperatureMix)
+    assert(p.contains("BroadcastHashJoin"),
+      s"source factors must broadcast:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2,
+      s"expected at most 2 parquet scans, got $scans:\n$p")
+  }
+
   test("doc chunking is a shuffle-free generate in the scan stage") {
     val p = plan(TextOps.docChunks)
     assert(!p.contains("Exchange"),
