@@ -954,15 +954,22 @@ object Similarity {
     refineShortlist(spark, q, queries, adcScores(q, codebook, queries),
       shortlist, k)
 
-  /** Per-session cache of trained PQ indexes: (codebook, codes), both
-    * localCheckpointed. Training the codebook and assigning the corpus
-    * codes is INDEX CONSTRUCTION — in production (FAISS and every
-    * vector store alike) it runs once and is reused across every
-    * search; only the LUT scan + refine is query-time work. Keyed by
-    * session identity so a replaced session rebuilds instead of
-    * touching checkpoints of dead executors. */
+  /** Cache of trained PQ indexes: (codebook, codes). Training the
+    * codebook and assigning the corpus codes is INDEX CONSTRUCTION —
+    * in production (FAISS and every vector store alike) it runs once
+    * and is reused across every search; only the LUT scan + refine is
+    * query-time work. The index is PERSISTED (FAISS's
+    * write_index/read_index split): (codebook, codes) land as parquet
+    * under a staging store guarded by the embeddings source-listing
+    * signature, so a NEW session (or another process) reads the index
+    * back instead of retraining — the session map only memoizes the
+    * store's scan frames. Contract: `dir`'s embeddings table IS the
+    * corpus `q` derives from (both callers hold this); regenerated
+    * testdata invalidates the signature and retrains. */
   private val pqIndexCache = scala.collection.concurrent.TrieMap
     .empty[String, (DataFrame, DataFrame)]
+
+  private[graft] def clearPqIndexCache(): Unit = pqIndexCache.clear()
 
   /** Train-or-reuse the PQ index for (corpus `q`, `steps`, `nc`). */
   def pqTrainedIndex(
@@ -970,11 +977,31 @@ object Similarity {
       nc: Int): (DataFrame, DataFrame) =
     pqIndexCache.getOrElseUpdate(
       s"${System.identityHashCode(spark)}@$dir@$steps@$nc", {
-        val cb = pqTrainedCodebook(q, steps, nc).localCheckpoint()
-        val codes = pqSubspaceAssign(pqSubspaces(q), cb, nc)
-          .select(col("vec_id"), col("m"), expr(s"k % $nc").as("cid"))
-          .localCheckpoint()
-        (cb, codes)
+        val store = SinkOps.stagingDir(dir, s"pq_index_${steps}_$nc")
+        val sigPath = new org.apache.hadoop.fs.Path(s"$store/_SRC_SIG")
+        val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val srcSig = graft.sources.RunLog
+          .sourceSignature(spark, dir, "embeddings.parquet") + ":v1"
+        val valid = fs.exists(sigPath) && {
+          val in = fs.open(sigPath)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) == srcSig
+          finally in.close()
+        }
+        if (!valid) {
+          val cb = pqTrainedCodebook(q, steps, nc)
+          cb.write.mode("overwrite").parquet(s"$store/codebook")
+          pqSubspaceAssign(pqSubspaces(q),
+              spark.read.parquet(s"$store/codebook"), nc)
+            .select(col("vec_id"), col("m"), expr(s"k % $nc").as("cid"))
+            .write.mode("overwrite").parquet(s"$store/codes")
+          val out = fs.create(sigPath, true)
+          try out.write(
+            srcSig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+        (spark.read.parquet(s"$store/codebook"),
+          spark.read.parquet(s"$store/codes"))
       })
 
   /** [[adcRefined]] over a TRAINED per-subspace codebook: the full

@@ -158,11 +158,19 @@ object StreamingOps {
       |       COUNT(*) AS n,
       |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM events GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    import graft.sources.TxCommit
     val root = SinkOps.stagingDir(dir, "stream_tx")
     EventStream.runTxRollup(spark, dir, root)
-    graft.sources.TxCommit.readAll(spark, root, "rollup",
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "day DATE, event_type STRING, n BIGINT, value_cents BIGINT"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "day DATE, event_type STRING, n BIGINT, value_cents BIGINT")
+    // maintenance tick: fold the per-batch delta dirs into one
+    // compacted dir + retire what it superseded — the read below stays
+    // the same union, but resolves to compaction + suffix instead of
+    // one dir per micro-batch ever committed (batch manifests survive
+    // vacuumStream, so replays still no-op)
+    if (TxCommit.compactStream(spark, root, "rollup", schema))
+      TxCommit.vacuumStream(spark, root, "rollup")
+    TxCommit.readAll(spark, root, "rollup", schema)
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("n")).as("n"), sum(col("value_cents")).as("value_cents"))
   }

@@ -157,11 +157,12 @@ object TxCommit {
     * is their union), used by the exactly-once streaming sink where
     * version v holds micro-batch v-1's delta. Versions missing the
     * output contribute nothing. Empty store → empty frame of `schema`.
-    */
+    * Compaction-aware: resolves to the latest published compaction plus
+    * the versions after it ([[streamDataPaths]]) — same union, bounded
+    * dir count. */
   def readAll(spark: SparkSession, root: String, output: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val paths = versions(spark, root)
-      .flatMap(v => manifest(spark, root, v).get(output))
+    val paths = streamDataPaths(spark, root, output)
     if (paths.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -224,6 +225,140 @@ object TxCommit {
       walk(dataRoot)
     }
   }
+
+  // ── Stream-log compaction ──────────────────────────────────────────
+  //
+  // The append-mode reading path ([[readAll]], used by the exactly-once
+  // streaming sink) unions ONE data dir per committed micro-batch: at a
+  // year of minute-batches that is ~500k dirs — listing cost and
+  // small-file pressure grow without bound even though the UNION itself
+  // is a fixed-size rollup. Compaction rewrites the union of versions
+  // ≤ V into one dir and publishes it through its own atomic
+  // rename-if-absent manifest under `_compactions/` (filename carries V
+  // and the output name); readers then resolve to compaction + the
+  // suffix of versions > V. The batch-version manifests are NEVER
+  // deleted by [[vacuumStream]] — they are the replay-no-op
+  // acknowledgments ([[TxStore.commitStreamBatch]] skips any batchId
+  // whose version manifest exists), so a restart that replays compacted
+  // batches still commits nothing. Compaction artifacts live outside
+  // `<root>/data`, so the snapshot-store [[vacuum]]'s orphan scan never
+  // touches them.
+
+  private def compactionsDir(root: String) = new Path(s"$root/_compactions")
+
+  private def sanitize(output: String): String =
+    output.map(c => if (c.isLetterOrDigit || c == '_' || c == '-') c else '_')
+
+  private val CompactionName = """c(\d{8})-(.+)\.json""".r
+
+  /** The latest published compaction of `output`: (covered-through
+    * version, compacted data path). */
+  def latestCompaction(spark: SparkSession, root: String,
+      output: String): Option[(Long, String)] = {
+    val dir = compactionsDir(root)
+    val f = fs(spark, root)
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case CompactionName(v, o) if o == sanitize(output) => v.toLong
+    }.sorted.lastOption.map { v =>
+      val p = new Path(dir, f"c$v%08d-${sanitize(output)}.json")
+      val in = f.open(p)
+      val json =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      v -> parseOutputs(json)(output)
+    }
+  }
+
+  /** The dirs an append-mode read of `output` resolves to: the latest
+    * compaction (if any) + per-version dirs after it. Without
+    * compaction this is exactly one dir per committed version. */
+  def streamDataPaths(spark: SparkSession, root: String,
+      output: String): Seq[String] = {
+    val comp = latestCompaction(spark, root, output)
+    val from = comp.map(_._1).getOrElse(0L)
+    comp.map(_._2).toSeq ++
+      versions(spark, root).filter(_ > from)
+        .flatMap(v => manifest(spark, root, v).get(output))
+  }
+
+  /** Rewrite the current full union of `output` into one compacted dir
+    * and publish it atomically. Returns false when there is nothing new
+    * to cover or another compactor won the publish (its data dir is
+    * removed either way — losers leave no trace readers can see). */
+  def compactStream(spark: SparkSession, root: String, output: String,
+      schema: org.apache.spark.sql.types.StructType): Boolean = {
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return false
+    val covered = vs.max
+    val prior = latestCompaction(spark, root, output)
+    if (prior.exists(_._1 >= covered)) return false
+    // compact EXACTLY the versions ≤ covered from this listing snapshot
+    // (not readAll: a version committed between the listing and the
+    // read would land in the compacted dir AND in the post-compaction
+    // suffix — double-counted)
+    val from = prior.map(_._1).getOrElse(0L)
+    val srcPaths = prior.map(_._2).toSeq ++
+      vs.filter(v => v > from && v <= covered)
+        .flatMap(v => manifest(spark, root, v).get(output))
+    if (srcPaths.isEmpty) return false
+    val f = fs(spark, root)
+    val token =
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val dest =
+      s"$root/_compactdata/${sanitize(output)}-v$covered-$token"
+    spark.read.schema(schema).parquet(srcPaths: _*)
+      .write.mode("overwrite").parquet(dest)
+    f.mkdirs(compactionsDir(root))
+    val json =
+      s"""{"version":$covered,"outputs":{"${escape(output)}":"${escape(dest)}"}}"""
+    val tmp = new Path(compactionsDir(root), s".tmp-c-$token")
+    val out = f.create(tmp, false)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val destMf = new Path(compactionsDir(root),
+      f"c$covered%08d-${sanitize(output)}.json")
+    val won = !f.exists(destMf) && f.rename(tmp, destMf)
+    if (!won) {
+      f.delete(tmp, false)
+      f.delete(new Path(dest), true)
+    }
+    won
+  }
+
+  /** Retire what the latest compaction of `output` superseded: the
+    * per-batch data dirs of covered versions (their MANIFESTS stay —
+    * replay no-op depends on them), older compactions, and orphaned
+    * compact data dirs from crashed or race-losing compactors. */
+  def vacuumStream(spark: SparkSession, root: String, output: String): Unit =
+    latestCompaction(spark, root, output).foreach { case (covered, livePath) =>
+      val f = fs(spark, root)
+      val liveQ = f.makeQualified(new Path(livePath))
+      versions(spark, root).filter(_ <= covered).foreach { v =>
+        manifest(spark, root, v).get(output).foreach { p =>
+          val q = f.makeQualified(new Path(p))
+          if (q != liveQ) f.delete(q, true)
+        }
+      }
+      // superseded compaction manifests
+      val dir = compactionsDir(root)
+      f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+        case CompactionName(v, o)
+            if o == sanitize(output) && v.toLong < covered => v.toLong
+      }.foreach { v =>
+        f.delete(new Path(dir, f"c$v%08d-${sanitize(output)}.json"), false)
+      }
+      // compact data dirs not referenced by the surviving manifest
+      val compactData = new Path(s"$root/_compactdata")
+      if (f.exists(compactData)) {
+        val prefix = s"${sanitize(output)}-v"
+        f.listStatus(compactData).toSeq
+          .filter(_.getPath.getName.startsWith(prefix))
+          .filterNot(st => f.makeQualified(st.getPath) == liveQ)
+          .foreach(st => f.delete(st.getPath, true))
+      }
+    }
 
   private def escape(s: String): String =
     s.flatMap {

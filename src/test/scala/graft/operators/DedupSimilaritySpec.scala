@@ -457,6 +457,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"trained recall $recall%.2f below 0.8 floor")
   }
 
+  test("trained PQ index persists: a cache-evicted rebuild reads the store") {
+    import spark.implicits._
+    val q = graft.Tables.embeddings(spark, sf001)
+      .select($"vec_id", Similarity.quantize($"embedding").as("v"))
+    val queries = q.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    def run() = Similarity.adcRefinedTrained(
+        spark, q, queries, sf001, steps = 2, shortlist = 100, k = 5, nc = 64)
+      .select($"q_id", $"c_id", $"rk").collect().map(_.toString).sorted
+    val first = run()
+    val store = SinkOps.stagingDir(sf001, "pq_index_2_64")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/codes"))
+      .map(s => s.getPath.getName -> s.getModificationTime).sortBy(_._1).toSeq
+    val before = listing
+    // a fresh session (simulated by cache eviction) must READ the
+    // persisted index, not retrain it — and return identical results
+    Similarity.clearPqIndexCache()
+    assert(run() === first)
+    assert(listing === before,
+      "cache-evicted search must reuse the persisted index, not rewrite it")
+  }
+
   test("fuzzy best-match agrees with the pairwise kernel, one row per matched part") {
     // reference: derive each part's best match from the SYMMETRIC
     // expansion of the exact pairwise kernel's output — the sparse

@@ -50,6 +50,61 @@ class StreamTxSpec extends SparkSpec {
     assert(got === Array(("live", 1L)))
   }
 
+  test("compaction preserves the union and bounds the dir count") {
+    val root = freshRoot()
+    import spark.implicits._
+    (0L to 3L).foreach { b =>
+      assert(TxStore.commitStreamBatch(spark, root, b, "rollup",
+        Seq((s"k$b", b)).toDF("k", "v")))
+    }
+    assert(TxCommit.streamDataPaths(spark, root, "rollup").size === 4)
+    val before = TxCommit.readAll(spark, root, "rollup", schema)
+      .as[(String, Long)].collect().sorted
+    assert(TxCommit.compactStream(spark, root, "rollup", schema))
+    // nothing new to cover → second compaction refuses
+    assert(!TxCommit.compactStream(spark, root, "rollup", schema))
+    assert(TxCommit.streamDataPaths(spark, root, "rollup").size === 1)
+    val after = TxCommit.readAll(spark, root, "rollup", schema)
+      .as[(String, Long)].collect().sorted
+    assert(after === before, "compaction must not change the union")
+    // a post-compaction batch reads as compaction + one suffix dir
+    assert(TxStore.commitStreamBatch(spark, root, 4L, "rollup",
+      Seq(("k4", 4L)).toDF("k", "v")))
+    assert(TxCommit.streamDataPaths(spark, root, "rollup").size === 2)
+    assert(TxCommit.readAll(spark, root, "rollup", schema)
+      .as[(String, Long)].collect().sorted === (before :+ (("k4", 4L))).sorted)
+    // …and a second compaction folds the suffix in
+    assert(TxCommit.compactStream(spark, root, "rollup", schema))
+    TxCommit.vacuumStream(spark, root, "rollup")
+    assert(TxCommit.streamDataPaths(spark, root, "rollup").size === 1)
+    assert(TxCommit.readAll(spark, root, "rollup", schema)
+      .as[(String, Long)].collect().sorted === (before :+ (("k4", 4L))).sorted)
+  }
+
+  test("replay after compaction + vacuum still no-ops; orphans removed") {
+    val root = freshRoot()
+    import spark.implicits._
+    (0L to 2L).foreach { b =>
+      assert(TxStore.commitStreamBatch(spark, root, b, "rollup",
+        Seq((s"k$b", b)).toDF("k", "v")))
+    }
+    assert(TxCommit.compactStream(spark, root, "rollup", schema))
+    // a crashed compactor's unpublished data dir
+    val orphan = new java.io.File(s"$root/_compactdata/rollup-v99999999-dead")
+    orphan.mkdirs()
+    TxCommit.vacuumStream(spark, root, "rollup")
+    assert(!orphan.exists, "orphaned compact dir must be vacuumed")
+    // batch manifests survived vacuum → replays still acknowledge
+    (0L to 2L).foreach { b =>
+      assert(!TxStore.commitStreamBatch(spark, root, b, "rollup",
+        Seq(("poison", 999L)).toDF("k", "v")),
+        s"replayed batch $b must no-op after compaction + vacuum")
+    }
+    assert(TxCommit.readAll(spark, root, "rollup", schema)
+      .as[(String, Long)].collect().sorted ===
+      Array(("k0", 0L), ("k1", 1L), ("k2", 2L)))
+  }
+
   test("registered op: store ≡ batch rollup, and re-invocation no-ops") {
     val expected = graft.Tables.events(spark, sf001)
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
