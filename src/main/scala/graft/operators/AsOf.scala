@@ -154,7 +154,8 @@ object AsOf {
       probe: DataFrame, state: DataFrame,
       keys: Seq[(String, String)],
       time: (String, String),
-      tieBreak: Seq[String]): DataFrame = {
+      tieBreak: Seq[String],
+      forward: Boolean = false): DataFrame = {
     val spark = probe.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // vanilla-session fallback; the documented install path is
@@ -173,7 +174,7 @@ object AsOf {
       lp, rp,
       keys.map(k => attr(lp, k._1)), keys.map(k => attr(rp, k._2)),
       attr(lp, time._1), attr(rp, time._2),
-      tieBreak.map(attr(rp, _))))
+      tieBreak.map(attr(rp, _)), forward))
   }
 
   /** The carry-forward twin's exact contract, executed by the native
@@ -194,5 +195,53 @@ object AsOf {
       tieBreak = Seq("asof_orderkey"))
       .select(col("event_id"), col("user_id"), col("event_date"),
         col("asof_orderkey"), col("asof_cents"))
+  }
+
+  /** The native exec's FORWARD direction (pandas merge_asof
+    * direction='forward'): each order matches its EARLIEST line
+    * shipment at-or-after the order date, ties to the smallest line
+    * number — the "first action after" join (first fulfillment, next
+    * event after exposure) where the backward op is the feature-store
+    * "state as of" join. Same single-merge physical shape; the forward
+    * walk holds ZERO buffered state rows (the sorted lookahead itself
+    * is the match and is never consumed past it). The events→orders
+    * domain would be vacuous here — every event postdates the order
+    * history — so the op probes orders against shipments, where
+    * matches are dense. */
+  val asofForward: Op = Op(
+    "q_asof_forward",
+    """WITH o AS (
+      |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+      |  FROM orders
+      |), l AS (
+      |  SELECT l_orderkey, CAST(l_shipdate AS DATE) AS sd, l_linenumber,
+      |         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents
+      |  FROM lineitem
+      |), matched AS (
+      |  SELECT o.o_orderkey,
+      |         arg_min(l.l_linenumber,
+      |                 CAST(epoch(l.sd) AS BIGINT) * 10 + l.l_linenumber) AS first_line,
+      |         arg_min(l.cents,
+      |                 CAST(epoch(l.sd) AS BIGINT) * 10 + l.l_linenumber) AS first_cents
+      |  FROM o JOIN l ON l.l_orderkey = o.o_orderkey AND l.sd >= o.order_date
+      |  GROUP BY o.o_orderkey
+      |)
+      |SELECT o.o_orderkey, o.order_date, m.first_line, m.first_cents
+      |FROM o LEFT JOIN matched m ON o.o_orderkey = m.o_orderkey""".stripMargin) {
+    (spark, dir) =>
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("s_key"),
+      to_date(col("l_shipdate")).as("s_time"),
+      col("l_linenumber").as("first_line"),
+      centsOf(col("l_extendedprice")).as("first_cents"))
+    asofJoinNative(o, l,
+      keys = Seq("o_orderkey" -> "s_key"),
+      time = "order_date" -> "s_time",
+      tieBreak = Seq("first_line"),
+      forward = true)
+      .select(col("o_orderkey"), col("order_date"),
+        col("first_line"), col("first_cents"))
   }
 }

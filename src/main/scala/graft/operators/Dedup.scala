@@ -83,6 +83,57 @@ object Dedup {
   def fuzzyCandidates(spark: SparkSession, dir: String): DataFrame =
     fuzzyJoin(spark, dir, withDp = false)
 
+  /** Entity resolution capstone — the record-linkage pipeline closed
+    * end-to-end, the structured-data twin of `q_cluster_rep`'s
+    * text-side resolution: the [[fuzzyMatch]] pair graph (blocked
+    * edit-distance matches) collapses into entities via connected
+    * components ([[GraphOps.connectedComponents]] — min-label
+    * propagation, the same kernel the near-dup clusters ride), every
+    * unmatched part stands as its own singleton entity, and the
+    * canonical record is the smallest key (the reference resolves
+    * variant listings to one canonical product id by exact name only,
+    * 01_import_pricecharting_csv.js:129-141 — transitive fuzzy
+    * identity is the production generalization). Entity sizes come
+    * from a groupBy on the |entities|-row label table joined back —
+    * never a window over the full record set. */
+  val entityCluster: Op = Op(
+    "q_entity_cluster",
+    s"""WITH RECURSIVE np AS (
+       |  SELECT a.p_partkey AS ka, b.p_partkey AS kb
+       |  FROM part a JOIN part b
+       |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       |  WHERE abs(len(a.p_name) - len(b.p_name)) <= $FuzzyMaxDist
+       |    AND levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
+       |), edges AS (
+       |  SELECT ka AS src, kb AS dst FROM np
+       |  UNION ALL SELECT kb, ka FROM np
+       |), reach AS (
+       |  SELECT src AS node, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+       |), cc AS (
+       |  SELECT node, MIN(lbl) AS ent FROM reach GROUP BY node
+       |), lab AS (
+       |  SELECT p.p_partkey AS key, COALESCE(cc.ent, p.p_partkey) AS entity_id
+       |  FROM part p LEFT JOIN cc ON cc.node = p.p_partkey
+       |)
+       |SELECT key, entity_id,
+       |       COUNT(*) OVER (PARTITION BY entity_id) AS entity_size,
+       |       key = entity_id AS is_canonical
+       |FROM lab""".stripMargin) { (spark, dir) =>
+    val pairs = fuzzyJoin(spark, dir, withDp = true)
+      .select(col("key_a"), col("key_b"))
+    val cc = GraphOps.connectedComponents(pairs, "key_a", "key_b")
+    val lab = Tables.part(spark, dir).select(col("p_partkey").as("key"))
+      .join(cc, col("key") === col("node"), "left")
+      .select(col("key"), coalesce(col("lbl"), col("key")).as("entity_id"))
+    val sizes = lab.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("entity_size"))
+    lab.join(sizes, Seq("entity_id"))
+      .select(col("key"), col("entity_id"), col("entity_size"),
+        (col("key") === col("entity_id")).as("is_canonical"))
+  }
+
   /** Sparse-output sibling of [[fuzzyMatch]] — canonical best-match
     * resolution instead of the full pair set. For each part, its single
     * best match within the brand at edit distance ≤ [[FuzzyMaxDist]]
@@ -322,6 +373,120 @@ object Dedup {
       .filter(col("doc_id_a") < col("doc_id_b") &&
         // lossless size prefilter: J≥0.5 needs min/max size ratio ≥ 0.5
         least(col("n_a"), col("n_b")) * 2 >= greatest(col("n_a"), col("n_b")))
+      .select(col("lang"), col("source"), col("doc_id_a"), col("doc_id_b"),
+        col("n_a"), col("n_b"))
+      .distinct()
+  }
+
+  /** Containment blocking: candidate pairs must share a shingle with
+    * document frequency ≤ this cap. Rare-posting joins are the scale
+    * device: candidates ≤ Σ_{df∈[2,cap]} C(df,2) ≤ C(cap,2)·|distinct
+    * shingles| — a HARD ceiling linear in the corpus's distinct-shingle
+    * volume, where an unconstrained posting join explodes on the Zipf
+    * head. Soak-measured (PERF.md): the step exponent sf0.01→sf0.1
+    * reads 1.99, but that is the df∈[2,cap] band POPULATING on this
+    * template corpus (198 → 14,715 qualifying shingles while distinct
+    * shingles grew only 9.4×), not super-linear blocking — measured
+    * candidates track the per-band bound tightly (150/200 and
+    * 14,578/16,317) and both sit orders under the linear ceiling
+    * (10·|shingles| = 2.45M at sf0.1). */
+  val ContainDfCap = 5
+
+  /** Asymmetric containment dedup (Broder's containment next to the
+    * resemblance family): C(A→B) = |A∩B| / |A| ≥ 4/5 flags A as
+    * nearly contained in B — the doc-in-doc relation (quote inflation,
+    * truncated re-crawls, boilerplate-wrapped copies) that RESEMBLANCE
+    * ops structurally miss: a 50-shingle doc inside a 500-shingle doc
+    * has J ≈ 0.1 (invisible to `q_ngram_jaccard`/`q_minhash_lsh` at
+    * 0.5) but containment 1.0. MinHash bands can't supply candidates
+    * here for the same reason — banded collision probability tracks J,
+    * not C — so the candidate CONTRACT is rare-shingle blocking (share
+    * ≥ 1 shingle with df ≤ [[ContainDfCap]] inside the (lang, source)
+    * block), replayed exactly by the oracle; the exact-intersection
+    * verify and the 4/5 threshold are integer cross-multiplies.
+    * [[DedupSimilaritySpec]] pins the asymmetry on a crafted
+    * sub/superset pair and pins (loudly, as a corpus property) that on
+    * the testdata every exact C ≥ 4/5 pair does share a rare shingle,
+    * so the registered contract loses nothing here. */
+  val containment: Op = Op(
+    "q_containment",
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, lang, source,
+       |         CASE WHEN len(w) >= 3
+       |              THEN list_distinct(list_transform(range(1, len(w)-1),
+       |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+       |              ELSE [array_to_string(w, ' ')] END AS sh
+       |  FROM d
+       |), r AS (
+       |  SELECT doc_id, lang, source, unnest(sh) AS s FROM sh
+       |), f AS (
+       |  SELECT lang, source, s, COUNT(*) AS df FROM r GROUP BY 1, 2, 3
+       |), rare AS (
+       |  SELECT r.* FROM r JOIN f USING (lang, source, s)
+       |  WHERE f.df <= $ContainDfCap
+       |), cand AS (
+       |  SELECT DISTINCT a.lang, a.source,
+       |         a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+       |  FROM rare a JOIN rare b
+       |    ON a.lang = b.lang AND a.source = b.source AND a.s = b.s
+       |   AND a.doc_id < b.doc_id
+       |)
+       |SELECT c.lang, c.source, c.doc_id_a, c.doc_id_b,
+       |       len(list_intersect(x.sh, y.sh)) AS inter_size,
+       |       len(x.sh) AS n_a, len(y.sh) AS n_b,
+       |       len(list_intersect(x.sh, y.sh)) * 5 >= len(x.sh) * 4 AS contained_a,
+       |       len(list_intersect(x.sh, y.sh)) * 5 >= len(y.sh) * 4 AS contained_b
+       |FROM cand c
+       |JOIN sh x ON x.doc_id = c.doc_id_a
+       |JOIN sh y ON y.doc_id = c.doc_id_b
+       |WHERE len(list_intersect(x.sh, y.sh)) * 5 >= len(x.sh) * 4
+       |   OR len(list_intersect(x.sh, y.sh)) * 5 >= len(y.sh) * 4""".stripMargin) {
+    (spark, dir) =>
+    val bare = shingleRows(spark, dir)
+    val (_, sizes) = minhashIndex(spark, dir)
+    containmentPairs(bare.join(sizes, Seq("doc_id")), bare, ContainDfCap)
+  }
+
+  /** [[containment]] kernel over shingle rows carrying `n_sh` (and the
+    * bare rows for the exact verify), exposed for crafted-graph specs
+    * and the candidate-growth soak. */
+  private[graft] def containmentPairs(
+      rows: DataFrame, bare: DataFrame, dfCap: Int): DataFrame = {
+    val cand = containmentCandidates(rows, bare, dfCap)
+    val ra = bare.select(col("doc_id").as("doc_id_a"), col("s"))
+    val rb = bare.select(col("doc_id").as("doc_id_b"), col("s"))
+    val inter = col("inter_size")
+    cand.join(ra, Seq("doc_id_a"))
+      .join(rb, Seq("doc_id_b", "s"))
+      .groupBy(col("lang"), col("source"), col("doc_id_a"),
+        col("doc_id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter_size"))
+      .select(col("lang"), col("source"), col("doc_id_a"), col("doc_id_b"),
+        inter.as("inter_size"), col("n_a"), col("n_b"),
+        (inter * 5 >= col("n_a") * 4).as("contained_a"),
+        (inter * 5 >= col("n_b") * 4).as("contained_b"))
+      .filter(col("contained_a") || col("contained_b"))
+  }
+
+  /** The rare-shingle blocking stage of [[containment]] — distinct
+    * candidate pairs pre-verification, exposed for the candidate-growth
+    * soak (tools/SoakCandidates, PERF.md). */
+  private[graft] def containmentCandidates(
+      rows: DataFrame, bare: DataFrame, dfCap: Int): DataFrame = {
+    val freq = bare.groupBy(col("lang"), col("source"), col("s"))
+      .agg(count(lit(1)).as("df"))
+    val rare = rows.join(freq, Seq("lang", "source", "s"))
+      .filter(col("df") <= dfCap)
+    val candA = rare.select(col("lang"), col("source"), col("s"),
+      col("doc_id").as("doc_id_a"), col("n_sh").as("n_a"))
+    val candB = rare.select(col("lang"), col("source"), col("s"),
+      col("doc_id").as("doc_id_b"), col("n_sh").as("n_b"))
+    candA.join(candB, Seq("lang", "source", "s"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
       .select(col("lang"), col("source"), col("doc_id_a"), col("doc_id_b"),
         col("n_a"), col("n_b"))
       .distinct()

@@ -39,6 +39,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -101,7 +102,28 @@ case class AsOfJoinExec(
       var matched: UnsafeRow = null
       var matchedKey: UnsafeRow = null
 
-      probeIter.map { p =>
+      if (forward) probeIter.map { p =>
+        // forward merge holds NO buffered row at all: state is sorted
+        // (key, time, tie) asc and probe times ascend per key, so the
+        // first not-yet-skipped state row at (key == pk, time >= pt) is
+        // the match — and it is NOT consumed, because it may also be
+        // the closest-after row for later probes of the same key.
+        val pk = probeKeyProj(p)
+        val pt = probeTimeProj(p)
+        var done = sRow == null
+        while (!done) {
+          val c = keyOrd.compare(sKey, pk)
+          if (c < 0 || (c == 0 && timeOrd.compare(sTime, pt) < 0)) loadState()
+          else done = true
+          if (sRow == null) done = true
+        }
+        numOutputRows += 1
+        if (sRow != null && keyOrd.compare(sKey, pk) == 0) {
+          numMatched += 1
+          resultProj(joined(p, sRow))
+        } else resultProj(joined(p, nullState))
+      }
+      else probeIter.map { p =>
         val pk = probeKeyProj(p)
         val pt = probeTimeProj(p)
         if (matched != null && keyOrd.compare(matchedKey, pk) != 0) {
@@ -140,7 +162,7 @@ object GraftAsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case a: AsOfJoinPlan =>
       AsOfJoinExec(a.leftKeys, a.rightKeys, a.leftTime, a.rightTime,
-        a.rightTieBreak, planLater(a.left), planLater(a.right)) :: Nil
+        a.rightTieBreak, a.forward, planLater(a.left), planLater(a.right)) :: Nil
     case _ => Nil
   }
 }

@@ -7,12 +7,16 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   * (north-star; the reference's closest shape is the correlated
   * LIMIT-1 lookup, scripts/pricing/10_rollup_market_values_daily.mjs:69-75).
   *
-  * Semantics: LEFT OUTER point-in-time join. Every `left` (probe) row
-  * is paired with the single `right` (state) row that has an equal key
-  * and the greatest time at-or-before the probe's time; ties on equal
-  * (key, time) resolve to the greatest `rightTieBreak` tuple, making
-  * the match a total order and the operator deterministic. Probe rows
-  * with no eligible state row pad the state side with nulls.
+  * Semantics: LEFT OUTER point-in-time join. With `forward = false`
+  * (the default, pandas merge_asof direction='backward'), every `left`
+  * (probe) row is paired with the single `right` (state) row that has
+  * an equal key and the greatest time at-or-before the probe's time;
+  * ties on equal (key, time) resolve to the greatest `rightTieBreak`
+  * tuple. With `forward = true` (direction='forward'), the match is
+  * the smallest time at-or-after the probe's time, ties to the
+  * SMALLEST tie-break tuple — in both directions the closest row wins
+  * and the tie order makes the match total and deterministic. Probe
+  * rows with no eligible state row pad the state side with nulls.
   *
   * Key equality is GROUPING equality (null keys match null keys),
   * identical to the `Window.partitionBy` carry-forward twin
@@ -30,7 +34,8 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Seq[Expression]) extends BinaryNode {
+    rightTieBreak: Seq[Expression],
+    forward: Boolean = false) extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs at least one equi-key pair")

@@ -49,6 +49,13 @@ object SoakCandidates {
           Dedup.simhashSignatures(spark, dir), 4, 16).count(),
         "ngram" -> Dedup.ngramCandidates(
           Dedup.shingleRowsWithSize(spark, dir)).count(),
+        // asymmetric containment: rare-shingle (df <= cap) blocking —
+        // candidate volume bounded by cap * |rare postings|, linear
+        "containment" -> Dedup.containmentCandidates(
+          Dedup.shingleRowsWithSize(spark, dir),
+          Dedup.shingleRowsWithSize(spark, dir)
+            .select(col("lang"), col("source"), col("doc_id"), col("s")),
+          Dedup.ContainDfCap).count(),
         "fuzzy" -> Dedup.fuzzyCandidates(spark, dir).count(),
         // sparse-output sibling: residual-tier candidates only (the
         // exact tier is a window pass with no pair enumeration)
@@ -84,6 +91,7 @@ object SoakCandidates {
         "simhash8x8" -> -1L, // candidate-stage-only measurement
         "simhash4x16" -> -1L, // candidate-stage-only measurement
         "ngram" -> Dedup.ngramJaccard.build(spark, dir).count(),
+        "containment" -> Dedup.containment.build(spark, dir).count(),
         "fuzzy" -> Dedup.fuzzyMatch.build(spark, dir).count(),
         "fuzzybest" -> Dedup.fuzzyBest.build(spark, dir).count(),
         "incremental" -> Dedup.incrementalMatches(spark, dir).count(),

@@ -25,6 +25,87 @@ class DedupSimilaritySpec extends SparkSpec {
       .select($"ia", $"ib").as[(Long, Long)].collect().toSet
   }
 
+  test("containment: subset flags directionally where resemblance is blind") {
+    import spark.implicits._
+    // doc 2 (8 shingles) ⊂ doc 1 (25 shingles): J = 8/25 = 0.32 —
+    // invisible at the resemblance ops' 0.5 — but C(2→1) = 1.0
+    val bare = (for {
+      (d, ss) <- Seq((1L, 1 to 25), (2L, 1 to 8)); i <- ss
+    } yield (d, "en", "web", s"s$i")).toDF("doc_id", "lang", "source", "s")
+    val sizes = Seq((1L, 25L), (2L, 8L)).toDF("doc_id", "n_sh")
+    val got = Dedup.containmentPairs(bare.join(sizes, Seq("doc_id")),
+      bare, Dedup.ContainDfCap).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getLong(r.fieldIndex("inter_size")) === 8)
+    assert(!r.getBoolean(r.fieldIndex("contained_a")),
+      "the superset doc is NOT contained in the subset")
+    assert(r.getBoolean(r.fieldIndex("contained_b")),
+      "the subset doc must flag as contained")
+  }
+
+  test("containment on corpus: rare-shingle candidates lose no C>=0.8 pair") {
+    import spark.implicits._
+    val got = Dedup.containment.build(spark, sf001)
+      .select($"doc_id_a", $"doc_id_b").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty, "corpus must contain containment pairs")
+    // unconstrained exact: ALL block pairs, no rare-shingle gate
+    val bare = graft.Tables.documents(spark, sf001).select(
+      $"doc_id", $"lang", $"source",
+      org.apache.spark.sql.functions.explode(
+        graft.functions.TextAnalysis.wordShingles($"text", 3)).as("s"))
+    val sizes = bare.groupBy($"doc_id").count().withColumnRenamed("count", "n_sh")
+    val docs = bare.select($"doc_id", $"lang", $"source").distinct()
+      .join(sizes, Seq("doc_id"))
+    val cand = docs.select($"lang", $"source", $"doc_id".as("doc_id_a"),
+        $"n_sh".as("n_a"))
+      .join(docs.select($"lang", $"source", $"doc_id".as("doc_id_b"),
+        $"n_sh".as("n_b")), Seq("lang", "source"))
+      .filter($"doc_id_a" < $"doc_id_b")
+    val ra = bare.select($"doc_id".as("doc_id_a"), $"s")
+    val rb = bare.select($"doc_id".as("doc_id_b"), $"s")
+    val exact = cand.join(ra, Seq("doc_id_a")).join(rb, Seq("doc_id_b", "s"))
+      .groupBy($"doc_id_a", $"doc_id_b", $"n_a", $"n_b")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("inter"))
+      .filter($"inter" * 5 >= $"n_a" * 4 || $"inter" * 5 >= $"n_b" * 4)
+      .select($"doc_id_a", $"doc_id_b").as[(Long, Long)].collect().toSet
+    assert(got === exact,
+      "rare-shingle blocking premise broke: an exact C>=0.8 pair shares no " +
+        s"df<=${Dedup.ContainDfCap} shingle (or a candidate leaked). " +
+        s"missed=${(exact -- got).take(5)} extra=${(got -- exact).take(5)}")
+  }
+
+  test("entity clusters: matches co-entity, one canonical, sizes reconcile") {
+    import spark.implicits._
+    val ents = Dedup.entityCluster.build(spark, sf001).cache()
+    val byKey = ents.select($"key", $"entity_id").as[(Long, Long)]
+      .collect().toMap
+    // every fuzzy match pair landed in the same entity
+    val pairs = Dedup.fuzzyMatch.build(spark, sf001)
+      .select($"key_a", $"key_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byKey(a) === byKey(b), s"matched pair ($a,$b) split across entities")
+    }
+    // exactly one canonical per entity, and it is the min key
+    val canon = ents.filter($"is_canonical").select($"entity_id", $"key")
+      .as[(Long, Long)].collect()
+    assert(canon.length === ents.select($"entity_id").distinct().count())
+    canon.foreach { case (e, k) => assert(e === k) }
+    val minPerEntity = byKey.toSeq.groupBy(_._2).map { case (e, ks) =>
+      e -> ks.map(_._1).min }
+    minPerEntity.foreach { case (e, mn) => assert(e === mn,
+      s"entity $e canonical is not the min key $mn") }
+    // sizes sum to the record count; singletons = unmatched records
+    val parts = graft.Tables.part(spark, sf001).count()
+    assert(ents.count() === parts)
+    val matched = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val singletons = ents.filter($"entity_size" === 1).count()
+    assert(singletons === parts - matched.size)
+    ents.unpersist()
+  }
+
   test("minhash LSH finds every exact-Jaccard>=0.5 pair (recall vs truth)") {
     val truth = exactPairTruth()
     val got = Dedup.minhashLsh.build(spark, sf001)

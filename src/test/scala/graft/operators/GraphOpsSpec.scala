@@ -228,6 +228,13 @@ class GraphOpsSpec extends SparkSpec {
     assert(kcore(g, 3) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("session-cached co-purchase edges equal fresh construction") {
+    val cached = GraphOps.copurchaseEdges(spark, sf001)
+    val fresh = GraphOps.buildCopurchaseEdges(spark, sf001)
+    assert(cached.exceptAll(fresh).isEmpty && fresh.exceptAll(cached).isEmpty,
+      "cached edge index drifted from deterministic reconstruction")
+  }
+
   test("kcore on the co-purchase graph converges within the round budget") {
     val got = GraphOps.kcore.build(spark, sf001).cache()
     // one more peel changes nothing: the bounded contract reached the

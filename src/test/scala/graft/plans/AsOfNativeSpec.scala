@@ -73,6 +73,54 @@ class AsOfNativeSpec extends SparkSpec {
       "key equality is grouping equality — same as the window twin's partitionBy")
   }
 
+  test("forward direction: earliest at-or-after, smallest tie, null pad") {
+    val probe = Seq[(java.lang.Long, Int, String)](
+      (1L, 10, "p-exact"),        // state at exactly 10 (two rows) → tie logic
+      (1L, 11, "p-next"),         // next state after 11 is 20
+      (1L, 99, "p-after-all"),    // no state at-or-after → null
+      (2L, 1, "p-no-state"),      // key never in state → null
+      (null, 1, "p-null-key")     // matches the null-key state row
+    ).toDF("k", "t", "pv").repartition(4)
+    val state = Seq[(java.lang.Long, Int, Long, String)](
+      (1L, 10, 7L, "tie-low"),    // same (key,time): SMALLEST tie wins forward
+      (1L, 10, 9L, "tie-high"),
+      (1L, 20, 1L, "later"),
+      (1L, 5, 2L, "earlier"),
+      (null, 6, 3L, "null-key")
+    ).toDF("sk", "st", "tie", "sv").repartition(5)
+    val out = AsOf.asofJoinNative(probe, state,
+      keys = Seq("k" -> "sk"), time = "t" -> "st", tieBreak = Seq("tie"),
+      forward = true)
+      .select($"pv", $"sv").as[(String, Option[String])].collect().toMap
+    assert(out("p-exact") === Some("tie-low"))
+    assert(out("p-next") === Some("later"))
+    assert(out("p-after-all") === None)
+    assert(out("p-no-state") === None)
+    assert(out("p-null-key") === Some("null-key"))
+  }
+
+  test("forward parity vs an aggregate-computed twin on the corpus") {
+    val o = graft.Tables.orders(spark, sf001).select(
+      $"o_orderkey", to_date($"o_orderdate").as("order_date"))
+    val l = graft.Tables.lineitem(spark, sf001).select(
+      $"l_orderkey".as("o_orderkey"), to_date($"l_shipdate").as("sd"),
+      $"l_linenumber")
+    // reference: min (ship date, line number) pair at-or-after per order
+    val expect = o.join(l, Seq("o_orderkey"))
+      .filter($"sd" >= $"order_date")
+      .groupBy($"o_orderkey")
+      .agg(min(struct($"sd", $"l_linenumber")).as("m"))
+      .select($"o_orderkey", $"m.l_linenumber".as("ln"))
+      .as[(Long, Int)].collect().toMap
+    val got = AsOf.asofForward.build(spark, sf001)
+      .select($"o_orderkey", $"first_line")
+      .as[(Long, Option[Int])].collect().toMap
+    assert(got.size === o.count())
+    assert(expect.nonEmpty, "forward matches must be dense in this domain")
+    got.foreach { case (k, ln) => assert(ln === expect.get(k),
+      s"forward match drifted for order $k") }
+  }
+
   test("many state rows per key stream through: latest at-or-before wins") {
     val probe = (1 to 50).map(t => (1L, t * 2, s"p$t")).toDF("k", "t", "pv")
     val state = (1 to 200).map(t => (1L, t, t.toLong, s"s$t"))
