@@ -244,4 +244,81 @@ object AsOf {
       .select(col("o_orderkey"), col("order_date"),
         col("first_line"), col("first_cents"))
   }
+
+  /** Nearest-direction as-of (pandas merge_asof direction='nearest'):
+    * each event matches the user's order CLOSEST in time, either side.
+    * Tie rules compose the two directed execs' own conventions —
+    * equal distance prefers the backward (at-or-before) match; within
+    * a backward day the HIGHEST orderkey wins (the backward merge
+    * keeps the last row in (time, tie)-ascending order), within a
+    * forward day the LOWEST (the forward merge keeps the first) — so
+    * the op is exactly "run both directed merges, keep the closer",
+    * which is how it is built: two [[asofJoinNative]] passes over the
+    * same inputs and one event-keyed merge of their (event-sized)
+    * outputs picking by |Δdays|. `near_days` is the signed offset
+    * (negative = matched order precedes the event).
+    *
+    * Scale shape: each directed pass is the single linear merge of the
+    * native exec (one shuffle per side on user); the final pick joins
+    * two EVENT-sized frames on event_id — nothing beyond the directed
+    * ops' own cost, and constant state per key like them. A dedicated
+    * nearest mode in the exec would save the second merge; composition
+    * is preferred while the exec's two directions stay this simple. */
+  val asofNearest: Op = Op(
+    "q_asof_nearest",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(ts AS DATE) AS event_date
+      |  FROM events
+      |), o AS (
+      |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+      |         CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+      |  FROM orders
+      |), keyed AS (
+      |  SELECT e.event_id, o.o_orderkey, o.cents,
+      |         CAST(datediff('day', e.event_date, o.od) AS BIGINT) AS sdays,
+      |         abs(CAST(datediff('day', e.event_date, o.od) AS BIGINT)) * 100000000
+      |           + (CASE WHEN o.od <= e.event_date THEN 0 ELSE 10000000 END)
+      |           + (CASE WHEN o.od <= e.event_date
+      |              THEN 9999999 - o.o_orderkey ELSE o.o_orderkey END) AS k
+      |  FROM ev e JOIN o ON o.o_custkey = e.user_id
+      |), m AS (
+      |  SELECT event_id,
+      |         arg_min(o_orderkey, k) AS near_orderkey,
+      |         arg_min(cents, k) AS near_cents,
+      |         arg_min(sdays, k) AS near_days
+      |  FROM keyed GROUP BY event_id
+      |)
+      |SELECT ev.event_id, ev.user_id, ev.event_date,
+      |       m.near_orderkey, m.near_cents, m.near_days
+      |FROM ev LEFT JOIN m ON ev.event_id = m.event_id""".stripMargin) {
+    (spark, dir) =>
+    def ev = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      to_date(col("ts")).as("event_date"))
+    val ob = Tables.orders(spark, dir).select(
+      col("o_custkey").as("s_user"), to_date(col("o_orderdate")).as("s_time"),
+      col("o_orderkey").as("b_key"), centsOf(col("o_totalprice")).as("b_cents"))
+    val of = Tables.orders(spark, dir).select(
+      col("o_custkey").as("s_user"), to_date(col("o_orderdate")).as("s_time"),
+      col("o_orderkey").as("f_key"), centsOf(col("o_totalprice")).as("f_cents"))
+    val back = asofJoinNative(ev, ob,
+      keys = Seq("user_id" -> "s_user"), time = "event_date" -> "s_time",
+      tieBreak = Seq("b_key"))
+      .select(col("event_id"), col("user_id"), col("event_date"),
+        col("s_time").as("b_date"), col("b_key"), col("b_cents"))
+    val fwd = asofJoinNative(ev, of,
+      keys = Seq("user_id" -> "s_user"), time = "event_date" -> "s_time",
+      tieBreak = Seq("f_key"), forward = true)
+      .select(col("event_id"), col("s_time").as("f_date"),
+        col("f_key"), col("f_cents"))
+    val both = back.join(fwd, Seq("event_id"))
+    val bAbs = datediff(col("event_date"), col("b_date")).cast("long")
+    val fAbs = datediff(col("f_date"), col("event_date")).cast("long")
+    val takeBack = col("b_date").isNotNull &&
+      (col("f_date").isNull || bAbs <= fAbs)
+    both.select(col("event_id"), col("user_id"), col("event_date"),
+      when(takeBack, col("b_key")).otherwise(col("f_key")).as("near_orderkey"),
+      when(takeBack, col("b_cents")).otherwise(col("f_cents")).as("near_cents"),
+      when(takeBack, -bAbs).otherwise(fAbs).as("near_days"))
+  }
 }

@@ -42,7 +42,7 @@ object Similarity {
   def cosine(dot: Column, n1: Column, n2: Column): Column =
     dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
 
-  private val QuantSql =
+  private[operators] val QuantSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))"
 
   /** [[quantized]] plus the label column: (vec_id, label, v, n2). */

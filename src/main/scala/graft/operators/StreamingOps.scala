@@ -133,6 +133,17 @@ object StreamingOps {
         countDistinct(col("bench_doc_id")).as("n_bench_docs"))
   }
 
+  /** Streaming DSIR selection ≡ the batch importance-weighting op:
+    * arriving docs scored statelessly against the standing hashed-bigram
+    * model ([[EventStream.runDsirToMemory]]); same oracle — only
+    * possible if the per-row lookup sum reproduces the batch
+    * aggregate exactly. */
+  val streamDsir: Op = Op(
+    "q_stream_dsir",
+    Retrieval.dsirWeights.oracle.get) { (spark, dir) =>
+    spark.table(EventStream.runDsirToMemory(spark, dir, "q_stream_dsir_mem"))
+  }
+
   /** Streaming ANN probe ≡ the batch kNN graph restricted to the
     * arriving vectors — knnGraph's oracle with that restriction
     * appended ([[EventStream.runAnnProbeToMemory]]; stateless, so the

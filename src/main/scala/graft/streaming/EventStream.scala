@@ -765,6 +765,54 @@ object EventStream {
         .start()
     }
 
+  /** Streaming DSIR scoring — arriving documents scored against the
+    * STANDING importance model at ingest ([[graft.operators.Retrieval
+    * .dsirWeights]]'s ratio table + selection threshold, built once
+    * from the static corpus): per-row hashed-bigram bucket array, one
+    * `aggregate` over it reading the broadcast [[
+    * graft.operators.Retrieval.DsirDim]]-entry ratio MAP (the
+    * one-row-map device of [[graft.operators.Similarity.annProbeRows]]).
+    * STATELESS: the per-occurrence ratio lookup sums to exactly the
+    * batch op's Σ cnt(b)·ratio(b) without any per-doc aggregation
+    * crossing rows, so there is no streaming aggregation, no state
+    * store, no stream-side shuffle — the 100 TB/day shape for
+    * selection-at-ingest. */
+  def runDsirToMemory(
+      spark: SparkSession, dir: String, queryName: String): String =
+    runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
+      import graft.operators.{Retrieval, TextOps}
+      val dc = Retrieval.dsirDocCounts(spark, dir).localCheckpoint()
+      val ratio = Retrieval.dsirRatio(dc)
+      val rmap = ratio.agg(map_from_entries(
+        collect_list(struct(col("bucket"), col("ratio")))).as("rmap"))
+      val thr = Retrieval.dsirScores(dc, ratio)
+        .agg(expr(s"percentile(dsir_score, ${Retrieval.DsirQuantile})")
+          .as("p75"))
+      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val arriving = spark.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val buckets = transform(TextOps.bigramArray, bg =>
+        graft.functions.TextAnalysis.fingerprint(
+          concat_ws(" ", bg.getField("w1"), bg.getField("w2")),
+          Some(spark)) % Retrieval.DsirDim)
+      arriving
+        // zero-bigram docs are outside the batch op's domain
+        .filter(size(TextOps.bigramArray) > 0)
+        .crossJoin(broadcast(rmap)).crossJoin(broadcast(thr))
+        // every arriving bucket is in the map: the model was built
+        // over this corpus, so a doc's own occurrences are counted
+        .select(col("doc_id"),
+          aggregate(buckets, lit(0L),
+            (acc, b) => acc + element_at(col("rmap"), b)).as("dsir_score"),
+          col("p75"))
+        .select(col("doc_id"), col("dsir_score"),
+          (col("dsir_score") >= col("p75")).as("kept"))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
   /** Watermarked STREAM-STREAM join — the attribution shape: every
     * (click, purchase) pair of the same user where the click precedes
     * the purchase by at most [[AttributionWindow]]. Both sides carry a

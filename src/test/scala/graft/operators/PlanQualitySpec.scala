@@ -264,6 +264,32 @@ class PlanQualitySpec extends SparkSpec {
       s"expected window over the pre-aggregated bigram counts in:\n$p")
   }
 
+  test("asof nearest runs BOTH directed native merges, no inequality join") {
+    val p = plan(AsOf.asofNearest)
+    assert("AsOfJoin".r.findAllIn(p).size >= 2,
+      s"expected two native as-of execs in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nearest pick must merge event-sized frames, not re-join orders:\n$p")
+  }
+
+  test("dsir weights: model tables broadcast back, corpus never re-sorts") {
+    val p = plan(Retrieval.dsirWeights)
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the ${Retrieval.DsirDim}-row ratio table as a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-scaled shuffle join belongs in the scoring pass:\n$p")
+  }
+
+  test("rrf fusion: vector queries broadcast; only the k-bounded rank " +
+    "lists may sort-merge") {
+    val p = plan(Retrieval.rrfFusion)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast query vectors in the brute-force list:\n$p")
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    assert(smj <= 1, s"expected at most the full-outer fuse join to " +
+      s"sort-merge (both sides top-k frames), got $smj in:\n$p")
+  }
+
   test("heavy hitters: global top-k plans TakeOrdered, not a full sort") {
     val p = plan(Scale.heavyHitters)
     assert(p.contains("TakeOrderedAndProject"),

@@ -64,6 +64,40 @@ class WindowAsofSetSpec extends SparkSpec {
     f()
   }
 
+  test("asof nearest: closer side wins, equidistant prefers backward, " +
+    "backward day-ties take max key, forward day-ties take min key") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_asof_near_fixture"
+    val day = (d: String) => java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    Seq(
+      (200L, day("2024-02-10"), 7L, "view", 0.0, "{}"), // equidistant ±2d
+      (201L, day("2024-02-05"), 7L, "view", 0.0, "{}"), // forward strictly closer
+      (202L, day("2024-02-08"), 7L, "view", 0.0, "{}"), // same-day backward
+      (203L, day("2024-02-20"), 8L, "view", 0.0, "{}"), // forward-only user
+      (204L, day("2024-02-20"), 9L, "view", 0.0, "{}")  // no orders at all
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq(
+      (20L, 7L, "2024-02-08", 100.0, "1-URGENT"), // 2d before event 200
+      (21L, 7L, "2024-02-08", 110.0, "1-URGENT"), // same day as 20: max key wins
+      (22L, 7L, "2024-02-12", 120.0, "1-URGENT"), // 2d after event 200
+      (23L, 7L, "2024-02-06", 130.0, "1-URGENT"), // 1d after event 201
+      (24L, 7L, "2024-02-06", 140.0, "1-URGENT"), // same day as 23: min key wins fwd
+      (25L, 8L, "2024-02-25", 150.0, "1-URGENT")  // only after user 8's event
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = AsOf.asofNearest.build(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(5)) Long.MinValue else r.getLong(5)))).toMap
+    assert(out(200L) === ((21L, -2L))) // tie ±2d → backward; day-tie → max key
+    assert(out(201L) === ((23L, 1L)))  // no prior order: +1d fwd, min key of day
+    assert(out(202L) === ((21L, 0L)))  // same-day → backward branch, max key
+    assert(out(203L) === ((25L, 5L)))  // forward-only
+    assert(out(204L) === ((-1L, Long.MinValue))) // no orders → nulls
+  }
+
   test("rollup: grouping ids distinguish subtotal levels") {
     val out = SetPivot.rollupRevenue.build(spark, sf001)
     val byGid = out.groupBy("gid").count().collect()

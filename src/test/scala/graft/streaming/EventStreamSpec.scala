@@ -230,6 +230,24 @@ class EventStreamSpec extends SparkSpec {
       s"expected zero stateful operators: ${active.get.lastProgress.json}")
   }
 
+  test("streaming DSIR scoring equals the batch selection op, stateless") {
+    import spark.implicits._
+    val batch = graft.operators.Retrieval.dsirWeights.build(spark, sf001)
+      .select($"doc_id", $"dsir_score", $"kept")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val got = graft.operators.StreamingOps.streamDsir
+      .build(spark, sf001)
+      .select($"doc_id", $"dsir_score", $"kept")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(batch.nonEmpty, "expected scored docs in testdata")
+    assert(got === batch)
+    val active = spark.streams.active.find(
+      _.name.startsWith("q_stream_dsir_mem"))
+    assert(active.nonEmpty)
+    assert(active.get.lastProgress.stateOperators.isEmpty,
+      s"expected zero stateful operators: ${active.get.lastProgress.json}")
+  }
+
   test("streaming ANN probe equals the batch kNN graph restricted to arrivals, stateless") {
     import spark.implicits._
     val S = graft.operators.Similarity
