@@ -71,10 +71,30 @@ object Dedup {
        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
        |WHERE abs(len(a.p_name) - len(b.p_name)) <= $FuzzyMaxDist
        |  AND levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist""".stripMargin) { (spark, dir) =>
-    fuzzyJoin(spark, dir, withDp = true)
-      .select(col("brand"), col("key_a"), col("key_b"),
-        levenshtein(col("name_a"), col("name_b")).as("dist"))
+    fuzzyPairs(spark, dir)
   }
+
+  private val fuzzyPairCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+
+  private[graft] def clearFuzzyPairCache(): Unit = fuzzyPairCache.clear()
+
+  /** The verified fuzzy pair graph — (brand, key_a, key_b, dist), the
+    * full blocked-DP output — session-cached: [[fuzzyMatch]] emits it
+    * and [[entityCluster]] collapses it into entities, and re-running
+    * the cut-fused block join for each consumer would pay the corpus'
+    * most expensive comparison kernel twice per session (the
+    * [[GraphOps.copurchaseEdges]] / [[minhashIndex]] split: pair
+    * detection runs ONCE at 100 TB and feeds match, clustering and
+    * resolution alike). localCheckpointed; parity with fresh
+    * construction is spec-pinned. */
+  private[graft] def fuzzyPairs(spark: SparkSession, dir: String): DataFrame =
+    fuzzyPairCache.getOrElseUpdate(
+      s"${System.identityHashCode(spark)}@$dir",
+      fuzzyJoin(spark, dir, withDp = true)
+        .select(col("brand"), col("key_a"), col("key_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .localCheckpoint())
 
   /** Candidate pairs of [[fuzzyMatch]] AFTER the cheap lossless cuts
     * (length band + packed bag distance) but BEFORE the banded DP.
@@ -121,8 +141,7 @@ object Dedup {
        |       COUNT(*) OVER (PARTITION BY entity_id) AS entity_size,
        |       key = entity_id AS is_canonical
        |FROM lab""".stripMargin) { (spark, dir) =>
-    val pairs = fuzzyJoin(spark, dir, withDp = true)
-      .select(col("key_a"), col("key_b"))
+    val pairs = fuzzyPairs(spark, dir).select(col("key_a"), col("key_b"))
     val cc = GraphOps.connectedComponents(pairs, "key_a", "key_b")
     val lab = Tables.part(spark, dir).select(col("p_partkey").as("key"))
       .join(cc, col("key") === col("node"), "left")
@@ -239,7 +258,7 @@ object Dedup {
     * original cuts (never to a higher-order-function form — the
     * interpreted bag was measured 6× slower than the DP it gates,
     * PERF.md round 3). */
-  private def fuzzyJoin(spark: SparkSession, dir: String,
+  private[graft] def fuzzyJoin(spark: SparkSession, dir: String,
       withDp: Boolean): DataFrame = {
     val p = Tables.part(spark, dir).select(col("p_brand").as("brand"),
       col("p_partkey").as("key"), col("p_name").as("name"))
@@ -578,7 +597,7 @@ object Dedup {
     * to the group-style contract of `q_dedup_exact`.
     */
   val minhashLsh: Op = Op("q_minhash_lsh", allPairsJaccardSql()) { (spark, dir) =>
-    minhashLshPairs(spark, dir, bucketCap = None)
+    lshPairIndex(spark, dir)
   }
 
   /** Guardrail variant: band buckets capped at `cap` members, bounding
@@ -595,6 +614,26 @@ object Dedup {
     verifyExact(minhashCandidates(spark, dir, bucketCap), bare, Seq.empty)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
+
+  private val lshPairCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+
+  private[graft] def clearLshPairCache(): Unit = lshPairCache.clear()
+
+  /** The verified near-dup pair set (uncapped banding, exact Jaccard)
+    * — session-cached: [[minhashLsh]] emits it, [[GraphOps.dupClusters]]
+    * clusters it, [[GraphOps.clusterRep]] selects survivors from those
+    * clusters, and [[Curation.cleanCorpus]] embeds the cluster gate —
+    * four registered consumers of one candidate-join + verify pipeline,
+    * the corpus' second-most-expensive kernel after the fuzzy DP. Same
+    * split as [[fuzzyPairs]]/[[minhashIndex]]: at 100 TB pair
+    * detection runs once and every downstream stage reads its output.
+    * Parity with fresh construction is spec-pinned. */
+  private[operators] def lshPairIndex(
+      spark: SparkSession, dir: String): DataFrame =
+    lshPairCache.getOrElseUpdate(
+      s"${System.identityHashCode(spark)}@$dir",
+      minhashLshPairs(spark, dir, bucketCap = None).localCheckpoint())
 
   /** MinHash banding geometry shared by every LSH path below: k = 32
     * hashes as 8 bands × 4 rows. */

@@ -119,7 +119,7 @@ object GraphOps {
        |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        |       doc_id = cluster_id AS is_canonical
        |FROM cc""".stripMargin) { (spark, dir) =>
-    val pairs = Dedup.minhashLshPairs(spark, dir, bucketCap = None)
+    val pairs = Dedup.lshPairIndex(spark, dir)
       .select("doc_id_a", "doc_id_b")
     val cc = connectedComponents(pairs, "doc_id_a", "doc_id_b")
     val sizes = cc.groupBy(col("lbl").as("cid"))
@@ -193,7 +193,7 @@ object GraphOps {
        |FROM lab l JOIN best b ON b.cluster_id = l.cluster_id""".stripMargin) {
     (spark, dir) =>
     import graft.functions.TextAnalysis.{punctRatio, wsTokenCount}
-    val pairs = Dedup.minhashLshPairs(spark, dir, bucketCap = None)
+    val pairs = Dedup.lshPairIndex(spark, dir)
       .select("doc_id_a", "doc_id_b")
     val cc = connectedComponents(pairs, "doc_id_a", "doc_id_b")
       .select(col("node"), col("lbl"))

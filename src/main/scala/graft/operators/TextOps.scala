@@ -517,15 +517,10 @@ object TextOps {
        |            ORDER BY score DESC, doc_id ASC) AS rnk
        |  FROM scored)
        |WHERE rnk <= $Bm25K""".stripMargin) { (spark, dir) =>
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
-    val words = toks.select(col("doc_id"),
-      size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
-    // tf is the shared base of three branches (query terms, query-term
-    // df, candidate postings) — pin it once so the tokenize + aggregate
-    // lineage executes once (the q_clean_corpus device)
-    val tf = words.groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf")).localCheckpoint()
+    // tf is the shared base of three branches here (query terms,
+    // query-term df, candidate postings) AND of every other lexical
+    // surface in the session — ride the session-cached index
+    val tf = tfIndex(spark, dir)
     val qterms = tf.filter(col("doc_id") % Bm25QueryMod === 0 && length(col("term")) >= 7)
       .select(col("doc_id").as("qid"), col("term"))
     val qtermSet = qterms.select("term").distinct()
@@ -557,15 +552,41 @@ object TextOps {
     */
   private[graft] def bm25RareIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
-    val words = toks.select(col("doc_id"),
-      size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
-      .filter(length(col("term")) >= 7)
-    val tf = words.groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // (doc, term) groups are per-term, so restricting to ≥7-char terms
+    // AFTER the shared tf aggregate leaves every kept group's tf/df
+    // untouched — the rare index is a slice of the session tf index
+    val tf = tfIndex(spark, dir).filter(length(col("term")) >= 7)
     tf.join(tf.groupBy(col("term")).agg(count(lit(1)).as("df")), Seq("term"))
   }
+
+  private val tfIndexCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.DataFrame]
+
+  private[graft] def clearTfIndexCache(): Unit = tfIndexCache.clear()
+
+  /** Session-cached whole-vocabulary term-frequency index —
+    * (doc_id, dl, term, tf), the tokenize + first aggregate EVERY
+    * lexical-retrieval surface starts from ([[bm25]], [[bm25Pruned]],
+    * the streaming probe's rare index, RRF fusion's lexical list). One
+    * build per (session, corpus), localCheckpointed; at 100 TB this is
+    * the persisted inverted-index split ([[graft.operators.Similarity]]
+    * PQ store / [[graft.operators.Dedup.minhashIndex]] pattern) — the
+    * index is written once and probed by every query, not rebuilt per
+    * query. Cache key = (session identity, dir), the established
+    * convention of [[graft.operators.GraphOps.copurchaseEdges]]. */
+  private[graft] def tfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    tfIndexCache.getOrElseUpdate(
+      s"${System.identityHashCode(spark)}@$dir", {
+        val toks = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            split(lower(trim(col("text"))), "\\s+").as("w"))
+        toks.select(col("doc_id"),
+            size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
+          .groupBy(col("doc_id"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
+      })
 
   /** Corpus scalars the probe needs: (n_docs, t_tokens) over ALL tokens
     * (dl counts every token, not just rare ones). One driver-side row —

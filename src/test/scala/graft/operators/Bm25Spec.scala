@@ -63,6 +63,18 @@ class Bm25Spec extends SparkSpec {
       s"rank-1 agreement $agree/${full.size} below the 0.9 floor")
   }
 
+  test("session-cached tf index equals fresh construction") {
+    val cached = TextOps.tfIndex(spark, sf001)
+    val fresh = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+      .select(col("doc_id"), org.apache.spark.sql.functions.size(col("w"))
+        .cast("long").as("dl"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    assert(cached.exceptAll(fresh).isEmpty && fresh.exceptAll(cached).isEmpty,
+      "cached tf index drifted from deterministic reconstruction")
+  }
+
   test("plan: queries broadcast into postings; window over aggregates only") {
     val p = out.queryExecution.executedPlan.toString
     val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))

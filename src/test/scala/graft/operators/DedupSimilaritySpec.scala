@@ -106,6 +106,22 @@ class DedupSimilaritySpec extends SparkSpec {
     ents.unpersist()
   }
 
+  test("session-cached verified LSH pair set equals fresh construction") {
+    val cached = Dedup.lshPairIndex(spark, sf001)
+    val fresh = Dedup.minhashLshPairs(spark, sf001, bucketCap = None)
+    assert(cached.exceptAll(fresh).isEmpty && fresh.exceptAll(cached).isEmpty,
+      "cached LSH pair index drifted from deterministic reconstruction")
+  }
+
+  test("session-cached fuzzy pair graph equals fresh construction") {
+    val cached = Dedup.fuzzyPairs(spark, sf001)
+    val fresh = Dedup.fuzzyJoin(spark, sf001, withDp = true)
+      .select($"brand", $"key_a", $"key_b",
+        levenshtein($"name_a", $"name_b").as("dist"))
+    assert(cached.exceptAll(fresh).isEmpty && fresh.exceptAll(cached).isEmpty,
+      "cached fuzzy pair index drifted from deterministic reconstruction")
+  }
+
   test("minhash LSH finds every exact-Jaccard>=0.5 pair (recall vs truth)") {
     val truth = exactPairTruth()
     val got = Dedup.minhashLsh.build(spark, sf001)

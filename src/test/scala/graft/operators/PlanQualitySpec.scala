@@ -188,7 +188,11 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("fuzzy match: brand equi-join with the distance cuts fused in") {
-    val p = plan(Dedup.fuzzyMatch)
+    // gate the pair-graph BUILD plan: the registered op reads the
+    // session-cached pair index (a checkpoint scan), so the join under
+    // inspection lives in the index construction
+    val p = Dedup.fuzzyJoin(spark, sf001, withDp = true)
+      .queryExecution.executedPlan.toString()
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"fuzzy candidates must come from the brand equi-join:\n$p")
