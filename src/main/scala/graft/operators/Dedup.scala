@@ -306,7 +306,27 @@ object Dedup {
     * formulation needs one split per doc but pays 2-3 shuffles of the
     * posting rows — measured slower at this block structure.
     */
+  private val shingleRowCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+
+  private[graft] def clearShingleRowCache(): Unit = shingleRowCache.clear()
+
+  /** Exploded distinct 3-word shingle rows — session-cached: this is
+    * the tokenize+explode base under THIRTEEN call sites (Jaccard,
+    * containment, minhash signatures via [[minhashIndex]], every
+    * `verifyExact` shingle attach, fuzzy decontamination) and the
+    * regex/slice shingling over the full text corpus is the dominant
+    * scan-stage cost they all repeat. One build per (session, corpus),
+    * localCheckpointed; parity with fresh construction spec-pinned
+    * (the [[lshPairIndex]]/[[graft.operators.TextOps.tfIndex]]
+    * convention, one level lower in the stack). */
   private[operators] def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    shingleRowCache.getOrElseUpdate(
+      s"${System.identityHashCode(spark)}@$dir",
+      buildShingleRows(spark, dir).localCheckpoint())
+
+  private[operators] def buildShingleRows(
+      spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"), col("source"),
       explode(wordShingles(col("text"), 3)).as("s"))

@@ -312,6 +312,26 @@ object Similarity {
           explode(col("cs.cell")).as("cell"))
   }
 
+  private val canopyCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+
+  private[graft] def clearGraphCanopyCache(): Unit = canopyCache.clear()
+
+  /** The GRAPH-geometry canopy (stride 10, nprobe 8, vectors carried)
+    * — session-cached: [[knnGraph]] and [[hardNegatives]] both start
+    * from this exact (cell, vec_id, v, n2[, label]) frame, and the
+    * assignment (a broadcast codebook scan + one per-vector top-nprobe
+    * aggregate) is the candidate stage's whole cost. Labels ride along
+    * from [[quantizedLabeled]]; cell assignment never reads them, so
+    * the label-blind kNN graph and the label-aware negative miner
+    * share one index ([[graft.operators.Dedup.lshPairIndex]] split).
+    * Parity with fresh construction is spec-pinned. */
+  private[graft] def graphCanopy(spark: SparkSession, dir: String): DataFrame =
+    canopyCache.getOrElseUpdate(
+      s"${System.identityHashCode(spark)}@$dir",
+      canopyCells(spark, quantizedLabeled(spark, dir), nprobe = 8,
+        carryVec = true, stride = 10).localCheckpoint())
+
   /** Shared body: `allPairs = true` is the exact blocked kernel (the
     * registered, oracled path); `false` is the cell-canopy candidate
     * path of [[embedNearDupAnn]]. */
@@ -927,8 +947,9 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-    adcScores(q, codebook, q.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    adcScoresAssigned(seedPqCodes(spark, dir), codebook,
+        q.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("vec_id").as("c_id"), col("adc"), col("rk"))
@@ -1065,9 +1086,10 @@ object Similarity {
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
     val codebook = q.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    adcRefined(spark, q, codebook,
-      q.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv")),
+    val queries = q.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    refineShortlist(spark, q, queries,
+      adcScoresAssigned(seedPqCodes(spark, dir), codebook, queries),
       shortlist = 25, k = 5)
       .select(col("q_id"), col("c_id"), col("d2"), col("rk"))
   }
@@ -1175,9 +1197,17 @@ object Similarity {
   /** [[pqAdc]] kernel minus the top-k cut: every (q_id, candidate)
     * ADC distance, self excluded. */
   def adcScores(q: DataFrame, codebook: DataFrame, queries: DataFrame)
-      : DataFrame = {
-    val codes = pqAssign(q, codebook)
-      .select(col("vec_id"), col("m"), expr("k % 16").as("cid"))
+      : DataFrame =
+    adcScoresAssigned(
+      pqAssign(q, codebook)
+        .select(col("vec_id"), col("m"), expr("k % 16").as("cid")),
+      codebook, queries)
+
+  /** The LUT scan of [[adcScores]] over PRE-ASSIGNED seed codes — the
+    * query-time kernel once the coding pass has run (the
+    * [[adcScoresFromCodes]] split, for the seed-codebook family). */
+  def adcScoresAssigned(
+      codes: DataFrame, codebook: DataFrame, queries: DataFrame): DataFrame = {
     val lut = queries
       .select(col("q_id"), col("qv"), explode(sequence(lit(0), lit(7))).as("m"))
       .join(broadcast(codebook))
@@ -1188,6 +1218,29 @@ object Similarity {
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("d2")).as("adc"))
   }
+
+  private val seedCodesCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+
+  private[graft] def clearSeedCodesCache(): Unit = seedCodesCache.clear()
+
+  /** Seed-codebook PQ code assignment — session-cached: [[pqAdc]] and
+    * [[pqAdcRefine]] both scan these codes, and the corpus-scaled
+    * coding pass (8 subspace argmins per vector) is their dominant
+    * build cost. The TRAINED family already persists its index
+    * cross-process; this gives the coarse recall-baseline family the
+    * same build-once shape inside a session. Parity spec-pinned. */
+  private[graft] def seedPqCodes(spark: SparkSession, dir: String): DataFrame =
+    seedCodesCache.getOrElseUpdate(
+      s"${System.identityHashCode(spark)}@$dir", {
+        val q = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), quantize(col("embedding")).as("v"))
+        val codebook = q.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        pqAssign(q, codebook)
+          .select(col("vec_id"), col("m"), expr("k % 16").as("cid"))
+          .localCheckpoint()
+      })
 
   /** [[adcScores]] against a per-SUBSPACE codebook (m, cid, cv8) — the
     * TRAINED-codebook twin: codes assign via [[pqSubspaceAssign]], the
@@ -1322,7 +1375,6 @@ object Similarity {
        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rank
        |  FROM sc) WHERE rank <= 5""".stripMargin) { (spark, dir) =>
     val k = 5
-    val e = quantized(spark, dir).withColumn("label", lit(0))
     // Vectors ride THROUGH the canopy: the cell self-join scores each
     // co-occurrence inline (no separate vector-attach joins, no
     // candidate-distinct shuffle — the only shuffle after the canopy
@@ -1337,8 +1389,7 @@ object Similarity {
     // near-dup geometry: 1.08M vs 1.40M candidates AND rank-1 recall
     // 0.80 vs 0.75 — small cells bound the per-cell quadratic term,
     // extra probes buy the recall back. Recall floor pinned in spec.
-    val cellsV = canopyCells(spark, e, nprobe = 8, carryVec = true,
-      stride = 10)
+    val cellsV = graphCanopy(spark, dir)
     val pa = cellsV.select(col("cell"), col("vec_id").as("src"),
       col("v").as("vs"), col("n2").as("ns"))
     val pb = cellsV.select(col("cell"), col("vec_id").as("dst"),
@@ -1421,9 +1472,7 @@ object Similarity {
        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neg_id) AS rank
        |  FROM sc) WHERE rank <= 3""".stripMargin) { (spark, dir) =>
     val k = 3
-    val e = quantizedLabeled(spark, dir)
-    val cellsV = canopyCells(spark, e, nprobe = 8, carryVec = true,
-      stride = 10)
+    val cellsV = graphCanopy(spark, dir)
     val pa = cellsV.select(col("cell"), col("vec_id").as("src"),
       col("label").as("la"), col("v").as("vs"), col("n2").as("ns"))
     val pb = cellsV.select(col("cell"), col("vec_id").as("dst"),

@@ -106,6 +106,24 @@ class DedupSimilaritySpec extends SparkSpec {
     ents.unpersist()
   }
 
+  test("session-cached seed PQ codes equal fresh assignment") {
+    val cached = Similarity.seedPqCodes(spark, sf001)
+    val q = graft.Tables.embeddings(spark, sf001)
+      .select($"vec_id", Similarity.quantize($"embedding").as("v"))
+    val fresh = Similarity.pqAssign(q,
+        q.filter($"vec_id" < 16).select($"vec_id".as("cid"), $"v".as("cv")))
+      .select($"vec_id", $"m", expr("k % 16").as("cid"))
+    assert(cached.exceptAll(fresh).isEmpty && fresh.exceptAll(cached).isEmpty,
+      "cached seed PQ codes drifted from deterministic reassignment")
+  }
+
+  test("session-cached shingle rows equal fresh construction") {
+    val cached = Dedup.shingleRows(spark, sf001)
+    val fresh = Dedup.buildShingleRows(spark, sf001)
+    assert(cached.exceptAll(fresh).isEmpty && fresh.exceptAll(cached).isEmpty,
+      "cached shingle rows drifted from deterministic reconstruction")
+  }
+
   test("session-cached verified LSH pair set equals fresh construction") {
     val cached = Dedup.lshPairIndex(spark, sf001)
     val fresh = Dedup.minhashLshPairs(spark, sf001, bucketCap = None)

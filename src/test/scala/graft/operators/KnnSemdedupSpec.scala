@@ -14,6 +14,15 @@ class KnnSemdedupSpec extends SparkSpec {
   private lazy val sem = Similarity.semdedup.build(spark, sf001).cache()
   private lazy val asg = Similarity.semdedupAssign(spark, sf001).cache()
 
+  test("session-cached graph canopy equals fresh construction") {
+    val cached = Similarity.graphCanopy(spark, sf001)
+    val fresh = Similarity.canopyCells(spark,
+      Similarity.quantizedLabeled(spark, sf001), nprobe = 8,
+      carryVec = true, stride = 10)
+    assert(cached.exceptAll(fresh).isEmpty && fresh.exceptAll(cached).isEmpty,
+      "cached graph canopy drifted from deterministic reconstruction")
+  }
+
   test("knn graph: ranks are contiguous from 1, capped at k, no self edges") {
     val byVec = knn.groupBy($"vec_id")
       .agg(count(lit(1)).as("n"), min($"rank").as("mn"), max($"rank").as("mx"),
