@@ -28,6 +28,28 @@ object Curation {
     * streaming twin cannot drift from it). */
   private[graft] val BenchSplitMod = 29
 
+  private val gram8Cache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.DataFrame]
+
+  private[graft] def clearGram8Cache(): Unit = gram8Cache.clear()
+
+  /** Exploded 8-word decontamination shingles with the bench flag —
+    * session-cached ([[graft.operators.Dedup.shingleRows]] convention):
+    * [[decontaminate]] and [[cleanCorpus]] (which embeds it) both pay
+    * this tokenize+explode, and the streaming gate broadcasts its
+    * bench slice. Parity with fresh construction is spec-pinned. */
+  private[graft] def gramRows8(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    gram8Cache.getOrElseUpdate(
+      SessionCache.key(spark, dir, "documents.parquet"),
+      buildGramRows8(spark, dir).localCheckpoint())
+
+  private[graft] def buildGramRows8(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      (col("doc_id") % BenchSplitMod === 0).as("is_bench"),
+      explode(wordShingles(col("text"), 8)).as("g8"))
+
   /** Deterministic bucket in [0,100) from an id: Knuth multiplicative
     * hash, pre-reduced so the product stays within int64 for ANY id. */
   private def idBucket(id: org.apache.spark.sql.Column) =
@@ -333,9 +355,7 @@ object Curation {
       |       COUNT(DISTINCT be.bench_doc_id) AS n_bench_docs
       |FROM tr JOIN be ON tr.g8 = be.g8
       |GROUP BY tr.doc_id""".stripMargin) { (spark, dir) =>
-    val grams = Tables.documents(spark, dir).select(col("doc_id"),
-      (col("doc_id") % 29 === 0).as("is_bench"),
-      explode(wordShingles(col("text"), 8)).as("g8"))
+    val grams = gramRows8(spark, dir)
     val bench = grams.filter(col("is_bench"))
       .select(col("doc_id").as("bench_doc_id"), col("g8"))
     val train = grams.filter(!col("is_bench"))

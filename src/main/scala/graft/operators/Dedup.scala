@@ -90,7 +90,7 @@ object Dedup {
     * construction is spec-pinned. */
   private[graft] def fuzzyPairs(spark: SparkSession, dir: String): DataFrame =
     fuzzyPairCache.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}@$dir",
+      SessionCache.key(spark, dir, "part.parquet"),
       fuzzyJoin(spark, dir, withDp = true)
         .select(col("brand"), col("key_a"), col("key_b"),
           levenshtein(col("name_a"), col("name_b")).as("dist"))
@@ -322,7 +322,7 @@ object Dedup {
     * convention, one level lower in the stack). */
   private[operators] def shingleRows(spark: SparkSession, dir: String): DataFrame =
     shingleRowCache.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}@$dir",
+      SessionCache.key(spark, dir, "documents.parquet"),
       buildShingleRows(spark, dir).localCheckpoint())
 
   private[operators] def buildShingleRows(
@@ -652,7 +652,7 @@ object Dedup {
   private[operators] def lshPairIndex(
       spark: SparkSession, dir: String): DataFrame =
     lshPairCache.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}@$dir",
+      SessionCache.key(spark, dir, "documents.parquet"),
       minhashLshPairs(spark, dir, bucketCap = None).localCheckpoint())
 
   /** MinHash banding geometry shared by every LSH path below: k = 32
@@ -712,7 +712,7 @@ object Dedup {
   private[graft] def minhashIndex(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     minhashIndexCache.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}@$dir", {
+      SessionCache.key(spark, dir, "documents.parquet"), {
         val banded = bandedSignatures(spark, dir).localCheckpoint()
         val sizes = shingleRows(spark, dir).groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_sh")).localCheckpoint()

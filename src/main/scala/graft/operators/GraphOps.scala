@@ -130,6 +130,127 @@ object GraphOps {
         (col("node") === col("lbl")).as("is_canonical"))
   }
 
+  /** Incremental-clustering merge kernel: fold a delta batch's
+    * verified pairs into STANDING cluster labels without re-running
+    * CC over the corpus. The quotient device: standing components
+    * collapse to their labels, so the only graph that needs iterating
+    * is (delta doc | standing label) nodes connected by the DELTA
+    * edges — a |delta-matches|-sized frame, never the corpus. Every
+    * standing label is the MIN doc of its component, so the quotient's
+    * min-label CC yields exactly the full recompute's labels (min of
+    * a union is the min of the parts' mins).
+    *
+    *  - `standingPairs` — verified pairs wholly inside the standing
+    *    corpus; CC over these is yesterday's label table (in
+    *    production it is READ, not recomputed — it's the persisted
+    *    output of the previous run).
+    *  - `crossPairs` — verified (delta doc_id_a, standing doc_id_b).
+    *  - `deltaPairs` — verified pairs wholly inside the delta.
+    *
+    * Returns (doc_id, cluster_id) for every doc in any pair. */
+  private[graft] def incrementalCc(
+      standingPairs: DataFrame, crossPairs: DataFrame,
+      deltaPairs: DataFrame): DataFrame =
+    incrementalCcFrom(
+      connectedComponents(standingPairs, "doc_id_a", "doc_id_b"),
+      crossPairs, deltaPairs)
+
+  /** [[incrementalCc]] over a PRECOMPUTED standing (node, lbl) table —
+    * the production entry point: the standing table is yesterday's
+    * persisted output, so only the quotient CC below costs anything. */
+  private[graft] def incrementalCcFrom(
+      standingLbl: DataFrame, crossPairs: DataFrame,
+      deltaPairs: DataFrame): DataFrame = {
+    val crossQ = crossPairs
+      .join(standingLbl.withColumnRenamed("node", "doc_id_b"),
+        Seq("doc_id_b"), "left")
+      .select(col("doc_id_a").as("qa"),
+        // a standing doc absent from standingLbl has no standing pair;
+        // it enters the quotient as its own singleton label
+        coalesce(col("lbl"), col("doc_id_b")).as("qb"))
+    val deltaQ = deltaPairs
+      .select(col("doc_id_a").as("qa"), col("doc_id_b").as("qb"))
+    val quotient = connectedComponents(
+        crossQ.unionByName(deltaQ), "qa", "qb")
+      .select(col("node").as("qnode"), col("lbl").as("qlbl"))
+    val standingFinal = standingLbl
+      .join(quotient, col("lbl") === col("qnode"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("qlbl"), col("lbl")).as("cluster_id"))
+    val touched = crossQ.select(col("qa").as("doc_id"))
+      .unionByName(deltaQ.select(col("qa").as("doc_id")))
+      .unionByName(deltaQ.select(col("qb").as("doc_id")))
+      .unionByName(crossQ.select(col("qb").as("doc_id")))
+      .distinct()
+      // quotient nodes that are standing LABELS are already covered by
+      // standingFinal; keep only nodes that are not standing-pair docs
+      .join(standingLbl.withColumnRenamed("node", "doc_id"),
+        Seq("doc_id"), "left_anti")
+    val touchedFinal = touched
+      .join(quotient, col("doc_id") === col("qnode"))
+      .select(col("doc_id"), col("qlbl").as("cluster_id"))
+    standingFinal.unionByName(touchedFinal)
+  }
+
+  /** [[dupClusters]] computed INCREMENTALLY — the clustering stage of
+    * the `q_dedup_incremental` story closed end-to-end: the standing
+    * corpus (doc_id % 10 ≠ 0) keeps its label table, the delta batch's
+    * verified matches (the incremental probe's own output, plus
+    * delta-internal pairs) merge in through the quotient CC of
+    * [[incrementalCc]], and the result must equal the FULL batch
+    * recompute — the oracle IS `q_dup_clusters`' recursive-CTE SQL
+    * over the whole corpus, so equality holds only if no merge is
+    * missed, no label diverges from the global min, and singleton/
+    * bridge cases all resolve. Cost: CC iterates only over the
+    * delta-sized quotient; the standing label table is input, not
+    * work (here it is recomputed once for self-containedness — a
+    * production run reads the previous output). */
+  private val standingLblCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+
+  private[graft] def clearStandingLblCache(): Unit = standingLblCache.clear()
+
+  /** The STANDING corpus' (node, lbl) cluster table — session-cached:
+    * this is the previous run's persisted output in the incremental
+    * contract (the op's cost is the delta merge, not yesterday's CC),
+    * recomputed here once per (session, corpus) for
+    * self-containedness. Parity with fresh CC is spec-pinned. */
+  private[graft] def standingLabels(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    standingLblCache.getOrElseUpdate(
+      SessionCache.key(spark, dir, "documents.parquet"), {
+        val mod = Dedup.IncrementalDeltaMod
+        connectedComponents(
+          Dedup.lshPairIndex(spark, dir)
+            .select("doc_id_a", "doc_id_b")
+            .filter(col("doc_id_a") % mod =!= 0 &&
+              col("doc_id_b") % mod =!= 0),
+          "doc_id_a", "doc_id_b").localCheckpoint()
+      })
+
+  val dupClustersIncremental: Op = Op(
+    "q_dedup_incr_cc",
+    dupClusters.oracle.get) { (spark, dir) =>
+    val mod = Dedup.IncrementalDeltaMod
+    val isDeltaA = col("doc_id_a") % mod === 0
+    val isDeltaB = col("doc_id_b") % mod === 0
+    val all = Dedup.lshPairIndex(spark, dir).select("doc_id_a", "doc_id_b")
+    // subset slices of the verified pair set are valid standing/delta
+    // pair sets under the corpus premise q_minhash_lsh already pins:
+    // banded recall is 1, so pairs(subset) = pairs(all) ∩ subset²
+    val deltaPairs = all.filter(isDeltaA && isDeltaB)
+    // the incremental probe's own verified delta×standing match set
+    val crossPairs = Dedup.incrementalMatches(spark, dir)
+      .select("doc_id_a", "doc_id_b")
+    val lab = incrementalCcFrom(
+      standingLabels(spark, dir), crossPairs, deltaPairs)
+    val sizes = lab.groupBy(col("cluster_id").as("cid"))
+      .agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, col("cluster_id") === col("cid"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
   /** Cluster-representative selection — the survivor-picking stage
     * that completes the dedup pipeline (detect pairs → cluster →
     * KEEP THE BEST, the SlimPajama/Dolma resolution step;
@@ -357,7 +478,7 @@ object GraphOps {
   private[graft] def copurchaseEdges(
       spark: SparkSession, dir: String): DataFrame =
     copurchaseCache.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}@$dir",
+      SessionCache.key(spark, dir, "lineitem.parquet"),
       buildCopurchaseEdges(spark, dir))
 
   private[graft] def buildCopurchaseEdges(

@@ -328,7 +328,7 @@ object Similarity {
     * Parity with fresh construction is spec-pinned. */
   private[graft] def graphCanopy(spark: SparkSession, dir: String): DataFrame =
     canopyCache.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}@$dir",
+      SessionCache.key(spark, dir, "embeddings.parquet"),
       canopyCells(spark, quantizedLabeled(spark, dir), nprobe = 8,
         carryVec = true, stride = 10).localCheckpoint())
 
@@ -997,7 +997,7 @@ object Similarity {
       spark: SparkSession, q: DataFrame, dir: String, steps: Int,
       nc: Int): (DataFrame, DataFrame) =
     pqIndexCache.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}@$dir@$steps@$nc", {
+      SessionCache.key(spark, dir, "embeddings.parquet") + s"@$steps@$nc", {
         val store = SinkOps.stagingDir(dir, s"pq_index_${steps}_$nc")
         val sigPath = new org.apache.hadoop.fs.Path(s"$store/_SRC_SIG")
         val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1232,7 +1232,7 @@ object Similarity {
     * same build-once shape inside a session. Parity spec-pinned. */
   private[graft] def seedPqCodes(spark: SparkSession, dir: String): DataFrame =
     seedCodesCache.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}@$dir", {
+      SessionCache.key(spark, dir, "embeddings.parquet"), {
         val q = Tables.embeddings(spark, dir)
           .select(col("vec_id"), quantize(col("embedding")).as("v"))
         val codebook = q.filter(col("vec_id") < 16)

@@ -133,6 +133,25 @@ object StreamingOps {
         countDistinct(col("bench_doc_id")).as("n_bench_docs"))
   }
 
+  /** CONTINUOUS cluster maintenance ≡ the full batch recompute: delta
+    * docs arrive as a stream, each micro-batch probes the growing
+    * band index, folds its matches into the standing labels through
+    * the delta-sized quotient CC, and appends itself to the index
+    * ([[EventStream.runIncrCcLabels]]). The oracle is
+    * `q_dup_clusters`' whole-corpus recursive CTE — only a fold that
+    * misses no cross-batch pair and keeps every label at the global
+    * min can match it. */
+  val streamIncrCc: Op = Op(
+    "q_stream_incr_cc",
+    GraphOps.dupClusters.oracle.get) { (spark, dir) =>
+    val lab = EventStream.runIncrCcLabels(spark, dir, "q_stream_incr_cc")
+    val sizes = lab.groupBy(col("lbl").as("cid"))
+      .agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, col("lbl") === col("cid"))
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"), (col("node") === col("lbl")).as("is_canonical"))
+  }
+
   /** Streaming DSIR selection ≡ the batch importance-weighting op:
     * arriving docs scored statelessly against the standing hashed-bigram
     * model ([[EventStream.runDsirToMemory]]); same oracle — only

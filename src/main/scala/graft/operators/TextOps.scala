@@ -577,7 +577,7 @@ object TextOps {
   private[graft] def tfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     tfIndexCache.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}@$dir", {
+      SessionCache.key(spark, dir, "documents.parquet"), {
         val toks = Tables.documents(spark, dir)
           .select(col("doc_id"),
             split(lower(trim(col("text"))), "\\s+").as("w"))

@@ -653,6 +653,25 @@ object EventStream {
       .filter(col("doc_id") % mod =!= 0)
       .select(col("doc_id").as("corpus_id"),
         graft.functions.TextAnalysis.wordShingles(col("text"), 3).as("sh_c")))
+    val probes = bandProbes(delta)
+    val inter = size(array_intersect(col("sh"), col("sh_c")))
+    val uni = size(col("sh")) + size(col("sh_c")) - inter
+    probes.join(corpusBands, Seq("band", "bucket"))
+      .join(corpusSh, Seq("corpus_id"))
+      .withColumn("jaccard", inter.cast("double") / uni.cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /** Per-row MinHash band probes of a (doc_id, text) frame —
+    * (doc_id, sh, band, bucket), the EXACT banding of
+    * [[graft.operators.Dedup.minhashIndex]] (k hashes, same xxhash64
+    * chain, same band split) computed row-locally so it runs on a
+    * stream. Shared by [[incrDedupMatchLog]] and the continuous
+    * clustering fold — one definition, so the probes can never drift
+    * from the standing index's banding. */
+  private[graft] def bandProbes(delta: DataFrame): DataFrame = {
+    import graft.operators.Dedup
     val shDelta = delta.select(col("doc_id"),
       graft.functions.TextAnalysis.wordShingles(col("text"), 3).as("sh"))
     val k = Dedup.MinhashBands * Dedup.MinhashRowsPerBand
@@ -666,17 +685,128 @@ object EventStream {
           .map(r => col(s"m${bnd * Dedup.MinhashRowsPerBand + r}")): _*)
           .as("bucket"))
     }
-    val probes = withSig
+    withSig
       .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("sh"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  // ------- continuous cluster maintenance (q_stream_incr_cc) -------
+
+  /** Fold state of the continuous clustering stream: the GROWING
+    * band+shingle index (standing corpus + every folded batch) and the
+    * current (node, lbl) cluster table. */
+  private[graft] final case class IncrCcState(
+      bands: DataFrame, shingles: DataFrame, labels: DataFrame)
+
+  private val incrCcStates = scala.collection.concurrent.TrieMap
+    .empty[String, IncrCcState]
+
+  private[graft] def clearIncrCcStates(): Unit = incrCcStates.clear()
+
+  /** Initial fold state — the standing corpus' slice of the session
+    * band index, its shingle sets, and its cluster labels. */
+  private[graft] def incrCcInit(
+      spark: SparkSession, dir: String): IncrCcState = {
+    import graft.operators.{Dedup, GraphOps}
+    val mod = Dedup.IncrementalDeltaMod
+    val (banded, _) = Dedup.minhashIndex(spark, dir)
+    val bands = banded.filter(col("doc_id") % mod =!= 0)
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .localCheckpoint()
+    val sh = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % mod =!= 0)
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.wordShingles(col("text"), 3).as("sh"))
+      .localCheckpoint()
+    IncrCcState(bands, sh, GraphOps.standingLabels(spark, dir))
+  }
+
+  /** Fold ONE arriving batch of documents into the state: band-probe
+    * the growing index for cross matches (so a near-dup pair split
+    * across micro-batches is found when the LATER doc arrives),
+    * band-self-join the batch for internal matches, merge both into
+    * the labels through the quotient CC
+    * ([[graft.operators.GraphOps.incrementalCcFrom]] — per-batch cost
+    * is delta-sized, never the corpus), and append the batch's bands
+    * and shingles to the index. Folding is ASSOCIATIVE in the batch
+    * split (min-label union-find), which is what makes the result
+    * batching-invariant — spec-pinned against the single-batch run
+    * and the full batch recompute. */
+  private[graft] def incrCcFold(
+      state: IncrCcState, batch: DataFrame): IncrCcState = {
+    import graft.operators.GraphOps
+    val probes = bandProbes(batch).localCheckpoint()
+    val shB = probes.select(col("doc_id"), col("sh"))
+      .dropDuplicates("doc_id")
     val inter = size(array_intersect(col("sh"), col("sh_c")))
-    val uni = size(col("sh")) + size(col("sh_c")) - inter
-    probes.join(corpusBands, Seq("band", "bucket"))
-      .join(corpusSh, Seq("corpus_id"))
-      .withColumn("jaccard", inter.cast("double") / uni.cast("double"))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_id"), col("corpus_id"), col("jaccard"))
+    val jac = inter.cast("double") /
+      (size(col("sh")) + size(col("sh_c")) - inter).cast("double")
+    val cross = probes
+      .join(state.bands.select(col("doc_id").as("corpus_id"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .select(col("doc_id"), col("corpus_id")).distinct()
+      .join(shB, Seq("doc_id"))
+      .join(state.shingles.select(col("doc_id").as("corpus_id"),
+        col("sh").as("sh_c")), Seq("corpus_id"))
+      .filter(jac >= 0.5)
+      .select(col("doc_id").as("doc_id_a"), col("corpus_id").as("doc_id_b"))
+    val internal = probes.select(col("doc_id").as("ia"),
+        col("band"), col("bucket"))
+      .join(probes.select(col("doc_id").as("ib"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+      .join(shB.select(col("doc_id").as("ia"), col("sh")), Seq("ia"))
+      .join(shB.select(col("doc_id").as("ib"), col("sh").as("sh_c")),
+        Seq("ib"))
+      .filter(jac >= 0.5)
+      .select(col("ia").as("doc_id_a"), col("ib").as("doc_id_b"))
+    val labels = GraphOps.incrementalCcFrom(state.labels, cross, internal)
+      .select(col("doc_id").as("node"), col("cluster_id").as("lbl"))
+      .localCheckpoint()
+    IncrCcState(
+      state.bands.unionByName(
+        probes.select(col("doc_id"), col("band"), col("bucket")))
+        .localCheckpoint(),
+      state.shingles.unionByName(shB).localCheckpoint(),
+      labels)
+  }
+
+  /** Drain-or-start runner for the continuous clustering stream over
+    * `dir`'s delta docs (doc_id % [[graft.operators.Dedup
+    * .IncrementalDeltaMod]] = 0): a foreachBatch sink folds each
+    * micro-batch through [[incrCcFold]]; returns the current
+    * (node, lbl) cluster table. Same long-lived-query discipline as
+    * the memory-sink ops — later invocations drain newly arrived
+    * files and fold only those. */
+  def runIncrCcLabels(
+      spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val key = liveKey(spark, queryName, dir)
+    withStreamShuffle(spark) {
+      liveQueries.get(key).filter(_.isActive) match {
+        case Some(q) => q.processAllAvailable()
+        case None =>
+          incrCcStates(key) = incrCcInit(spark, dir)
+          val mod = graft.operators.Dedup.IncrementalDeltaMod
+          val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+          val arriving = spark.readStream.schema(docsSchema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+            .filter(col("doc_id") % mod === 0)
+          val q = arriving.writeStream
+            .queryName(liveTable(queryName, dir))
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              incrCcStates.updateWith(key)(_.map(incrCcFold(_, batch)))
+              ()
+            }
+            .option("checkpointLocation", s"$scratchRoot/$queryName-${
+              java.util.UUID.randomUUID()}")
+            .start()
+          q.processAllAvailable()
+          liveQueries(key) = q
+      }
+    }
+    incrCcStates(key).labels
   }
 
   /** Streaming benchmark decontamination — the curation gate run at
@@ -745,11 +875,9 @@ object EventStream {
       spark: SparkSession, dir: String, queryName: String): String =
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
       val mod = graft.operators.Curation.BenchSplitMod
-      val bench = broadcast(graft.Tables.documents(spark, dir)
-        .filter(col("doc_id") % mod === 0)
-        .select(col("doc_id").as("bench_doc_id"),
-          explode(graft.functions.TextAnalysis.wordShingles(col("text"), 8))
-            .as("g8")))
+      val bench = broadcast(graft.operators.Curation.gramRows8(spark, dir)
+        .filter(col("is_bench"))
+        .select(col("doc_id").as("bench_doc_id"), col("g8")))
       val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
       val train = spark.readStream.schema(docsSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)

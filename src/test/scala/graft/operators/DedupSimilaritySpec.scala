@@ -106,6 +106,35 @@ class DedupSimilaritySpec extends SparkSpec {
     ents.unpersist()
   }
 
+  test("signature-keyed caches rebuild when the source files change") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cache_staleness"
+    def write(texts: Seq[(Long, String)]): Unit =
+      texts.toDF("doc_id", "text")
+        .select($"doc_id", $"text", lit("en").as("lang"),
+          lit("srcA").as("source"), length($"text").cast("long").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta")))
+    val first = Dedup.shingleRows(spark, dir)
+      .select($"doc_id", $"s").as[(Long, String)].collect().toSet
+    // parquet overwrite emits new part-file names, so the listing
+    // signature changes and the next access must rebuild, not reuse
+    write(Seq((1L, "epsilon zeta eta theta iota kappa")))
+    val second = Dedup.shingleRows(spark, dir)
+      .select($"doc_id", $"s").as[(Long, String)].collect().toSet
+    assert(first.nonEmpty && second.nonEmpty && first != second,
+      "cache served the dead corpus after its source files changed")
+    assert(second.forall(!_._2.contains("alpha")),
+      s"stale shingles from the overwritten corpus survived: $second")
+  }
+
+  test("session-cached 8-gram rows equal fresh construction") {
+    val cached = Curation.gramRows8(spark, sf001)
+    val fresh = Curation.buildGramRows8(spark, sf001)
+    assert(cached.exceptAll(fresh).isEmpty && fresh.exceptAll(cached).isEmpty,
+      "cached 8-gram rows drifted from deterministic reconstruction")
+  }
+
   test("session-cached seed PQ codes equal fresh assignment") {
     val cached = Similarity.seedPqCodes(spark, sf001)
     val q = graft.Tables.embeddings(spark, sf001)

@@ -33,6 +33,78 @@ class GraphOpsSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  private def incr(standing: Seq[(Long, Long)], cross: Seq[(Long, Long)],
+      delta: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.incrementalCc(
+        standing.toDF("doc_id_a", "doc_id_b"),
+        cross.toDF("doc_id_a", "doc_id_b"),
+        delta.toDF("doc_id_a", "doc_id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("incremental CC: a delta doc bridging two standing components " +
+    "merges them to the global min") {
+    // standing comps {10,11} and {20,21}; delta 30 touches both
+    val labels = incr(
+      standing = Seq((10L, 11L), (20L, 21L)),
+      cross = Seq((30L, 11L), (30L, 21L)),
+      delta = Seq.empty)
+    assert(labels === Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 21L -> 10L,
+      30L -> 10L))
+  }
+
+  test("incremental CC: delta-only chain forms its own new cluster; " +
+    "untouched standing components keep their labels") {
+    val labels = incr(
+      standing = Seq((10L, 11L)),
+      cross = Seq.empty,
+      delta = Seq((40L, 50L), (50L, 60L)))
+    assert(labels === Map(10L -> 10L, 11L -> 10L,
+      40L -> 40L, 50L -> 40L, 60L -> 40L))
+  }
+
+  test("incremental CC: a delta doc with a SMALLER id than the standing " +
+    "minimum relabels the merged component") {
+    val labels = incr(
+      standing = Seq((10L, 11L)),
+      cross = Seq((0L, 10L)),
+      delta = Seq.empty)
+    assert(labels === Map(0L -> 0L, 10L -> 0L, 11L -> 0L))
+  }
+
+  test("incremental CC: cross pair to a PAIRLESS standing doc enters it " +
+    "as a singleton label") {
+    val labels = incr(
+      standing = Seq((10L, 11L)),
+      cross = Seq((30L, 25L)), // 25 has no standing pair
+      delta = Seq.empty)
+    assert(labels === Map(10L -> 10L, 11L -> 10L, 25L -> 25L, 30L -> 25L))
+  }
+
+  test("session-cached standing labels equal fresh standing CC") {
+    import spark.implicits._
+    val mod = Dedup.IncrementalDeltaMod
+    val cached = GraphOps.standingLabels(spark, sf001)
+    val fresh = GraphOps.connectedComponents(
+      Dedup.lshPairIndex(spark, sf001)
+        .select("doc_id_a", "doc_id_b")
+        .filter($"doc_id_a" % mod =!= 0 && $"doc_id_b" % mod =!= 0),
+      "doc_id_a", "doc_id_b")
+    assert(cached.exceptAll(fresh).isEmpty && fresh.exceptAll(cached).isEmpty,
+      "cached standing labels drifted from fresh CC")
+  }
+
+  test("incremental dup clusters equal the batch recompute on the corpus") {
+    import spark.implicits._
+    val batch = GraphOps.dupClusters.build(spark, sf001)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val inc = GraphOps.dupClustersIncremental.build(spark, sf001)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(inc === batch)
+  }
+
   test("dup clusters: every member pairs transitively, canonical = min id") {
     val out = GraphOps.dupClusters.build(spark, sf001).cache()
     val byCluster = out.groupBy(col("cluster_id"))

@@ -230,6 +230,43 @@ class EventStreamSpec extends SparkSpec {
       s"expected zero stateful operators: ${active.get.lastProgress.json}")
   }
 
+  test("continuous clustering stream equals the full batch recompute") {
+    import spark.implicits._
+    val batch = graft.operators.GraphOps.dupClusters.build(spark, sf001)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val got = graft.operators.StreamingOps.streamIncrCc.build(spark, sf001)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(got === batch)
+  }
+
+  test("continuous clustering fold is batching-invariant and finds " +
+    "CROSS-batch pairs through the growing index") {
+    import spark.implicits._
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    // empty standing corpus: clustering is driven purely by arrivals
+    val none = docs().withColumn("sh",
+      graft.functions.TextAnalysis.wordShingles($"text", 3))
+    val empty = EventStream.IncrCcState(
+      EventStream.bandProbes(docs())
+        .select($"doc_id", $"band", $"bucket").localCheckpoint(),
+      none.select($"doc_id", $"sh").localCheckpoint(),
+      docs().select($"doc_id".as("node"), $"doc_id".as("lbl"))
+        .localCheckpoint())
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "completely different words about other things entirely here"
+    val b1 = docs((10L, t1), (30L, t2))
+    val b2 = docs((20L, t1)) // 20 matches 10 — which arrived EARLIER
+    val folded = EventStream.incrCcFold(EventStream.incrCcFold(empty, b1), b2)
+    val oneShot = EventStream.incrCcFold(empty,
+      docs((10L, t1), (30L, t2), (20L, t1)))
+    val fLbl = folded.labels.as[(Long, Long)].collect().toSet
+    val oLbl = oneShot.labels.as[(Long, Long)].collect().toSet
+    assert(fLbl === Set((10L, 10L), (20L, 10L)),
+      s"cross-batch pair not merged: $fLbl")
+    assert(fLbl === oLbl, "fold result depends on the batch split")
+  }
+
   test("streaming DSIR scoring equals the batch selection op, stateless") {
     import spark.implicits._
     val batch = graft.operators.Retrieval.dsirWeights.build(spark, sf001)
