@@ -91,6 +91,54 @@ object Multimodal {
       buckets.map(b => b.toFloat / total)
     }
 
+    /** 8×8 average hash (aHash) over block-averaged integer luma —
+      * the classic perceptual fingerprint (same family as pHash/dHash;
+      * see Zauner 2010): partition the image into an 8×8 grid, average
+      * the Rec.601 luma per cell (integer floor at every step, so the
+      * hash is bit-deterministic across JVMs), set bit (gy·8+gx) iff
+      * the cell mean EXCEEDS the grand mean of the 64 cell means.
+      * Small local edits move one or two cells ⇒ Hamming distance
+      * stays tiny; unrelated images land ~32 apart. */
+    def aHash(img: java.awt.image.BufferedImage): Long = {
+      val G = 8
+      val sums = new Array[Long](G * G)
+      val counts = new Array[Long](G * G)
+      val w = img.getWidth; val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        val gy = y * G / h
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          val c = gy * G + x * G / w
+          sums(c) += lum; counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val means = Array.tabulate(G * G)(i =>
+        if (counts(i) == 0) 0L else sums(i) / counts(i))
+      val grand = means.sum / (G * G)
+      means.zipWithIndex.foldLeft(0L) { case (acc, (m, i)) =>
+        if (m > grand) acc | (1L << i) else acc
+      }
+    }
+
+    /** aHash of a decodable image payload; None when the bytes are not
+      * a decodable image (fallback features exist for those, but a
+      * byte-level hash is NOT a perceptual fingerprint — near-dup
+      * semantics only hold for decoded pixels, so non-images are
+      * excluded rather than faked). */
+    def aHashOf(bytes: Array[Byte]): Option[Long] =
+      if (bytes == null || !looksLikeImage(bytes)) None
+      else decodeSafe(Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))).flatten match {
+        case Some(img) => Some(aHash(img))
+        case None => None
+      }
+
     /** RIFF/WAVE container sniff (44 bytes = canonical header size —
       * nothing shorter can carry a fmt chunk + any audio). */
     private def looksLikeWav(bytes: Array[Byte]): Boolean =
@@ -259,6 +307,88 @@ object Multimodal {
       .otherwise(array(lit(0L)))
     assets.select(col("asset_id"), col("media"),
         posexplode(frames).as(Seq("frame_idx", "frame_offset_ms")))
+  }
+
+  /** Per-asset perceptual hash: (asset_id, phash) for every asset whose
+    * content decodes as an image; non-decodable assets carry NULL (they
+    * belong to [[graft.operators.MultimodalOps.mediaDedup]]'s exact
+    * byte-digest contract, not to perceptual near-dup). Partition-
+    * batched like [[extractFeatures]] — the decoder initializes per
+    * partition, bytes never cross the wire twice. */
+  def perceptualHashes(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("phash", LongType, nullable = true)))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    assets.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Long]("asset_id")
+        val bytes = r.getAs[Array[Byte]]("content")
+        Row(id, StubDecoder.aHashOf(bytes).map(Long.box).orNull)
+      }
+    }
+  }
+
+  /** Deterministic REAL-image asset table: groups of three 16×16 BMPs —
+    * id 3m is a pseudo-random pattern keyed by m, 3m+1 the same pattern
+    * with the corner grid cells SWAPPED (a planted NEAR-dup: the swap
+    * preserves the grand luma mean exactly, so only the two swapped
+    * cells' bits can move — aHash Hamming ≤ 2 by construction, inside
+    * the radius-3 banding guarantee), 3m+2 an independent pattern
+    * (expected Hamming ≈ 32; the chance any unplanted pair lands within
+    * the radius-3 cut is ~C(64,≤3)/2⁶⁴ per pair). Everything derives
+    * from integer arithmetic on (m, x, y) — no RNG state, identical on
+    * every run and executor. */
+  def syntheticImageAssets(spark: SparkSession, n: Int): DataFrame = {
+    // full-width avalanche mixing (splitmix64 finalizer): a plain
+    // `linear % 256` leaves patterns as translates of one another
+    // across seeds, which plants accidental cross-group near-dups
+    def lum(seed: Long, x: Int, y: Int): Int = {
+      var h = seed + x * 0x9E3779B97F4A7C15L + y * 0xC2B2AE3D27D4EB4FL
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+      h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+      h ^= h >>> 33
+      (h & 0xFF).toInt
+    }
+    def bmp(seed: Long, perturb: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          // perturbation SWAPS the (0,0) and (7,7) grid cells' pixels:
+          // grand mean unchanged ⇒ no bit outside the two cells can flip
+          val (sx, sy) =
+            if (!perturb) (x, y)
+            else if (x < 2 && y < 2) (x + 14, y + 14)
+            else if (x >= 14 && y >= 14) (x - 14, y - 14)
+            else (x, y)
+          val v = lum(seed, sx, sy)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", out)
+      out.toByteArray
+    }
+    val rows = (0 until n).map { id =>
+      val m = id / 3
+      val bytes = (id % 3: @unchecked) match {
+        case 0 => bmp(m * 2654435761L + 17, perturb = false)
+        case 1 => bmp(m * 2654435761L + 17, perturb = true)
+        case 2 => bmp(m * 7919L + 7901L, perturb = false)
+      }
+      Row(id.toLong, bytes)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 4),
+      StructType(Seq(
+        StructField("asset_id", LongType),
+        StructField("content", BinaryType))))
   }
 
   /** Deterministic synthetic asset table (tests / demos). */

@@ -28,8 +28,7 @@ object Curation {
     * streaming twin cannot drift from it). */
   private[graft] val BenchSplitMod = 29
 
-  private val gram8Cache = scala.collection.concurrent.TrieMap
-    .empty[String, org.apache.spark.sql.DataFrame]
+  private val gram8Cache = SessionCache.frames
 
   private[graft] def clearGram8Cache(): Unit = gram8Cache.clear()
 
@@ -40,8 +39,7 @@ object Curation {
     * bench slice. Parity with fresh construction is spec-pinned. */
   private[graft] def gramRows8(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    gram8Cache.getOrElseUpdate(
-      SessionCache.key(spark, dir, "documents.parquet"),
+    gram8Cache.getOrBuild(spark, dir, "documents.parquet")(
       buildGramRows8(spark, dir).localCheckpoint())
 
   private[graft] def buildGramRows8(spark: org.apache.spark.sql.SparkSession,

@@ -74,8 +74,7 @@ object Dedup {
     fuzzyPairs(spark, dir)
   }
 
-  private val fuzzyPairCache = scala.collection.concurrent.TrieMap
-    .empty[String, DataFrame]
+  private val fuzzyPairCache = SessionCache.frames
 
   private[graft] def clearFuzzyPairCache(): Unit = fuzzyPairCache.clear()
 
@@ -89,8 +88,7 @@ object Dedup {
     * resolution alike). localCheckpointed; parity with fresh
     * construction is spec-pinned. */
   private[graft] def fuzzyPairs(spark: SparkSession, dir: String): DataFrame =
-    fuzzyPairCache.getOrElseUpdate(
-      SessionCache.key(spark, dir, "part.parquet"),
+    fuzzyPairCache.getOrBuild(spark, dir, "part.parquet")(
       fuzzyJoin(spark, dir, withDp = true)
         .select(col("brand"), col("key_a"), col("key_b"),
           levenshtein(col("name_a"), col("name_b")).as("dist"))
@@ -306,8 +304,7 @@ object Dedup {
     * formulation needs one split per doc but pays 2-3 shuffles of the
     * posting rows — measured slower at this block structure.
     */
-  private val shingleRowCache = scala.collection.concurrent.TrieMap
-    .empty[String, DataFrame]
+  private val shingleRowCache = SessionCache.frames
 
   private[graft] def clearShingleRowCache(): Unit = shingleRowCache.clear()
 
@@ -321,8 +318,7 @@ object Dedup {
     * (the [[lshPairIndex]]/[[graft.operators.TextOps.tfIndex]]
     * convention, one level lower in the stack). */
   private[operators] def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    shingleRowCache.getOrElseUpdate(
-      SessionCache.key(spark, dir, "documents.parquet"),
+    shingleRowCache.getOrBuild(spark, dir, "documents.parquet")(
       buildShingleRows(spark, dir).localCheckpoint())
 
   private[operators] def buildShingleRows(
@@ -635,8 +631,7 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
-  private val lshPairCache = scala.collection.concurrent.TrieMap
-    .empty[String, DataFrame]
+  private val lshPairCache = SessionCache.frames
 
   private[graft] def clearLshPairCache(): Unit = lshPairCache.clear()
 
@@ -651,8 +646,7 @@ object Dedup {
     * Parity with fresh construction is spec-pinned. */
   private[operators] def lshPairIndex(
       spark: SparkSession, dir: String): DataFrame =
-    lshPairCache.getOrElseUpdate(
-      SessionCache.key(spark, dir, "documents.parquet"),
+    lshPairCache.getOrBuild(spark, dir, "documents.parquet")(
       minhashLshPairs(spark, dir, bucketCap = None).localCheckpoint())
 
   /** MinHash banding geometry shared by every LSH path below: k = 32
@@ -706,18 +700,16 @@ object Dedup {
     * checkpoints of dead executors. The cached frames are byte-identical
     * to fresh construction (same deterministic xxhash64 chain —
     * DedupSimilaritySpec pins the parity), so oracles are unaffected. */
-  private val minhashIndexCache = scala.collection.concurrent.TrieMap
-    .empty[String, (DataFrame, DataFrame)]
+  private val minhashIndexCache = SessionCache.framePairs
 
   private[graft] def minhashIndex(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    minhashIndexCache.getOrElseUpdate(
-      SessionCache.key(spark, dir, "documents.parquet"), {
+    minhashIndexCache.getOrBuild(spark, dir, "documents.parquet") {
         val banded = bandedSignatures(spark, dir).localCheckpoint()
         val sizes = shingleRows(spark, dir).groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_sh")).localCheckpoint()
         (banded, sizes)
-      })
+      }
 
   /** The banded-bucket candidate stage of [[minhashLsh]] alone
     * (distinct pairs + sizes, pre-verification) — split out so the

@@ -205,8 +205,7 @@ object GraphOps {
     * delta-sized quotient; the standing label table is input, not
     * work (here it is recomputed once for self-containedness — a
     * production run reads the previous output). */
-  private val standingLblCache = scala.collection.concurrent.TrieMap
-    .empty[String, DataFrame]
+  private val standingLblCache = SessionCache.frames
 
   private[graft] def clearStandingLblCache(): Unit = standingLblCache.clear()
 
@@ -217,8 +216,7 @@ object GraphOps {
     * self-containedness. Parity with fresh CC is spec-pinned. */
   private[graft] def standingLabels(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    standingLblCache.getOrElseUpdate(
-      SessionCache.key(spark, dir, "documents.parquet"), {
+    standingLblCache.getOrBuild(spark, dir, "documents.parquet") {
         val mod = Dedup.IncrementalDeltaMod
         connectedComponents(
           Dedup.lshPairIndex(spark, dir)
@@ -226,7 +224,7 @@ object GraphOps {
             .filter(col("doc_id_a") % mod =!= 0 &&
               col("doc_id_b") % mod =!= 0),
           "doc_id_a", "doc_id_b").localCheckpoint()
-      })
+      }
 
   val dupClustersIncremental: Op = Op(
     "q_dedup_incr_cc",
@@ -472,13 +470,11 @@ object GraphOps {
     * deterministic, so cached and fresh frames are row-identical and
     * oracles are unaffected. Keyed by session identity so a replaced
     * session rebuilds instead of touching dead checkpoints. */
-  private val copurchaseCache = scala.collection.concurrent.TrieMap
-    .empty[String, DataFrame]
+  private val copurchaseCache = SessionCache.frames
 
   private[graft] def copurchaseEdges(
       spark: SparkSession, dir: String): DataFrame =
-    copurchaseCache.getOrElseUpdate(
-      SessionCache.key(spark, dir, "lineitem.parquet"),
+    copurchaseCache.getOrBuild(spark, dir, "lineitem.parquet")(
       buildCopurchaseEdges(spark, dir))
 
   private[graft] def buildCopurchaseEdges(

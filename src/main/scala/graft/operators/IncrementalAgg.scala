@@ -84,6 +84,86 @@ object IncrementalAgg {
       // the quotient across an integer boundary before the cast)
       .withColumn("avg_cents", expr("sum_cents DIV n_orders"))
 
+  /** The sketch-store twin of [[baseStore]] for the NON-decomposable
+    * stat: per-day DISTINCT users. COUNT(DISTINCT) has no monoid
+    * components — the mergeable-at-rest form is the HLL sketch
+    * (Apache DataSketches, `hll_sketch_agg`), stored as a BINARY
+    * column per day: registers depend only on the hashed value set,
+    * so union-of-sketches is EXACTLY the sketch of the union (the
+    * spec pins merged-estimate ≡ whole-corpus-sketch estimate, not
+    * approximately), and a day's sketch never needs its raw events
+    * again. Store is built once per source-listing signature over the
+    * base slice (event_id % [[DeltaMod]] ≠ 0). */
+  def sketchStore(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val store = SinkOps.stagingDir(dir, "mv_sketch")
+    val marker = new org.apache.hadoop.fs.Path(s"$store/_SUCCESS")
+    val sigPath = new org.apache.hadoop.fs.Path(s"$store/_SRC_SIG")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcSig = graft.sources.RunLog
+      .sourceSignature(spark, dir, "events.parquet") + ":v1"
+    val valid = fs.exists(marker) && fs.exists(sigPath) && {
+      val in = fs.open(sigPath)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) == srcSig
+      finally in.close()
+    }
+    if (!valid) {
+      daySketch(Tables.events(spark, dir)
+          .filter(col("event_id") % DeltaMod =!= 0))
+        .write.mode("overwrite").parquet(store)
+      val out = fs.create(sigPath, true)
+      try out.write(srcSig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    spark.read.parquet(store)
+  }
+
+  /** Per-day HLL sketch of the frame's users. */
+  def daySketch(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+
+  /** Sketch-refresh kernel: standing per-day sketches ∪ the delta
+    * batch's sketches, merged by `hll_union_agg` — refresh cost
+    * O(delta + |view|·sketch_bytes), the raw base events never re-read. */
+  def sketchRefresh(
+      base: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    base.unionByName(daySketch(delta))
+      .groupBy(col("day"))
+      .agg(hll_union_agg(col("sk")).as("sk"))
+
+  /** Incrementally-maintained per-day DISTINCT-user view through the
+    * sketch store. Oracle contract follows `q_approx_distinct`'s
+    * convention — the surfaced values are the EXACT per-day distinct
+    * counts (recomputed here solely to be oracle-comparable) plus the
+    * pinned within-5% flag the sketch estimate must satisfy (default
+    * lgK=12 ⇒ ~1.6% standard error; a flag flip means the sketch
+    * path broke, and the hash compare fails loudly). The sketch MV
+    * itself — store reuse, merge exactness, binary at-rest schema —
+    * is pinned in [[IncrementalAggSpec]]. */
+  val sketchMv: Op = Op(
+    "q_sketch_mv",
+    """SELECT CAST(ts AS DATE) AS day,
+      |       COUNT(DISTINCT user_id) AS exact_users,
+      |       TRUE AS within_5pct
+      |FROM events GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val merged = sketchRefresh(
+      sketchStore(spark, dir),
+      Tables.events(spark, dir).filter(col("event_id") % DeltaMod === 0))
+      .select(col("day"), hll_sketch_estimate(col("sk")).as("est"))
+    val exact = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(merged, Seq("day"))
+      .select(col("day"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) * 20 <= col("exact_users"))
+          .as("within_5pct"))
+  }
+
   val mvRefresh: Op = Op(
     "q_mv_refresh",
     s"""SELECT CAST(o_orderdate AS DATE) AS day,

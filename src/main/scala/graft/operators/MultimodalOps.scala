@@ -83,6 +83,36 @@ object MultimodalOps {
     * unhex(sha256(name)), so that hex digest is exactly the content's
     * digest-identity — a real pipeline digests the blob bytes at
     * ingest, same 32-byte key either way). */
+  /** Perceptual near-duplicate detection over REAL decoded images —
+    * the LAION-style asset near-dup pass exact digests can't do (one
+    * recompressed/retouched pixel changes the sha, not the picture):
+    * deterministic 16×16 BMP assets ([[Multimodal.syntheticImageAssets]]
+    * — groups planting a one-cell-perturbed near-dup next to an
+    * unrelated pattern, REAL javax.imageio decode), per-asset 8×8
+    * average hash ([[Multimodal.StubDecoder.aHash]], block-averaged
+    * integer luma), candidate pairs through the EXISTING banded
+    * 64-bit-signature kernel ([[Dedup.simhashCandidatesOf]], 4×16 /
+    * radius-3 — the measured sub-quadratic geometry; phash and simhash
+    * are the same Hamming-space problem, so the scale path is shared,
+    * not re-derived). Non-decodable payloads carry NULL hashes and are
+    * excluded — byte-level hashes are not perceptual fingerprints;
+    * exact dedup of those stays [[mediaDedup]]'s contract.
+    *
+    * No SQL oracle: the decode cannot be replayed by DuckDB (driver
+    * records the rows-only check) — the planted-pair exactness,
+    * perturbation tolerance, and cross-pattern exclusion are pinned in
+    * MultimodalSpec instead. */
+  val mediaPhash: Op = Op.noOracle("q_media_phash") { (spark, dir) =>
+    val n = (Tables.documents(spark, dir).count() * 3 / 5).toInt.max(30)
+    val assets = Multimodal.syntheticImageAssets(spark, n)
+    val sigs = Multimodal.perceptualHashes(assets)
+      .filter(col("phash").isNotNull)
+      .select(col("asset_id").as("doc_id"), col("phash").as("simhash"))
+    Dedup.simhashCandidatesOf(sigs, bands = 4, bitsPerBand = 16)
+      .select(col("doc_id_a").as("asset_a"),
+        col("doc_id_b").as("asset_b"), col("hamming"))
+  }
+
   val mediaDedup: Op = Op(
     "q_media_dedup",
     """SELECT sha256(p_name) AS content_sha,

@@ -1,34 +1,74 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Key construction for the session-cached shared indexes
-  * ([[Dedup.shingleRows]], [[Dedup.lshPairIndex]], [[TextOps.tfIndex]],
-  * [[Similarity.graphCanopy]], [[GraphOps.copurchaseEdges]], …): the
-  * session identity and corpus dir PLUS the driver-side listing
-  * signature ([[graft.sources.RunLog.sourceSignature]] —
-  * name|length|mtime per source file, no content read) of the table
-  * the index derives from. The signature closes the staleness hole a
-  * bare (session, dir) key leaves open: overwrite the source files
-  * under the same path (a regenerated fixture, a recomputed corpus)
-  * and the next access REBUILDS instead of serving the dead corpus —
-  * the same guard the persisted artifacts (PQ store, CSV staging,
-  * z-order layout, bootstrap base) already carry. Cost is one local
-  * file listing per access — driver-side metadata, never data.
+/** The session-scoped shared-index cache device behind
+  * [[Dedup.shingleRows]], [[Dedup.lshPairIndex]], [[TextOps.tfIndex]],
+  * [[Similarity.graphCanopy]], [[GraphOps.copurchaseEdges]], … — one
+  * consistent implementation of three properties every cache must
+  * have:
+  *
+  *  1. **Scope**: one entry per (session identity, corpus dir [, extra
+  *     parameters]) — a new session rebuilds, two dirs never collide.
+  *  2. **Staleness**: the stored value carries the source files'
+  *     LISTING SIGNATURE (name|length|mtime, matched directories
+  *     contribute their child part files); a mismatch on access
+  *     REBUILDS instead of serving the dead corpus — the same guard
+  *     the persisted artifacts (PQ store, CSV staging, z-order
+  *     layout, bootstrap base) already carry. Cost: one driver-side
+  *     file listing per access, metadata only.
+  *  3. **Bounded memory**: replacing a stale entry RELEASES the old
+  *     value's localCheckpoint blocks (the
+  *     [[GraphOps.connectedComponents]] release discipline) — a
+  *     long-lived session cycling through regenerated corpora holds
+  *     one live index per scope, not one per generation. `clear()`
+  *     only drops references (tests may still hold the frames; the
+  *     ContextCleaner reclaims them).
   */
 private[operators] object SessionCache {
-  def key(spark: SparkSession, dir: String, sourceGlob: String): String =
-    s"${System.identityHashCode(spark)}@$dir@" +
-      signature(spark, dir, sourceGlob)
 
-  /** Listing signature over the glob's matches. Unlike
-    * [[graft.sources.RunLog.sourceSignature]] (plain files only), a
-    * matched DIRECTORY contributes its child files: the driver's
-    * testdata tables are single parquet files, but a Spark-written
-    * table under the same name is a directory of part files — both
-    * layouts must invalidate when their bytes change (a glob that
+  /** Release the block-manager copy behind a localCheckpointed frame. */
+  def releaseFrame(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      lr.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
+
+  final class Cache[T](release: T => Unit) {
+    private val entries = scala.collection.concurrent.TrieMap
+      .empty[String, (String, T)]
+
+    def getOrBuild(spark: SparkSession, dir: String, sourceGlob: String,
+        extra: String = "")(build: => T): T = {
+      val scope = s"${System.identityHashCode(spark)}@$dir@$extra"
+      val sig = signature(spark, dir, sourceGlob)
+      entries.get(scope) match {
+        case Some((s, v)) if s == sig => v
+        case stale =>
+          val v = build
+          entries.put(scope, (sig, v))
+          stale.foreach { case (_, old) => release(old) }
+          v
+      }
+    }
+
+    def clear(): Unit = entries.clear()
+  }
+
+  /** A cache of single localCheckpointed frames. */
+  def frames: Cache[DataFrame] = new Cache[DataFrame](releaseFrame)
+
+  /** A cache of frame PAIRS (e.g. the minhash (banded, sizes) index). */
+  def framePairs: Cache[(DataFrame, DataFrame)] =
+    new Cache[(DataFrame, DataFrame)]({ case (a, b) =>
+      releaseFrame(a); releaseFrame(b)
+    })
+
+  /** Listing signature over the glob's matches; a matched DIRECTORY
+    * contributes its child files (a Spark-written table and the
+    * driver's single-file tables both invalidate — a glob that
     * silently matched nothing would freeze the key and serve a dead
-    * corpus forever, which is exactly the staleness spec's scenario). */
+    * corpus forever). */
   private def signature(
       spark: SparkSession, dir: String, sourceGlob: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)

@@ -312,8 +312,7 @@ object Similarity {
           explode(col("cs.cell")).as("cell"))
   }
 
-  private val canopyCache = scala.collection.concurrent.TrieMap
-    .empty[String, DataFrame]
+  private val canopyCache = SessionCache.frames
 
   private[graft] def clearGraphCanopyCache(): Unit = canopyCache.clear()
 
@@ -327,8 +326,7 @@ object Similarity {
     * share one index ([[graft.operators.Dedup.lshPairIndex]] split).
     * Parity with fresh construction is spec-pinned. */
   private[graft] def graphCanopy(spark: SparkSession, dir: String): DataFrame =
-    canopyCache.getOrElseUpdate(
-      SessionCache.key(spark, dir, "embeddings.parquet"),
+    canopyCache.getOrBuild(spark, dir, "embeddings.parquet")(
       canopyCells(spark, quantizedLabeled(spark, dir), nprobe = 8,
         carryVec = true, stride = 10).localCheckpoint())
 
@@ -987,8 +985,7 @@ object Similarity {
     * store's scan frames. Contract: `dir`'s embeddings table IS the
     * corpus `q` derives from (both callers hold this); regenerated
     * testdata invalidates the signature and retrains. */
-  private val pqIndexCache = scala.collection.concurrent.TrieMap
-    .empty[String, (DataFrame, DataFrame)]
+  private val pqIndexCache = SessionCache.framePairs
 
   private[graft] def clearPqIndexCache(): Unit = pqIndexCache.clear()
 
@@ -996,8 +993,8 @@ object Similarity {
   def pqTrainedIndex(
       spark: SparkSession, q: DataFrame, dir: String, steps: Int,
       nc: Int): (DataFrame, DataFrame) =
-    pqIndexCache.getOrElseUpdate(
-      SessionCache.key(spark, dir, "embeddings.parquet") + s"@$steps@$nc", {
+    pqIndexCache.getOrBuild(spark, dir, "embeddings.parquet",
+      extra = s"$steps@$nc") {
         val store = SinkOps.stagingDir(dir, s"pq_index_${steps}_$nc")
         val sigPath = new org.apache.hadoop.fs.Path(s"$store/_SRC_SIG")
         val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1023,7 +1020,7 @@ object Similarity {
         }
         (spark.read.parquet(s"$store/codebook"),
           spark.read.parquet(s"$store/codes"))
-      })
+      }
 
   /** [[adcRefined]] over a TRAINED per-subspace codebook: the full
     * production PQ pipeline (train → code → LUT scan → exact refine).
@@ -1219,8 +1216,7 @@ object Similarity {
       .agg(sum(col("d2")).as("adc"))
   }
 
-  private val seedCodesCache = scala.collection.concurrent.TrieMap
-    .empty[String, DataFrame]
+  private val seedCodesCache = SessionCache.frames
 
   private[graft] def clearSeedCodesCache(): Unit = seedCodesCache.clear()
 
@@ -1231,8 +1227,7 @@ object Similarity {
     * cross-process; this gives the coarse recall-baseline family the
     * same build-once shape inside a session. Parity spec-pinned. */
   private[graft] def seedPqCodes(spark: SparkSession, dir: String): DataFrame =
-    seedCodesCache.getOrElseUpdate(
-      SessionCache.key(spark, dir, "embeddings.parquet"), {
+    seedCodesCache.getOrBuild(spark, dir, "embeddings.parquet") {
         val q = Tables.embeddings(spark, dir)
           .select(col("vec_id"), quantize(col("embedding")).as("v"))
         val codebook = q.filter(col("vec_id") < 16)
@@ -1240,7 +1235,7 @@ object Similarity {
         pqAssign(q, codebook)
           .select(col("vec_id"), col("m"), expr("k % 16").as("cid"))
           .localCheckpoint()
-      })
+      }
 
   /** [[adcScores]] against a per-SUBSPACE codebook (m, cid, cv8) — the
     * TRAINED-codebook twin: codes assign via [[pqSubspaceAssign]], the

@@ -559,8 +559,7 @@ object TextOps {
     tf.join(tf.groupBy(col("term")).agg(count(lit(1)).as("df")), Seq("term"))
   }
 
-  private val tfIndexCache = scala.collection.concurrent.TrieMap
-    .empty[String, org.apache.spark.sql.DataFrame]
+  private val tfIndexCache = SessionCache.frames
 
   private[graft] def clearTfIndexCache(): Unit = tfIndexCache.clear()
 
@@ -576,8 +575,7 @@ object TextOps {
     * convention of [[graft.operators.GraphOps.copurchaseEdges]]. */
   private[graft] def tfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    tfIndexCache.getOrElseUpdate(
-      SessionCache.key(spark, dir, "documents.parquet"), {
+    tfIndexCache.getOrBuild(spark, dir, "documents.parquet") {
         val toks = Tables.documents(spark, dir)
           .select(col("doc_id"),
             split(lower(trim(col("text"))), "\\s+").as("w"))
@@ -586,7 +584,7 @@ object TextOps {
           .groupBy(col("doc_id"), col("dl"), col("term"))
           .agg(count(lit(1)).as("tf"))
           .localCheckpoint()
-      })
+      }
 
   /** Corpus scalars the probe needs: (n_docs, t_tokens) over ALL tokens
     * (dl counts every token, not just rare ones). One driver-side row —

@@ -113,6 +113,48 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("content"))
   }
 
+  test("perceptual hash: real decode, planted near-dups found at tiny " +
+    "Hamming distance, unrelated patterns excluded") {
+    val n = 60 // 20 groups of (base, perturbed, unrelated)
+    val assets = Multimodal.syntheticImageAssets(spark, n)
+    val hashes = Multimodal.perceptualHashes(assets).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(hashes.size === n)
+    assert(hashes.values.forall(_.isDefined),
+      "every synthetic BMP must decode through javax.imageio")
+    (0 until n / 3).foreach { m =>
+      val base = hashes(3L * m).get
+      val near = hashes(3L * m + 1).get
+      val far = hashes(3L * m + 2).get
+      assert(java.lang.Long.bitCount(base ^ near) <= 2,
+        s"mean-preserving cell swap moved aHash too far in group $m")
+      assert(java.lang.Long.bitCount(base ^ far) > 3,
+        s"unrelated pattern landed within the radius in group $m")
+    }
+    val pairs = graft.operators.MultimodalOps.mediaPhash
+      .build(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (base, perturbed) pair is found; count() scales the
+    // corpus past the spec's 60, so check containment on the spec ids
+    (0 until n / 3).foreach { m =>
+      assert(pairs.contains((3L * m, 3L * m + 1)),
+        s"planted near-dup pair of group $m missed")
+    }
+    // no pair may bridge two different base patterns
+    pairs.foreach { case (a, b) =>
+      assert(a / 3 === b / 3, s"cross-pattern pair ($a, $b) leaked in")
+    }
+  }
+
+  test("perceptual hash: non-decodable payloads are excluded, not faked") {
+    val assets = Multimodal.syntheticAssets(spark, 12) // sha-derived bytes
+    val hashes = Multimodal.perceptualHashes(assets).collect()
+    assert(hashes.length === 12)
+    assert(hashes.forall(_.isNullAt(1)),
+      "a byte-level hash must never pose as a perceptual fingerprint")
+  }
+
   test("media dedup: duplicate blobs grouped, survivor is the smallest id") {
     import spark.implicits._
     val got = graft.operators.MultimodalOps.mediaDedup.build(spark, sf001)

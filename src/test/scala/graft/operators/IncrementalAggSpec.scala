@@ -17,6 +17,40 @@ class IncrementalAggSpec extends SparkSpec {
           r.getLong(r.fieldIndex("sum_cents"))))
     }.toMap
 
+  test("sketch MV: union-of-sketches estimate EQUALS the whole-corpus " +
+    "sketch estimate per day (merge is exact on register state)") {
+    val events = graft.Tables.events(spark, sf001)
+    val merged = IncrementalAgg.sketchRefresh(
+        IncrementalAgg.daySketch(
+          events.filter(col("event_id") % IncrementalAgg.DeltaMod =!= 0)),
+        events.filter(col("event_id") % IncrementalAgg.DeltaMod === 0))
+      .select(col("day"), hll_sketch_estimate(col("sk")).as("est"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val direct = IncrementalAgg.daySketch(events)
+      .select(col("day"), hll_sketch_estimate(col("sk")).as("est"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(merged.nonEmpty && merged === direct,
+      "merged sketch registers diverged from the single-shot sketch")
+  }
+
+  test("sketch MV: estimates within 5% of exact; store holds BINARY " +
+    "sketches and is reused on a second refresh") {
+    val out = IncrementalAgg.sketchMv.build(spark, sf001).collect()
+    assert(out.length > 5)
+    assert(out.forall(_.getBoolean(2)), "an estimate left the 5% band")
+    val store = IncrementalAgg.sketchStore(spark, sf001)
+    assert(store.schema("sk").dataType ===
+      org.apache.spark.sql.types.BinaryType,
+      "the at-rest sketch column must be the raw HLL bytes")
+    val sig = new org.apache.hadoop.fs.Path(
+      s"${SinkOps.stagingDir(sf001, "mv_sketch")}/_SRC_SIG")
+    val fs = sig.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = fs.getFileStatus(sig).getModificationTime
+    IncrementalAgg.sketchMv.build(spark, sf001).count()
+    assert(fs.getFileStatus(sig).getModificationTime === before,
+      "second refresh rebuilt the standing sketch store")
+  }
+
   test("refresh == full recompute; avg derived at read") {
     val got = IncrementalAgg.mvRefresh.build(spark, sf001)
     val full = graft.Tables.orders(spark, sf001)
