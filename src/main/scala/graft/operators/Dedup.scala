@@ -811,12 +811,22 @@ object Dedup {
       .select(col("doc_id_a").as("doc_id"),
         col("dup_of"), col("n_matches"), col("best_j"))
 
+  private val incrMatchCache = SessionCache.frames
+
+  private[graft] def clearIncrMatchCache(): Unit = incrMatchCache.clear()
+
   /** Verified (delta, corpus) match pairs of [[dedupIncremental]],
-    * pre-aggregation (exposed for the spec's exact-join parity check). */
+    * pre-aggregation (exposed for the spec's exact-join parity check).
+    * Session-cached: the incremental dedup op and the incremental
+    * clustering op both consume this exact match set — the production
+    * cadence computes a batch's matches once and feeds every
+    * downstream maintenance step from them. */
   private[graft] def incrementalMatches(
       spark: SparkSession, dir: String): DataFrame =
-    verifyExact(incrementalCandidates(spark, dir),
-      shingleRows(spark, dir).select(col("doc_id"), col("s")), Seq.empty)
+    incrMatchCache.getOrBuild(spark, dir, "documents.parquet")(
+      verifyExact(incrementalCandidates(spark, dir),
+        shingleRows(spark, dir).select(col("doc_id"), col("s")), Seq.empty)
+        .localCheckpoint())
 
   /** The band-probe candidate stage of [[dedupIncremental]] alone
     * (distinct delta×corpus pairs + sizes, pre-verification) — split out
