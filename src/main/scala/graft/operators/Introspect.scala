@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -293,5 +294,132 @@ object Introspect {
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"))
       .union(bad)
+  }
+
+  /** Scaled-frequency drift statistic over hashed feature buckets. */
+  val DriftScale = 1000000L
+
+  /** Drift flags above this scaled-χ² mass (empirically an order of
+    * magnitude over the homogeneous corpus' sampling noise; the spec
+    * pins both sides — the corpus splits stay under it, a crafted
+    * vocabulary shift goes far over). */
+  val DriftThreshold = 200000L
+
+  /** Two-sample drift kernel over (bucket, cnt) frames: per bucket the
+    * DriftScale-scaled frequencies `fa = (S·a) div n`, `fb = (S·b) div
+    * m`, contribution `(fa−fb)² div (fa+fb+2)` — the χ²-shaped
+    * statistic on SCALED INTEGER frequencies (exact floor division
+    * everywhere: the textbook χ² denominator n·m·(aᵢ+bᵢ) overflows
+    * int64 at corpus scale, and ln-based divergences (PSI, KL) have no
+    * cross-engine bit guarantee; this form is monotone in the same
+    * discrepancies and engine-exact). Missing buckets count as zero on
+    * their side via the full outer join. */
+  private[graft] def driftStat(a: DataFrame, b: DataFrame): DataFrame = {
+    val na = a.agg(sum(col("cnt")).as("n"))
+    val nb = b.agg(sum(col("cnt")).as("m"))
+    a.select(col("bucket"), col("cnt").as("a"))
+      .join(b.select(col("bucket"), col("cnt").as("b")), Seq("bucket"),
+        "full_outer")
+      .na.fill(0L, Seq("a", "b"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(expr(s"($DriftScale * a) div n").as("fa"),
+        expr(s"($DriftScale * b) div m").as("fb"))
+      .select(expr("((fa - fb) * (fa - fb)) div (fa + fb + 2)").as("c"))
+      .agg(sum(col("c")).as("chi2_scaled"))
+  }
+
+  /** Distribution-drift monitor — the data-quality check [[dqChecks]]
+    * does not cover: constraints can all hold while the CONTENT
+    * distribution silently moves (new domain mix, tokenizer change,
+    * upstream filter bug). Feature space is hashed word bigrams
+    * ([[TextOps.bigramArray]] → rolling hash → [[Retrieval.DsirDim]]
+    * buckets — the DSIR feature device, so the model stays O(512)
+    * regardless of corpus size); two natural splits are monitored:
+    * arrival halves (early vs late doc_id — ingestion drift) and the
+    * dominant language vs the rest (mix drift). On this homogeneous
+    * corpus both stay under [[DriftThreshold]] — the FLAG's firing
+    * side is pinned by the spec's crafted vocabulary shift, the
+    * statistic itself by the oracle.
+    *
+    * Scale shape: one map-combinable (split-tag, bucket) count per
+    * comparison reduces the token stream; everything after is
+    * 512-row arithmetic. */
+  val driftMonitor: Op = Op(
+    "q_drift_chi2",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         regexp_extract_all(lower(text), '[a-z]+') AS w,
+       |         (SELECT max(doc_id) FROM documents) AS mx
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, lang, mx,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(w[i] || ' ' || w[i+1], ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007)
+       |      % ${Retrieval.DsirDim} AS bucket
+       |  FROM t, unnest(range(1, len(w))) AS x(i)
+       |), cmp AS (
+       |  SELECT 'arrival_halves' AS split,
+       |         doc_id * 2 <= mx AS in_a, bucket FROM b
+       |  UNION ALL
+       |  SELECT 'lang_mix', lang = '${Retrieval.DsirTargetLang}', bucket FROM b
+       |), c AS (
+       |  SELECT split, in_a, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM cmp GROUP BY 1, 2, 3
+       |), tot AS (
+       |  SELECT split, in_a, CAST(SUM(cnt) AS BIGINT) AS t
+       |  FROM c GROUP BY 1, 2
+       |), f AS (
+       |  SELECT COALESCE(ca.split, cb.split) AS split,
+       |         ($DriftScale * COALESCE(ca.cnt, 0)) // ta.t AS fa,
+       |         ($DriftScale * COALESCE(cb.cnt, 0)) // tb.t AS fb
+       |  FROM (SELECT * FROM c WHERE in_a) ca
+       |  FULL JOIN (SELECT * FROM c WHERE NOT in_a) cb
+       |    ON ca.split = cb.split AND ca.bucket = cb.bucket
+       |  JOIN tot ta ON ta.split = COALESCE(ca.split, cb.split) AND ta.in_a
+       |  JOIN tot tb ON tb.split = COALESCE(ca.split, cb.split) AND NOT tb.in_a
+       |)
+       |SELECT split,
+       |       CAST(SUM(((fa - fb) * (fa - fb)) // (fa + fb + 2)) AS BIGINT)
+       |         AS chi2_scaled,
+       |       SUM(((fa - fb) * (fa - fb)) // (fa + fb + 2)) > $DriftThreshold
+       |         AS drifted
+       |FROM f GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import graft.functions.TextAnalysis.fingerprint
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val rows = docs.crossJoin(broadcast(mx))
+      .select(col("doc_id"), col("lang"), col("mx"),
+        explode(TextOps.bigramArray).as("bg"))
+      .select(col("doc_id"), col("lang"), col("mx"),
+        (fingerprint(concat_ws(" ", col("bg.w1"), col("bg.w2")))
+          % Retrieval.DsirDim).as("bucket"))
+    val cmp = rows.select(lit("arrival_halves").as("split"),
+        (col("doc_id") * 2 <= col("mx")).as("in_a"), col("bucket"))
+      .unionByName(rows.select(lit("lang_mix").as("split"),
+        (col("lang") === Retrieval.DsirTargetLang).as("in_a"), col("bucket")))
+    val c = cmp.groupBy(col("split"), col("in_a"), col("bucket"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val tot = c.groupBy(col("split"), col("in_a"))
+      .agg(sum(col("cnt")).as("t"))
+    val ta = tot.filter(col("in_a")).select(col("split"), col("t").as("na"))
+    val tb = tot.filter(!col("in_a")).select(col("split"), col("t").as("nb"))
+    val ca = c.filter(col("in_a"))
+      .select(col("split"), col("bucket"), col("cnt").as("a"))
+    val cb = c.filter(!col("in_a"))
+      .select(col("split"), col("bucket"), col("cnt").as("b"))
+    ca.join(cb, Seq("split", "bucket"), "full_outer")
+      .na.fill(0L, Seq("a", "b"))
+      .join(broadcast(ta), Seq("split"))
+      .join(broadcast(tb), Seq("split"))
+      .select(col("split"),
+        expr(s"($DriftScale * a) div na").as("fa"),
+        expr(s"($DriftScale * b) div nb").as("fb"))
+      .groupBy(col("split"))
+      .agg(sum(expr("((fa - fb) * (fa - fb)) div (fa + fb + 2)"))
+        .as("chi2_scaled"))
+      .select(col("split"), col("chi2_scaled"),
+        (col("chi2_scaled") > DriftThreshold).as("drifted"))
   }
 }

@@ -10,6 +10,27 @@ import org.apache.spark.sql.functions._
   */
 class DqChecksSpec extends SparkSpec {
 
+  test("drift monitor: homogeneous corpus stays under threshold; a " +
+    "crafted vocabulary shift fires the flag; identical halves score 0") {
+    import spark.implicits._
+    val out = Introspect.driftMonitor.build(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.keySet === Set("arrival_halves", "lang_mix"))
+    out.values.foreach { case (chi2, drifted) =>
+      assert(chi2 > 0 && !drifted,
+        s"homogeneous corpus must not flag drift (got $chi2)")
+    }
+    // crafted shift: sample B concentrates on buckets sample A never
+    // uses — the scaled-χ² mass approaches the theoretical ceiling
+    val a = (0L until 64L).map(b => (b, 10L)).toDF("bucket", "cnt")
+    val b = (64L until 128L).map(b => (b, 10L)).toDF("bucket", "cnt")
+    val shifted = Introspect.driftStat(a, b).head.getLong(0)
+    assert(shifted > Introspect.DriftThreshold,
+      s"disjoint-vocabulary shift must flag (got $shifted)")
+    // and the statistic is a true zero on identical distributions
+    assert(Introspect.driftStat(a, a).head.getLong(0) === 0L)
+  }
+
   test("each planted violation is found; verdicts follow the counts") {
     val out = Introspect.dqChecks.build(spark, sf001).collect()
       .map(r => r.getString(0) ->
