@@ -133,6 +133,65 @@ object StreamingOps {
         countDistinct(col("bench_doc_id")).as("n_bench_docs"))
   }
 
+  /** Streaming drift telemetry ≡ the batch statistic on the same
+    * split: arriving delta docs emit hashed-bigram bucket rows
+    * statelessly ([[EventStream.runDriftToMemory]]); the op rolls the
+    * log into bucket counts (sum monoid ⇒ batching-invariant) and
+    * scores them against the standing corpus' model with
+    * [[Introspect.driftStat]]. The data-observability companion of
+    * the streaming hygiene gates — drift at ingest, before a skewed
+    * batch pollutes the corpus. */
+  val streamDrift: Op = Op(
+    "q_stream_drift",
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(w[i] || ' ' || w[i+1], ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007)
+       |      % ${Retrieval.DsirDim} AS bucket
+       |  FROM t, unnest(range(1, len(w))) AS x(i)
+       |), c AS (
+       |  SELECT doc_id % ${graft.operators.Dedup.IncrementalDeltaMod} = 0
+       |           AS is_delta, bucket,
+       |         CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM b GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT is_delta, CAST(SUM(cnt) AS BIGINT) AS t FROM c GROUP BY 1
+       |), f AS (
+       |  SELECT (${Introspect.DriftScale} * COALESCE(ca.cnt, 0)) // ta.t AS fa,
+       |         (${Introspect.DriftScale} * COALESCE(cb.cnt, 0)) // tb.t AS fb
+       |  FROM (SELECT * FROM c WHERE is_delta) ca
+       |  FULL JOIN (SELECT * FROM c WHERE NOT is_delta) cb
+       |    ON ca.bucket = cb.bucket
+       |  JOIN tot ta ON ta.is_delta
+       |  JOIN tot tb ON NOT tb.is_delta
+       |)
+       |SELECT 'delta_vs_standing' AS split,
+       |       CAST(SUM(((fa - fb) * (fa - fb)) // (fa + fb + 2)) AS BIGINT)
+       |         AS chi2_scaled,
+       |       SUM(((fa - fb) * (fa - fb)) // (fa + fb + 2))
+       |         > ${Introspect.DriftThreshold} AS drifted
+       |FROM f""".stripMargin) { (spark, dir) =>
+    import graft.functions.TextAnalysis.fingerprint
+    val delta = spark.table(
+        EventStream.runDriftToMemory(spark, dir, "q_stream_drift"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val mod = graft.operators.Dedup.IncrementalDeltaMod
+    val standing = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % mod =!= 0)
+      .select(explode(TextOps.bigramArray).as("bg"))
+      .select((fingerprint(concat_ws(" ", col("bg.w1"), col("bg.w2")))
+        % Retrieval.DsirDim).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    Introspect.driftStat(delta, standing)
+      .select(lit("delta_vs_standing").as("split"), col("chi2_scaled"),
+        (col("chi2_scaled") > Introspect.DriftThreshold).as("drifted"))
+  }
+
   /** CONTINUOUS cluster maintenance ≡ the full batch recompute: delta
     * docs arrive as a stream, each micro-batch probes the growing
     * band index, folds its matches into the standing labels through

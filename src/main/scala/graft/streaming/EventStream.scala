@@ -809,6 +809,36 @@ object EventStream {
     incrCcStates(key).labels
   }
 
+  /** Streaming drift telemetry — the data-observability probe run at
+    * INGEST: every arriving delta document emits its hashed-bigram
+    * bucket rows map-side (the [[graft.operators.Introspect
+    * .driftMonitor]] feature device), STATELESS — per-occurrence rows
+    * append to the sink and the registered op rolls them up and scores
+    * them against the STANDING corpus' bucket model in batch (counts
+    * are a sum monoid, so the rolled-up stream is batching-invariant
+    * by construction). The emission is one map pass per batch; nothing
+    * accumulates in the stream. */
+  def runDriftToMemory(
+      spark: SparkSession, dir: String, queryName: String): String =
+    runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
+      import graft.operators.{Dedup, Retrieval, TextOps}
+      val mod = Dedup.IncrementalDeltaMod
+      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      spark.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % mod === 0)
+        .select(col("doc_id"),
+          explode(TextOps.bigramArray).as("bg"))
+        .select(col("doc_id"),
+          (graft.functions.TextAnalysis.fingerprint(
+            concat_ws(" ", col("bg.w1"), col("bg.w2")), Some(spark))
+            % Retrieval.DsirDim).as("bucket"))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
   /** Streaming benchmark decontamination — the curation gate run at
     * INGEST, the second demonstration (after [[runIncrDedupToMemory]])
     * that the corpus-hygiene family is stateless against a fixed

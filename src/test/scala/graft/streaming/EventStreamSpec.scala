@@ -267,6 +267,34 @@ class EventStreamSpec extends SparkSpec {
     assert(fLbl === oLbl, "fold result depends on the batch split")
   }
 
+  test("streaming drift telemetry equals the batch statistic, stateless") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws, count, explode, lit}
+    // batch twin of the streamed delta side, scored the same way
+    val mod = graft.operators.Dedup.IncrementalDeltaMod
+    def counts(filter: org.apache.spark.sql.Column) =
+      graft.Tables.documents(spark, sf001).filter(filter)
+        .select(explode(graft.operators.TextOps.bigramArray).as("bg"))
+        .select((graft.functions.TextAnalysis.fingerprint(
+          concat_ws(" ", col("bg.w1"), col("bg.w2")))
+          % graft.operators.Retrieval.DsirDim).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val expected = graft.operators.Introspect.driftStat(
+        counts(col("doc_id") % mod === 0),
+        counts(col("doc_id") % mod =!= 0))
+      .head.getLong(0)
+    val got = graft.operators.StreamingOps.streamDrift
+      .build(spark, sf001).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(1) === expected,
+      "streamed bucket log diverged from the batch statistic")
+    val active = spark.streams.active.filter(_.name != null)
+      .find(_.name.startsWith("q_stream_drift"))
+    assert(active.nonEmpty)
+    assert(active.get.lastProgress.stateOperators.isEmpty,
+      s"expected zero stateful operators: ${active.get.lastProgress.json}")
+  }
+
   test("streaming DSIR scoring equals the batch selection op, stateless") {
     import spark.implicits._
     val batch = graft.operators.Retrieval.dsirWeights.build(spark, sf001)
