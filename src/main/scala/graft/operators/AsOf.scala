@@ -274,12 +274,18 @@ object AsOf {
       |         CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
       |  FROM orders
       |), keyed AS (
+      |  -- tie key packs (|days|, direction, per-direction orderkey rank)
+      |  -- into one BIGINT for arg_min. Digit budget: key term < 1e11
+      |  -- (valid for o_orderkey <= 99 999 999 999 — TPC-H orderkeys stay
+      |  -- sparse below 6e9 even at sf=1000), direction term 1e11, day
+      |  -- unit 1e12 > the sub-terms' max sum, day span < ~9.2e6 before
+      |  -- BIGINT overflow — far past any date fixture.
       |  SELECT e.event_id, o.o_orderkey, o.cents,
       |         CAST(datediff('day', e.event_date, o.od) AS BIGINT) AS sdays,
-      |         abs(CAST(datediff('day', e.event_date, o.od) AS BIGINT)) * 100000000
-      |           + (CASE WHEN o.od <= e.event_date THEN 0 ELSE 10000000 END)
+      |         abs(CAST(datediff('day', e.event_date, o.od) AS BIGINT)) * 1000000000000
+      |           + (CASE WHEN o.od <= e.event_date THEN 0 ELSE 100000000000 END)
       |           + (CASE WHEN o.od <= e.event_date
-      |              THEN 9999999 - o.o_orderkey ELSE o.o_orderkey END) AS k
+      |              THEN 99999999999 - o.o_orderkey ELSE o.o_orderkey END) AS k
       |  FROM ev e JOIN o ON o.o_custkey = e.user_id
       |), m AS (
       |  SELECT event_id,

@@ -28,7 +28,7 @@ object Curation {
     * streaming twin cannot drift from it). */
   private[graft] val BenchSplitMod = 29
 
-  private val gram8Cache = SessionCache.frames
+  private val gram8Cache = SessionCache.mkFrames()
 
   private[graft] def clearGram8Cache(): Unit = gram8Cache.clear()
 

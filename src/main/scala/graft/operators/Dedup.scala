@@ -74,7 +74,7 @@ object Dedup {
     fuzzyPairs(spark, dir)
   }
 
-  private val fuzzyPairCache = SessionCache.frames
+  private val fuzzyPairCache = SessionCache.mkFrames()
 
   private[graft] def clearFuzzyPairCache(): Unit = fuzzyPairCache.clear()
 
@@ -304,7 +304,7 @@ object Dedup {
     * formulation needs one split per doc but pays 2-3 shuffles of the
     * posting rows — measured slower at this block structure.
     */
-  private val shingleRowCache = SessionCache.frames
+  private val shingleRowCache = SessionCache.mkFrames()
 
   private[graft] def clearShingleRowCache(): Unit = shingleRowCache.clear()
 
@@ -631,7 +631,7 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
-  private val lshPairCache = SessionCache.frames
+  private val lshPairCache = SessionCache.mkFrames()
 
   private[graft] def clearLshPairCache(): Unit = lshPairCache.clear()
 
@@ -700,7 +700,7 @@ object Dedup {
     * checkpoints of dead executors. The cached frames are byte-identical
     * to fresh construction (same deterministic xxhash64 chain —
     * DedupSimilaritySpec pins the parity), so oracles are unaffected. */
-  private val minhashIndexCache = SessionCache.framePairs
+  private val minhashIndexCache = SessionCache.mkFramePairs()
 
   private[graft] def minhashIndex(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) =
@@ -811,7 +811,7 @@ object Dedup {
       .select(col("doc_id_a").as("doc_id"),
         col("dup_of"), col("n_matches"), col("best_j"))
 
-  private val incrMatchCache = SessionCache.frames
+  private val incrMatchCache = SessionCache.mkFrames()
 
   private[graft] def clearIncrMatchCache(): Unit = incrMatchCache.clear()
 

@@ -205,7 +205,7 @@ object GraphOps {
     * delta-sized quotient; the standing label table is input, not
     * work (here it is recomputed once for self-containedness — a
     * production run reads the previous output). */
-  private val standingLblCache = SessionCache.frames
+  private val standingLblCache = SessionCache.mkFrames()
 
   private[graft] def clearStandingLblCache(): Unit = standingLblCache.clear()
 
@@ -470,7 +470,7 @@ object GraphOps {
     * deterministic, so cached and fresh frames are row-identical and
     * oracles are unaffected. Keyed by session identity so a replaced
     * session rebuilds instead of touching dead checkpoints. */
-  private val copurchaseCache = SessionCache.frames
+  private val copurchaseCache = SessionCache.mkFrames()
 
   private[graft] def copurchaseEdges(
       spark: SparkSession, dir: String): DataFrame =

@@ -25,7 +25,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     only drops references (tests may still hold the frames; the
   *     ContextCleaner reclaims them).
   */
-private[operators] object SessionCache {
+private[graft] object SessionCache {
 
   /** Release the block-manager copy behind a localCheckpointed frame. */
   def releaseFrame(df: DataFrame): Unit = df.queryExecution.analyzed match {
@@ -35,31 +35,51 @@ private[operators] object SessionCache {
   }
 
   final class Cache[T](release: T => Unit) {
-    private val entries = scala.collection.concurrent.TrieMap
-      .empty[String, (String, T)]
+    private val entries =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, T)]
+    private val locks =
+      new java.util.concurrent.ConcurrentHashMap[String, Object]
 
+    /** Atomic per scope: two concurrent callers on one scope never both
+      * build (the first holds the scope lock through `build`; the second
+      * blocks and then reads the fresh entry) — and only an entry
+      * actually EVICTED by signature mismatch is released, so a frame a
+      * concurrent reader obtained before the rebuild is never yanked by
+      * a builder that lost a race it wasn't in. The residual hazard —
+      * a reader still holding a genuinely STALE frame when its rebuild
+      * releases it — is inherent to staleness eviction (the old frame
+      * references a dead corpus either way). */
     def getOrBuild(spark: SparkSession, dir: String, sourceGlob: String,
         extra: String = "")(build: => T): T = {
       val scope = s"${System.identityHashCode(spark)}@$dir@$extra"
       val sig = signature(spark, dir, sourceGlob)
-      entries.get(scope) match {
-        case Some((s, v)) if s == sig => v
-        case stale =>
+      val cur = entries.get(scope)
+      if (cur != null && cur._1 == sig) return cur._2
+      val lock = locks.computeIfAbsent(scope, _ => new Object)
+      lock.synchronized {
+        val cur2 = entries.get(scope)
+        if (cur2 != null && cur2._1 == sig) cur2._2
+        else {
           val v = build
-          entries.put(scope, (sig, v))
-          stale.foreach { case (_, old) => release(old) }
+          val old = entries.put(scope, (sig, v))
+          if (old != null) release(old._2)
           v
+        }
       }
     }
 
-    def clear(): Unit = entries.clear()
+    def clear(): Unit = { entries.clear(); locks.clear() }
   }
 
-  /** A cache of single localCheckpointed frames. */
-  def frames: Cache[DataFrame] = new Cache[DataFrame](releaseFrame)
+  /** NEW cache of single localCheckpointed frames — factory, not a
+    * shared singleton: each call-site holds its own `private val`
+    * (inlining `SessionCache.mkFrames().getOrBuild(...)` would compile
+    * but never cache, hence the explicit factory form). */
+  def mkFrames(): Cache[DataFrame] = new Cache[DataFrame](releaseFrame)
 
-  /** A cache of frame PAIRS (e.g. the minhash (banded, sizes) index). */
-  def framePairs: Cache[(DataFrame, DataFrame)] =
+  /** NEW cache of frame PAIRS (e.g. the minhash (banded, sizes) index) —
+    * factory form for the same reason as [[mkFrames]]. */
+  def mkFramePairs(): Cache[(DataFrame, DataFrame)] =
     new Cache[(DataFrame, DataFrame)]({ case (a, b) =>
       releaseFrame(a); releaseFrame(b)
     })

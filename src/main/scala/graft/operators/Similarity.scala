@@ -312,7 +312,7 @@ object Similarity {
           explode(col("cs.cell")).as("cell"))
   }
 
-  private val canopyCache = SessionCache.frames
+  private val canopyCache = SessionCache.mkFrames()
 
   private[graft] def clearGraphCanopyCache(): Unit = canopyCache.clear()
 
@@ -985,7 +985,7 @@ object Similarity {
     * store's scan frames. Contract: `dir`'s embeddings table IS the
     * corpus `q` derives from (both callers hold this); regenerated
     * testdata invalidates the signature and retrains. */
-  private val pqIndexCache = SessionCache.framePairs
+  private val pqIndexCache = SessionCache.mkFramePairs()
 
   private[graft] def clearPqIndexCache(): Unit = pqIndexCache.clear()
 
@@ -1216,7 +1216,7 @@ object Similarity {
       .agg(sum(col("d2")).as("adc"))
   }
 
-  private val seedCodesCache = SessionCache.frames
+  private val seedCodesCache = SessionCache.mkFrames()
 
   private[graft] def clearSeedCodesCache(): Unit = seedCodesCache.clear()
 

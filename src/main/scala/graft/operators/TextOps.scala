@@ -559,7 +559,7 @@ object TextOps {
     tf.join(tf.groupBy(col("term")).agg(count(lit(1)).as("df")), Seq("term"))
   }
 
-  private val tfIndexCache = SessionCache.frames
+  private val tfIndexCache = SessionCache.mkFrames()
 
   private[graft] def clearTfIndexCache(): Unit = tfIndexCache.clear()
 

@@ -695,9 +695,18 @@ object EventStream {
 
   /** Fold state of the continuous clustering stream: the GROWING
     * band+shingle index (standing corpus + every folded batch) and the
-    * current (node, lbl) cluster table. */
+    * current (node, lbl) cluster table. The index frames are LAZY
+    * UNIONS of per-batch checkpointed segments (the standing slice plus
+    * each folded batch's probes) — per-batch write cost is the batch's
+    * own rows, never the accumulated corpus, and no superseded
+    * corpus-sized checkpoint ever exists to leak. `ownsLabels` marks a
+    * label frame this fold chain checkpointed itself (releasable when
+    * superseded); the INITIAL labels are the shared session-cached
+    * [[graft.operators.GraphOps.standingLabels]] frame, which other
+    * consumers hold — a fold must never release that. */
   private[graft] final case class IncrCcState(
-      bands: DataFrame, shingles: DataFrame, labels: DataFrame)
+      bands: DataFrame, shingles: DataFrame, labels: DataFrame,
+      ownsLabels: Boolean = false)
 
   private val incrCcStates = scala.collection.concurrent.TrieMap
     .empty[String, IncrCcState]
@@ -765,12 +774,19 @@ object EventStream {
     val labels = GraphOps.incrementalCcFrom(state.labels, cross, internal)
       .select(col("doc_id").as("node"), col("cluster_id").as("lbl"))
       .localCheckpoint()
+    // the new labels are materialized; the superseded round's checkpoint
+    // (owned by this fold chain — never the shared standing frame) can go
+    if (state.ownsLabels)
+      graft.operators.SessionCache.releaseFrame(state.labels)
+    // index growth is an APPEND of the batch's own checkpointed probes —
+    // a lazy union over per-batch segments, not a re-checkpoint of the
+    // whole accumulated corpus (which would make per-batch write cost
+    // corpus-sized and pin one superseded copy per batch)
     IncrCcState(
       state.bands.unionByName(
-        probes.select(col("doc_id"), col("band"), col("bucket")))
-        .localCheckpoint(),
-      state.shingles.unionByName(shB).localCheckpoint(),
-      labels)
+        probes.select(col("doc_id"), col("band"), col("bucket"))),
+      state.shingles.unionByName(shB),
+      labels, ownsLabels = true)
   }
 
   /** Drain-or-start runner for the continuous clustering stream over
