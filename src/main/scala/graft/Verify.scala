@@ -34,6 +34,20 @@ object Verify {
     case c => c.toString
   } + "\""
 
+  /** Resolve dump-time placeholders: an oracle may read an
+    * ENGINE-PERSISTED artifact (e.g. the phash store — its build step,
+    * image decode, cannot replay in SQL, but its relational output can
+    * be read back), and the artifact's path is keyed by the sf dir,
+    * which is known only when the dump runs. The substituted SQL is
+    * what lands in `oracle_sql.json`; the driver sees plain SQL. */
+  def resolveOracles(
+      oracles: Map[String, String], sfDir: String): Map[String, String] = {
+    import graft.operators.MultimodalOps
+    oracles.view.mapValues(_.replace(
+      MultimodalOps.PhashStoreToken, MultimodalOps.phashStorePath(sfDir)))
+      .toMap
+  }
+
   /** Dump `oracles` as a JSON object file for tools/check.py. */
   def writeOracleJson(oracles: Map[String, String], outDir: String): Unit = {
     val json = oracles
@@ -53,7 +67,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    writeOracleJson(SparkEntry.oracleSql, outDir)
+    writeOracleJson(resolveOracles(SparkEntry.oracleSql, sfDir), outDir)
     spark.stop()
   }
 }

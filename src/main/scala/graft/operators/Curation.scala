@@ -550,7 +550,12 @@ object Curation {
       // shingle regexes — the dominant CPU here — run twice
       .localCheckpoint()
     val thr = perDoc.agg(expr("percentile(n_tokens, 0.25)").as("p25"))
-    val losers = GraphOps.dupClusters.build(spark, dir)
+    // cluster labels come from the INCREMENTAL assembly (standing
+    // persisted labels + delta fold — `q_dedup_incr_cc`'s builder, whose
+    // oracle proves it ≡ the full recompute), not a fresh corpus-wide
+    // CC: at 100 TB the capstone reads yesterday's labels and pays only
+    // the delta-sized quotient per run (round-7 task 8)
+    val losers = GraphOps.dupClustersIncremental.build(spark, dir)
       .filter(!col("is_canonical"))
       .select(col("doc_id"), lit(true).as("loser"))
     val contaminated = decontaminate.build(spark, dir)

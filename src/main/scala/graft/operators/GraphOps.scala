@@ -209,22 +209,29 @@ object GraphOps {
 
   private[graft] def clearStandingLblCache(): Unit = standingLblCache.clear()
 
-  /** The STANDING corpus' (node, lbl) cluster table — session-cached:
-    * this is the previous run's persisted output in the incremental
-    * contract (the op's cost is the delta merge, not yesterday's CC),
-    * recomputed here once per (session, corpus) for
-    * self-containedness. Parity with fresh CC is spec-pinned. */
+  /** The STANDING corpus' (node, lbl) cluster table — session-cached
+    * AND at rest ([[PersistedStore]], round-7): this is the previous
+    * run's persisted output in the incremental contract (the op's cost
+    * is the delta merge, not yesterday's CC), so it now literally IS a
+    * persisted artifact — built once per corpus, read back as parquet
+    * by every later session/process, invalidated exactly when the
+    * documents files change. Parity with fresh CC is spec-pinned. */
   private[graft] def standingLabels(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     standingLblCache.getOrBuild(spark, dir, "documents.parquet") {
+      val store = PersistedStore.ensure(spark, dir, "documents.parquet",
+        "standing_labels", "v1") { root =>
         val mod = Dedup.IncrementalDeltaMod
         connectedComponents(
           Dedup.lshPairIndex(spark, dir)
             .select("doc_id_a", "doc_id_b")
             .filter(col("doc_id_a") % mod =!= 0 &&
               col("doc_id_b") % mod =!= 0),
-          "doc_id_a", "doc_id_b").localCheckpoint()
+          "doc_id_a", "doc_id_b")
+          .write.mode("overwrite").parquet(s"$root/labels")
       }
+      spark.read.parquet(s"$store/labels")
+    }
 
   val dupClustersIncremental: Op = Op(
     "q_dedup_incr_cc",
@@ -472,13 +479,25 @@ object GraphOps {
     * session rebuilds instead of touching dead checkpoints. */
   private val copurchaseCache = SessionCache.mkFrames()
 
+  private[graft] def copurchaseCacheClear(): Unit = copurchaseCache.clear()
+
   private[graft] def copurchaseEdges(
       spark: SparkSession, dir: String): DataFrame =
-    copurchaseCache.getOrBuild(spark, dir, "lineitem.parquet")(
-      buildCopurchaseEdges(spark, dir))
+    copurchaseCache.getOrBuild(spark, dir, "lineitem.parquet") {
+      val store = PersistedStore.ensure(spark, dir, "lineitem.parquet",
+        "copurchase_edges", "v1") { root =>
+        copurchasePlan(spark, dir)
+          .write.mode("overwrite").parquet(s"$root/edges")
+      }
+      spark.read.parquet(s"$store/edges")
+    }
 
+  /** Fresh (un-persisted) construction — the parity reference. */
   private[graft] def buildCopurchaseEdges(
-      spark: SparkSession, dir: String): DataFrame = {
+      spark: SparkSession, dir: String): DataFrame =
+    copurchasePlan(spark, dir).localCheckpoint()
+
+  private def copurchasePlan(spark: SparkSession, dir: String): DataFrame = {
     val baskets = graft.Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
@@ -492,7 +511,6 @@ object GraphOps {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .select(col("a"), col("b"))
-      .localCheckpoint()
   }
 
   /** PageRank fixed-point scale: ranks live in units of 10⁻¹² (S

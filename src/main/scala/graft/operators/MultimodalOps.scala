@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
@@ -83,6 +84,44 @@ object MultimodalOps {
     * unhex(sha256(name)), so that hex digest is exactly the content's
     * digest-identity — a real pipeline digests the blob bytes at
     * ingest, same 32-byte key either way). */
+  /** Dump-time placeholder for [[mediaPhash]]'s oracle: the SQL reads
+    * the PERSISTED per-asset hash table, whose location is keyed by the
+    * sf dir — [[graft.Verify]] substitutes the actual store path when
+    * it writes `oracle_sql.json` (the sf dir is a dump-time fact, not a
+    * compile-time one). */
+  val PhashStoreToken = "__GRAFT_PHASH_STORE__"
+
+  /** Store path of the persisted phash table for `dir` — exposed for
+    * the oracle-dump substitution in [[graft.Verify]]. */
+  def phashStorePath(dir: String): String =
+    SinkOps.stagingDir(dir, "phash_store")
+
+  private val phashCache = SessionCache.mkFrames()
+
+  private[graft] def clearPhashCache(): Unit = phashCache.clear()
+
+  /** The per-asset perceptual-hash table AT REST — the decode boundary
+    * made a persisted artifact ([[PersistedStore]], the PQ-store
+    * pattern): javax.imageio decode + 8×8 average hash run ONCE per
+    * corpus and land as parquet behind the documents source signature;
+    * every consumer — this session, a fresh session, the DuckDB oracle
+    * — reads the same hashes back. This is the op's production shape
+    * anyway (perceptual hashes are computed at ingest next to the
+    * bytes, the near-dup join runs over the hash table), and it is what
+    * makes the RELATIONAL stage independently verifiable: the decode
+    * stays spec-pinned (MultimodalSpec), the candidate arithmetic over
+    * the persisted BIGINTs is plain SQL. */
+  private[graft] def phashStore(spark: SparkSession, dir: String): DataFrame =
+    phashCache.getOrBuild(spark, dir, "documents.parquet") {
+      val store = PersistedStore.ensure(spark, dir, "documents.parquet",
+        "phash_store", "v1") { root =>
+        val n = (Tables.documents(spark, dir).count() * 3 / 5).toInt.max(30)
+        Multimodal.perceptualHashes(Multimodal.syntheticImageAssets(spark, n))
+          .write.mode("overwrite").parquet(s"$root/hashes")
+      }
+      spark.read.parquet(s"$store/hashes")
+    }
+
   /** Perceptual near-duplicate detection over REAL decoded images —
     * the LAION-style asset near-dup pass exact digests can't do (one
     * recompressed/retouched pixel changes the sha, not the picture):
@@ -90,22 +129,36 @@ object MultimodalOps {
     * — groups planting a one-cell-perturbed near-dup next to an
     * unrelated pattern, REAL javax.imageio decode), per-asset 8×8
     * average hash ([[Multimodal.StubDecoder.aHash]], block-averaged
-    * integer luma), candidate pairs through the EXISTING banded
-    * 64-bit-signature kernel ([[Dedup.simhashCandidatesOf]], 4×16 /
-    * radius-3 — the measured sub-quadratic geometry; phash and simhash
-    * are the same Hamming-space problem, so the scale path is shared,
-    * not re-derived). Non-decodable payloads carry NULL hashes and are
+    * integer luma) PERSISTED via [[phashStore]], candidate pairs
+    * through the EXISTING banded 64-bit-signature kernel
+    * ([[Dedup.simhashCandidatesOf]], 4×16 / radius-3 — the measured
+    * sub-quadratic geometry; phash and simhash are the same
+    * Hamming-space problem, so the scale path is shared, not
+    * re-derived). Non-decodable payloads carry NULL hashes and are
     * excluded — byte-level hashes are not perceptual fingerprints;
     * exact dedup of those stays [[mediaDedup]]'s contract.
     *
-    * No SQL oracle: the decode cannot be replayed by DuckDB (driver
-    * records the rows-only check) — the planted-pair exactness,
-    * perturbation tolerance, and cross-pattern exclusion are pinned in
-    * MultimodalSpec instead. */
-  val mediaPhash: Op = Op.noOracle("q_media_phash") { (spark, dir) =>
-    val n = (Tables.documents(spark, dir).count() * 3 / 5).toInt.max(30)
-    val assets = Multimodal.syntheticImageAssets(spark, n)
-    val sigs = Multimodal.perceptualHashes(assets)
+    * Oracled at the decode boundary: the decode itself cannot replay in
+    * DuckDB (planted-pair exactness, perturbation tolerance and
+    * cross-pattern exclusion stay pinned in MultimodalSpec), but the
+    * banded candidate join over the persisted hash table can — and
+    * 4×16 banding with the radius-3 cut is PIGEONHOLE-EQUIVALENT to
+    * the exact all-pairs Hamming≤3 join (any pair within Hamming 3
+    * leaves some band untouched), so the oracle is that all-pairs
+    * form: a check of the banding's exactness, not a replay of it. */
+  val mediaPhash: Op = Op(
+    "q_media_phash",
+    s"""WITH h AS (
+       |  SELECT asset_id, phash
+       |  FROM read_parquet('$PhashStoreToken/hashes/*.parquet')
+       |  WHERE phash IS NOT NULL
+       |)
+       |SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       |       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+       |FROM h a JOIN h b ON a.asset_id < b.asset_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin) {
+    (spark, dir) =>
+    val sigs = phashStore(spark, dir)
       .filter(col("phash").isNotNull)
       .select(col("asset_id").as("doc_id"), col("phash").as("simhash"))
     Dedup.simhashCandidatesOf(sigs, bands = 4, bitsPerBand = 16)

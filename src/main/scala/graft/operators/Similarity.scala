@@ -317,18 +317,27 @@ object Similarity {
   private[graft] def clearGraphCanopyCache(): Unit = canopyCache.clear()
 
   /** The GRAPH-geometry canopy (stride 10, nprobe 8, vectors carried)
-    * — session-cached: [[knnGraph]] and [[hardNegatives]] both start
-    * from this exact (cell, vec_id, v, n2[, label]) frame, and the
-    * assignment (a broadcast codebook scan + one per-vector top-nprobe
-    * aggregate) is the candidate stage's whole cost. Labels ride along
-    * from [[quantizedLabeled]]; cell assignment never reads them, so
-    * the label-blind kNN graph and the label-aware negative miner
-    * share one index ([[graft.operators.Dedup.lshPairIndex]] split).
-    * Parity with fresh construction is spec-pinned. */
+    * — session-cached AND at rest ([[PersistedStore]], round-7):
+    * [[knnGraph]] and [[hardNegatives]] both start from this exact
+    * (cell, vec_id, v, n2[, label]) frame, and the assignment (a
+    * broadcast codebook scan + one per-vector top-nprobe aggregate) is
+    * the candidate stage's whole cost. The assignment runs once per
+    * corpus, lands as parquet, and later sessions read it back — at
+    * 100 TB this is the cell-bucketed persisted index the ANN scale
+    * notes describe. Labels ride along from [[quantizedLabeled]]; cell
+    * assignment never reads them, so the label-blind kNN graph and the
+    * label-aware negative miner share one index. Parity with fresh
+    * construction is spec-pinned. */
   private[graft] def graphCanopy(spark: SparkSession, dir: String): DataFrame =
-    canopyCache.getOrBuild(spark, dir, "embeddings.parquet")(
-      canopyCells(spark, quantizedLabeled(spark, dir), nprobe = 8,
-        carryVec = true, stride = 10).localCheckpoint())
+    canopyCache.getOrBuild(spark, dir, "embeddings.parquet") {
+      val store = PersistedStore.ensure(spark, dir, "embeddings.parquet",
+        "graph_canopy", "v1") { root =>
+        canopyCells(spark, quantizedLabeled(spark, dir), nprobe = 8,
+          carryVec = true, stride = 10)
+          .write.mode("overwrite").parquet(s"$root/cells")
+      }
+      spark.read.parquet(s"$store/cells")
+    }
 
   /** Shared body: `allPairs = true` is the exact blocked kernel (the
     * registered, oracled path); `false` is the cell-canopy candidate

@@ -563,19 +563,19 @@ object TextOps {
 
   private[graft] def clearTfIndexCache(): Unit = tfIndexCache.clear()
 
-  /** Session-cached whole-vocabulary term-frequency index —
-    * (doc_id, dl, term, tf), the tokenize + first aggregate EVERY
-    * lexical-retrieval surface starts from ([[bm25]], [[bm25Pruned]],
-    * the streaming probe's rare index, RRF fusion's lexical list). One
-    * build per (session, corpus), localCheckpointed; at 100 TB this is
-    * the persisted inverted-index split ([[graft.operators.Similarity]]
-    * PQ store / [[graft.operators.Dedup.minhashIndex]] pattern) — the
-    * index is written once and probed by every query, not rebuilt per
-    * query. Cache key = (session identity, dir), the established
-    * convention of [[graft.operators.GraphOps.copurchaseEdges]]. */
+  /** Whole-vocabulary term-frequency index — (doc_id, dl, term, tf),
+    * the tokenize + first aggregate EVERY lexical-retrieval surface
+    * starts from ([[bm25]], [[bm25Pruned]], the streaming probe's rare
+    * index, RRF fusion's lexical list). Session-cached AND at rest
+    * ([[PersistedStore]], round-7): this is the persisted
+    * inverted-index split made literal — the index is written once per
+    * corpus and probed by every query and every later session, never
+    * rebuilt per query. */
   private[graft] def tfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     tfIndexCache.getOrBuild(spark, dir, "documents.parquet") {
+      val store = graft.operators.PersistedStore.ensure(spark, dir,
+        "documents.parquet", "tf_index", "v1") { root =>
         val toks = Tables.documents(spark, dir)
           .select(col("doc_id"),
             split(lower(trim(col("text"))), "\\s+").as("w"))
@@ -583,8 +583,10 @@ object TextOps {
             size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
           .groupBy(col("doc_id"), col("dl"), col("term"))
           .agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
+          .write.mode("overwrite").parquet(s"$root/tf")
       }
+      spark.read.parquet(s"$store/tf")
+    }
 
   /** Corpus scalars the probe needs: (n_docs, t_tokens) over ALL tokens
     * (dl counts every token, not just rare ones). One driver-side row —

@@ -22,6 +22,21 @@ import org.apache.spark.sql.SparkSession
 object GenSoakCorpus {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_soak_sf1")
+    // optional scale overrides + the `entities` flag:
+    //   runMain graft.tools.GenSoakCorpus <out> [nDocs nParts nVecs] [entities]
+    // `entities` plants rare-entity phrases: each entity is a unique
+    // 2-token phrase shared by 2-5 docs, inserted at a random position —
+    // the open-vocabulary long tail a real corpus has and the closed
+    // 31-word template lacks. This is what populates containment's
+    // df∈[2,ContainDfCap] blocking band REALISTICALLY: the band grows
+    // linearly with docs (each cohort brings its own entities) instead
+    // of riding the template vocabulary's saturation transient, so the
+    // measured candidate exponent reflects blocking, not band fill-in.
+    val posArgs = args.drop(1).filterNot(_ == "entities")
+    val withEntities = args.contains("entities")
+    val nDocsArg = posArgs.lift(0).map(_.toInt).getOrElse(50000)
+    val nPartsArg = posArgs.lift(1).map(_.toInt).getOrElse(200000)
+    val nVecsArg = posArgs.lift(2).map(_.toInt).getOrElse(20000)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -43,15 +58,35 @@ object GenSoakCorpus {
       langs(langCum.indexWhere(x <= _))
     }
 
-    val nDocs = 50000
+    val nDocs = nDocsArg
     val twinFrac = 0.051 // fraction of docs that are a planted twin
     val exactFrac = 0.0016
+    // rare-entity machinery (only when `entities`): a queue of pending
+    // uses — when empty, mint entity e with a 2-5 doc budget
+    val entFrac = 0.3
+    var entId = 0L
+    var entPending = 0
+    var entCurrent = ""
+    def entityPhrase(): String = {
+      if (entPending == 0) {
+        entCurrent = s"ent$entId id$entId"
+        entPending = 2 + rnd.nextInt(4) // 2..5 docs share this entity
+        entId += 1
+      }
+      entPending -= 1
+      entCurrent
+    }
     val docs = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Int)]
     var id = 0L
     while (docs.length < nDocs) {
       val n = 10 + rnd.nextInt(91)
-      val words = Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+      val baseWords = Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+      val words =
+        if (withEntities && rnd.nextDouble() < entFrac) {
+          val at = rnd.nextInt(baseWords.length + 1)
+          baseWords.take(at) ++ entityPhrase().split(" ") ++ baseWords.drop(at)
+        } else baseWords
       val text = words.mkString(" ")
       val lang = pickLang()
       val src = s"src${rnd.nextInt(20)}"
@@ -75,7 +110,7 @@ object GenSoakCorpus {
     val nouns = Seq("ring", "bolt", "screw", "nut", "washer", "plate",
       "rod", "gear")
     val types = Seq("LARGE", "ECONOMY", "SMALL", "STANDARD", "PROMO")
-    val nParts = 200000
+    val nParts = nPartsArg
     val parts = (0 until nParts).map { k =>
       (k.toLong,
         adjs(rnd.nextInt(adjs.length)) + " " + nouns(rnd.nextInt(nouns.length)),
@@ -92,7 +127,7 @@ object GenSoakCorpus {
     // structure is random UNIT vectors (within- and cross-label cosine
     // distributions are indistinguishable — E[cos]≈0, sd≈1/8, near-dup
     // pairs are the upper tail), labels uniform over 10, 64 dims float.
-    val nVecs = 20000
+    val nVecs = nVecsArg
     val dim = 64
     val vecs = (0 until nVecs).map { k =>
       val arr = Array.fill(dim)(rnd.nextGaussian())

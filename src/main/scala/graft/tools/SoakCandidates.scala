@@ -16,8 +16,15 @@ import graft.operators.{Dedup, Similarity, TextOps}
   */
 object SoakCandidates {
   def main(args: Array[String]): Unit = {
+    // optional --families=a,b,c restricts the measurement (the 100×
+    // third-decade corpus runs only the flagship families; the known
+    // quadratic reference kernels would dominate wall-clock there)
+    val famFilter = args.find(_.startsWith("--families="))
+      .map(_.stripPrefix("--families=").split(",").toSet)
+    val dirArgs = args.filterNot(_.startsWith("--"))
+    def keep(f: String): Boolean = famFilter.forall(_.contains(f))
     val dirs =
-      if (args.nonEmpty) args.toSeq
+      if (dirArgs.nonEmpty) dirArgs.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,80 +43,86 @@ object SoakCandidates {
       val docs = graft.Tables.documents(spark, dir).count()
       val parts = graft.Tables.part(spark, dir).count()
       val vecs = Similarity.quantized(spark, dir).count()
-      val cand = Map(
-        "minhash" -> Dedup.minhashCandidates(spark, dir).count(),
+      val candThunks: Seq[(String, () => Long)] = Seq(
+        "minhash" -> (() => Dedup.minhashCandidates(spark, dir).count()),
         // the REGISTERED q_simhash candidate stage (round 5): hybrid
         // 4×16/radius-3 banding ∪ minhash bands, scope+size filtered
-        "simhash" -> Dedup.simhashHybridCandidates(spark, dir).count(),
+        "simhash" -> (() => Dedup.simhashHybridCandidates(spark, dir).count()),
         // legacy single-tier 8×8/radius-7 (measured birthday-quadratic —
         // kept for the comparison row)
-        "simhash8x8" -> Dedup.simhashCandidates(spark, dir).count(),
+        "simhash8x8" -> (() => Dedup.simhashCandidates(spark, dir).count()),
         // the tight banded tier alone (4×16: 65536 buckets/band)
-        "simhash4x16" -> Dedup.simhashCandidatesOf(
-          Dedup.simhashSignatures(spark, dir), 4, 16).count(),
-        "ngram" -> Dedup.ngramCandidates(
-          Dedup.shingleRowsWithSize(spark, dir)).count(),
+        "simhash4x16" -> (() => Dedup.simhashCandidatesOf(
+          Dedup.simhashSignatures(spark, dir), 4, 16).count()),
+        "ngram" -> (() => Dedup.ngramCandidates(
+          Dedup.shingleRowsWithSize(spark, dir)).count()),
         // asymmetric containment: rare-shingle (df <= cap) blocking —
         // candidate volume bounded by cap * |rare postings|, linear
-        "containment" -> Dedup.containmentCandidates(
+        "containment" -> (() => Dedup.containmentCandidates(
           Dedup.shingleRowsWithSize(spark, dir),
           Dedup.shingleRowsWithSize(spark, dir)
             .select(col("lang"), col("source"), col("doc_id"), col("s")),
-          Dedup.ContainDfCap).count(),
-        "fuzzy" -> Dedup.fuzzyCandidates(spark, dir).count(),
+          Dedup.ContainDfCap).count()),
+        "fuzzy" -> (() => Dedup.fuzzyCandidates(spark, dir).count()),
         // sparse-output sibling: residual-tier candidates only (the
         // exact tier is a window pass with no pair enumeration)
-        "fuzzybest" -> Dedup.fuzzyBestCandidates(spark, dir).count(),
+        "fuzzybest" -> (() => Dedup.fuzzyBestCandidates(spark, dir).count()),
         // incremental delta-vs-corpus probe (round 5): delta bands
         // broadcast against the corpus band index
-        "incremental" -> Dedup.incrementalCandidates(spark, dir).count(),
+        "incremental" -> (() => Dedup.incrementalCandidates(spark, dir).count()),
         // kNN graph candidate edges (cell canopy, no label block) and
         // SemDeDup cluster-bounded ordered pairs — population = vectors
-        "knn" -> Similarity.knnCandidates(spark,
+        "knn" -> (() => Similarity.knnCandidates(spark,
           Similarity.quantized(spark, dir).withColumn("label", lit(0)))
-          .count(),
-        "semdedup" -> Similarity.semdedupOrderedPairs(
-          Similarity.semdedupAssign(spark, dir)).count(),
+          .count()),
+        "semdedup" -> (() => Similarity.semdedupOrderedPairs(
+          Similarity.semdedupAssign(spark, dir)).count()),
         // BM25 match-log rows (query terms x matched postings) — the
         // volume the one real shuffle carries; population = docs.
         // NOTE: near-degenerate on the synthetic 10x corpus (its 31-word
         // vocabulary has ONE >=7-char term), same closed-vocabulary
         // saturation caveat as ngram.
-        "bm25" -> TextOps.bm25ProbeRows(spark, dir,
+        "bm25" -> (() => TextOps.bm25ProbeRows(spark, dir,
           graft.Tables.documents(spark, dir)
-            .filter(col("doc_id") % TextOps.Bm25QueryMod === 0)).count(),
+            .filter(col("doc_id") % TextOps.Bm25QueryMod === 0)).count()),
         // impact-pruned sibling: candidates bounded by |qterms| * P
-        "bm25pruned" -> TextOps.bm25PrunedIndex(spark, dir)
+        "bm25pruned" -> (() => TextOps.bm25PrunedIndex(spark, dir)
           .join(org.apache.spark.sql.functions.broadcast(
             TextOps.bm25RareIndex(spark, dir)
               .filter(col("doc_id") % TextOps.Bm25QueryMod === 0)
               .select(col("doc_id").as("qid"), col("term"))), Seq("term"))
-          .filter(col("doc_id") =!= col("qid")).count())
-      val truth = Map(
-        "minhash" -> Dedup.minhashLsh.build(spark, dir).count(),
-        "simhash" -> Dedup.simhash.build(spark, dir).count(),
-        "simhash8x8" -> -1L, // candidate-stage-only measurement
-        "simhash4x16" -> -1L, // candidate-stage-only measurement
-        "ngram" -> Dedup.ngramJaccard.build(spark, dir).count(),
-        "containment" -> Dedup.containment.build(spark, dir).count(),
-        "fuzzy" -> Dedup.fuzzyMatch.build(spark, dir).count(),
-        "fuzzybest" -> Dedup.fuzzyBest.build(spark, dir).count(),
-        "incremental" -> Dedup.incrementalMatches(spark, dir).count(),
-        "knn" -> Similarity.knnGraph.build(spark, dir).count(),
-        "semdedup" -> Similarity.semdedup.build(spark, dir).count(),
-        "bm25" -> TextOps.bm25.build(spark, dir).count(),
-        "bm25pruned" -> TextOps.bm25Pruned.build(spark, dir).count())
+          .filter(col("doc_id") =!= col("qid")).count()))
+      val truthThunks: Seq[(String, () => Long)] = Seq(
+        "minhash" -> (() => Dedup.minhashLsh.build(spark, dir).count()),
+        "simhash" -> (() => Dedup.simhash.build(spark, dir).count()),
+        "simhash8x8" -> (() => -1L), // candidate-stage-only measurement
+        "simhash4x16" -> (() => -1L), // candidate-stage-only measurement
+        "ngram" -> (() => Dedup.ngramJaccard.build(spark, dir).count()),
+        "containment" -> (() => Dedup.containment.build(spark, dir).count()),
+        "fuzzy" -> (() => Dedup.fuzzyMatch.build(spark, dir).count()),
+        "fuzzybest" -> (() => Dedup.fuzzyBest.build(spark, dir).count()),
+        "incremental" -> (() => Dedup.incrementalMatches(spark, dir).count()),
+        "knn" -> (() => Similarity.knnGraph.build(spark, dir).count()),
+        "semdedup" -> (() => Similarity.semdedup.build(spark, dir).count()),
+        "bm25" -> (() => TextOps.bm25.build(spark, dir).count()),
+        "bm25pruned" -> (() => TextOps.bm25Pruned.build(spark, dir).count()))
+      val cand = candThunks.filter(t => keep(t._1))
+        .map { case (k, f) => k -> f() }.toMap
+      val truth = truthThunks.filter(t => keep(t._1))
+        .map { case (k, f) => k -> f() }.toMap
       // broadcastability of the standing BM25 index: rare-term postings
       // as a fraction of all (doc, term) postings
-      val allPostings = graft.Tables.documents(spark, dir)
-        .select(col("doc_id"), org.apache.spark.sql.functions.explode(
-          org.apache.spark.sql.functions.split(
-            org.apache.spark.sql.functions.lower(
-              org.apache.spark.sql.functions.trim(col("text"))), "\\s+"))
-          .as("term")).distinct().count()
-      val idxRows = TextOps.bm25RareIndex(spark, dir).count()
-      println(f"[soak] $dir bm25 index: $idxRows rows of $allPostings postings " +
-        f"(${100.0 * idxRows / math.max(allPostings, 1)}%.1f%%)")
+      if (keep("bm25")) {
+        val allPostings = graft.Tables.documents(spark, dir)
+          .select(col("doc_id"), org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.split(
+              org.apache.spark.sql.functions.lower(
+                org.apache.spark.sql.functions.trim(col("text"))), "\\s+"))
+            .as("term")).distinct().count()
+        val idxRows = TextOps.bm25RareIndex(spark, dir).count()
+        println(f"[soak] $dir bm25 index: $idxRows rows of $allPostings postings " +
+          f"(${100.0 * idxRows / math.max(allPostings, 1)}%.1f%%)")
+      }
       val r = Row(dir, docs, parts, vecs, cand, truth)
       println(s"[soak] ${r.dir}: docs=${r.docs} parts=${r.parts} " +
         s"vecs=${r.vecs} " +

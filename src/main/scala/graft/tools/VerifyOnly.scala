@@ -23,7 +23,9 @@ object VerifyOnly {
         .parquet(s"$outDir/$name")
     }
     graft.Verify.writeOracleJson(
-      graft.SparkEntry.oracleSql.view.filterKeys(names.contains).toMap,
+      graft.Verify.resolveOracles(
+        graft.SparkEntry.oracleSql.view.filterKeys(names.contains).toMap,
+        sfDir),
       outDir)
     spark.stop()
   }

@@ -147,6 +147,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phash store persists: a cache-evicted rerun reads the store, " +
+    "not the decoder") {
+    import graft.operators.{MultimodalOps, SinkOps}
+    def run() = MultimodalOps.mediaPhash.build(spark, sf001)
+      .collect().map(_.toString).sorted
+    val first = run()
+    val store = MultimodalOps.phashStorePath(sf001)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/hashes"))
+      .map(s => s.getPath.getName -> s.getModificationTime).sortBy(_._1).toSeq
+    val before = listing
+    // a fresh session (simulated by cache eviction) must READ the
+    // persisted hash table — same results, store untouched
+    MultimodalOps.clearPhashCache()
+    assert(run() === first)
+    assert(listing === before,
+      "cache-evicted rerun must reuse the persisted hashes, not re-decode")
+    // dropping the store forces a rebuild that reproduces the same hashes
+    graft.operators.PersistedStore.drop(spark, sf001, "phash_store")
+    MultimodalOps.clearPhashCache()
+    assert(run() === first, "rebuilt store must reproduce identical pairs")
+  }
+
   test("perceptual hash: non-decodable payloads are excluded, not faked") {
     val assets = Multimodal.syntheticAssets(spark, 12) // sha-derived bytes
     val hashes = Multimodal.perceptualHashes(assets).collect()

@@ -625,6 +625,33 @@ class DedupSimilaritySpec extends SparkSpec {
       "cache-evicted search must reuse the persisted index, not rewrite it")
   }
 
+  test("sparse entity resolution refines the dense entities, linear edges") {
+    import spark.implicits._
+    // the best-match graph is a subgraph of the verified pair graph, so
+    // every sparse entity must sit INSIDE one dense entity (refinement) —
+    // and edge volume is ≤ one per part by construction
+    val edges = Dedup.fuzzyBestFrame(spark, sf001)
+      .select($"key", $"best_key").collect()
+    val nParts = graft.Tables.part(spark, sf001).count()
+    assert(edges.length <= nParts, "more best-match edges than parts")
+    val sparse = Dedup.entityResolve.build(spark, sf001)
+      .select($"key", $"entity_id").as[(Long, Long)].collect().toMap
+    val dense = Dedup.entityCluster.build(spark, sf001)
+      .select($"key", $"entity_id").as[(Long, Long)].collect().toMap
+    assert(sparse.keySet === dense.keySet, "both label every part")
+    val coarser = sparse.groupBy(_._2).values
+    coarser.foreach { members =>
+      val denseIds = members.keys.map(dense).toSet
+      assert(denseIds.size === 1,
+        s"sparse entity ${members.head._2} spans dense entities $denseIds")
+    }
+    // singleton preservation: a part in no edge is its own entity
+    val touched = edges.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    sparse.foreach { case (k, e) =>
+      if (!touched.contains(k)) assert(e === k, s"singleton $k relabeled")
+    }
+  }
+
   test("fuzzy best-match agrees with the pairwise kernel, one row per matched part") {
     // reference: derive each part's best match from the SYMMETRIC
     // expansion of the exact pairwise kernel's output — the sparse

@@ -95,6 +95,52 @@ class GraphOpsSpec extends SparkSpec {
       "cached standing labels drifted from fresh CC")
   }
 
+  test("standing labels persist: a cache-evicted rerun reads the store") {
+    def run() = GraphOps.standingLabels(spark, sf001)
+      .collect().map(_.toString).sorted
+    val first = run()
+    val store = graft.operators.SinkOps.stagingDir(sf001, "standing_labels")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/labels"))
+      .map(s => s.getPath.getName -> s.getModificationTime).sortBy(_._1).toSeq
+    val before = listing
+    GraphOps.clearStandingLblCache()
+    assert(run() === first)
+    assert(listing === before,
+      "cache-evicted rerun must reuse the persisted labels, not re-run CC")
+  }
+
+  test("fuzzy standing labels persist and the entity fold equals full CC") {
+    import spark.implicits._
+    // at-rest reuse: evicting the session cache must not rewrite the store
+    def labs() = Dedup.fuzzyStandingLabels(spark, sf001)
+      .collect().map(_.toString).sorted
+    val first = labs()
+    val store = graft.operators.SinkOps
+      .stagingDir(sf001, "fuzzy_standing_labels")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/labels"))
+      .map(s => s.getPath.getName -> s.getModificationTime).sortBy(_._1).toSeq
+    val before = listing
+    Dedup.clearFuzzyStandingCache()
+    assert(labs() === first)
+    assert(listing === before,
+      "cache-evicted rerun must reuse the persisted labels, not re-run CC")
+    // the incremental assembly the registered op ships must equal the
+    // full-graph CC it replaced (the oracle also pins this in SQL)
+    val full = GraphOps.connectedComponents(
+      Dedup.fuzzyMatch.build(spark, sf001).select($"key_a", $"key_b"),
+      "key_a", "key_b")
+      .as[(Long, Long)].collect().toMap
+    val got = Dedup.entityCluster.build(spark, sf001)
+      .select($"key", $"entity_id").as[(Long, Long)].collect().toMap
+    full.foreach { case (node, lbl) =>
+      assert(got(node) === lbl, s"entity label of $node diverged")
+    }
+  }
+
   test("incremental dup clusters equal the batch recompute on the corpus") {
     import spark.implicits._
     val batch = GraphOps.dupClusters.build(spark, sf001)

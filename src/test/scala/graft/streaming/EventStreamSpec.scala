@@ -267,6 +267,22 @@ class EventStreamSpec extends SparkSpec {
     assert(fLbl === oLbl, "fold result depends on the batch split")
   }
 
+  test("standing drift model: cached equals fresh aggregation") {
+    import org.apache.spark.sql.functions.{col, concat_ws, count, explode, lit}
+    import graft.operators.{Retrieval, StreamingOps, TextOps}
+    import graft.functions.TextAnalysis.fingerprint
+    val mod = graft.operators.Dedup.IncrementalDeltaMod
+    val cached = StreamingOps.standingDriftModel(spark, sf001)
+    val fresh = graft.Tables.documents(spark, sf001)
+      .filter(col("doc_id") % mod =!= 0)
+      .select(explode(TextOps.bigramArray).as("bg"))
+      .select((fingerprint(concat_ws(" ", col("bg.w1"), col("bg.w2")))
+        % Retrieval.DsirDim).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    assert(cached.exceptAll(fresh).isEmpty && fresh.exceptAll(cached).isEmpty,
+      "cached standing drift model drifted from fresh aggregation")
+  }
+
   test("streaming drift telemetry equals the batch statistic, stateless") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, concat_ws, count, explode, lit}
