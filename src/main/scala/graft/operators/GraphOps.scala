@@ -233,9 +233,16 @@ object GraphOps {
       spark.read.parquet(s"$store/labels")
     }
 
-  val dupClustersIncremental: Op = Op(
-    "q_dedup_incr_cc",
-    dupClusters.oracle.get) { (spark, dir) =>
+  /** The WHOLE corpus' (node, lbl) near-dup cluster table assembled
+    * the PRODUCTION way: persisted standing labels + the delta batch's
+    * fold through the quotient CC. Equals CC over the full verified
+    * pair graph — the equality `q_dedup_incr_cc`'s full-recompute
+    * oracle proves — while iterating only the delta-sized quotient.
+    * Shared by [[dupClustersIncremental]], [[clusterRep]] and (via the
+    * incremental op) [[Curation.cleanCorpus]]: every consumer of corpus
+    * cluster labels reads yesterday's artifact and pays the delta. */
+  private[graft] def corpusLabels(
+      spark: SparkSession, dir: String): DataFrame = {
     val mod = Dedup.IncrementalDeltaMod
     val isDeltaA = col("doc_id_a") % mod === 0
     val isDeltaB = col("doc_id_b") % mod === 0
@@ -247,8 +254,15 @@ object GraphOps {
     // the incremental probe's own verified delta×standing match set
     val crossPairs = Dedup.incrementalMatches(spark, dir)
       .select("doc_id_a", "doc_id_b")
-    val lab = incrementalCcFrom(
-      standingLabels(spark, dir), crossPairs, deltaPairs)
+    incrementalCcFrom(standingLabels(spark, dir), crossPairs, deltaPairs)
+      .select(col("doc_id").as("node"), col("cluster_id").as("lbl"))
+  }
+
+  val dupClustersIncremental: Op = Op(
+    "q_dedup_incr_cc",
+    dupClusters.oracle.get) { (spark, dir) =>
+    val lab = corpusLabels(spark, dir)
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
     val sizes = lab.groupBy(col("cluster_id").as("cid"))
       .agg(count(lit(1)).as("cluster_size"))
     lab.join(sizes, col("cluster_id") === col("cid"))
@@ -319,10 +333,9 @@ object GraphOps {
        |FROM lab l JOIN best b ON b.cluster_id = l.cluster_id""".stripMargin) {
     (spark, dir) =>
     import graft.functions.TextAnalysis.{punctRatio, wsTokenCount}
-    val pairs = Dedup.lshPairIndex(spark, dir)
-      .select("doc_id_a", "doc_id_b")
-    val cc = connectedComponents(pairs, "doc_id_a", "doc_id_b")
-      .select(col("node"), col("lbl"))
+    // cluster labels via the incremental assembly (≡ full CC, oracle
+    // unchanged) — survivor selection reads yesterday's labels + delta
+    val cc = corpusLabels(spark, dir)
     val nWs = wsTokenCount(col("text"))
     val docs = graft.Tables.documents(spark, dir).select(
       col("doc_id"), nWs.as("n_ws"),

@@ -67,14 +67,27 @@ object GenSoakCorpus {
     var entId = 0L
     var entPending = 0
     var entCurrent = ""
-    def entityPhrase(): String = {
+    var entLang = ""
+    var entSrc = ""
+    def entityUse(): (String, String, String) = {
       if (entPending == 0) {
-        entCurrent = s"ent$entId id$entId"
+        // THREE tokens: the middle 3-word shingle of the phrase is
+        // fully entity-internal, so its document frequency is exactly
+        // this entity's doc budget (2-5) — a df∈[2,5] blocking shingle
+        // BY CONSTRUCTION, growing linearly with docs. (A 2-token
+        // phrase plants none: every 3-shingle containing entity tokens
+        // also contains doc-specific context, df=1 — measured round 7.)
+        // The entity PINS its (lang, source): containment's blocking is
+        // per (lang, source), and same-entity docs sharing a source is
+        // the realistic shape (re-crawls of one domain).
+        entCurrent = s"ent$entId id$entId tag$entId"
         entPending = 2 + rnd.nextInt(4) // 2..5 docs share this entity
+        entLang = pickLang()
+        entSrc = s"src${rnd.nextInt(20)}"
         entId += 1
       }
       entPending -= 1
-      entCurrent
+      (entCurrent, entLang, entSrc)
     }
     val docs = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Int)]
@@ -82,14 +95,14 @@ object GenSoakCorpus {
     while (docs.length < nDocs) {
       val n = 10 + rnd.nextInt(91)
       val baseWords = Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
-      val words =
+      val (words, lang, src) =
         if (withEntities && rnd.nextDouble() < entFrac) {
+          val (phrase, el, es) = entityUse()
           val at = rnd.nextInt(baseWords.length + 1)
-          baseWords.take(at) ++ entityPhrase().split(" ") ++ baseWords.drop(at)
-        } else baseWords
+          (baseWords.take(at) ++ phrase.split(" ") ++ baseWords.drop(at),
+            el, es)
+        } else (baseWords, pickLang(), s"src${rnd.nextInt(20)}")
       val text = words.mkString(" ")
-      val lang = pickLang()
-      val src = s"src${rnd.nextInt(20)}"
       docs += ((id, text, lang, src, text.length)); id += 1
       if (docs.length < nDocs) {
         val roll = rnd.nextDouble()

@@ -21,6 +21,13 @@ object SoakCandidates {
     // quadratic reference kernels would dominate wall-clock there)
     val famFilter = args.find(_.startsWith("--families="))
       .map(_.stripPrefix("--families=").split(",").toSet)
+    // --candonly skips the truth builds (full verified-output ops):
+    // growth exponents are computed from CANDIDATE counts alone, and at
+    // the third-decade corpus the truth pass's vector-carrying sort
+    // spill exceeds a single box's disk — the candidate stage (ids
+    // only, columns pruned under count) is the measurement that
+    // matters and stays cheap at any decade.
+    val candOnly = args.contains("--candonly")
     val dirArgs = args.filterNot(_.startsWith("--"))
     def keep(f: String): Boolean = famFilter.forall(_.contains(f))
     val dirs =
@@ -109,7 +116,24 @@ object SoakCandidates {
       val cand = candThunks.filter(t => keep(t._1))
         .map { case (k, f) => k -> f() }.toMap
       val truth = truthThunks.filter(t => keep(t._1))
-        .map { case (k, f) => k -> f() }.toMap
+        .map { case (k, f) => k -> (if (candOnly) -1L else f()) }.toMap
+      // containment band telemetry: the structural ceiling the blocking
+      // claim rests on — qualifying df∈[2,cap] shingles and the exact
+      // per-band pair bound Σ C(df,2); measured candidates must sit
+      // under the bound, and the BOUND's growth is the scale claim
+      if (keep("containment")) {
+        val f = Dedup.shingleRowsWithSize(spark, dir)
+          .groupBy(col("lang"), col("source"), col("s"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= Dedup.ContainDfCap)
+        val a = f.agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("n_band"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.expr("df*(df-1) div 2"))
+            .as("bound")).head()
+        println(s"[soak] $dir containment band: qualifying=${a.getLong(0)} " +
+          s"pairBound=${if (a.isNullAt(1)) 0L else a.getLong(1)}")
+      }
       // broadcastability of the standing BM25 index: rare-term postings
       // as a fraction of all (doc, term) postings
       if (keep("bm25")) {

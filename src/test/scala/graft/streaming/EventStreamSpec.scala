@@ -267,6 +267,24 @@ class EventStreamSpec extends SparkSpec {
     assert(fLbl === oLbl, "fold result depends on the batch split")
   }
 
+  test("fold chain never releases the shared standing-labels frame") {
+    import spark.implicits._
+    // the fold releases superseded label checkpoints it OWNS; the
+    // initial labels are the session-cached standingLabels frame other
+    // consumers hold — two folds in, that frame must still be readable
+    // (a wrongly-released localCheckpoint throws on access)
+    val st0 = EventStream.incrCcInit(spark, sf001)
+    val b1 = Seq((10000L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((20000L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val st2 = EventStream.incrCcFold(EventStream.incrCcFold(st0, b1), b2)
+    assert(st2.labels.count() >= 0)
+    val standing = graft.operators.GraphOps.standingLabels(spark, sf001)
+    assert(standing.count() >= 0,
+      "standing labels frame was released by the fold chain")
+  }
+
   test("standing drift model: cached equals fresh aggregation") {
     import org.apache.spark.sql.functions.{col, concat_ws, count, explode, lit}
     import graft.operators.{Retrieval, StreamingOps, TextOps}
