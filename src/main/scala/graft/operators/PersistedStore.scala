@@ -21,13 +21,25 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object PersistedStore {
 
+  private val storeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
   /** Build-or-reuse the store for (`dir`, `tag`): when the recorded
     * signature matches the current source listing the store is served
     * as-is; otherwise `write(storeRoot)` rebuilds it (writing any
     * number of parquet dirs under the root) and the new signature is
     * committed LAST — a crash mid-rebuild leaves a stale/absent
     * signature, never a valid-looking half-written store. Returns the
-    * store root path. */
+    * store root path.
+    *
+    * Concurrency: a per-store JVM lock serializes rebuilds across
+    * SESSIONS in one process (the session caches' per-scope locks
+    * don't cover two sessions sharing a dir). Cross-PROCESS, the
+    * signature-last protocol bounds the damage: builds are
+    * deterministic per signature, so racing writers produce identical
+    * content and the loser's overwrite is content-idempotent; a
+    * reader can only observe a store whose writer finished its data
+    * pass before committing the signature. */
   def ensure(spark: SparkSession, dir: String, sourceGlob: String,
       tag: String, version: String)(write: String => Unit): String = {
     val store = SinkOps.stagingDir(dir, tag)
@@ -36,17 +48,23 @@ private[graft] object PersistedStore {
     val srcSig =
       graft.sources.RunLog.sourceSignature(spark, dir, sourceGlob) +
         s":$version"
-    val valid = fs.exists(sigPath) && {
+    def valid = fs.exists(sigPath) && {
       val in = fs.open(sigPath)
       try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) == srcSig
       finally in.close()
     }
     if (!valid) {
-      write(store)
-      val out = fs.create(sigPath, true)
-      try out.write(srcSig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      val lock = storeLocks.computeIfAbsent(store, _ => new Object)
+      lock.synchronized {
+        if (!valid) { // re-check under the lock: the race's loser reuses
+          write(store)
+          val out = fs.create(sigPath, true)
+          try out.write(
+            srcSig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      }
     }
     store
   }

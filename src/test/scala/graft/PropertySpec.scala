@@ -112,6 +112,101 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("banded candidates equal all-pairs Hamming<=radius on random " +
+    "signatures — the q_media_phash oracle-equivalence claim") {
+    // 4x16 banding with the radius-3 fused cut is pigeonhole-EQUIVALENT
+    // to the exact all-pairs Hamming<=3 join; the persisted-phash oracle
+    // relies on exactly this. Signatures: random bases, planted near
+    // copies at 1-3 flips (must ALL surface) and 4-8 flips (must all be
+    // cut), evaluated as one corpus in one job.
+    val rnd = new scala.util.Random(4242)
+    def flip(v: Long, k: Int): Long = {
+      var x = v
+      val bits = rnd.shuffle((0 until 64).toList).take(k)
+      bits.foreach(b => x ^= (1L << b))
+      x
+    }
+    val sigs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var id = 0L
+    (0 until 120).foreach { _ =>
+      val base = rnd.nextLong()
+      sigs += ((id, base)); id += 1
+      rnd.nextInt(3) match {
+        case 0 => sigs += ((id, flip(base, 1 + rnd.nextInt(3)))); id += 1
+        case 1 => sigs += ((id, flip(base, 4 + rnd.nextInt(5)))); id += 1
+        case _ => ()
+      }
+    }
+    def model: Set[(Long, Long)] = (for {
+      (ia, sa) <- sigs
+      (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val got = operators.Dedup.simhashCandidatesOf(
+        sigs.toSeq.toDF("doc_id", "simhash"), bands = 4, bitsPerBand = 16)
+      .select($"doc_id_a", $"doc_id_b").as[(Long, Long)].collect().toSet
+    assert(got === model,
+      s"banded != all-pairs: missing ${model -- got}, extra ${got -- model}")
+    assert(model.nonEmpty, "generator planted no near pairs — vacuous run")
+  }
+
+  test("incremental CC assembly equals full CC on random graphs") {
+    // the q_dedup_incr_cc / q_entity_cluster equivalence, proven on
+    // random structure instead of the corpus: split each graph's edges
+    // into standing/cross/delta by node id (delta = id % 10 == 0), fold
+    // through incrementalCcFrom, compare against the min-reachable
+    // model of full CC. 30 graphs ride one union frame (offset 1000
+    // preserves id % 10), so the whole property is a few Spark jobs.
+    val graphGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(4, 20)
+      density <- Gen.choose(1, 3)
+      edges <- Gen.listOfN(n * density,
+        Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield edges.collect {
+      case (a, b) if a != b =>
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.distinct
+    val graphs = sample(graphGen, 30, 77L)
+    val all = graphs.zipWithIndex.flatMap { case (es, g) =>
+      es.map { case (a, b) => (a + g * 1000L, b + g * 1000L) }
+    }
+    def isDelta(x: Long) = x % 10 == 0
+    val standing = all.filter { case (a, b) => !isDelta(a) && !isDelta(b) }
+    val delta = all.filter { case (a, b) => isDelta(a) && isDelta(b) }
+    val cross = all.collect {
+      case (a, b) if isDelta(a) && !isDelta(b) => (a, b)
+      case (a, b) if !isDelta(a) && isDelta(b) => (b, a)
+    }
+    val standingLbl = operators.GraphOps.connectedComponents(
+      standing.toDF("doc_id_a", "doc_id_b"), "doc_id_a", "doc_id_b")
+    val got = operators.GraphOps.incrementalCcFrom(
+        standingLbl,
+        cross.toDF("doc_id_a", "doc_id_b"),
+        delta.toDF("doc_id_a", "doc_id_b"))
+      .as[(Long, Long)].collect().toMap
+    // model: full-graph min-reachable label per node
+    val adj = all.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    val nodes = all.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.foreach { n =>
+      if (!want.contains(n)) {
+        var comp = Set(n); var frontier = Set(n)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- comp
+          comp ++= frontier
+        }
+        val lbl = comp.min
+        comp.foreach(m => want(m) = lbl)
+      }
+    }
+    assert(got.keySet === want.keySet,
+      s"domain mismatch: ${got.keySet.size} vs ${want.keySet.size} nodes")
+    got.foreach { case (n, l) =>
+      assert(l === want(n), s"node $n labeled $l, model says ${want(n)}")
+    }
+  }
+
   test("PQ assignment matches the brute-force nearest-centroid model") {
     val q = Tables.embeddings(spark, sf001)
       .select($"vec_id", operators.Similarity.quantize($"embedding").as("v"))

@@ -55,4 +55,41 @@ class PersistedStoreSpec extends SparkSpec {
       () => Similarity.clearGraphCanopyCache())(
       Similarity.graphCanopy(spark, sf001))
   }
+
+  test("sparse entity labels persist and rebuild identically") {
+    checkStore("sparse_entity_labels", "labels",
+      () => Dedup.clearSparseEntityCache())(
+      Dedup.entityResolve.build(spark, sf001))
+  }
+
+  test("concurrent ensure on one store builds exactly once") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val builds = new AtomicInteger(0)
+    PersistedStore.drop(spark, sf001, "race_probe")
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    def run(): String = {
+      latch.await()
+      PersistedStore.ensure(spark, sf001, "documents.parquet",
+        "race_probe", "v1") { root =>
+        builds.incrementAndGet()
+        Thread.sleep(150) // widen the race window
+        graft.Tables.documents(spark, sf001).limit(3)
+          .write.mode("overwrite").parquet(s"$root/rows")
+      }
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 4).map(_ => pool.submit(
+        new java.util.concurrent.Callable[String] { def call(): String = run() }))
+      latch.countDown()
+      val stores = futures.map(_.get()).toSet
+      assert(stores.size === 1)
+      assert(builds.get() === 1,
+        s"racing callers built ${builds.get()} times; the store lock must " +
+          "serialize to exactly one build")
+    } finally {
+      pool.shutdown()
+      PersistedStore.drop(spark, sf001, "race_probe")
+    }
+  }
 }
