@@ -717,4 +717,92 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         expr(s"preceding_tokens div $budget").as("pack_id"))
   }
+
+  /** Epochs materialized by [[epochShuffle]] (fixed so the oracle can
+    * unroll nothing — epochs are data, not loop state). */
+  val EpochCount = 2
+
+  /** Fixed global-batch size of [[epochShuffle]]'s batch assignment. */
+  val ShuffleBatch = 256
+
+  /** Per-epoch dense-rank bucket width: hash keys are < 2³¹, so
+    * `hk >> 21` yields 1024 uniform range buckets — the parallelism of
+    * the position-assignment stage (at 100 TB the shift shrinks so a
+    * bucket's rows fit one executor; the offsets table stays
+    * metadata-sized). */
+  val ShuffleBucketShift = 21
+
+  /** Deterministic epoch shuffling — the training-data ORDERING stage:
+    * every pretraining pipeline materializes, per epoch, a reshuffled
+    * permutation of the kept corpus and cuts it into fixed-size global
+    * batches; doing it as data (epoch, pos, batch) is what makes a run
+    * resumable and bit-reproducible across restarts and team members.
+    * Order key is a portable integer LCG mix of (doc_id, epoch) —
+    * `(doc_id·1103515245 + 12345 + epoch·2654435761) mod 2³¹`, exact
+    * BIGINT arithmetic in both engines (no xxhash in DuckDB; the
+    * documented production swap is xxhash64 with the same plan shape).
+    * Valid for doc_id < ~8.3e9 — far past any fixture — and
+    * epoch-salted so epochs are DIFFERENT permutations.
+    *
+    * Scale shape — the distributed dense rank: the naive form (one
+    * row_number window per epoch) funnels the whole corpus through ONE
+    * partition per epoch. Instead: (1) hash keys split into 1024
+    * ordered range buckets (`hk >> 21` — monotone in hk, uniform
+    * because hk is a hash, no sampling pass needed); (2) per-(epoch,
+    * bucket) counts — map-combinable, metadata-sized result; (3)
+    * bucket offsets by prefix sum over that tiny frame, broadcast
+    * back; (4) position = offset + row_number within (epoch, bucket) —
+    * a window whose partitions are buckets, parallel across all of
+    * them. Global order equals the single-window order exactly
+    * (buckets are range-ordered; equal keys share a bucket) — the
+    * oracle IS the single-window form, so the hash-exact row proves
+    * the bucketed construction. */
+  val epochShuffle: Op = Op(
+    "q_epoch_shuffle",
+    s"""WITH e AS (
+       |  SELECT doc_id, t.epoch,
+       |         (doc_id * 1103515245 + 12345 + t.epoch * 2654435761)
+       |           % 2147483648 AS hk
+       |  FROM documents
+       |  CROSS JOIN (SELECT unnest(range(0, $EpochCount)) AS epoch) t
+       |), p AS (
+       |  SELECT epoch, doc_id,
+       |         row_number() OVER (PARTITION BY epoch ORDER BY hk, doc_id)
+       |           AS pos
+       |  FROM e
+       |)
+       |SELECT epoch, doc_id, CAST(pos AS BIGINT) AS pos,
+       |       CAST((pos - 1) // $ShuffleBatch AS BIGINT) AS batch_id,
+       |       CAST((pos - 1) % $ShuffleBatch AS BIGINT) AS batch_idx
+       |FROM p""".stripMargin) { (spark, dir) =>
+    epochShuffleOf(Tables.documents(spark, dir).select(col("doc_id")))
+  }
+
+  /** [[epochShuffle]] kernel over any (doc_id) frame. */
+  def epochShuffleOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit(EpochCount - 1L))).as("epoch"))
+      .withColumn("hk", (col("doc_id") * 1103515245L + 12345L +
+        col("epoch") * 2654435761L) % 2147483648L)
+      .withColumn("bucket", shiftright(col("hk"), ShuffleBucketShift))
+    val counts = keyed.groupBy(col("epoch"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val wOff = Window.partitionBy(col("epoch")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ EpochCount×1024 rows — metadata; the window here sorts buckets,
+    // never documents
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("epoch"), col("bucket"), col("off"))
+    val wLocal = Window.partitionBy(col("epoch"), col("bucket"))
+      .orderBy(col("hk"), col("doc_id"))
+    keyed.join(broadcast(offsets), Seq("epoch", "bucket"))
+      .withColumn("pos", col("off") + row_number().over(wLocal))
+      .select(col("epoch"), col("doc_id"), col("pos"),
+        expr(s"(pos - 1) div $ShuffleBatch").as("batch_id"),
+        ((col("pos") - 1) % ShuffleBatch).as("batch_idx"))
+  }
 }

@@ -197,4 +197,42 @@ class CurationSpec extends SparkSpec {
         s"class $lang: kept ${kept.get(lang)} of $n")
     }
   }
+
+  test("epoch shuffle: per-epoch permutation, epochs differ, bucketed " +
+    "positions equal the single-window reference, batches fixed-size") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val out = Curation.epochShuffle.build(spark, sf001).cache()
+    val n = graft.Tables.documents(spark, sf001).count()
+    // (1) positions are a dense permutation 1..N per epoch
+    (0L until Curation.EpochCount.toLong).foreach { e =>
+      val pos = out.filter($"epoch" === e).select($"pos")
+        .as[Long].collect().sorted
+      assert(pos.toSeq === (1L to n), s"epoch $e positions not a permutation")
+    }
+    // (2) epochs are DIFFERENT permutations (the salt works)
+    val byEpoch = out.select($"epoch", $"doc_id", $"pos")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    assert(byEpoch(0L) !== byEpoch(1L), "epoch orders identical")
+    // (3) bucketed dense rank equals the direct single-window form
+    val docs = graft.Tables.documents(spark, sf001).select($"doc_id")
+    val ref = docs
+      .select($"doc_id",
+        explode(sequence(lit(0L), lit(Curation.EpochCount - 1L))).as("epoch"))
+      .withColumn("hk", ($"doc_id" * 1103515245L + 12345L +
+        $"epoch" * 2654435761L) % 2147483648L)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"epoch").orderBy($"hk", $"doc_id")).cast("long"))
+      .select($"epoch", $"doc_id", $"pos")
+    val gotPos = out.select($"epoch", $"doc_id", $"pos")
+    assert(gotPos.exceptAll(ref).isEmpty && ref.exceptAll(gotPos).isEmpty,
+      "bucketed positions diverge from the single-window reference")
+    // (4) every batch is exactly ShuffleBatch docs except each epoch's last
+    val bad = out.groupBy($"epoch", $"batch_id").count()
+      .withColumn("mx", max($"batch_id").over(Window.partitionBy($"epoch")))
+      .filter($"count" =!= Curation.ShuffleBatch && $"batch_id" =!= $"mx")
+    assert(bad.isEmpty, "non-final batch with wrong size")
+    out.unpersist()
+  }
 }

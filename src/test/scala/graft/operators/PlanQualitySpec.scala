@@ -310,4 +310,23 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size === 1,
       s"histogram should shuffle exactly once (partial->final agg):\n$p")
   }
+
+  test("epoch shuffle: position window partitions on (epoch, bucket), " +
+    "never a whole epoch; offsets broadcast") {
+    val p = plan(Curation.epochShuffle)
+    // the document-scaled window must key on the range bucket — a
+    // windowspec mentioning epoch without bucket would funnel each
+    // epoch through one partition
+    val winLines = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") &&
+        l.contains("row_number()"))
+      .toSeq
+    assert(winLines.nonEmpty, s"no position window found:\n$p")
+    winLines.foreach { l =>
+      assert(l.contains("bucket"),
+        s"position window not bucket-partitioned: $l")
+    }
+    assert(p.contains("BroadcastExchange"),
+      s"bucket offsets must broadcast back:\n$p")
+  }
 }
