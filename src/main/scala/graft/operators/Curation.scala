@@ -706,14 +706,40 @@ object Curation {
             .otherwise(0L)).as("n_copies"))
   }
 
-  /** [[packSequences]] kernel over (doc_id, source, n_tokens) rows. */
+  /** Pack-bucket width: doc_id ranges of 1024 split each source's
+    * running sum into parallel segments (same device as
+    * [[ShuffleBucketShift]]; at 100 TB the shift is chosen so one
+    * bucket's rows fit an executor while the offsets frame stays
+    * metadata-sized). */
+  val PackBucketShift = 10
+
+  /** [[packSequences]] kernel over (doc_id, source, n_tokens) rows —
+    * the distributed prefix sum: a plain per-source running-sum window
+    * funnels each source through ONE partition (a corpus has few
+    * sources, so at 100 TB that is a handful of partitions doing all
+    * the work). Two-level form instead: doc_id range buckets (monotone
+    * in the order key) → per-(source, bucket) token sums (tiny,
+    * map-combinable) → broadcast prefix-sum offsets → per-bucket local
+    * running sum + offset. Identical to the single-window result —
+    * [[packSequences]]' oracle IS that single-window SQL, so the
+    * hash-exact row proves the decomposition. */
   def packByPrefixSum(d: org.apache.spark.sql.DataFrame, budget: Long)
       : org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Long.MinValue, 0)
-    d.withColumn("preceding_tokens",
-        sum(col("n_tokens")).over(w) - col("n_tokens"))
+    import org.apache.spark.sql.expressions.Window
+    val keyed = d.withColumn("bucket",
+      shiftright(col("doc_id"), PackBucketShift))
+    val counts = keyed.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bn"))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("source"), col("bucket"), col("off"))
+    val wLocal = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)
+    keyed.join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("preceding_tokens",
+        col("off") + sum(col("n_tokens")).over(wLocal) - col("n_tokens"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         expr(s"preceding_tokens div $budget").as("pack_id"))
   }
@@ -776,6 +802,99 @@ object Curation {
        |       CAST((pos - 1) % $ShuffleBatch AS BIGINT) AS batch_idx
        |FROM p""".stripMargin) { (spark, dir) =>
     epochShuffleOf(Tables.documents(spark, dir).select(col("doc_id")))
+  }
+
+  /** Output shard count of [[shardManifest]] (a real run sizes this to
+    * target file bytes; the assignment law is shard-count-agnostic). */
+  val NumShards = 8
+
+  /** Training-shard manifest — the writer's last mile: packed
+    * sequences ([[packSequences]]' kernel) are assigned to output
+    * shards by a deterministic pack-level hash, and each shard gets a
+    * verifiable manifest row (pack/doc/token counts + an additive
+    * content checksum) — what a dataloader validates before training
+    * starts, and what makes a re-export byte-auditable without reading
+    * the shards back. Assignment hashes (fingerprint(source), pack_id)
+    * through the same xorshift-multiply mix as the projection sign
+    * ([[Similarity.randProj]]) — pack sizes are budget-bounded, so the
+    * hash law balances shards to ~1/√n_packs without a global sort;
+    * the measured spread is pinned in the spec.
+    *
+    * Checksum: per-doc integer mix summed per shard, mod 2³¹ at the
+    * end — SUM of BIGINTs is order-independent and exact, so the value
+    * is engine-portable (bound: overflows past ~4×10⁹ docs/shard; the
+    * production swap is a per-partition modular partial, same law).
+    * Shapes: one shared pack kernel, two hash aggregates, an 8-row
+    * result — no shuffle carries more than the pack table. */
+  val shardManifest: Op = Op(
+    "q_shard_manifest",
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           - n_tokens AS preceding_tokens
+       |  FROM d
+       |), p AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(preceding_tokens // $PackBudget AS BIGINT) AS pack_id,
+       |         (doc_id * 2654435761 + n_tokens * 1103515245 + 12345)
+       |           % 2147483648 AS hdoc
+       |  FROM c
+       |), f AS (
+       |  SELECT *,
+       |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |       list_transform(string_split(source, ''),
+       |         ch -> CAST(ascii(ch) AS BIGINT))),
+       |       (acc, x) -> (acc * 31 + x) % 1000000007)
+       |     + pack_id * 1103515245 + 12345) % 2147483648 AS h1
+       |  FROM p
+       |), s AS (
+       |  SELECT source, pack_id,
+       |    ((xor(h1, h1 // 8192) * 1274126177) % 2147483648 // 65536)
+       |      % $NumShards AS shard_id,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       |    CAST(SUM(hdoc) AS BIGINT) AS pack_sum
+       |  FROM f GROUP BY source, pack_id, 3
+       |)
+       |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       |       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |       CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(SUM(pack_sum) % 2147483648 AS BIGINT) AS checksum
+       |FROM s GROUP BY 1""".stripMargin) { (spark, dir) =>
+    shardManifestOf(packByPrefixSum(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        bpeishTokenCount(col("text")).cast("long").as("n_tokens")),
+      PackBudget))
+  }
+
+  /** [[shardManifest]] kernel over (doc_id, source, n_tokens, pack_id)
+    * rows. */
+  def shardManifestOf(packs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextAnalysis.fingerprint
+    val h1 = (fingerprint(col("source")) +
+      col("pack_id") * 1103515245L + 12345L) % 2147483648L
+    val h2 = h1.bitwiseXOR(shiftright(h1, 13))
+    val shard = (shiftright((h2 * 1274126177L) % 2147483648L, 16)
+      % NumShards).as("shard_id")
+    packs
+      .withColumn("hdoc", (col("doc_id") * 2654435761L +
+        col("n_tokens") * 1103515245L + 12345L) % 2147483648L)
+      .groupBy(col("source"), col("pack_id"), shard)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
+        sum(col("hdoc")).as("pack_sum"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_packs"), sum(col("n_docs")).as("n_docs"),
+        sum(col("pack_tokens")).as("total_tokens"),
+        (sum(col("pack_sum")) % 2147483648L).as("checksum"))
+      .select(col("shard_id"), col("n_packs"), col("n_docs"),
+        col("total_tokens"), col("checksum"))
   }
 
   /** [[epochShuffle]] kernel over any (doc_id) frame. */

@@ -657,6 +657,109 @@ object Similarity {
         array_max(col("qv")).as("q_max"),
         size(filter(col("qv"), x => abs(x) === 127)).as("n_sat"))
 
+  /** Output dimensionality of [[randProj]] — 64 → 16 dims (4×). */
+  val RandProjDim = 16
+
+  /** ±1 sign for projection cell (i, j): bit 16 of an LCG seed pushed
+    * through one xorshift-multiply round —
+    * `h1 = (i·2654435761 + j·1103515245 + 12345) mod 2³¹`,
+    * `h2 = h1 xor (h1 >> 13)`, `h3 = (h2·1274126177) mod 2³¹`. The
+    * xorshift round is LOAD-BEARING: the raw LCG state is linear in
+    * (i, j), so sign(i,·)·sign(i′,·) can be constant across output
+    * dims — correlated projection directions, measured norm-ratio
+    * tails out to 6× (20σ past the JL bound) on the fixture; with the
+    * mix the ratio concentrates exactly as JL predicts (p5/p95 ≈
+    * 0.49/1.57 at k=16 — pinned in the spec). All operands
+    * non-negative, so Spark's `%`/`shiftright`/`bitwiseXOR` and
+    * DuckDB's `%`/`//`/`xor()` agree bit-exactly. */
+  private def rpSign(i: Column, j: Column): Column = {
+    val h1 = (i.cast("long") * 2654435761L + j.cast("long") * 1103515245L
+      + 12345L) % 2147483648L
+    val h2 = h1.bitwiseXOR(shiftright(h1, 13))
+    when(shiftright((h2 * 1274126177L) % 2147483648L, 16) % 2 === 0, 1L)
+      .otherwise(-1L)
+  }
+
+  /** Signed random projection (Achlioptas 2003's database-friendly
+    * Johnson–Lindenstrauss transform: R ∈ {−1,+1}^{d×k} with
+    * p_j = Σᵢ sign(i,j)·qᵢ) over the int8-quantized embeddings — the
+    * dimensionality-reduction lever that pairs with [[quantizeInt8]]:
+    * int8 cuts bytes-per-dim 4×, the projection cuts dims 4×, so every
+    * downstream distance scan (brute force, IVF probe, kNN graph
+    * candidate verify) reads 16× less. The sign matrix is never
+    * materialized — it is a two-operand integer hash evaluated inside
+    * the fold, so the op is map-only expression work riding the
+    * vectorized scan: zero exchanges, zero joins, per-row cost d×k
+    * integer multiply-adds (plan-gated in PlanQualitySpec).
+    *
+    * Exactness: elements are the bit-identical int8 cells of
+    * [[quantizeInt8]], signs are integer arithmetic, the sum is an
+    * integer fold — both engines produce the same BIGINT, no float
+    * order sensitivity. Long-format output (vec_id, dim, p): the
+    * projected vector as data for downstream ops, one row per cell. */
+  val randProj: Op = Op(
+    "q_rand_proj",
+    s"""WITH s AS (
+       |  SELECT vec_id,
+       |    CASE WHEN list_max(list_transform(embedding, e -> abs(e))) > 0
+       |         THEN 127.0 / CAST(list_max(list_transform(embedding, e -> abs(e))) AS DOUBLE)
+       |         ELSE 0.0 END AS scale,
+       |    embedding
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      e -> CAST(round(CAST(e AS DOUBLE) * scale) AS BIGINT)) AS qv
+       |  FROM s
+       |), d AS (
+       |  SELECT vec_id, j AS dim, qv
+       |  FROM q CROSS JOIN (SELECT unnest(range(0, $RandProjDim)) AS j) t
+       |), h AS (
+       |  SELECT vec_id, dim, qv,
+       |    list_transform(range(0, len(qv)),
+       |      i -> (i * 2654435761 + dim * 1103515245 + 12345)
+       |             % 2147483648) AS h1
+       |  FROM d
+       |)
+       |SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+       |  CAST(list_sum(list_transform(range(0, len(qv)),
+       |    i -> qv[i + 1] *
+       |      CASE WHEN ((xor(h1[i + 1], h1[i + 1] // 8192) * 1274126177)
+       |                   % 2147483648 // 65536) % 2 = 0
+       |           THEN 1 ELSE -1 END)) AS BIGINT) AS p
+       |FROM h""".stripMargin) { (spark, dir) =>
+    randProjVectors(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), posexplode(col("pv")).as(Seq("dim", "p")))
+  }
+
+  /** [[randProj]] kernel over any (vec_id, embedding) rows: the
+    * projected BIGINT vector per row.
+    *
+    * Evaluation shape is load-bearing: a `transform(dims, j =>
+    * aggregate(qv …))` form references `qv`/`scale` once each, so
+    * CollapseProject INLINES them into the lambda bodies — `qv`
+    * recomputes per output dim and `scale` per element, O(d²·k)
+    * interpreted evals per row (measured 22 s at sf0.1 vs 0.8 s for
+    * this form). Instead: `array_repeat(scale, d)` pins ONE scale
+    * eval per row structurally, and a single `aggregate` fold over the
+    * zipped (q, i) pairs accumulates all k output dims in ONE pass
+    * over `qv` — per-row cost is the irreducible d·k multiply-adds no
+    * matter what the optimizer inlines. */
+  def randProjVectors(e: DataFrame): DataFrame = {
+    val dims = sequence(lit(0), lit(RandProjDim - 1))
+    val qv = zip_with(col("embedding"),
+      array_repeat(int8Scale(col("embedding")), size(col("embedding"))),
+      (x, s) => round(x.cast("double") * s).cast("long"))
+    e.withColumn("pv",
+        aggregate(
+          zip_with(qv, sequence(lit(0), size(col("embedding")) - 1),
+            (q, i) => struct(q.as("q"), i.as("i"))),
+          transform(dims, _ => lit(0L)),
+          (acc, t) => zip_with(acc, dims,
+            (a, j) => a + t.getField("q") * rpSign(t.getField("i"), j))))
+      .select(col("vec_id"), col("pv"))
+  }
+
   /** Product-quantization coding (Jégou et al., TPAMI 2011 — the
     * workhorse of billion-scale ANN): split each 64-dim vector into
     * M=8 subspaces of 8 dims, encode every subvector as the index of

@@ -126,4 +126,117 @@ object Sketches {
       .groupBy(col("term"), col("cnt"))
       .agg(min(col("bucket_cnt")).as("est_cnt"))
       .select(col("term"), col("cnt").as("true_cnt"), col("est_cnt"))
+
+  /** KMV sketch size: std error ≈ 1/√(k−2) ≈ 12.7%. */
+  val KmvK = 64
+
+  /** 63·2³¹ — the KMV estimator numerator (k−1)·|hash space|. */
+  private val KmvNum = (KmvK - 1).toLong * 2147483648L
+
+  /** The deterministic KMV hash: the xorshift-multiply mix of
+    * [[Similarity.randProj]]'s sign hash over a single id — uniform in
+    * [0, 2³¹), identical arithmetic in both engines. */
+  private[operators] def kmvMix(c: Column): Column = {
+    val h1 = (c.cast("long") * 2654435761L + 12345L) % 2147483648L
+    val h2 = h1.bitwiseXOR(shiftright(h1, 13))
+    (h2 * 1274126177L) % 2147483648L
+  }
+
+  /** KMV (k-minimum-values) distinct-set sketches with SET-OPERATION
+    * estimates — Beyer et al. SIGMOD 2007: keep the k smallest distinct
+    * hash values per set; |X| ≈ (k−1)·M/h₍k₎, and because min-k is a
+    * MERGEABLE monoid the union sketch is min-k of the merged sketches
+    * and the intersection estimate is ρ/k of the union estimate (ρ =
+    * union-sketch values present in both input sketches). The
+    * capability HLL deliberately lacks: `q_approx_distinct` answers
+    * "how many", this answers "how much do two sets OVERLAP" from two
+    * 64-value summaries — at 100 TB the sketches are per-partition
+    * artifacts merged like [[IncrementalAgg]]'s sketch MV, and the
+    * repeat-customer question (H1 ∩ H2 buyers) never re-scans a slice.
+    *
+    * Scale shape: per slice ONE distinct-hash shuffle (on uniform
+    * 31-bit keys) topped by per-partition top-k (Spark plans
+    * `TakeOrderedAndProject` — k·P rows to the driver, k = 64);
+    * everything downstream is 64-row broadcast metadata. All-integer
+    * estimator (floor division), so the oracle replays the estimates
+    * hash-exactly — accuracy vs exact counts is pinned in the spec
+    * (±25% at the measured fixture, 1/√62 theory). */
+  val kmvSketch: Op = Op(
+    "q_kmv_sketch",
+    s"""WITH o AS (
+       |  SELECT o_custkey AS c,
+       |    max(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END) = 1 AS in_a,
+       |    max(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END) = 1 AS in_b
+       |  FROM orders GROUP BY 1
+       |), m AS (
+       |  SELECT in_a, in_b, (c * 2654435761 + 12345) % 2147483648 AS h1
+       |  FROM o
+       |), hv AS (
+       |  SELECT in_a, in_b,
+       |    (xor(h1, h1 // 8192) * 1274126177) % 2147483648 AS hv
+       |  FROM m
+       |), sa AS (
+       |  SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r
+       |                  FROM (SELECT DISTINCT hv FROM hv WHERE in_a))
+       |  WHERE r <= $KmvK
+       |), sb AS (
+       |  SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r
+       |                  FROM (SELECT DISTINCT hv FROM hv WHERE in_b))
+       |  WHERE r <= $KmvK
+       |), su AS (
+       |  SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r
+       |                  FROM (SELECT hv FROM sa UNION SELECT hv FROM sb))
+       |  WHERE r <= $KmvK
+       |), stats AS (
+       |  SELECT (SELECT max(hv) FROM sa) AS ha,
+       |         (SELECT max(hv) FROM sb) AS hb,
+       |         (SELECT max(hv) FROM su) AS hu,
+       |         (SELECT count(*) FROM su
+       |            JOIN sa USING (hv) JOIN sb USING (hv)) AS rho
+       |)
+       |SELECT CAST($KmvK AS BIGINT) AS k,
+       |  CAST($KmvNum // ha AS BIGINT) AS est_a,
+       |  CAST($KmvNum // hb AS BIGINT) AS est_b,
+       |  CAST($KmvNum // hu AS BIGINT) AS est_union,
+       |  CAST(rho * ($KmvNum // hu) // $KmvK AS BIGINT) AS est_inter,
+       |  CAST(rho AS BIGINT) AS rho
+       |FROM stats""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("c"))
+      .agg(max(when(year(col("o_orderdate")) <= 1997, 1).otherwise(0)).as("ia"),
+        max(when(year(col("o_orderdate")) >= 1998, 1).otherwise(0)).as("ib"))
+    kmvStats(o.filter(col("ia") === 1).select(col("c")),
+      o.filter(col("ib") === 1).select(col("c")))
+  }
+
+  /** The KMV sketch stage over one id frame (`c` column): k smallest
+    * distinct hash values. Global sort+limit, which Spark plans as
+    * `TakeOrderedAndProject` — per-partition top-k merged at the
+    * driver, k·P rows moved, never a full sort (gated in KmvSpec
+    * against THIS frame; [[kmvStats]] checkpoints it, so the stage is
+    * invisible in the final plan). */
+  private[operators] def kmvSketchOf(x: DataFrame): DataFrame =
+    x.select(kmvMix(col("c")).as("hv")).distinct()
+      .orderBy(col("hv")).limit(KmvK)
+
+  /** [[kmvSketch]] kernel over two id frames (one `c` column each). */
+  def kmvStats(a: DataFrame, b: DataFrame): DataFrame = {
+    val sa = kmvSketchOf(a).localCheckpoint()
+    val sb = kmvSketchOf(b).localCheckpoint()
+    val su = sa.union(sb).distinct().orderBy(col("hv")).limit(KmvK)
+      .localCheckpoint()
+    val rho = su.join(broadcast(sa), "hv").join(broadcast(sb), "hv")
+      .agg(count(lit(1)).as("rho"))
+    sa.agg(max(col("hv")).as("ha"))
+      .crossJoin(broadcast(sb.agg(max(col("hv")).as("hb"))))
+      .crossJoin(broadcast(su.agg(max(col("hv")).as("hu"))))
+      .crossJoin(broadcast(rho))
+      .select(lit(KmvK.toLong).as("k"),
+        expr(s"CAST($KmvNum div ha AS BIGINT)").as("est_a"),
+        expr(s"CAST($KmvNum div hb AS BIGINT)").as("est_b"),
+        expr(s"CAST($KmvNum div hu AS BIGINT)").as("est_union"),
+        expr(s"CAST(rho * ($KmvNum div hu) div $KmvK AS BIGINT)")
+          .as("est_inter"),
+        col("rho"))
+  }
 }

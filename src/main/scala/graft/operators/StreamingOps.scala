@@ -189,24 +189,29 @@ object StreamingOps {
   private[graft] def clearDriftModelCache(): Unit = driftModelCache.clear()
 
   /** The STANDING corpus' drift bucket model — session-cached (round-7
-    * task 5): the model is O([[Retrieval.DsirDim]]) rows but computing
-    * it is a corpus-sized bigram pass, and in the incremental contract
-    * it is yesterday's artifact: the monitor's per-invocation cost
-    * should be the DELTA's rolled-up log only. Counts are a sum
-    * monoid, so cached ≡ fresh exactly. */
+    * task 5) AND at rest ([[PersistedStore]]): the model is
+    * O([[Retrieval.DsirDim]]) rows but computing it is a corpus-sized
+    * bigram pass, and in the incremental contract it is yesterday's
+    * artifact — a NEW process monitoring today's ingest reads the
+    * persisted model, never re-scans the standing corpus. Counts are a
+    * sum monoid, so cached ≡ fresh ≡ persisted exactly. */
   private[graft] def standingDriftModel(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     driftModelCache.getOrBuild(spark, dir, "documents.parquet") {
-      import graft.functions.TextAnalysis.fingerprint
-      val mod = graft.operators.Dedup.IncrementalDeltaMod
-      graft.Tables.documents(spark, dir)
-        .filter(col("doc_id") % mod =!= 0)
-        .select(explode(TextOps.bigramArray).as("bg"))
-        .select((fingerprint(concat_ws(" ", col("bg.w1"), col("bg.w2")))
-          % Retrieval.DsirDim).as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+      val store = PersistedStore.ensure(spark, dir, "documents.parquet",
+        "drift_model", "v1") { root =>
+        import graft.functions.TextAnalysis.fingerprint
+        val mod = graft.operators.Dedup.IncrementalDeltaMod
+        graft.Tables.documents(spark, dir)
+          .filter(col("doc_id") % mod =!= 0)
+          .select(explode(TextOps.bigramArray).as("bg"))
+          .select((fingerprint(concat_ws(" ", col("bg.w1"), col("bg.w2")))
+            % Retrieval.DsirDim).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(s"$root/model")
+      }
+      spark.read.parquet(s"$store/model").localCheckpoint()
     }
 
   /** CONTINUOUS cluster maintenance ≡ the full batch recompute: delta

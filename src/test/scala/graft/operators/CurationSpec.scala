@@ -235,4 +235,34 @@ class CurationSpec extends SparkSpec {
     assert(bad.isEmpty, "non-final batch with wrong size")
     out.unpersist()
   }
+
+  test("shard manifest: conserves totals, every shard populated, " +
+    "hash law balances tokens") {
+    import spark.implicits._
+    val m = Curation.shardManifest.build(spark, sf001).cache()
+    val docs = graft.Tables.documents(spark, sf001)
+    val nDocs = docs.count()
+    val nTokens = docs.select(
+      sum(graft.functions.TextAnalysis.bpeishTokenCount($"text").cast("long"))).as[Long].head()
+    val rows = m.collect()
+    assert(rows.length === Curation.NumShards, "a shard is empty")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    assert(rows.map(_.getAs[Long]("total_tokens")).sum === nTokens)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("checksum")
+      assert(c >= 0L && c < 2147483648L, s"checksum $c out of range")
+    }
+    // hash-law balance: with ~60 packs the spread is ~1/sqrt(n/8);
+    // anything past 4x means the mix regressed to a degenerate law
+    val toks = rows.map(_.getAs[Long]("total_tokens"))
+    assert(toks.max.toDouble / toks.min < 4.0,
+      s"shard token imbalance ${toks.mkString(",")}")
+    // a pack never splits: (source, pack_id) maps to exactly one shard
+    assert(rows.map(_.getAs[Long]("n_packs")).sum ===
+      Curation.packByPrefixSum(docs.select($"doc_id", $"source",
+          graft.functions.TextAnalysis.bpeishTokenCount($"text").cast("long").as("n_tokens")),
+        Curation.PackBudget)
+        .select($"source", $"pack_id").distinct().count())
+    m.unpersist()
+  }
 }

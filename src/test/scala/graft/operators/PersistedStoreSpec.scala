@@ -62,6 +62,12 @@ class PersistedStoreSpec extends SparkSpec {
       Dedup.entityResolve.build(spark, sf001))
   }
 
+  test("drift model persists and rebuilds identically") {
+    checkStore("drift_model", "model",
+      () => StreamingOps.clearDriftModelCache())(
+      StreamingOps.standingDriftModel(spark, sf001))
+  }
+
   test("concurrent ensure on one store builds exactly once") {
     import java.util.concurrent.atomic.AtomicInteger
     val builds = new AtomicInteger(0)

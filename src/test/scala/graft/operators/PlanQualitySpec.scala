@@ -329,4 +329,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"),
       s"bucket offsets must broadcast back:\n$p")
   }
+
+  test("sequence packing: running-sum window partitions on (source, " +
+    "bucket), never a whole source; offsets broadcast") {
+    val p = plan(Curation.packSequences)
+    // the doc-scaled running sum must key on the doc_id range bucket —
+    // a windowspec on source alone funnels each source through one
+    // partition (a corpus has FEW sources)
+    val winLines = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") &&
+        l.contains("n_tokens"))
+      .toSeq
+    assert(winLines.nonEmpty, s"no running-sum window found:\n$p")
+    winLines.foreach { l =>
+      assert(!l.contains("source#") || l.contains("bucket"),
+        s"running-sum window not bucket-partitioned: $l")
+    }
+    assert(p.contains("BroadcastExchange"),
+      s"bucket offsets must broadcast back:\n$p")
+  }
 }
