@@ -1,0 +1,385 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer induction and application — the
+  * tokenizer-training mile of the LLM data pipeline (Sennrich et al.,
+  * ACL 2016: learn subword merges by iterated most-frequent-adjacent-
+  * pair counting over the WORD-FREQUENCY table, not the corpus).
+  *
+  * Scale shape: the corpus is scanned ONCE (a word-count aggregate with
+  * map-side combine); every merge round after that touches only the
+  * word-TYPE table, which Heaps' law keeps sublinear in corpus size
+  * (and which a closed vocabulary saturates outright — the fixture
+  * measures exactly that). Per round: one pair-count aggregate over
+  * the types (partial agg, then a k=1 `TakeOrderedAndProject` argmax —
+  * never a global sort) and one map-only greedy merge fold; each round
+  * is `localCheckpoint`ed like [[GraphOps.connectedComponents]]'
+  * iterates so lineage stays flat. The merge table itself is O(rounds)
+  * metadata — the tokenizer artifact — and PERSISTS at rest
+  * ([[PersistedStore]] `bpe_merges`, ninth+1 store): train once next
+  * to the corpus, every encoder (a new session, another process, the
+  * delta path) reads the artifact, exactly the
+  * write_index/read_index contract the PQ store set.
+  *
+  * Greedy-merge law (pinned against a plain-Scala reference in
+  * BpeSpec): within one round the chosen pair (a, b) merges left to
+  * right, a just-merged token never re-merges (for a run "aaaa" with
+  * pair (a,a): [aa, aa], for "aaa": [aa, a]); ties in pair counts
+  * break by (count DESC, a ASC, b ASC) — all-ASCII symbols, so Spark
+  * and DuckDB binary string order agree. The DuckDB oracle replays
+  * the SAME iterated argmax+merge relationally (lead/lag windows with
+  * run-parity selection — greedy ≡ "merge every even-offset match
+  * inside each maximal run", the gaps-and-islands form), so the green
+  * row proves the distributed fold against an independent
+  * formulation.
+  *
+  * Reference behavior (tokenizer-adjacent counting):
+  * `/root/reference/analyzeCollection.mjs:61-108` normalizes and
+  * re-counts text fields per import run; the induction here is the
+  * published BPE algorithm, re-expressed Spark-first.
+  */
+object Bpe {
+
+  /** Merge rounds for the registered ops (a real tokenizer runs
+    * 30k–100k rounds; the LAW is round-count-agnostic and each round
+    * is one tiny aggregate — 8 keeps the bench honest while the spec
+    * pins deeper runs on the fixture). */
+  val NumMerges = 8
+
+  /** End-of-word marker symbol (words are [a-z]+, so '_' is outside
+    * the alphabet — word-final merges stay distinguishable, as in the
+    * published algorithm's </w>). */
+  val Marker = "_"
+
+  /** Word-frequency table over (text) rows: lowercase alphabetic word
+    * types with corpus multiplicity. One corpus pass, map-side
+    * combinable. */
+  private[graft] def wordFreqs(docs: DataFrame): DataFrame =
+    docs.select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol array of a word: its characters plus [[Marker]]. */
+  private[graft] def initSyms(w: Column): Column =
+    concat(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+      array(lit(Marker)))
+
+  /** One greedy left-to-right merge of adjacent (a, b) in a symbol
+    * array — the fold form: a just-merged symbol (a||b, never equal to
+    * a since b is non-empty) cannot re-merge as the left of the same
+    * pair, which is exactly the published algorithm's in-place scan. */
+  private[graft] def mergePair(syms: Column, a: Column, b: Column)
+      : Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(size(acc) > 0 &&
+          element_at(acc, -1) === a && s === b,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(element_at(acc, -1), s))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Adjacent-pair counts over a (w, freq, syms) vocab — weighted by
+    * word frequency; the per-round aggregate. */
+  private[operators] def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("freq"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** BPE induction over (text) rows: the merge table
+    * (merge_rank, left_sym, right_sym, pair_count), rank 1..numMerges
+    * (fewer iff the pair space exhausts first). The loop is
+    * driver-steered but every step is distributed: argmax rides a
+    * 1-row `TakeOrderedAndProject`, the winning pair re-enters the
+    * plan via a broadcast cross join (1 row — never a collected
+    * data-scaled value), and each round's vocab is checkpointed so
+    * round r+1's lineage starts flat. */
+  def train(docs: DataFrame, numMerges: Int = NumMerges): DataFrame = {
+    val (m, v) = trainWithVocab(docs, numMerges)
+    SessionCache.releaseFrame(v)
+    m
+  }
+
+  /** [[train]] plus the FINAL segmented vocab (w, freq, syms) — the
+    * other half of the tokenizer artifact (merges drive encoding of
+    * unseen text; the segmented vocab is the subword inventory and the
+    * fast path for seen types). Caller owns the vocab frame's
+    * checkpoint blocks. */
+  def trainWithVocab(docs: DataFrame, numMerges: Int = NumMerges)
+      : (DataFrame, DataFrame) = {
+    var vocab = wordFreqs(docs)
+      .withColumn("syms", initSyms(col("w")))
+      .select(col("w"), col("freq"), col("syms"))
+      .localCheckpoint()
+    var merges: Option[DataFrame] = None
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val best = pairCounts(vocab)
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+        .select(lit(r).cast("int").as("merge_rank"),
+          col("a").as("left_sym"), col("b").as("right_sym"),
+          col("cnt").as("pair_count"))
+        .localCheckpoint()
+      if (best.isEmpty) exhausted = true
+      else {
+        merges = Some(merges.fold(best)(_.union(best)))
+        val old = vocab
+        vocab = vocab
+          .crossJoin(broadcast(
+            best.select(col("left_sym"), col("right_sym"))))
+          .withColumn("syms",
+            mergePair(col("syms"), col("left_sym"), col("right_sym")))
+          .select(col("w"), col("freq"), col("syms"))
+          .localCheckpoint()
+        SessionCache.releaseFrame(old)
+        r += 1
+      }
+    }
+    (merges.getOrElse(
+      vocab.sparkSession.emptyDataFrame
+        .select(lit(0).as("merge_rank"), lit("").as("left_sym"),
+          lit("").as("right_sym"), lit(0L).as("pair_count"))
+        .limit(0)), vocab)
+  }
+
+  private val mergesCache = SessionCache.mkFrames()
+  private val vocabCache = SessionCache.mkFrames()
+
+  private[graft] def clearMergesCache(): Unit = {
+    mergesCache.clear(); vocabCache.clear()
+  }
+
+  /** Build-or-reuse the full tokenizer store (merge table + final
+    * segmented vocab as sibling parquet dirs under one signature). */
+  private def ensureStore(spark: SparkSession, dir: String): String =
+    PersistedStore.ensure(spark, dir, "documents.parquet",
+      "bpe_merges", "v2") { root =>
+      val (m, v) = trainWithVocab(Tables.documents(spark, dir)
+        .filter(col("doc_id") % Dedup.IncrementalDeltaMod =!= 0))
+      m.write.mode("overwrite").parquet(s"$root/merges")
+      v.write.mode("overwrite").parquet(s"$root/vocab")
+      SessionCache.releaseFrame(v)
+    }
+
+  /** The STANDING corpus' merge table — session-cached AND at rest
+    * ([[PersistedStore]] `bpe_merges`): the tokenizer is yesterday's
+    * artifact; an encoder never re-trains. Standing slice =
+    * `doc_id % IncrementalDeltaMod != 0`, the same train/delta split
+    * the drift monitor and incremental dedup use. */
+  private[graft] def standingMerges(spark: SparkSession, dir: String)
+      : DataFrame =
+    mergesCache.getOrBuild(spark, dir, "documents.parquet") {
+      spark.read.parquet(s"${ensureStore(spark, dir)}/merges")
+        .localCheckpoint()
+    }
+
+  /** The STANDING corpus' final segmented vocab (w, freq, syms) —
+    * the store's other half. */
+  private[graft] def standingVocab(spark: SparkSession, dir: String)
+      : DataFrame =
+    vocabCache.getOrBuild(spark, dir, "documents.parquet") {
+      spark.read.parquet(s"${ensureStore(spark, dir)}/vocab")
+        .localCheckpoint()
+    }
+
+  /** The induced merge table as a registered op. */
+  val bpeMerges: Op = Op("q_bpe_merges",
+    oracleInduction(NumMerges) +
+      "\nSELECT * FROM merge_table") { (spark, dir) =>
+    standingMerges(spark, dir)
+  }
+
+  /** The learned subword inventory: every symbol of the final
+    * segmented vocab with its corpus occurrence mass (Σ freq over
+    * positions) and type spread (distinct words containing it) — the
+    * vocabulary file next to the merge table, and the telemetry a
+    * tokenizer rollout checks (coverage, dead symbols, marker mass).
+    * Pure aggregation over the persisted artifact: explode + one
+    * hash aggregate on a type-table-sized frame. */
+  val bpeVocab: Op = Op("q_bpe_vocab",
+    oracleInduction(NumMerges) +
+      s"""
+         |SELECT sym,
+         |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types,
+         |  CAST(SUM(freq) AS BIGINT) AS n_occ
+         |FROM r$NumMerges GROUP BY sym""".stripMargin) { (spark, dir) =>
+    standingVocab(spark, dir)
+      .select(col("w"), col("freq"), explode(col("syms")).as("sym"))
+      .groupBy(col("sym"))
+      .agg(countDistinct(col("w")).as("n_types"),
+        sum(col("freq")).as("n_occ"))
+      .select(col("sym"), col("n_types"), col("n_occ"))
+  }
+
+  /** Apply the standing merge table to the DELTA slice: per-document
+    * (n_words, n_chars, n_tokens) under the trained tokenizer — the
+    * encode path. The merges (O(rounds) metadata) are collected from
+    * the persisted artifact and applied as literal folds to the
+    * DELTA'S WORD TYPES only; per-document stats come from a broadcast
+    * join of the doc→word stream against that tiny type table, so
+    * encode cost is corpus-for-the-split + types×rounds — the
+    * dataloader-side shape (tokenizer.json in, token counts out). */
+  val bpeEncode: Op = Op("q_bpe_encode",
+    oracleInduction(NumMerges) + "\n" + oracleEncode(NumMerges)) {
+    (spark, dir) =>
+      val mergeRows = standingMerges(spark, dir)
+        .orderBy(col("merge_rank")).collect()
+      val delta = Tables.documents(spark, dir)
+        .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0)
+      val docWords = delta.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("w"))
+      val typeSyms = mergeRows.foldLeft(
+        docWords.select(col("w")).distinct()
+          .withColumn("syms", initSyms(col("w")))) { (df, m) =>
+        df.withColumn("syms", mergePair(col("syms"),
+          lit(m.getAs[String]("left_sym")),
+          lit(m.getAs[String]("right_sym"))))
+      }
+      docWords
+        .join(broadcast(typeSyms
+          .select(col("w"), size(col("syms")).cast("long").as("n_tok"))),
+          Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w")).cast("long")).as("n_chars"),
+          sum(col("n_tok")).as("n_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_chars"),
+          col("n_tokens"))
+  }
+
+  /** The induction replayed relationally for DuckDB: iterated
+    * argmax + greedy merge, where greedy-within-a-run is the parity
+    * rule — inside each maximal run of match positions, merge starts
+    * sit at even offsets from the run head (for a ≠ b runs have
+    * length 1, so every match merges; for a = b this is exactly the
+    * left-to-right scan). Produces CTEs `r0..rN`, `m1..mN` and
+    * `merge_table`. */
+  private[operators] def oracleInduction(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH w0 AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |  FROM documents WHERE doc_id % ${Dedup.IncrementalDeltaMod} <> 0
+         |), v0 AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM w0 GROUP BY w
+         |), r0 AS MATERIALIZED (
+         |  SELECT w, freq,
+         |    unnest(range(1, len(w) + 2)) AS pos,
+         |    unnest(list_append(list_transform(range(1, len(w) + 1),
+         |      i -> substring(w, CAST(i AS INTEGER), 1)), '$Marker')) AS sym
+         |  FROM v0
+         |)""".stripMargin)
+    for (k <- 1 to n) {
+      val p = k - 1
+      sb.append(
+        s""", m$k AS MATERIALIZED (
+           |  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT sym AS a,
+           |      lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b, freq
+           |    FROM r$p)
+           |  WHERE b IS NOT NULL GROUP BY a, b
+           |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+           |), g$k AS (
+           |  SELECT w, freq, pos, sym,
+           |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+           |    COALESCE(sym = (SELECT a FROM m$k) AND
+           |      lead(sym) OVER (PARTITION BY w ORDER BY pos)
+           |        = (SELECT b FROM m$k), FALSE) AS mt
+           |  FROM r$p
+           |), h$k AS (
+           |  SELECT *, CASE WHEN mt THEN pos -
+           |    row_number() OVER (PARTITION BY w, mt ORDER BY pos) END AS isl
+           |  FROM g$k
+           |), s$k AS (
+           |  SELECT *, mt AND ((pos -
+           |    min(pos) OVER (PARTITION BY w, isl)) % 2 = 0) AS st
+           |  FROM h$k
+           |), r$k AS MATERIALIZED (
+           |  SELECT w, freq,
+           |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym
+           |  FROM (
+           |    SELECT w, freq, pos,
+           |      CASE WHEN st THEN sym || nxt ELSE sym END AS sym,
+           |      COALESCE(lag(st) OVER (PARTITION BY w ORDER BY pos),
+           |        FALSE) AS dropme
+           |    FROM s$k)
+           |  WHERE NOT dropme
+           |)""".stripMargin)
+    }
+    sb.append("\n, merge_table AS (\n")
+    sb.append((1 to n).map(k =>
+      s"  SELECT CAST($k AS INTEGER) AS merge_rank, a AS left_sym, " +
+        s"b AS right_sym, cnt AS pair_count FROM m$k")
+      .mkString("\n  UNION ALL\n"))
+    sb.append("\n)")
+    sb.toString
+  }
+
+  /** The encode path replayed for DuckDB: push the DELTA word types
+    * through the same n merge-application rounds (no argmax — pairs
+    * come from `m1..mN`), then join per-document word streams against
+    * the final type→token-count table. Emits CTEs `d0..dN` and the
+    * final SELECT. */
+  private[operators] def oracleEncode(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s""", dw AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |  FROM documents WHERE doc_id % ${Dedup.IncrementalDeltaMod} = 0
+         |), d0 AS MATERIALIZED (
+         |  SELECT w,
+         |    unnest(range(1, len(w) + 2)) AS pos,
+         |    unnest(list_append(list_transform(range(1, len(w) + 1),
+         |      i -> substring(w, CAST(i AS INTEGER), 1)), '$Marker')) AS sym
+         |  FROM (SELECT DISTINCT w FROM dw)
+         |)""".stripMargin)
+    for (k <- 1 to n) {
+      val p = k - 1
+      sb.append(
+        s""", dg$k AS (
+           |  SELECT w, pos, sym,
+           |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+           |    COALESCE(sym = (SELECT a FROM m$k) AND
+           |      lead(sym) OVER (PARTITION BY w ORDER BY pos)
+           |        = (SELECT b FROM m$k), FALSE) AS mt
+           |  FROM d$p
+           |), dh$k AS (
+           |  SELECT *, CASE WHEN mt THEN pos -
+           |    row_number() OVER (PARTITION BY w, mt ORDER BY pos) END AS isl
+           |  FROM dg$k
+           |), ds$k AS (
+           |  SELECT *, mt AND ((pos -
+           |    min(pos) OVER (PARTITION BY w, isl)) % 2 = 0) AS st
+           |  FROM dh$k
+           |), d$k AS MATERIALIZED (
+           |  SELECT w, row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+           |    sym
+           |  FROM (
+           |    SELECT w, pos,
+           |      CASE WHEN st THEN sym || nxt ELSE sym END AS sym,
+           |      COALESCE(lag(st) OVER (PARTITION BY w ORDER BY pos),
+           |        FALSE) AS dropme
+           |    FROM ds$k)
+           |  WHERE NOT dropme
+           |)""".stripMargin)
+    }
+    sb.append(
+      s""", tok AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tok FROM d$n GROUP BY w
+         |)
+         |SELECT dw.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(len(dw.w)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(tok.n_tok) AS BIGINT) AS n_tokens
+         |FROM dw JOIN tok ON dw.w = tok.w
+         |GROUP BY dw.doc_id""".stripMargin)
+    sb.toString
+  }
+}

@@ -238,6 +238,16 @@ object StreamingOps {
     * model ([[EventStream.runDsirToMemory]]); same oracle — only
     * possible if the per-row lookup sum reproduces the batch
     * aggregate exactly. */
+  /** STATELESS tokenize-on-arrival against the persisted standing
+    * tokenizer — see [[graft.streaming.EventStream.runBpeEncodeToMemory]];
+    * oracle = the batch encode op's (stream ≡ batch). */
+  val streamBpeEncode: Op = Op(
+    "q_stream_bpe_encode",
+    Bpe.bpeEncode.oracle.get) { (spark, dir) =>
+    spark.table(graft.streaming.EventStream.runBpeEncodeToMemory(
+      spark, dir, "q_stream_bpe_encode_mem"))
+  }
+
   val streamDsir: Op = Op(
     "q_stream_dsir",
     Retrieval.dsirWeights.oracle.get) { (spark, dir) =>

@@ -939,6 +939,51 @@ object EventStream {
         .start()
     }
 
+  /** STATELESS streaming BPE encode — arriving delta documents are
+    * tokenized against the STANDING tokenizer artifact
+    * ([[graft.operators.Bpe.standingMerges]], the persisted
+    * `bpe_merges` store): the merge table is O(rounds) metadata folded
+    * into the plan as literal greedy-merge rounds, so each document's
+    * (n_words, n_chars, n_tokens) is pure per-row expression work —
+    * no streaming aggregation, no state store, no stream-side shuffle
+    * (state operators spec-pinned EMPTY). The batch op's broadcast
+    * type-table join and this per-row fold compute the same law
+    * (BpeSpec pins the law against the published sequential scan;
+    * EventStreamSpec pins stream ≡ batch hash-exactly), they just
+    * trade where the per-type work lands: amortized across a bounded
+    * type table in batch, inline at ingest here — the
+    * tokenize-on-arrival shape a 100 TB/day feed needs. */
+  def runBpeEncodeToMemory(
+      spark: SparkSession, dir: String, queryName: String): String =
+    runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
+      import graft.operators.{Bpe, Dedup}
+      val mergeRows = Bpe.standingMerges(spark, dir)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getAs[String]("left_sym"),
+          r.getAs[String]("right_sym")))
+      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val words = regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))
+      def tokCount(w: org.apache.spark.sql.Column) =
+        size(mergeRows.foldLeft(Bpe.initSyms(w)) { (s, m) =>
+          Bpe.mergePair(s, lit(m._1), lit(m._2))
+        }).cast("long")
+      spark.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0)
+        .filter(size(words) > 0)
+        .select(col("doc_id"),
+          size(words).cast("long").as("n_words"),
+          aggregate(words, lit(0L),
+            (acc, w) => acc + length(w)).as("n_chars"),
+          aggregate(words, lit(0L),
+            (acc, w) => acc + tokCount(w)).as("n_tokens"))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
   /** Streaming DSIR scoring — arriving documents scored against the
     * STANDING importance model at ingest ([[graft.operators.Retrieval
     * .dsirWeights]]'s ratio table + selection threshold, built once

@@ -92,6 +92,19 @@ object SoakCandidates {
         "bm25" -> (() => TextOps.bm25ProbeRows(spark, dir,
           graft.Tables.documents(spark, dir)
             .filter(col("doc_id") % TextOps.Bm25QueryMod === 0)).count()),
+        // BPE induction work-per-round: the pair-stream the per-round
+        // aggregate scans = Σ_types |syms| (upper bound across rounds —
+        // round 0 is the max; merges only shrink it). The 100 TB claim
+        // is Heaps-sublinear type growth: the corpus is scanned once,
+        // every round after touches only this volume. Population = docs.
+        "bpe" -> (() => {
+          import org.apache.spark.sql.functions.{sum => fsum, length}
+          val t = graft.operators.Bpe.wordFreqs(
+            graft.Tables.documents(spark, dir)
+              .filter(col("doc_id") % Dedup.IncrementalDeltaMod =!= 0))
+            .agg(fsum(length(col("w")) + lit(1))).head()
+          if (t.isNullAt(0)) 0L else t.getLong(0)
+        }),
         // impact-pruned sibling: candidates bounded by |qterms| * P
         "bm25pruned" -> (() => TextOps.bm25PrunedIndex(spark, dir)
           .join(org.apache.spark.sql.functions.broadcast(
@@ -112,7 +125,8 @@ object SoakCandidates {
         "knn" -> (() => Similarity.knnGraph.build(spark, dir).count()),
         "semdedup" -> (() => Similarity.semdedup.build(spark, dir).count()),
         "bm25" -> (() => TextOps.bm25.build(spark, dir).count()),
-        "bm25pruned" -> (() => TextOps.bm25Pruned.build(spark, dir).count()))
+        "bm25pruned" -> (() => TextOps.bm25Pruned.build(spark, dir).count()),
+        "bpe" -> (() => -1L)) // candidate-stage-only measurement
       val cand = candThunks.filter(t => keep(t._1))
         .map { case (k, f) => k -> f() }.toMap
       val truth = truthThunks.filter(t => keep(t._1))

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Bpe]] — distributed BPE induction/encode. The DuckDB oracle
+  * proves the distributed fold against an independent relational
+  * formulation (lead/lag run-parity); what it cannot pin is agreement
+  * with the PUBLISHED algorithm's sequential scan — that reference
+  * implementation lives here, plus the greedy-run edge cases and the
+  * artifact/plan properties. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- plain-Scala reference (the published sequential scan form,
+  // deliberately NOT the engine's fold or the oracle's parity form) ----
+  private def mergeScan(syms: Vector[String], a: String, b: String)
+      : Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refTrain(freqs: Map[String, Long], n: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var vocab = freqs.keys
+      .map(w => w -> (w.map(_.toString).toVector :+ Bpe.Marker)).toMap
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= n && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, syms) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + freqs(w)
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq
+          .minBy { case ((x, y), cnt) => (-cnt, x, y) }
+        out += ((r, a, b, c))
+        vocab = vocab.map { case (w, s) => w -> mergeScan(s, a, b) }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  // runs ("aaa"/"aaaa"), count ties, and nested merges ("low" family)
+  private val fixtureFreqs = Map(
+    "aaa" -> 5L, "aaaa" -> 3L, "banana" -> 4L, "bandana" -> 2L,
+    "low" -> 7L, "lower" -> 3L, "lowest" -> 2L, "newer" -> 6L,
+    "wider" -> 3L)
+
+  private def fixtureDocs = {
+    val text = fixtureFreqs.toSeq.sortBy(_._1)
+      .flatMap { case (w, f) => Seq.fill(f.toInt)(w) }.mkString(" ")
+    Seq((0L, text)).toDF("doc_id", "text")
+  }
+
+  test("induction matches the published sequential algorithm, 12 rounds") {
+    val got = Bpe.train(fixtureDocs, 12).orderBy("merge_rank").collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSeq
+    val want = refTrain(fixtureFreqs, 12)
+    assert(want.length === 12, "fixture exhausts before 12 rounds")
+    assert(got === want)
+  }
+
+  test("greedy run semantics: (a,a) merges aaa -> [aa,a,_], aaaa -> [aa,aa,_]") {
+    val got = Seq("aaa", "aaaa").toDF("w")
+      .withColumn("syms", Bpe.initSyms(col("w")))
+      .withColumn("m", Bpe.mergePair(col("syms"), lit("a"), lit("a")))
+      .select($"w", $"m").as[(String, Seq[String])].collect().toMap
+    assert(got("aaa") === Seq("aa", "a", Bpe.Marker))
+    assert(got("aaaa") === Seq("aa", "aa", Bpe.Marker))
+  }
+
+  test("pair-space exhaustion stops the loop instead of emptying the vocab") {
+    val docs = Seq((0L, "ab")).toDF("doc_id", "text")
+    val got = Bpe.train(docs, 10).orderBy("merge_rank").collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    // [a,b,_]: tie (a,b)/(b,_) breaks to (a,b); then (ab,_); then done
+    assert(got.toSeq === Seq(("a", "b"), ("ab", Bpe.Marker)))
+  }
+
+  test("registered induction emits NumMerges ranked rows at sf0.001") {
+    val rows = Bpe.bpeMerges.build(spark, sf001).orderBy("merge_rank")
+      .collect()
+    assert(rows.length === Bpe.NumMerges)
+    assert(rows.map(_.getAs[Int]("merge_rank")).toSeq ===
+      (1 to Bpe.NumMerges))
+    val counts = rows.map(_.getAs[Long]("pair_count"))
+    assert(counts.forall(_ > 0))
+  }
+
+  test("vocab inventory conserves mass: marker symbols cover every word") {
+    val v = Bpe.bpeVocab.build(spark, sf001).collect()
+      .map(r => r.getAs[String]("sym") -> r.getAs[Long]("n_occ")).toMap
+    val nWords = graft.Tables.documents(spark, sf001)
+      .filter($"doc_id" % Dedup.IncrementalDeltaMod =!= 0)
+      .select(explode(regexp_extract_all(lower($"text"),
+        lit("[a-z]+"), lit(0))))
+      .count()
+    // the marker only ever merges as a SUFFIX (nothing follows it), so
+    // exactly one marker-bearing symbol terminates each word occurrence
+    val markerMass = v.filter(_._1.endsWith(Bpe.Marker)).map(_._2).sum
+    assert(markerMass === nWords,
+      s"marker mass $markerMass != standing word occurrences $nWords")
+    assert(v.keys.exists(s => s.length > 1 && !s.endsWith(Bpe.Marker)),
+      "expected at least one learned non-marker subword")
+  }
+
+  test("encode token counts agree with the reference scan per document") {
+    val merges = Bpe.bpeMerges.build(spark, sf001)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    val enc = Bpe.bpeEncode.build(spark, sf001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_tokens"))).toMap
+    assert(enc.nonEmpty)
+    val delta = graft.Tables.documents(spark, sf001)
+      .filter($"doc_id" % Dedup.IncrementalDeltaMod === 0)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    delta.foreach { case (id, t) =>
+      val ws = "[a-z]+".r.findAllIn(t).toSeq
+      if (ws.isEmpty) assert(!enc.contains(id))
+      else {
+        val tok = ws.distinct.map { w =>
+          var s = w.map(_.toString).toVector :+ Bpe.Marker
+          merges.foreach { case (a, b) => s = mergeScan(s, a, b) }
+          w -> s.length.toLong
+        }.toMap
+        assert(enc(id) === ((ws.length.toLong,
+          ws.map(_.length.toLong).sum, ws.map(tok).sum)),
+          s"doc $id encode mismatch")
+      }
+    }
+  }
+
+  test("argmax plans per-partition top-1 over a partial aggregate") {
+    val vocab = Bpe.wordFreqs(fixtureDocs)
+      .withColumn("syms", Bpe.initSyms(col("w")))
+    val p = Bpe.pairCounts(vocab)
+      .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("TakeOrderedAndProject"),
+      s"argmax must plan TakeOrderedAndProject:\n$p")
+    assert(p.contains("partial_sum"),
+      s"pair counting must partial-aggregate map-side:\n$p")
+  }
+
+  test("encode plans a broadcast join of the type table") {
+    val p = Bpe.bpeEncode.build(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"),
+      s"type table must broadcast:\n$p")
+  }
+}

@@ -68,6 +68,16 @@ class PersistedStoreSpec extends SparkSpec {
       StreamingOps.standingDriftModel(spark, sf001))
   }
 
+  test("bpe merge table persists and rebuilds identically") {
+    checkStore("bpe_merges", "merges", () => Bpe.clearMergesCache())(
+      Bpe.standingMerges(spark, sf001))
+  }
+
+  test("bpe segmented vocab persists and rebuilds identically") {
+    checkStore("bpe_merges", "vocab", () => Bpe.clearMergesCache())(
+      Bpe.standingVocab(spark, sf001))
+  }
+
   test("concurrent ensure on one store builds exactly once") {
     import java.util.concurrent.atomic.AtomicInteger
     val builds = new AtomicInteger(0)

@@ -347,6 +347,24 @@ class EventStreamSpec extends SparkSpec {
       s"expected zero stateful operators: ${active.get.lastProgress.json}")
   }
 
+  test("streaming BPE encode equals the batch encode op, stateless") {
+    import spark.implicits._
+    val batch = graft.operators.Bpe.bpeEncode.build(spark, sf001)
+      .select($"doc_id", $"n_words", $"n_chars", $"n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = graft.operators.StreamingOps.streamBpeEncode
+      .build(spark, sf001)
+      .select($"doc_id", $"n_words", $"n_chars", $"n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "expected encoded delta docs in testdata")
+    assert(got === batch)
+    val active = spark.streams.active.find(
+      _.name.startsWith("q_stream_bpe_encode_mem"))
+    assert(active.nonEmpty)
+    assert(active.get.lastProgress.stateOperators.isEmpty,
+      s"expected zero stateful operators: ${active.get.lastProgress.json}")
+  }
+
   test("streaming ANN probe equals the batch kNN graph restricted to arrivals, stateless") {
     import spark.implicits._
     val S = graft.operators.Similarity
