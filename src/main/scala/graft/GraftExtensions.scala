@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{LongArrayDot, PackedBagDistance, PackedLetterBag, StringRollingHash, TopKAgg}
+import graft.expressions.{LongArrayDot, PackedBagDistance, PackedLetterBag, RandProjExpr, StringRollingHash, TopKAgg}
 
 /** Engine extension point, installed the documented production way:
   *
@@ -75,6 +75,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("graft_fingerprint", 1, children)
         StringRollingHash(children.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_randproj"),
+      new ExpressionInfo(classOf[RandProjExpr].getName, "graft_randproj"),
+      (children: Seq[Expression]) => {
+        arity("graft_randproj", 2, children)
+        val k = children(1) match {
+          case c if c.foldable && c.dataType ==
+            org.apache.spark.sql.types.IntegerType =>
+            val v = c.eval(null)
+            if (v == null) throw new IllegalArgumentException(
+              "graft_randproj: k must not be null")
+            v.asInstanceOf[Int]
+          case _ => throw new IllegalArgumentException(
+            "graft_randproj: k must be a literal INT")
+        }
+        RandProjExpr(children.head, k)
       }))
   }
 }

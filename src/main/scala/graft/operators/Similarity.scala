@@ -728,36 +728,54 @@ object Similarity {
        |                   % 2147483648 // 65536) % 2 = 0
        |           THEN 1 ELSE -1 END)) AS BIGINT) AS p
        |FROM h""".stripMargin) { (spark, dir) =>
+    // posexplode_OUTER is load-bearing: the inner form triggers
+    // InferFiltersFromGenerate, whose size(pv) > 0 ∧ isnotnull(pv)
+    // guard is pushed through the projection and re-evaluates the
+    // d·k kernel a second time per row. pv is structurally non-empty
+    // (k = RandProjDim, even for empty/all-zero embeddings), so
+    // outer ≡ inner and the guard is pure waste.
     randProjVectors(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), posexplode(col("pv")).as(Seq("dim", "p")))
+      .select(col("vec_id"), posexplode_outer(col("pv")).as(Seq("dim", "p")))
   }
 
   /** [[randProj]] kernel over any (vec_id, embedding) rows: the
-    * projected BIGINT vector per row.
+    * projected BIGINT vector per row — the native codegen'd
+    * [[graft.expressions.RandProjExpr]] when the session has
+    * `graft.GraftExtensions` installed (one primitive d·k loop inside
+    * whole-stage codegen), else [[randProjFold]].
     *
-    * Evaluation shape is load-bearing: a `transform(dims, j =>
-    * aggregate(qv …))` form references `qv`/`scale` once each, so
-    * CollapseProject INLINES them into the lambda bodies — `qv`
-    * recomputes per output dim and `scale` per element, O(d²·k)
-    * interpreted evals per row (measured 22 s at sf0.1 vs 0.8 s for
-    * this form). Instead: `array_repeat(scale, d)` pins ONE scale
-    * eval per row structurally, and a single `aggregate` fold over the
-    * zipped (q, i) pairs accumulates all k output dims in ONE pass
-    * over `qv` — per-row cost is the irreducible d·k multiply-adds no
-    * matter what the optimizer inlines. */
+    * Evaluation shape is load-bearing in the fallback too: a
+    * `transform(dims, j => aggregate(qv …))` form references
+    * `qv`/`scale` once each, so CollapseProject INLINES them into the
+    * lambda bodies — `qv` recomputes per output dim and `scale` per
+    * element, O(d²·k) interpreted evals per row (measured 22 s at
+    * sf0.1, vs 3.1 s for the single-fold form, vs 0.1 s native).
+    * The fold pins ONE scale eval per row via `array_repeat` and
+    * accumulates all k output dims in ONE pass over the zipped (q, i)
+    * pairs — the irreducible d·k multiply-adds no matter what the
+    * optimizer inlines. */
   def randProjVectors(e: DataFrame): DataFrame = {
+    val pv =
+      if (e.sparkSession.catalog.functionExists("graft_randproj"))
+        call_function("graft_randproj", col("embedding"), lit(RandProjDim))
+      else randProjFold(col("embedding"))
+    e.withColumn("pv", pv).select(col("vec_id"), col("pv"))
+  }
+
+  /** The built-in HOF form of the projection — the vanilla-session
+    * fallback and the parity reference for the native expression
+    * (RandProjSpec pins fold ≡ native element-wise). */
+  private[graft] def randProjFold(emb: Column): Column = {
     val dims = sequence(lit(0), lit(RandProjDim - 1))
-    val qv = zip_with(col("embedding"),
-      array_repeat(int8Scale(col("embedding")), size(col("embedding"))),
+    val qv = zip_with(emb,
+      array_repeat(int8Scale(emb), size(emb)),
       (x, s) => round(x.cast("double") * s).cast("long"))
-    e.withColumn("pv",
-        aggregate(
-          zip_with(qv, sequence(lit(0), size(col("embedding")) - 1),
-            (q, i) => struct(q.as("q"), i.as("i"))),
-          transform(dims, _ => lit(0L)),
-          (acc, t) => zip_with(acc, dims,
-            (a, j) => a + t.getField("q") * rpSign(t.getField("i"), j))))
-      .select(col("vec_id"), col("pv"))
+    aggregate(
+      zip_with(qv, sequence(lit(0), size(emb) - 1),
+        (q, i) => struct(q.as("q"), i.as("i"))),
+      transform(dims, _ => lit(0L)),
+      (acc, t) => zip_with(acc, dims,
+        (a, j) => a + t.getField("q") * rpSign(t.getField("i"), j)))
   }
 
   /** Product-quantization coding (Jégou et al., TPAMI 2011 — the
@@ -1101,13 +1119,17 @@ object Similarity {
 
   private[graft] def clearPqIndexCache(): Unit = pqIndexCache.clear()
 
-  /** Train-or-reuse the PQ index for (corpus `q`, `steps`, `nc`). */
+  /** Train-or-reuse the PQ index for (corpus `q`, `steps`, `nc`).
+    * `tag` names a distinct index over a SUBSET of the corpus (its own
+    * store + cache scope) — the incremental family trains on the
+    * standing subset only ([[pqIncrIndex]]). */
   def pqTrainedIndex(
       spark: SparkSession, q: DataFrame, dir: String, steps: Int,
-      nc: Int): (DataFrame, DataFrame) =
+      nc: Int, tag: String = ""): (DataFrame, DataFrame) =
     pqIndexCache.getOrBuild(spark, dir, "embeddings.parquet",
-      extra = s"$steps@$nc") {
-        val store = SinkOps.stagingDir(dir, s"pq_index_${steps}_$nc")
+      extra = s"$steps@$nc@$tag") {
+        val suffix = if (tag.isEmpty) "" else s"_$tag"
+        val store = SinkOps.stagingDir(dir, s"pq_index_${steps}_$nc$suffix")
         val sigPath = new org.apache.hadoop.fs.Path(s"$store/_SRC_SIG")
         val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val srcSig = graft.sources.RunLog

@@ -71,4 +71,45 @@ class RandProjSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"rand_proj must ride the scan with no shuffle:\n$p")
   }
+
+  test("native expression equals the HOF fold element-wise on the corpus") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    assert(spark.catalog.functionExists("graft_randproj"),
+      "extensions not installed in test session")
+    val native = e.select($"vec_id",
+      call_function("graft_randproj", $"embedding", lit(K)).as("pv"))
+    val fold = e.select($"vec_id",
+      Similarity.randProjFold($"embedding").as("pv"))
+    val diff = native.as("n").join(fold.as("f"), "vec_id")
+      .filter(expr("n.pv != f.pv")).count()
+    assert(diff === 0L, s"$diff vectors diverge between native and fold")
+    // edge vectors: empty, all-zero, negative-dominant, tie-rounding
+    val edges = Seq(
+      (1L, Array.empty[Float]),
+      (2L, Array.fill(64)(0f)),
+      (3L, Array.fill(64)(-2.5f)),
+      (4L, Array.tabulate(64)(i => (i - 32).toFloat / 12.8f)))
+      .toDF("vec_id", "embedding")
+    val en = edges.select($"vec_id",
+      call_function("graft_randproj", $"embedding", lit(K)).as("pv"))
+    val ef = edges.select($"vec_id",
+      Similarity.randProjFold($"embedding").as("pv"))
+    val ed = en.as("n").join(ef.as("f"), "vec_id")
+      .filter(expr("n.pv != f.pv")).count()
+    assert(ed === 0L, "edge vectors diverge between native and fold")
+  }
+
+  test("native projection runs inside whole-stage codegen") {
+    val p = Similarity.randProj.build(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("graft_randproj"),
+      s"expected the native expression in the plan:\n$p")
+    // codegen spans print as "*(n)" in the simple plan string
+    assert(p.contains("*("),
+      s"expected a codegen span over the projection:\n$p")
+    // exactly one projection eval per row: InferFiltersFromGenerate
+    // must not re-evaluate the kernel inside a pushed-down guard
+    assert("graft_randproj".r.findAllIn(p).size === 1,
+      s"kernel must be evaluated once per row, not re-derived in a filter:\n$p")
+  }
 }
