@@ -40,11 +40,12 @@ object Verify {
     * be read back), and the artifact's path is keyed by the sf dir,
     * which is known only when the dump runs. The substituted SQL is
     * what lands in `oracle_sql.json`; the driver sees plain SQL. */
-  def resolveOracles(
+  def resolveOracles(spark: SparkSession,
       oracles: Map[String, String], sfDir: String): Map[String, String] = {
     import graft.operators.MultimodalOps
     oracles.view.mapValues(_.replace(
-      MultimodalOps.PhashStoreToken, MultimodalOps.phashStorePath(sfDir)))
+      MultimodalOps.PhashStoreToken,
+      MultimodalOps.phashStorePath(spark, sfDir)))
       .toMap
   }
 
@@ -67,7 +68,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    writeOracleJson(resolveOracles(SparkEntry.oracleSql, sfDir), outDir)
+    writeOracleJson(resolveOracles(spark, SparkEntry.oracleSql, sfDir), outDir)
     spark.stop()
   }
 }

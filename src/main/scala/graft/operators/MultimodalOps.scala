@@ -91,10 +91,12 @@ object MultimodalOps {
     * compile-time one). */
   val PhashStoreToken = "__GRAFT_PHASH_STORE__"
 
-  /** Store path of the persisted phash table for `dir` — exposed for
-    * the oracle-dump substitution in [[graft.Verify]]. */
-  def phashStorePath(dir: String): String =
-    SinkOps.stagingDir(dir, "phash_store")
+  /** CURRENT version root of the persisted phash table for `dir` —
+    * exposed for the oracle-dump substitution in [[graft.Verify]]
+    * (resolves the [[PersistedStore]] version pointer so DuckDB reads
+    * exactly the committed generation). */
+  def phashStorePath(spark: SparkSession, dir: String): String =
+    PersistedStore.currentRoot(spark, dir, "phash_store")
 
   private val phashCache = SessionCache.mkFrames()
 

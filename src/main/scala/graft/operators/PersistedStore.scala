@@ -25,48 +25,105 @@ private[graft] object PersistedStore {
     new java.util.concurrent.ConcurrentHashMap[String, Object]
 
   /** Build-or-reuse the store for (`dir`, `tag`): when the recorded
-    * signature matches the current source listing the store is served
-    * as-is; otherwise `write(storeRoot)` rebuilds it (writing any
-    * number of parquet dirs under the root) and the new signature is
-    * committed LAST — a crash mid-rebuild leaves a stale/absent
-    * signature, never a valid-looking half-written store. Returns the
-    * store root path.
+    * signature matches the current source listing the CURRENT VERSION
+    * root it references is served as-is; otherwise `write(versionRoot)`
+    * rebuilds into a FRESH version subdir (writing any number of
+    * parquet dirs under it) and the signature — source signature plus
+    * the version pointer — is committed LAST. Returns the version root
+    * path to read from.
+    *
+    * Versioned commit (never mutate in place): a rebuild writes a new
+    * `ver-*` subdir and flips the pointer atomically with the
+    * signature file, so a reader holding the PREVIOUS version's path
+    * keeps scanning intact files — `mode(overwrite)` never deletes
+    * under an active reader. The superseded version survives one more
+    * generation (protecting in-flight readers) and is garbage-
+    * collected on the NEXT rebuild; only `ver-*` dirs two generations
+    * old are deleted. A crash mid-rebuild leaves a stale/absent
+    * signature and an orphan version dir — never a valid-looking
+    * half-written store.
     *
     * Concurrency: a per-store JVM lock serializes rebuilds across
     * SESSIONS in one process (the session caches' per-scope locks
-    * don't cover two sessions sharing a dir). Cross-PROCESS, the
-    * signature-last protocol bounds the damage: builds are
-    * deterministic per signature, so racing writers produce identical
-    * content and the loser's overwrite is content-idempotent; a
-    * reader can only observe a store whose writer finished its data
-    * pass before committing the signature. */
+    * don't cover two sessions sharing a dir). Cross-PROCESS, racing
+    * writers build into DISTINCT version dirs and the last signature
+    * write wins — the loser's dir is unreferenced and GC'd at the
+    * next rebuild; a reader can only observe a version whose writer
+    * finished its data pass before committing the signature. */
   def ensure(spark: SparkSession, dir: String, sourceGlob: String,
-      tag: String, version: String)(write: String => Unit): String = {
+      tag: String, version: String, sigDir: String = null)(
+      write: String => Unit): String = {
     val store = SinkOps.stagingDir(dir, tag)
     val sigPath = new org.apache.hadoop.fs.Path(s"$store/_SRC_SIG")
     val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val srcSig =
-      graft.sources.RunLog.sourceSignature(spark, dir, sourceGlob) +
+      graft.sources.RunLog.sourceSignature(
+        spark, if (sigDir == null) dir else sigDir, sourceGlob) +
         s":$version"
-    def valid = fs.exists(sigPath) && {
-      val in = fs.open(sigPath)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) == srcSig
-      finally in.close()
+    def readSig(): Option[(String, String)] =
+      if (!fs.exists(sigPath)) None
+      else {
+        val in = fs.open(sigPath)
+        val s = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        val i = s.indexOf('\n')
+        if (i < 0) Some((s, "")) // legacy in-place layout (pre-round-8)
+        else Some((s.substring(0, i), s.substring(i + 1)))
+      }
+    def current(): Option[String] = readSig() match {
+      case Some((sig, ver)) if sig == srcSig =>
+        val root = if (ver.isEmpty) store else s"$store/$ver"
+        if (ver.isEmpty ||
+          fs.exists(new org.apache.hadoop.fs.Path(root))) Some(root)
+        else None
+      case _ => None
     }
-    if (!valid) {
+    current().getOrElse {
       val lock = storeLocks.computeIfAbsent(store, _ => new Object)
       lock.synchronized {
-        if (!valid) { // re-check under the lock: the race's loser reuses
-          write(store)
+        current().getOrElse { // re-check under the lock: a race's loser reuses
+          val prevVer = readSig().map(_._2).getOrElse("")
+          val ver = "ver-" +
+            java.lang.Long.toHexString(srcSig.hashCode.toLong & 0xffffffffL) +
+            "-" + java.lang.Long.toHexString(System.nanoTime())
+          val root = s"$store/$ver"
+          write(root)
           val out = fs.create(sigPath, true)
-          try out.write(
-            srcSig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          try out.write(s"$srcSig\n$ver"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
+          // GC: versions other than the new one and its immediate
+          // predecessor (which an in-flight reader may still scan)
+          val keep = Set(ver, prevVer).filter(_.nonEmpty)
+          Option(fs.listStatus(new org.apache.hadoop.fs.Path(store)))
+            .getOrElse(Array.empty)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("ver-") &&
+              !keep(st.getPath.getName))
+            .foreach(st => fs.delete(st.getPath, true))
+          root
         }
       }
     }
-    store
+  }
+
+  /** The CURRENT version root of an already-committed store (the path
+    * [[ensure]] would return without rebuilding) — for consumers that
+    * need the store's on-disk location itself, e.g. the oracle-SQL
+    * path substitution that lets DuckDB read a persisted artifact.
+    * Falls back to the store root for a legacy in-place layout. */
+  def currentRoot(spark: SparkSession, dir: String, tag: String): String = {
+    val store = SinkOps.stagingDir(dir, tag)
+    val sigPath = new org.apache.hadoop.fs.Path(s"$store/_SRC_SIG")
+    val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sigPath)) store
+    else {
+      val in = fs.open(sigPath)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val i = s.indexOf('\n')
+      if (i < 0) store else s"$store/${s.substring(i + 1)}"
+    }
   }
 
   /** Test hook: drop a store so the next access rebuilds. */

@@ -68,7 +68,13 @@ private[graft] object SessionCache {
       }
     }
 
-    def clear(): Unit = { entries.clear(); locks.clear() }
+    /** Drops entries only — the locks map stays stable so a builder
+      * holding a scope lock across a concurrent clear() still excludes
+      * the next getOrBuild on that scope (clearing locks too would let
+      * a racer mint a fresh lock and run a duplicate build, leaking
+      * the loser's localCheckpoint blocks). Lock objects are tiny and
+      * scope keys are bounded by (session × dir × params) churn. */
+    def clear(): Unit = entries.clear()
   }
 
   /** NEW cache of single localCheckpointed frames — factory, not a

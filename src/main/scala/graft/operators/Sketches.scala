@@ -189,16 +189,20 @@ object Sketches {
        |  WHERE r <= $KmvK
        |), stats AS (
        |  SELECT (SELECT max(hv) FROM sa) AS ha,
+       |         (SELECT count(*) FROM sa) AS ma,
        |         (SELECT max(hv) FROM sb) AS hb,
+       |         (SELECT count(*) FROM sb) AS mb,
        |         (SELECT max(hv) FROM su) AS hu,
+       |         (SELECT count(*) FROM su) AS mu,
        |         (SELECT count(*) FROM su
        |            JOIN sa USING (hv) JOIN sb USING (hv)) AS rho
        |)
        |SELECT CAST($KmvK AS BIGINT) AS k,
-       |  CAST($KmvNum // ha AS BIGINT) AS est_a,
-       |  CAST($KmvNum // hb AS BIGINT) AS est_b,
-       |  CAST($KmvNum // hu AS BIGINT) AS est_union,
-       |  CAST(rho * ($KmvNum // hu) // $KmvK AS BIGINT) AS est_inter,
+       |  CAST(CASE WHEN ma < $KmvK THEN ma ELSE $KmvNum // ha END AS BIGINT) AS est_a,
+       |  CAST(CASE WHEN mb < $KmvK THEN mb ELSE $KmvNum // hb END AS BIGINT) AS est_b,
+       |  CAST(CASE WHEN mu < $KmvK THEN mu ELSE $KmvNum // hu END AS BIGINT) AS est_union,
+       |  CAST(CASE WHEN mu < $KmvK THEN rho
+       |       ELSE rho * ($KmvNum // hu) // $KmvK END AS BIGINT) AS est_inter,
        |  CAST(rho AS BIGINT) AS rho
        |FROM stats""".stripMargin) { (spark, dir) =>
     val o = Tables.orders(spark, dir)
@@ -219,7 +223,13 @@ object Sketches {
     x.select(kmvMix(col("c")).as("hv")).distinct()
       .orderBy(col("hv")).limit(KmvK)
 
-  /** [[kmvSketch]] kernel over two id frames (one `c` column each). */
+  /** [[kmvSketch]] kernel over two id frames (one `c` column each).
+    * Small-set fallback (Beyer et al. §3): a sketch holding m < k
+    * values IS the exact distinct hash set — the (k−1)·M/h₍k₎ formula
+    * would return ~k−1 regardless of the true count, so below k the
+    * estimate is the exact m (and the intersection estimate is the
+    * exact ρ when the UNION sketch is exact, which implies both input
+    * sketches are too). Same branch in the oracle SQL. */
   def kmvStats(a: DataFrame, b: DataFrame): DataFrame = {
     val sa = kmvSketchOf(a).localCheckpoint()
     val sb = kmvSketchOf(b).localCheckpoint()
@@ -227,15 +237,21 @@ object Sketches {
       .localCheckpoint()
     val rho = su.join(broadcast(sa), "hv").join(broadcast(sb), "hv")
       .agg(count(lit(1)).as("rho"))
-    sa.agg(max(col("hv")).as("ha"))
-      .crossJoin(broadcast(sb.agg(max(col("hv")).as("hb"))))
-      .crossJoin(broadcast(su.agg(max(col("hv")).as("hu"))))
+    sa.agg(max(col("hv")).as("ha"), count(lit(1)).as("ma"))
+      .crossJoin(broadcast(
+        sb.agg(max(col("hv")).as("hb"), count(lit(1)).as("mb"))))
+      .crossJoin(broadcast(
+        su.agg(max(col("hv")).as("hu"), count(lit(1)).as("mu"))))
       .crossJoin(broadcast(rho))
       .select(lit(KmvK.toLong).as("k"),
-        expr(s"CAST($KmvNum div ha AS BIGINT)").as("est_a"),
-        expr(s"CAST($KmvNum div hb AS BIGINT)").as("est_b"),
-        expr(s"CAST($KmvNum div hu AS BIGINT)").as("est_union"),
-        expr(s"CAST(rho * ($KmvNum div hu) div $KmvK AS BIGINT)")
+        expr(s"CAST(CASE WHEN ma < $KmvK THEN ma" +
+          s" ELSE $KmvNum div ha END AS BIGINT)").as("est_a"),
+        expr(s"CAST(CASE WHEN mb < $KmvK THEN mb" +
+          s" ELSE $KmvNum div hb END AS BIGINT)").as("est_b"),
+        expr(s"CAST(CASE WHEN mu < $KmvK THEN mu" +
+          s" ELSE $KmvNum div hu END AS BIGINT)").as("est_union"),
+        expr(s"CAST(CASE WHEN mu < $KmvK THEN rho" +
+          s" ELSE rho * ($KmvNum div hu) div $KmvK END AS BIGINT)")
           .as("est_inter"),
         col("rho"))
   }

@@ -699,14 +699,31 @@ object EventStream {
     * UNIONS of per-batch checkpointed segments (the standing slice plus
     * each folded batch's probes) — per-batch write cost is the batch's
     * own rows, never the accumulated corpus, and no superseded
-    * corpus-sized checkpoint ever exists to leak. `ownsLabels` marks a
-    * label frame this fold chain checkpointed itself (releasable when
-    * superseded); the INITIAL labels are the shared session-cached
+    * corpus-sized checkpoint ever exists to leak. Because the union
+    * tree would otherwise grow one branch per micro-batch (linear
+    * planning cost per fold ⇒ quadratic over the stream's life, and
+    * every segment pinned in the block manager forever), every
+    * [[IncrCcCompactEvery]] folds the accumulated unions are
+    * re-`localCheckpoint`ed into ONE segment each and the superseded
+    * owned segments released — amortized write cost stays
+    * O(corpus/CompactEvery) per batch and the union tree is bounded.
+    * `ownedSegs` are the segment frames THIS fold chain checkpointed
+    * (releasable on compaction); `ownsLabels` marks a label frame this
+    * fold chain checkpointed itself (releasable when superseded); the
+    * INITIAL labels are the shared session-cached
     * [[graft.operators.GraphOps.standingLabels]] frame, which other
     * consumers hold — a fold must never release that. */
   private[graft] final case class IncrCcState(
       bands: DataFrame, shingles: DataFrame, labels: DataFrame,
-      ownsLabels: Boolean = false)
+      ownsLabels: Boolean = false,
+      ownedSegs: Seq[DataFrame] = Seq.empty,
+      foldsSinceCompact: Int = 0)
+
+  /** Compaction cadence of the incr-CC index unions (see
+    * [[IncrCcState]]): small enough that planning cost per fold stays
+    * flat in the spec's multi-batch runs, large enough that the
+    * re-checkpoint (one corpus-sized write) amortizes. */
+  private[graft] val IncrCcCompactEvery = 8
 
   private val incrCcStates = scala.collection.concurrent.TrieMap
     .empty[String, IncrCcState]
@@ -728,7 +745,8 @@ object EventStream {
       .select(col("doc_id"),
         graft.functions.TextAnalysis.wordShingles(col("text"), 3).as("sh"))
       .localCheckpoint()
-    IncrCcState(bands, sh, GraphOps.standingLabels(spark, dir))
+    IncrCcState(bands, sh, GraphOps.standingLabels(spark, dir),
+      ownedSegs = Seq(bands, sh))
   }
 
   /** Fold ONE arriving batch of documents into the state: band-probe
@@ -782,11 +800,24 @@ object EventStream {
     // a lazy union over per-batch segments, not a re-checkpoint of the
     // whole accumulated corpus (which would make per-batch write cost
     // corpus-sized and pin one superseded copy per batch)
-    IncrCcState(
+    val grown = IncrCcState(
       state.bands.unionByName(
         probes.select(col("doc_id"), col("band"), col("bucket"))),
       state.shingles.unionByName(shB),
-      labels, ownsLabels = true)
+      labels, ownsLabels = true,
+      ownedSegs = state.ownedSegs :+ probes,
+      foldsSinceCompact = state.foldsSinceCompact + 1)
+    if (grown.foldsSinceCompact < IncrCcCompactEvery) grown
+    else {
+      // compact: collapse each union tree into ONE fresh segment and
+      // release every owned per-batch segment it supersedes — bounds
+      // both the planning cost per fold and the block-manager footprint
+      val cb = grown.bands.localCheckpoint()
+      val cs = grown.shingles.localCheckpoint()
+      grown.ownedSegs.foreach(graft.operators.SessionCache.releaseFrame)
+      IncrCcState(cb, cs, grown.labels, ownsLabels = grown.ownsLabels,
+        ownedSegs = Seq(cb, cs), foldsSinceCompact = 0)
+    }
   }
 
   /** Drain-or-start runner for the continuous clustering stream over

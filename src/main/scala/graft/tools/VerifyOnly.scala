@@ -23,7 +23,7 @@ object VerifyOnly {
         .parquet(s"$outDir/$name")
     }
     graft.Verify.writeOracleJson(
-      graft.Verify.resolveOracles(
+      graft.Verify.resolveOracles(spark,
         graft.SparkEntry.oracleSql.view.filterKeys(names.contains).toMap,
         sfDir),
       outDir)

@@ -153,7 +153,7 @@ class MultimodalSpec extends SparkSpec {
     def run() = MultimodalOps.mediaPhash.build(spark, sf001)
       .collect().map(_.toString).sorted
     val first = run()
-    val store = MultimodalOps.phashStorePath(sf001)
+    val store = MultimodalOps.phashStorePath(spark, sf001)
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def listing = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/hashes"))

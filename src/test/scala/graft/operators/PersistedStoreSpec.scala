@@ -23,7 +23,9 @@ class PersistedStoreSpec extends SparkSpec {
     def rows() = frame.collect().map(_.toString).sorted
     val first = rows()
     assert(first.nonEmpty, s"$tag store produced no rows")
-    val store = SinkOps.stagingDir(sf001, tag)
+    // the CURRENT version root (round-8 versioned-commit layout) — the
+    // path ensure() hands its readers
+    val store = PersistedStore.currentRoot(spark, sf001, tag)
     val before = storeListing(store, sub)
     evict()
     assert(rows() === first, s"$tag: evicted reread diverged")
@@ -76,6 +78,33 @@ class PersistedStoreSpec extends SparkSpec {
   test("bpe segmented vocab persists and rebuilds identically") {
     checkStore("bpe_merges", "vocab", () => Bpe.clearMergesCache())(
       Bpe.standingVocab(spark, sf001))
+  }
+
+  test("rebuild commits a NEW version dir and keeps the predecessor " +
+    "(readers never see in-place mutation); older versions are GC'd") {
+    PersistedStore.drop(spark, sf001, "ver_probe")
+    def build(v: String) = PersistedStore.ensure(spark, sf001,
+      "documents.parquet", "ver_probe", v) { root =>
+      graft.Tables.documents(spark, sf001).limit(2)
+        .write.mode("overwrite").parquet(s"$root/rows")
+    }
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    try {
+      val r1 = build("v1")
+      assert(build("v1") === r1, "same signature must reuse, not rebuild")
+      val r2 = build("v2") // version bump = signature change = rebuild
+      assert(r1 !== r2, "a rebuild must land in a fresh version dir")
+      assert(exists(s"$r1/rows"),
+        "the superseded version must survive one generation for " +
+          "in-flight readers")
+      assert(exists(s"$r2/rows"))
+      assert(PersistedStore.currentRoot(spark, sf001, "ver_probe") === r2)
+      val r3 = build("v3")
+      assert(!exists(r1), "a two-generations-old version must be GC'd")
+      assert(exists(s"$r2/rows") && exists(s"$r3/rows"))
+    } finally PersistedStore.drop(spark, sf001, "ver_probe")
   }
 
   test("concurrent ensure on one store builds exactly once") {
