@@ -1,0 +1,350 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity.{cosine, idot, inorm2}
+
+/** Inverted multi-index (IMI) trained canopy — the FIXED-cost
+  * candidate path for the vector families (the scale alternative to
+  * the stride-geometry canopy whose assignment is N·K with K ∝ N).
+  *
+  * The coarse quantizer is a product of two per-half codebooks
+  * (Babenko & Lempitsky, "The Inverted Multi-Index", CVPR 2012): the
+  * 64-dim vector splits into two 32-dim halves, each half gets its own
+  * `k1`-centroid spherical-Lloyd codebook (seeded by the first k1
+  * qualifying vectors, refined by integer-sum updates — the same
+  * DuckDB-replayable device as [[Similarity.annIvf]]), and a vector's
+  * CELL is the pair (c0, c1) of its per-half assignments. That buys:
+  *
+  *  - k1² effective cells from 2·k1 centroid scores per vector — the
+  *    assignment pass is O(N · 2·k1), linear in the corpus for a fixed
+  *    k1 (vs the stride canopy's N·K ∝ N² compute, the documented
+  *    cause of the 200k-vector soak death in PERF.md round-7);
+  *  - an occupancy LAW instead of a stride rule: size k1 ≈ √(N/occ) at
+  *    design time and per-cell occupancy stays ≈ occ, keeping the
+  *    candidate volume linear — the soak measures exactly this.
+  *
+  * Candidates probe the top-`nprobeHalf` centroids per half →
+  * nprobeHalf² cells per vector; a pair is a candidate iff it shares a
+  * probed cell. Everything downstream (exact integer-cosine verify,
+  * hierarchical top-k, SemDeDup pruning) rides the SAME shared tails
+  * as the seed-canopy siblings, so the trained ops are drop-in
+  * alternatives with their own hash-exact oracles.
+  *
+  * The trained canopy persists at rest ([[PersistedStore]],
+  * `imi_canopy`): train once per corpus, every consumer — and every
+  * later session — reads the committed parquet.
+  */
+object Imi {
+
+  /** Registered geometry: 16 centroids per half → 256 effective cells,
+    * 2 probes per half → 4 probed cells per vector. At 100 TB the same
+    * code runs with k1 sized to the corpus (k1 ≈ √(N/occ), e.g. 2×4096
+    * for 16M cells at occupancy 10 over 170M vectors) — the assignment
+    * stays O(N·2·k1) regardless. */
+  val K1 = 16
+  val NProbeHalf = 4
+  val LloydSteps = 1
+
+  /** Cell id packing: cell = c0·2²¹ + c1. Centroid ids are seed vector
+    * ids, bounded by the corpus; 2²¹ (2.1M) leaves the packed id far
+    * inside int64 for any corpus this box can hold. */
+  val CellBase: Long = 1L << 21
+
+  /** Per-half 32-dim slices of the quantized vectors:
+    * (vec_id, half, h, hn2) with hn2 > 0 — a vector with an all-zero
+    * half drops out of THAT half (and, via the inner cell join, out of
+    * the trained canopy entirely); both engines apply the same rule. */
+  def halves(spark: SparkSession, e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(array(
+          struct(lit(0).as("half"), slice(col("v"), 1, 32).as("h")),
+          struct(lit(1).as("half"), slice(col("v"), 33, 32).as("h"))))
+          .as("hs"))
+      .select(col("vec_id"), col("hs.half").as("half"), col("hs.h").as("h"))
+      .withColumn("hn2", inorm2(spark, col("h")))
+      .filter(col("hn2") > 0)
+
+  /** Seed codebook per half — the first `k1` qualifying vectors
+    * (ROW_NUMBER over vec_id, the order DuckDB replays):
+    * (half, cent_id, cv, cn) with cent_id = the seed's vec_id. */
+  def seedCodebook(h: DataFrame, k1: Int): DataFrame = {
+    val w = Window.partitionBy(col("half")).orderBy(col("vec_id"))
+    h.withColumn("rn", row_number().over(w)).filter(col("rn") <= k1)
+      .select(col("half"), col("vec_id").as("cent_id"),
+        col("h").as("cv"), col("hn2").as("cn"))
+  }
+
+  /** One spherical-Lloyd refinement per half: nearest-centroid
+    * assignment (argmax cosine as a map-side min(struct) aggregate,
+    * broadcast codebook), then the element-wise INTEGER-SUM centroid
+    * update ([[Similarity.ivfUpdate]]'s device — cosine is
+    * scale-invariant, so the sum ≡ the mean direction and everything
+    * stays exact int64, which is what keeps the training
+    * DuckDB-replayable). Cells that lose all members drop out. */
+  def lloydStep(spark: SparkSession, h: DataFrame, cb: DataFrame): DataFrame = {
+    val assigned = h.join(broadcast(cb), Seq("half"))
+      .select(col("vec_id"), col("half"), col("h"), col("cent_id"),
+        cosine(idot(spark, col("h"), col("cv")), col("hn2"), col("cn"))
+          .as("cos"))
+      .groupBy(col("vec_id"), col("half"))
+      .agg(min(struct(negate(col("cos")).as("nc"),
+        col("cent_id").as("cell"), col("h").as("h"))).as("best"))
+      .select(col("half"), col("best.cell").as("cell"), col("best.h").as("h"))
+    assigned
+      .select(col("half"), col("cell"), posexplode(col("h")).as(Seq("pos", "x")))
+      .groupBy(col("half"), col("cell"), col("pos"))
+      .agg(sum(col("x")).as("s"))
+      .groupBy(col("half"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        e => e.getField("s")).as("cv"))
+      .select(col("half"), col("cell").as("cent_id"), col("cv"))
+      .withColumn("cn", inorm2(spark, col("cv")))
+      .filter(col("cn") > 0)
+  }
+
+  /** `steps` Lloyd refinements of the per-half seed codebooks. */
+  def codebook(spark: SparkSession, h: DataFrame, k1: Int,
+      steps: Int): DataFrame =
+    (1 to steps).foldLeft(seedCodebook(h, k1))((cb, _) =>
+      lloydStep(spark, h, cb))
+
+  /** The probed-cell frame: (vec_id, label, cell, r0, r1, dot0, dot1,
+    * cn0, cn1, v, n2) — one row per (vector, probed cell), nprobeHalf²
+    * rows per vector. Per-half rank and integer dot ride along so
+    * consumers can reconstruct the top-1 cell and the
+    * concatenated-centroid cosine without re-scoring. */
+  def cellsOf(spark: SparkSession, e: DataFrame, k1: Int, steps: Int,
+      nprobe: Int): DataFrame = {
+    val h = halves(spark, e)
+    val cb = codebook(spark, h, k1, steps)
+    val scored = h.join(broadcast(cb), Seq("half"))
+      .withColumn("dot", idot(spark, col("h"), col("cv")))
+      .select(col("vec_id"), col("half"), col("cent_id"), col("cn"),
+        col("dot"),
+        cosine(col("dot"), col("hn2"), col("cn")).as("cos"))
+    // top-nprobe per (vec_id, half) as ONE sorted-slice aggregate (no
+    // window over the N×k1 scored rows; ties totalize by cent_id —
+    // the same order as DuckDB's ROW_NUMBER(ORDER BY cos DESC, cent_id))
+    val top = scored.groupBy(col("vec_id"), col("half"))
+      .agg(slice(array_sort(collect_list(struct(
+        negate(col("cos")).as("ncos"), col("cent_id").as("c"),
+        col("dot").as("dot"), col("cn").as("cn")))), 1, nprobe).as("cs"))
+      .select(col("vec_id"), col("half"), posexplode(col("cs")).as(Seq("p", "s")))
+      .select(col("vec_id"), col("half"), (col("p") + 1).as("r"),
+        col("s.c").as("c"), col("s.dot").as("dot"), col("s.cn").as("cn"))
+    val h0 = top.filter(col("half") === 0).select(col("vec_id"),
+      col("r").as("r0"), col("c").as("c0"),
+      col("dot").as("dot0"), col("cn").as("cn0"))
+    val h1 = top.filter(col("half") === 1).select(col("vec_id"),
+      col("r").as("r1"), col("c").as("c1"),
+      col("dot").as("dot1"), col("cn").as("cn1"))
+    h0.join(h1, Seq("vec_id"))
+      .join(e.select(col("vec_id"), col("label"), col("v"), col("n2")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("label"),
+        (col("c0") * CellBase + col("c1")).as("cell"),
+        col("r0"), col("r1"), col("dot0"), col("dot1"),
+        col("cn0"), col("cn1"), col("v"), col("n2"))
+  }
+
+  private val imiCache = SessionCache.mkFrames()
+
+  private[graft] def clearImiCache(): Unit = imiCache.clear()
+
+  /** Train-or-reuse the registered-geometry trained canopy for `dir` —
+    * session-cached AND at rest (`imi_canopy` store): the assignment
+    * runs once per corpus, lands as parquet behind the source-listing
+    * signature, and later sessions read it back. */
+  def trainedCanopy(spark: SparkSession, dir: String): DataFrame =
+    imiCache.getOrBuild(spark, dir, "embeddings.parquet") {
+      val store = PersistedStore.ensure(spark, dir, "embeddings.parquet",
+        "imi_canopy", s"v1:k$K1:s$LloydSteps:p$NProbeHalf") { root =>
+        cellsOf(spark, Similarity.quantizedLabeled(spark, dir),
+          K1, LloydSteps, NProbeHalf)
+          .write.mode("overwrite").parquet(s"$root/cells")
+      }
+      spark.read.parquet(s"$store/cells")
+    }
+
+  /** Label-blind co-cell candidate pairs (src < dst, distinct) — the
+    * soak's measured volume for the trained families. */
+  def trainedCandidates(spark: SparkSession, e: DataFrame, k1: Int,
+      nprobe: Int): DataFrame = {
+    val cells = cellsOf(spark, e, k1, LloydSteps, nprobe)
+      .select(col("cell"), col("vec_id"))
+    val a = cells.alias("ca")
+    val b = cells.alias("cb")
+    a.join(b, col("ca.cell") === col("cb.cell") &&
+        col("ca.vec_id") < col("cb.vec_id"))
+      .select(col("ca.vec_id").as("src"), col("cb.vec_id").as("dst"))
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------
+  // shared oracle-SQL prefix: replays halves → seed → one Lloyd step
+  // → trained scoring → per-half top-nprobe → probed cells, CTE for
+  // CTE against the Spark chain above
+  // ---------------------------------------------------------------
+  private def imiCellsSql(k1: Int, nprobe: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, ${Similarity.QuantSql} AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, label, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM e
+       |), nn AS (
+       |  SELECT * FROM n WHERE n2 > 0
+       |), hv AS (
+       |  SELECT vec_id, 0 AS half, v[1:32] AS h FROM nn
+       |  UNION ALL
+       |  SELECT vec_id, 1 AS half, v[33:64] AS h FROM nn
+       |), hq AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, half, h,
+       |           list_sum(list_transform(h, x -> x*x)) AS hn2 FROM hv)
+       |  WHERE hn2 > 0
+       |), seed AS (
+       |  SELECT half, vec_id AS cent_id, h AS cv, hn2 AS cn FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY half ORDER BY vec_id) AS rn
+       |    FROM hq) WHERE rn <= $k1
+       |), sc0 AS (
+       |  SELECT a.vec_id, a.half, a.h, c.cent_id,
+       |         CAST(list_sum(list_transform(range(1, 33), i -> a.h[i]*c.cv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(a.hn2 AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS cos
+       |  FROM hq a JOIN seed c ON a.half = c.half
+       |), as0 AS (
+       |  SELECT half, cell, h FROM (
+       |    SELECT half, cent_id AS cell, h,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, half ORDER BY cos DESC, cent_id) AS rn
+       |    FROM sc0) WHERE rn = 1
+       |), sums AS (
+       |  SELECT half, cell, i, CAST(SUM(h[i]) AS BIGINT) AS s
+       |  FROM as0, range(1, 33) t(i)
+       |  GROUP BY half, cell, i
+       |), cb AS (
+       |  SELECT half, cell AS cent_id, list(s ORDER BY i) AS cv
+       |  FROM sums GROUP BY half, cell
+       |), cbn AS (
+       |  SELECT * FROM (
+       |    SELECT half, cent_id, cv,
+       |           list_sum(list_transform(cv, x -> x*x)) AS cn FROM cb)
+       |  WHERE cn > 0
+       |), scT AS (
+       |  SELECT a.vec_id, a.half, c.cent_id, c.cn,
+       |         CAST(list_sum(list_transform(range(1, 33), i -> a.h[i]*c.cv[i])) AS BIGINT) AS dot,
+       |         CAST(list_sum(list_transform(range(1, 33), i -> a.h[i]*c.cv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(a.hn2 AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS cos
+       |  FROM hq a JOIN cbn c ON a.half = c.half
+       |), hc AS (
+       |  SELECT vec_id, half, rn AS r, cent_id AS c, dot, cn FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, half ORDER BY cos DESC, cent_id) AS rn
+       |    FROM scT) WHERE rn <= $nprobe
+       |), cells AS (
+       |  SELECT h0.vec_id, nn.label, h0.c * $CellBase + h1.c AS cell,
+       |         h0.r AS r0, h1.r AS r1, h0.dot AS dot0, h1.dot AS dot1,
+       |         h0.cn AS cn0, h1.cn AS cn1, nn.v, nn.n2
+       |  FROM hc h0
+       |  JOIN hc h1 ON h1.vec_id = h0.vec_id AND h1.half = 1
+       |  JOIN nn ON nn.vec_id = h0.vec_id
+       |  WHERE h0.half = 0
+       |)""".stripMargin
+
+  /** kNN graph over the TRAINED canopy — the fixed-cost sibling of
+    * [[Similarity.knnGraph]]: identical contract (top-5 exact-cosine
+    * neighbors among candidates, ties by neighbor id), candidates from
+    * the persisted IMI cells instead of the stride-10 seed canopy.
+    * Recall floor vs the exact top-1 pinned in ImiSpec. */
+  val knnGraphTrained: Op = Op(
+    "q_knn_graph_trained",
+    imiCellsSql(K1, NProbeHalf) +
+    s""", cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |), sc AS (
+       |  SELECT cand.src AS vec_id, cand.dst AS nn_id,
+       |         CAST(list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i])) AS DOUBLE)
+       |           / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS cos
+       |  FROM cand
+       |  JOIN nn x ON x.vec_id = cand.src
+       |  JOIN nn y ON y.vec_id = cand.dst
+       |)
+       |SELECT vec_id, rank, nn_id, cos FROM (
+       |  SELECT vec_id, nn_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rank
+       |  FROM sc) WHERE rank <= 5""".stripMargin) { (spark, dir) =>
+    Similarity.knnTopKFromCells(spark, trainedCanopy(spark, dir), 5)
+  }
+
+  /** SemDeDup over the TRAINED canopy — clusters are the top-1 IMI
+    * cell (r0 = r1 = 1), keep-order score is the cosine to the
+    * CONCATENATED trained centroid (dot0+dot1 over √(cn0+cn1) — exact
+    * integer parts, IEEE-identical division), pruning tail shared with
+    * [[Similarity.semdedup]]. */
+  val semdedupTrained: Op = Op(
+    "q_semdedup_trained",
+    imiCellsSql(K1, NProbeHalf) +
+    s""", asg AS (
+       |  SELECT vec_id, label, cell,
+       |         CAST(dot0 + dot1 AS DOUBLE)
+       |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn0 + cn1 AS DOUBLE))) AS cos_cent,
+       |         v, n2
+       |  FROM cells WHERE r0 = 1 AND r1 = 1
+       |), dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.cell = b.cell
+       |    AND (a.cos_cent < b.cos_cent
+       |         OR (a.cos_cent = b.cos_cent AND a.vec_id < b.vec_id))
+       |  WHERE CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) AS DOUBLE)
+       |          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.35
+       |)
+       |SELECT vec_id, label, cell, cos_cent FROM asg
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin) {
+    (spark, dir) =>
+      val asg = trainedCanopy(spark, dir)
+        .filter(col("r0") === 1 && col("r1") === 1)
+        .select(col("vec_id"), col("label"), col("cell"),
+          cosine(col("dot0") + col("dot1"), col("n2"),
+            col("cn0") + col("cn1")).as("cos_cent"),
+          col("v"), col("n2"))
+      Similarity.semdedupFrom(spark, asg)
+  }
+
+  /** Embedding near-dup ANN over the TRAINED canopy — same contract
+    * as [[Similarity.embedNearDupAnn]] (same-label candidate pairs
+    * sharing a probed cell, exactly verified at cos ≥ 0.35), fixed
+    * assignment cost. Vectors ride through the canopy, so the pair
+    * scoring happens inline in the cell self-join (no attach joins);
+    * distinct-after-score ≡ distinct-then-score because the cosine is
+    * a deterministic function of the pair. */
+  val embedNearDupAnnTrained: Op = Op(
+    "q_embed_neardup_ann_trained",
+    imiCellsSql(K1, NProbeHalf) +
+    s""", cand AS (
+       |  SELECT DISTINCT a.label, a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.label = b.label AND a.vec_id < b.vec_id
+       |), pairs AS (
+       |  SELECT cand.label, cand.id_a, cand.id_b,
+       |         CAST(list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i])) AS DOUBLE)
+       |           / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS cos
+       |  FROM cand
+       |  JOIN nn x ON x.vec_id = cand.id_a
+       |  JOIN nn y ON y.vec_id = cand.id_b
+       |)
+       |SELECT label, id_a, id_b, cos FROM pairs WHERE cos >= 0.35""".stripMargin) {
+    (spark, dir) =>
+      val cells = trainedCanopy(spark, dir)
+      val a = cells.select(col("cell"), col("label"),
+        col("vec_id").as("id_a"), col("v").as("va"), col("n2").as("na"))
+      val b = cells.select(col("cell"), col("label"),
+        col("vec_id").as("id_b"), col("v").as("vb"), col("n2").as("nb"))
+      a.join(b, Seq("cell", "label"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("label"), col("id_a"), col("id_b"),
+          cosine(idot(spark, col("va"), col("vb")),
+            col("na"), col("nb")).as("cos"))
+        .distinct()
+        .filter(col("cos") >= 0.35)
+  }
+}

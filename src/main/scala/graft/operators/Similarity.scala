@@ -764,12 +764,16 @@ object Similarity {
 
   /** The built-in HOF form of the projection — the vanilla-session
     * fallback and the parity reference for the native expression
-    * (RandProjSpec pins fold ≡ native element-wise). */
+    * (RandProjSpec pins fold ≡ native element-wise, including null
+    * elements: a null cell quantizes to 0 — the `coalesce` below —
+    * exactly as the native expression's `isNullAt` branch contributes
+    * 0, so a vanilla session and an extended one agree on any
+    * input). */
   private[graft] def randProjFold(emb: Column): Column = {
     val dims = sequence(lit(0), lit(RandProjDim - 1))
     val qv = zip_with(emb,
       array_repeat(int8Scale(emb), size(emb)),
-      (x, s) => round(x.cast("double") * s).cast("long"))
+      (x, s) => coalesce(round(x.cast("double") * s).cast("long"), lit(0L)))
     aggregate(
       zip_with(qv, sequence(lit(0), size(emb) - 1),
         (q, i) => struct(q.as("q"), i.as("i"))),
@@ -1129,28 +1133,16 @@ object Similarity {
     pqIndexCache.getOrBuild(spark, dir, "embeddings.parquet",
       extra = s"$steps@$nc@$tag") {
         val suffix = if (tag.isEmpty) "" else s"_$tag"
-        val store = SinkOps.stagingDir(dir, s"pq_index_${steps}_$nc$suffix")
-        val sigPath = new org.apache.hadoop.fs.Path(s"$store/_SRC_SIG")
-        val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val srcSig = graft.sources.RunLog
-          .sourceSignature(spark, dir, "embeddings.parquet") + ":v1"
-        val valid = fs.exists(sigPath) && {
-          val in = fs.open(sigPath)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8) == srcSig
-          finally in.close()
-        }
-        if (!valid) {
+        // versioned signature-last commit via the shared store device
+        // (round 8: replaces this cache's inline in-place protocol)
+        val store = PersistedStore.ensure(spark, dir, "embeddings.parquet",
+          s"pq_index_${steps}_$nc$suffix", "v1") { root =>
           val cb = pqTrainedCodebook(q, steps, nc)
-          cb.write.mode("overwrite").parquet(s"$store/codebook")
+          cb.write.mode("overwrite").parquet(s"$root/codebook")
           pqSubspaceAssign(pqSubspaces(q),
-              spark.read.parquet(s"$store/codebook"), nc)
+              spark.read.parquet(s"$root/codebook"), nc)
             .select(col("vec_id"), col("m"), expr(s"k % $nc").as("cid"))
-            .write.mode("overwrite").parquet(s"$store/codes")
-          val out = fs.create(sigPath, true)
-          try out.write(
-            srcSig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
+            .write.mode("overwrite").parquet(s"$root/codes")
         }
         (spark.read.parquet(s"$store/codebook"),
           spark.read.parquet(s"$store/codes"))
@@ -1518,7 +1510,14 @@ object Similarity {
     // near-dup geometry: 1.08M vs 1.40M candidates AND rank-1 recall
     // 0.80 vs 0.75 — small cells bound the per-cell quadratic term,
     // extra probes buy the recall back. Recall floor pinned in spec.
-    val cellsV = graphCanopy(spark, dir)
+    knnTopKFromCells(spark, graphCanopy(spark, dir), k)
+  }
+
+  /** The kNN-graph scoring tail over ANY (cell, vec_id, v, n2) canopy
+    * frame — shared by [[knnGraph]] (stride-10 seed canopy) and the
+    * trained-index sibling ([[Imi.knnGraphTrained]]). */
+  private[operators] def knnTopKFromCells(
+      spark: SparkSession, cellsV: DataFrame, k: Int): DataFrame = {
     val pa = cellsV.select(col("cell"), col("vec_id").as("src"),
       col("v").as("vs"), col("n2").as("ns"))
     val pb = cellsV.select(col("cell"), col("vec_id").as("dst"),
@@ -1701,15 +1700,22 @@ object Similarity {
        |)
        |SELECT vec_id, label, cell, cos_cent FROM asg
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin) {
-    (spark, dir) =>
-      val asg = semdedupAssign(spark, dir)
-      val dropped = semdedupOrderedPairs(asg)
-        .filter(cosine(idot(spark, col("va"), col("vb")),
-          col("na"), col("nb")) >= 0.35)
-        .select(col("b_id").as("vec_id"))
-        .distinct()
-      asg.join(dropped, Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("label"), col("cell"), col("cos_cent"))
+    (spark, dir) => semdedupFrom(spark, semdedupAssign(spark, dir))
+  }
+
+  /** The SemDeDup pruning tail over ANY (vec_id, label, cell, cos_cent,
+    * v, n2) cluster assignment — shared by [[semdedup]] (seed-cell
+    * clusters) and the trained-index sibling ([[Imi.semdedupTrained]]):
+    * drop b iff a keep-order-earlier cluster-mate scores cos ≥ 0.35. */
+  private[operators] def semdedupFrom(
+      spark: SparkSession, asg: DataFrame): DataFrame = {
+    val dropped = semdedupOrderedPairs(asg)
+      .filter(cosine(idot(spark, col("va"), col("vb")),
+        col("na"), col("nb")) >= 0.35)
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+    asg.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"), col("cell"), col("cos_cent"))
   }
 
   /** Keep-order-respecting within-cluster pairs of [[semdedup]]

@@ -84,6 +84,21 @@ object SoakCandidates {
           .count()),
         "semdedup" -> (() => Similarity.semdedupOrderedPairs(
           Similarity.semdedupAssign(spark, dir)).count()),
+        // trained IMI canopy (round 8): occupancy-law sizing k1 =
+        // ceil(sqrt(vecs/10)) keeps per-cell occupancy ~= 10 (candidate
+        // volume linear) while the assignment pass scores only 2*k1
+        // centroids per vector (vs the stride canopy's K = N/10 per
+        // vector, the N*K compute that died at 200k vectors). The
+        // assignment volume (vecs*2*k1 ~ N^1.5 with a tiny constant)
+        // is printed so PERF.md can report it next to the candidates.
+        "imi" -> (() => {
+          val k1 = math.max(4, math.ceil(math.sqrt(vecs / 10.0)).toInt)
+          println(s"[soak] $dir imi: k1=$k1 nprobe=${graft.operators.Imi.NProbeHalf}" +
+            s" assignRows=${vecs * 2 * k1}")
+          graft.operators.Imi.trainedCandidates(spark,
+            Similarity.quantized(spark, dir).withColumn("label", lit(0)),
+            k1, graft.operators.Imi.NProbeHalf).count()
+        }),
         // BM25 match-log rows (query terms x matched postings) — the
         // volume the one real shuffle carries; population = docs.
         // NOTE: near-degenerate on the synthetic 10x corpus (its 31-word
@@ -124,6 +139,7 @@ object SoakCandidates {
         "incremental" -> (() => Dedup.incrementalMatches(spark, dir).count()),
         "knn" -> (() => Similarity.knnGraph.build(spark, dir).count()),
         "semdedup" -> (() => Similarity.semdedup.build(spark, dir).count()),
+        "imi" -> (() => -1L), // candidate-stage measurement (law sizing)
         "bm25" -> (() => TextOps.bm25.build(spark, dir).count()),
         "bm25pruned" -> (() => TextOps.bm25Pruned.build(spark, dir).count()),
         "bpe" -> (() => -1L)) // candidate-stage-only measurement
@@ -178,7 +194,8 @@ object SoakCandidates {
         val fams = lo.cand.keys.toSeq.sorted
         val line = fams.map { f =>
           val n = if (f.startsWith("fuzzy")) (lo.parts, hi.parts)
-            else if (f == "knn" || f == "semdedup") (lo.vecs, hi.vecs)
+            else if (f == "knn" || f == "semdedup" || f == "imi")
+              (lo.vecs, hi.vecs)
             else (lo.docs, hi.docs)
           if (n._1 == n._2) s"$f=n/c" // same population, no slope
           else {

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Trained inverted-multi-index canopy (Imi) invariants on real
+  * testdata (sf0.001): geometry bounds, persistence parity, the
+  * fixed-cost assignment law, and the rank-1 recall floor of the
+  * trained kNN sibling vs the exact nearest neighbor (the same
+  * measurement the stride-canopy sibling pins in KnnSemdedupSpec).
+  */
+class ImiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val e = Similarity.quantizedLabeled(spark, sf001).cache()
+  private lazy val canopy = Imi.trainedCanopy(spark, sf001).cache()
+
+  test("canopy geometry: <= nprobe^2 cells per vector, ranks in range, " +
+    "cells decompose into per-half centroid ids") {
+    val byVec = canopy.groupBy($"vec_id").agg(count(lit(1)).as("n"))
+    assert(byVec.filter($"n" > Imi.NProbeHalf * Imi.NProbeHalf).count() === 0)
+    assert(canopy.filter($"r0" < 1 || $"r0" > Imi.NProbeHalf ||
+      $"r1" < 1 || $"r1" > Imi.NProbeHalf).count() === 0)
+    // distinct leaf cells bounded by k1^2; both packed halves nonneg
+    assert(canopy.select($"cell").distinct().count() <= Imi.K1.toLong * Imi.K1)
+    assert(canopy.filter($"cell" < 0).count() === 0)
+  }
+
+  test("assignment cost law: the scored frame is |halves| x (<= 2*k1) " +
+    "rows — fixed per-vector work, independent of corpus size") {
+    val h = Imi.halves(spark, e)
+    val cb = Imi.codebook(spark, h, Imi.K1, Imi.LloydSteps).cache()
+    // the trained codebook never exceeds 2*k1 centroids (k1 per half)
+    val perHalf = cb.groupBy($"half").agg(count(lit(1)).as("n"))
+    assert(perHalf.filter($"n" > Imi.K1).count() === 0)
+    assert(cb.count() <= 2L * Imi.K1)
+    cb.unpersist()
+  }
+
+  test("session-cached trained canopy equals fresh construction; " +
+    "persisted store is reused across cache eviction") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted
+    val first = rows(canopy)
+    assert(first.nonEmpty)
+    val store = PersistedStore.currentRoot(spark, sf001, "imi_canopy")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/cells"))
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).sorted
+    val before = listing
+    Imi.clearImiCache()
+    assert(rows(Imi.trainedCanopy(spark, sf001)) === first,
+      "evicted reread diverged")
+    assert(listing === before, "store was rebuilt on a cache miss")
+    // fresh (non-persisted) construction agrees with the committed store
+    val fresh = Imi.cellsOf(spark, e, Imi.K1, Imi.LloydSteps, Imi.NProbeHalf)
+    assert(rows(fresh) === first, "persisted canopy drifted from fresh")
+  }
+
+  test("trained knn: rank-1 recall vs exact nearest neighbor >= 0.70") {
+    val knn = Imi.knnGraphTrained.build(spark, sf001)
+    val x = e.select($"vec_id".as("src"), $"v".as("vs"), $"n2".as("ns"))
+    val y = e.select($"vec_id".as("dst"), $"v".as("vd"), $"n2".as("nd"))
+    val truth = x.join(y, $"src" =!= $"dst")
+      .select($"src", $"dst",
+        Similarity.cosine(Similarity.idot(spark, $"vs", $"vd"),
+          $"ns", $"nd").as("cos"))
+      .groupBy($"src")
+      .agg(max(struct($"cos", negate($"dst").as("nd"))).as("best"))
+      .select($"src".as("vec_id"), negate($"best.nd").as("true_nn"))
+    val got = knn.filter($"rank" === 1)
+      .select($"vec_id", $"nn_id".as("got_nn"))
+    val joined = truth.join(got, Seq("vec_id"), "left").cache()
+    val n = joined.count()
+    val hit = joined.filter($"got_nn" === $"true_nn").count()
+    assert(n > 0)
+    info(f"trained rank-1 recall: ${hit.toDouble / n}%.3f (hit=$hit n=$n)")
+    assert(hit.toDouble / n >= 0.70,
+      s"trained rank-1 recall ${hit.toDouble / n} below floor (hit=$hit n=$n)")
+  }
+
+  test("trained semdedup: survivors partition the top-1 assignment and " +
+    "every cell's keep-order head survives") {
+    val sem = Imi.semdedupTrained.build(spark, sf001).cache()
+    val asg = canopy.filter($"r0" === 1 && $"r1" === 1)
+      .select($"vec_id", $"cell",
+        Similarity.cosine($"dot0" + $"dot1", $"n2", $"cn0" + $"cn1")
+          .as("cos_cent"))
+    assert(sem.count() > 0 && sem.count() <= asg.count())
+    assert(sem.select($"vec_id").distinct().count() === sem.count())
+    assert(sem.select($"vec_id")
+      .join(asg.select($"vec_id"), Seq("vec_id"), "left_anti").count() === 0)
+    val heads = asg.groupBy($"cell")
+      .agg(min(struct($"cos_cent", $"vec_id")).as("h"))
+      .select($"h.vec_id".as("vec_id"))
+    assert(heads.join(sem, Seq("vec_id"), "left_anti").count() === 0)
+  }
+
+  test("trained near-dup ANN: subset of the exact kernel, no false " +
+    "positives, threshold respected") {
+    val ann = Imi.embedNearDupAnnTrained.build(spark, sf001).cache()
+    val exact = Similarity.embedNearDup.build(spark, sf001).cache()
+    assert(ann.filter($"cos" < 0.35).count() === 0)
+    // every trained-ANN pair is in the exact pair set (no false positives)
+    assert(ann.join(exact, Seq("label", "id_a", "id_b"), "left_anti")
+      .count() === 0)
+    val recall = ann.count().toDouble / math.max(exact.count(), 1L)
+    info(f"trained near-dup pair recall vs exact: $recall%.3f " +
+      s"(${ann.count()}/${exact.count()})")
+  }
+}
