@@ -104,6 +104,110 @@ object Bpe {
     m
   }
 
+  /** BATCHED induction — the production job-cadence fix for the
+    * driver-steered round loop (a real tokenizer is 30k–100k merges;
+    * at ~2 Spark jobs per merge that is a six-figure sequential job
+    * storm; this variant spends the same 2 jobs per ROUND and commits
+    * up to `batch` merges each round), PROVABLY equivalent to
+    * sequential greedy — not an approximation. The accepted batch is
+    * the maximal ranked prefix (cnt DESC, a, b — the sequential
+    * order) that is
+    *
+    *  (1) pairwise symbol-disjoint (stop at the FIRST pair sharing a
+    *      symbol with an earlier accept — skipping would diverge), and
+    *  (2) strictly above the cutoff `t` = the count of that first
+    *      stopped pair: accepted counts must be > t.
+    *
+    * Why that equals sequential greedy, merge for merge: disjoint
+    * merges commute and cannot overlap in any occurrence, so counts of
+    * accepted pairs are untouched by earlier batch members; every pair
+    * AFFECTED by an accepted merge (shares a symbol) ranks at or below
+    * the stopped pair, so its (only ever decreasing) count stays ≤ t;
+    * and every pair CREATED by an accepted merge (x·ab or ab·y)
+    * inherits ≤ its parent pair's count — the parent shares a symbol,
+    * so ≤ t as well. With every accepted count > t, the sequential
+    * argmax at inner step i is exactly batch member i. The head pair
+    * is always accepted alone if the cutoff bites immediately (batch
+    * of 1 ≡ one sequential step), so progress is guaranteed and the
+    * merge table — ranks, symbols, recorded counts — is IDENTICAL to
+    * [[train]]'s (BpeSpec pins batched ≡ the plain-Scala sequential
+    * reference at several batch sizes, plus batched ≡ [[train]] on
+    * real data).
+    *
+    * Per round: one (batch+1)-row `TakeOrderedAndProject` argmax (the
+    * collected rows are O(batch) metadata, same adjudication as the
+    * 8-row merge-table reads), then ONE map-only fold applying the
+    * whole batch in rank order, then the round checkpoint. */
+  def trainBatched(docs: DataFrame, numMerges: Int = NumMerges,
+      batch: Int = 32): DataFrame = {
+    var vocab = wordFreqs(docs)
+      .withColumn("syms", initSyms(col("w")))
+      .select(col("w"), col("freq"), col("syms"))
+      .localCheckpoint()
+    var merges: Option[DataFrame] = None
+    var done = 0
+    var exhausted = false
+    while (done < numMerges && !exhausted) {
+      val want = math.min(batch, numMerges - done)
+      val top = pairCounts(vocab)
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(want + 1)
+        .collect() // O(batch) rows — bounded metadata, never data-scaled
+      if (top.isEmpty) exhausted = true
+      else {
+        // maximal disjoint prefix + strict cutoff (see scaladoc)
+        val used = scala.collection.mutable.Set.empty[String]
+        val prefix = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        var stoppedCnt = 0L // count of the first conflicted/overflow pair
+        var i = 0
+        var stopped = false
+        while (i < top.length && !stopped && prefix.size < want) {
+          val (a, b, c) = (top(i).getAs[String]("a"),
+            top(i).getAs[String]("b"), top(i).getAs[Long]("cnt"))
+          if (used.contains(a) || used.contains(b)) {
+            stopped = true; stoppedCnt = c
+          } else {
+            prefix += ((a, b, c)); used += a; used += b; i += 1
+          }
+        }
+        // the (want+1)-th row (if present) is also a cutoff witness:
+        // pairs beyond the window could tie with the accepted tail
+        if (!stopped && i < top.length)
+          stoppedCnt = top(i).getAs[Long]("cnt")
+        val safe = prefix.takeWhile(_._3 > stoppedCnt)
+        val accepted =
+          if (safe.nonEmpty) safe.toSeq
+          else Seq(prefix.head) // head alone ≡ one sequential step
+        val rows = accepted.zipWithIndex.map { case ((a, b, c), j) =>
+          (done + j + 1, a, b, c)
+        }
+        val sess = vocab.sparkSession
+        import sess.implicits._
+        val batchDf = rows.toDF(
+          "merge_rank", "left_sym", "right_sym", "pair_count")
+          .select(col("merge_rank").cast("int"), col("left_sym"),
+            col("right_sym"), col("pair_count"))
+        merges = Some(merges.fold(batchDf)(_.union(batchDf)))
+        val old = vocab
+        val foldedSyms = accepted.foldLeft(col("syms")) {
+          case (c, (a, b, _)) => mergePair(c, lit(a), lit(b))
+        }
+        vocab = vocab.withColumn("syms", foldedSyms)
+          .select(col("w"), col("freq"), col("syms"))
+          .localCheckpoint()
+        SessionCache.releaseFrame(old)
+        done += accepted.size
+      }
+    }
+    val out = merges.getOrElse(
+      vocab.sparkSession.emptyDataFrame
+        .select(lit(0).as("merge_rank"), lit("").as("left_sym"),
+          lit("").as("right_sym"), lit(0L).as("pair_count"))
+        .limit(0)).localCheckpoint()
+    SessionCache.releaseFrame(vocab)
+    out
+  }
+
   /** [[train]] plus the FINAL segmented vocab (w, freq, syms) — the
     * other half of the tokenizer artifact (merges drive encoding of
     * unseen text; the segmented vocab is the subword inventory and the

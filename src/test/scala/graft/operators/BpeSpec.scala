@@ -71,6 +71,28 @@ class BpeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("batched induction == sequential greedy at every batch size " +
+    "(the strict-cutoff prefix rule is exact, not approximate)") {
+    val want = refTrain(fixtureFreqs, 25) // runs to pair-space exhaustion
+    for (batch <- Seq(1, 2, 4, 8, 32)) {
+      val got = Bpe.trainBatched(fixtureDocs, 25, batch)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("left_sym"),
+          r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSeq
+      assert(got === want, s"batch=$batch diverged from sequential greedy")
+    }
+  }
+
+  test("batched induction == driver-steered train on real data (sf0.001)") {
+    val docs = graft.Tables.documents(spark, sf001)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("merge_rank").collect()
+        .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("left_sym"),
+          r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSeq
+    assert(key(Bpe.trainBatched(docs, Bpe.NumMerges, batch = 8)) ===
+      key(Bpe.train(docs, Bpe.NumMerges)))
+  }
+
   test("greedy run semantics: (a,a) merges aaa -> [aa,a,_], aaaa -> [aa,aa,_]") {
     val got = Seq("aaa", "aaaa").toDF("w")
       .withColumn("syms", Bpe.initSyms(col("w")))
