@@ -391,6 +391,44 @@ object Multimodal {
         StructField("content", BinaryType))))
   }
 
+  /** Materialize [[syntheticImageAssets]] as REAL FILES — one
+    * `asset-%05d.bmp` per asset under `root` — so the ingest side can
+    * exercise the production entry point (`spark.read.format
+    * ("binaryFile")` over an asset directory) instead of an in-engine
+    * frame. Every asset with id % 9 == 0 is ALSO written as a
+    * byte-identical copy under id+[[DupIdBase]] — planted EXACT
+    * duplicate FILES for the ingest-dedup op. Idempotent: a
+    * `_FIXTURE_OK_v2` marker commits the directory; the writer is a
+    * distributed `foreachPartition` over the asset frame
+    * (local-filesystem paths — this is the dev-side fixture GENERATOR;
+    * a cluster ingest reads whatever shared store already holds the
+    * assets and never runs this). Returns `root`. */
+  val DupIdBase = 100000L
+
+  def writeAssetFixture(spark: SparkSession, root: String, n: Int): String = {
+    val markerP = new org.apache.hadoop.fs.Path(s"$root/_FIXTURE_OK_v2")
+    val fs = markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(markerP)) {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+      val dupBase = DupIdBase
+      syntheticImageAssets(spark, n).foreachPartition {
+        rows: Iterator[Row] =>
+          rows.foreach { r =>
+            val id = r.getAs[Long]("asset_id")
+            val bytes = r.getAs[Array[Byte]]("content")
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(root, f"asset-$id%05d.bmp"), bytes)
+            if (id % 9 == 0)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(root,
+                  f"asset-${id + dupBase}%05d.bmp"), bytes)
+          }
+      }
+      fs.create(markerP, true).close()
+    }
+    root
+  }
+
   /** Deterministic synthetic asset table (tests / demos). */
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._

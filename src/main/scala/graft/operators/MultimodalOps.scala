@@ -102,6 +102,31 @@ object MultimodalOps {
 
   private[graft] def clearPhashCache(): Unit = phashCache.clear()
 
+  /** The asset DIRECTORY for `dir` — real .bmp files on disk (the
+    * deterministic fixture [[Multimodal.writeAssetFixture]] materializes
+    * once per corpus; a production deployment points this at whatever
+    * object store already holds the media). Asset count scales with the
+    * corpus (3/5 of its documents), same rule the in-engine frame used. */
+  private[graft] def assetDir(spark: SparkSession, dir: String): String = {
+    val n = (Tables.documents(spark, dir).count() * 3 / 5).toInt.max(30)
+    Multimodal.writeAssetFixture(spark, SinkOps.stagingDir(dir, "media_assets"), n)
+  }
+
+  /** File ingest of the asset directory — the user's actual first act:
+    * `binaryFile` scan (path, length, content), asset id parsed from
+    * the file name. This is the entry point [[phashStore]] decodes
+    * behind; the store's source signature covers the asset BYTES
+    * (name|length|mtime listing of the .bmp files), so touching one
+    * file invalidates exactly this store. */
+  private[graft] def assetFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bmp")
+      .load(assetDir(spark, dir))
+      .select(
+        regexp_extract(col("path"), "asset-(\\d+)\\.bmp$", 1)
+          .cast("long").as("asset_id"),
+        col("content"))
+
   /** The per-asset perceptual-hash table AT REST — the decode boundary
     * made a persisted artifact ([[PersistedStore]], the PQ-store
     * pattern): javax.imageio decode + 8×8 average hash run ONCE per
@@ -113,16 +138,73 @@ object MultimodalOps {
     * makes the RELATIONAL stage independently verifiable: the decode
     * stays spec-pinned (MultimodalSpec), the candidate arithmetic over
     * the persisted BIGINTs is plain SQL. */
-  private[graft] def phashStore(spark: SparkSession, dir: String): DataFrame =
-    phashCache.getOrBuild(spark, dir, "documents.parquet") {
-      val store = PersistedStore.ensure(spark, dir, "documents.parquet",
-        "phash_store", "v1") { root =>
-        val n = (Tables.documents(spark, dir).count() * 3 / 5).toInt.max(30)
-        Multimodal.perceptualHashes(Multimodal.syntheticImageAssets(spark, n))
+  /** Build-or-reuse the media store for `dir`: TWO sibling tables from
+    * ONE `binaryFile` pass over the asset directory — `hashes`
+    * (asset_id, phash: the decode boundary) and `ingest` (asset_id,
+    * n_bytes, content_sha: the byte-level identity row a real ingest
+    * digests next to the blob). Source signature = the .bmp listing
+    * (name|length|mtime), so touching one asset file invalidates
+    * exactly this store. */
+  private def mediaStore(spark: SparkSession, dir: String): String = {
+    val adir = assetDir(spark, dir)
+    PersistedStore.ensure(spark, dir, "*.bmp",
+      "phash_store", "v3", sigDir = adir) { root =>
+      val files = assetFiles(spark, dir).localCheckpoint()
+      try {
+        Multimodal.perceptualHashes(files)
           .write.mode("overwrite").parquet(s"$root/hashes")
-      }
-      spark.read.parquet(s"$store/hashes")
+        files.select(col("asset_id"),
+            length(col("content")).cast("long").as("n_bytes"),
+            sha2(col("content"), 256).as("content_sha"))
+          .write.mode("overwrite").parquet(s"$root/ingest")
+      } finally SessionCache.releaseFrame(files)
     }
+  }
+
+  private[graft] def phashStore(spark: SparkSession, dir: String): DataFrame = {
+    val adir = assetDir(spark, dir)
+    // session-cache staleness keys on the ASSET listing (not the
+    // documents table): touching one .bmp invalidates this cache and,
+    // below, the persisted store — real bytes drive the signature
+    phashCache.getOrBuild(spark, adir, "*.bmp", extra = s"$dir@hashes") {
+      spark.read.parquet(s"${mediaStore(spark, dir)}/hashes")
+    }
+  }
+
+  private[graft] def ingestStore(spark: SparkSession, dir: String): DataFrame = {
+    val adir = assetDir(spark, dir)
+    phashCache.getOrBuild(spark, adir, "*.bmp", extra = s"$dir@ingest") {
+      spark.read.parquet(s"${mediaStore(spark, dir)}/ingest")
+    }
+  }
+
+  /** Exact media dedup over FILE-SOURCED bytes — the user's first act
+    * against a real asset directory: `binaryFile` scan → per-blob
+    * sha-256 + byte length persisted at ingest ([[mediaStore]]), then
+    * the digest-keyed group: one row per distinct content with its
+    * representative (min asset id) and copy count. The fixture plants
+    * byte-identical duplicate FILES (id and id+100000), so n_copies=2
+    * groups are real file-level dupes, found from bytes alone. The
+    * oracle reads the persisted ingest table (dump-time path token,
+    * the [[mediaPhash]] device) and replays the aggregate — the
+    * file→bytes→digest boundary itself is spec-pinned
+    * (MultimodalSpec: corrupt a file, watch the store rebuild). */
+  val mediaIngest: Op = Op(
+    "q_media_ingest",
+    s"""SELECT content_sha,
+       |       CAST(min(asset_id) AS BIGINT) AS rep_asset,
+       |       COUNT(*) AS n_copies,
+       |       CAST(min(n_bytes) AS BIGINT) AS n_bytes
+       |FROM read_parquet('$PhashStoreToken/ingest/*.parquet')
+       |GROUP BY content_sha""".stripMargin) { (spark, dir) =>
+    ingestStore(spark, dir)
+      .groupBy(col("content_sha"))
+      .agg(min(col("asset_id")).as("rep_asset"),
+        count(lit(1)).as("n_copies"),
+        min(col("n_bytes")).as("n_bytes"))
+      .select(col("content_sha"), col("rep_asset"), col("n_copies"),
+        col("n_bytes"))
+  }
 
   /** Perceptual near-duplicate detection over REAL decoded images —
     * the LAION-style asset near-dup pass exact digests can't do (one

@@ -141,9 +141,12 @@ class MultimodalSpec extends SparkSpec {
       assert(pairs.contains((3L * m, 3L * m + 1)),
         s"planted near-dup pair of group $m missed")
     }
-    // no pair may bridge two different base patterns
+    // no pair may bridge two different base patterns (duplicate FILES
+    // planted at id+DupIdBase fold back to their source asset's group)
+    def grp(x: Long): Long =
+      (if (x >= Multimodal.DupIdBase) x - Multimodal.DupIdBase else x) / 3
     pairs.foreach { case (a, b) =>
-      assert(a / 3 === b / 3, s"cross-pattern pair ($a, $b) leaked in")
+      assert(grp(a) === grp(b), s"cross-pattern pair ($a, $b) leaked in")
     }
   }
 
@@ -169,6 +172,47 @@ class MultimodalSpec extends SparkSpec {
     graft.operators.PersistedStore.drop(spark, sf001, "phash_store")
     MultimodalOps.clearPhashCache()
     assert(run() === first, "rebuilt store must reproduce identical pairs")
+  }
+
+  test("file ingest: planted duplicate FILES dedup by content sha; " +
+    "corrupting one asset file rebuilds the store from real bytes") {
+    import graft.operators.{MultimodalOps, PersistedStore}
+    val groups = MultimodalOps.mediaIngest.build(spark, sf001)
+      .collect().map(r => (r.getAs[String]("content_sha"),
+        r.getAs[Long]("rep_asset"), r.getAs[Long]("n_copies"))).toSeq
+    // every id%9==0 asset has a byte-identical file at id+DupIdBase —
+    // those groups have exactly 2 copies with the original as rep
+    val dupReps = groups.filter(_._3 >= 2).map(_._2).toSet
+    assert(dupReps.nonEmpty, "no duplicate-file groups found")
+    assert(dupReps.forall(id => id % 9 == 0),
+      s"unexpected duplicate reps: $dupReps")
+    // --- corrupt one asset file: source-signature staleness must cover
+    // the real BYTES and rebuild the persisted store ---
+    val adir = MultimodalOps.assetDir(spark, sf001)
+    val victim = java.nio.file.Paths.get(adir, "asset-00002.bmp")
+    val orig = java.nio.file.Files.readAllBytes(victim)
+    val storeRootBefore =
+      PersistedStore.currentRoot(spark, sf001, "phash_store")
+    try {
+      java.nio.file.Files.write(victim,
+        "not an image at all".getBytes("UTF-8"))
+      MultimodalOps.clearPhashCache()
+      val hashes = MultimodalOps.phashStore(spark, sf001)
+        .filter(col("asset_id") === 2L).collect()
+      // the corrupted payload no longer decodes: phash must be NULL —
+      // proof the store was rebuilt from the changed bytes
+      assert(hashes.length === 1 && hashes.head.isNullAt(1),
+        "corrupted file did not invalidate the persisted store")
+      assert(PersistedStore.currentRoot(spark, sf001, "phash_store")
+        !== storeRootBefore, "store version did not advance on rebuild")
+    } finally {
+      java.nio.file.Files.write(victim, orig)
+      MultimodalOps.clearPhashCache()
+    }
+    // restored bytes → rebuild again → asset 2 decodes again
+    val back = MultimodalOps.phashStore(spark, sf001)
+      .filter(col("asset_id") === 2L).collect()
+    assert(back.length === 1 && !back.head.isNullAt(1))
   }
 
   test("perceptual hash: non-decodable payloads are excluded, not faked") {
