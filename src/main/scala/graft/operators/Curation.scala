@@ -924,4 +924,192 @@ object Curation {
         expr(s"(pos - 1) div $ShuffleBatch").as("batch_id"),
         ((col("pos") - 1) % ShuffleBatch).as("batch_idx"))
   }
+  /** END-TO-END pipeline capstone — the whole LLM training-data line
+    * as ONE registered op composing the existing kernels: clean
+    * (quality percentile + repetition gate, [[cleanCorpus]]'s fused
+    * text pass) → dedup (incremental standing labels,
+    * [[GraphOps.dupClustersIncremental]]) → decontaminate (8-gram
+    * benchmark overlap, [[decontaminate]] — the eval slice itself is
+    * also excluded from packing: a training pipeline never trains on
+    * its benchmark) → mix (equalize per-source token share over the
+    * CLEANED corpus, [[mixAssembly]]'s law; docs whose deterministic
+    * copy count reaches 0 drop) → pack ([[packByPrefixSum]], budget
+    * [[PackBudget]]) → shard manifest ([[shardManifestOf]]):
+    * 8 shard rows with doc/token/checksum totals — the artifact a
+    * training run actually consumes.
+    *
+    * Scan discipline (the shared-index architecture's payoff, gated in
+    * CurationSpec): the TEXT is read once by this op's fused metrics
+    * pass (checkpointed (doc_id, source, n_tokens, rep_pass) — three
+    * longs + bool per doc — feeds the percentile, the mix factors, the
+    * packing and the manifest); the dup labels come from the PERSISTED
+    * standing-label store + delta fold, and the contamination pass
+    * rides the session-cached 8-gram rows — at steady state the whole
+    * pipeline re-reads the corpus text at most twice, and every other
+    * stage input is metadata-sized or an at-rest index.
+    *
+    * The oracle replays the ENTIRE line as one SQL statement — the
+    * [[cleanCorpus]] recursive-CTE gates, the mix law, the
+    * single-window pack form, the shard hash/checksum tail — so the
+    * hash-exact row proves the composed distributed pipeline against
+    * the naive single-engine formulation end to end. */
+  /** The capstone's fused per-document metrics pass — the pipeline's
+    * ONE text read (exactly one documents scan, plan-gated):
+    * (doc_id, source, n_tokens, rep_pass). */
+  private[graft] def pipelineDocMetrics(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val nWords = size(split(lower(trim(col("text"))), "\\s+"))
+    val total3 = greatest(nWords - 2, lit(0)).cast("long")
+    val distinct3 = when(nWords >= 3,
+      size(wordShingles(col("text"), 3)).cast("long")).otherwise(0L)
+    val ratio = when(total3 > 0,
+      (total3 - distinct3).cast("double") / total3.cast("double"))
+      .otherwise(lit(0.0))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      bpeishTokenCount(col("text")).cast("long").as("n_tokens"),
+      when(total3 > 0, ratio <= 0.2).otherwise(lit(true)).as("rep_pass"))
+  }
+
+  val pipelineE2e: Op = Op(
+    "q_pipeline_e2e",
+    s"""WITH RECURSIVE ${Dedup.jaccardPairCtes()},
+       |np AS (
+       |  SELECT doc_id_a, doc_id_b FROM pairs
+       |  WHERE CAST(i AS DOUBLE)/CAST(u AS DOUBLE) >= 0.5
+       |), edges AS (
+       |  SELECT doc_id_a AS src, doc_id_b AS dst FROM np
+       |  UNION ALL SELECT doc_id_b, doc_id_a FROM np
+       |), reach AS (
+       |  SELECT src AS node, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+       |), losers AS (
+       |  SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> MIN(lbl)
+       |), toks AS (
+       |  SELECT doc_id, source,
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |  FROM documents
+       |), repx AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_3grams > 0
+       |      THEN CAST(n_3grams - n_distinct_3grams AS DOUBLE)
+       |           / CAST(n_3grams AS DOUBLE) <= 0.2
+       |      ELSE TRUE END AS rep_pass
+       |  FROM (
+       |    SELECT doc_id, greatest(len(l) - 2, 0) AS n_3grams,
+       |      CASE WHEN len(l) >= 3
+       |        THEN len(list_distinct(list_transform(range(len(l) - 2),
+       |               i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])))
+       |        ELSE 0 END AS n_distinct_3grams
+       |    FROM (SELECT doc_id,
+       |            string_split_regex(trim(lower(text)), '\\s+') AS l
+       |          FROM documents))
+       |), gset AS (
+       |  SELECT doc_id, doc_id % $BenchSplitMod = 0 AS is_bench,
+       |         CASE WHEN len(w) >= 8
+       |              THEN list_distinct(list_transform(range(1, len(w)-6),
+       |                     i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+       |                          w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))
+       |              ELSE [array_to_string(w, ' ')] END AS gr
+       |  FROM d
+       |), cont AS (
+       |  SELECT DISTINCT tr.doc_id FROM
+       |    (SELECT doc_id, unnest(gr) AS g8 FROM gset WHERE NOT is_bench) tr
+       |    JOIN (SELECT DISTINCT unnest(gr) AS g8 FROM gset WHERE is_bench) be
+       |      ON tr.g8 = be.g8
+       |), kept AS (
+       |  SELECT t.doc_id, t.source, t.n_tokens
+       |  FROM toks t JOIN repx ON repx.doc_id = t.doc_id
+       |  WHERE t.n_tokens >= (SELECT quantile_cont(n_tokens, 0.25) FROM toks)
+       |    AND repx.rep_pass
+       |    AND t.doc_id % $BenchSplitMod <> 0
+       |    AND t.doc_id NOT IN (SELECT doc_id FROM losers)
+       |    AND t.doc_id NOT IN (SELECT doc_id FROM cont)
+       |), ms AS (
+       |  SELECT source, SUM(n_tokens) AS src_tokens FROM kept GROUP BY source
+       |), mf AS (
+       |  SELECT source,
+       |         (CAST(SUM(src_tokens) OVER () AS DOUBLE)
+       |            / CAST(COUNT(*) OVER () AS DOUBLE))
+       |           / CAST(src_tokens AS DOUBLE) AS factor
+       |  FROM ms
+       |), sel AS (
+       |  SELECT k.doc_id, k.source, k.n_tokens
+       |  FROM kept k JOIN mf ON k.source = mf.source
+       |  WHERE CAST(floor(mf.factor) AS BIGINT)
+       |        + CASE WHEN CAST($idBucketSql AS DOUBLE)
+       |                    < (mf.factor - floor(mf.factor)) * 100
+       |               THEN 1 ELSE 0 END >= 1
+       |), pc AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           - n_tokens AS preceding_tokens
+       |  FROM sel
+       |), pp AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(preceding_tokens // $PackBudget AS BIGINT) AS pack_id,
+       |         (doc_id * 2654435761 + n_tokens * 1103515245 + 12345)
+       |           % 2147483648 AS hdoc
+       |  FROM pc
+       |), ph AS (
+       |  SELECT *,
+       |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |       list_transform(string_split(source, ''),
+       |         ch -> CAST(ascii(ch) AS BIGINT))),
+       |       (acc, x) -> (acc * 31 + x) % 1000000007)
+       |     + pack_id * 1103515245 + 12345) % 2147483648 AS h1
+       |  FROM pp
+       |), ps AS (
+       |  SELECT source, pack_id,
+       |    ((xor(h1, h1 // 8192) * 1274126177) % 2147483648 // 65536)
+       |      % $NumShards AS shard_id,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       |    CAST(SUM(hdoc) AS BIGINT) AS pack_sum
+       |  FROM ph GROUP BY source, pack_id, 3
+       |)
+       |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       |       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |       CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(SUM(pack_sum) % 2147483648 AS BIGINT) AS checksum
+       |FROM ps GROUP BY 1""".stripMargin) { (spark, dir) =>
+    // ONE text pass: token count + repetition gate + source (plan-gated
+    // single scan in CurationSpec), checkpointed — everything after
+    // consumes these four skinny columns, never the text again
+    val perDoc = pipelineDocMetrics(spark, dir).localCheckpoint()
+    val thr = perDoc.agg(expr("percentile(n_tokens, 0.25)").as("p25"))
+    val losers = GraphOps.dupClustersIncremental.build(spark, dir)
+      .filter(!col("is_canonical"))
+      .select(col("doc_id"), lit(true).as("loser"))
+    val contaminated = decontaminate.build(spark, dir)
+      .select(col("doc_id"), lit(true).as("cont"))
+    val kept = perDoc.crossJoin(broadcast(thr))
+      .join(losers, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .filter(col("n_tokens") >= col("p25") && col("rep_pass") &&
+        col("doc_id") % BenchSplitMod =!= 0 &&
+        !coalesce(col("loser"), lit(false)) &&
+        !coalesce(col("cont"), lit(false)))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    // mix: equalize per-source token share over the CLEANED corpus
+    val bySrc = kept.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val factors = bySrc.select(col("source"),
+      ((sum(col("src_tokens")).over(wAll).cast("double")
+        / count(lit(1)).over(wAll).cast("double"))
+        / col("src_tokens").cast("double")).as("factor"))
+    val frac = col("factor") - floor(col("factor")).cast("double")
+    val sel = kept.join(broadcast(factors), Seq("source"))
+      .filter((floor(col("factor")) +
+        when(idBucket(col("doc_id")).cast("double") < frac * 100, 1L)
+          .otherwise(0L)) >= 1L)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    shardManifestOf(packByPrefixSum(sel, PackBudget))
+  }
+
 }

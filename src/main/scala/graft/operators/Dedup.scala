@@ -843,13 +843,26 @@ object Dedup {
     * DedupSimilaritySpec pins the parity), so oracles are unaffected. */
   private val minhashIndexCache = SessionCache.mkFramePairs()
 
+  private[graft] def clearMinhashIndexCache(): Unit =
+    minhashIndexCache.clear()
+
   private[graft] def minhashIndex(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     minhashIndexCache.getOrBuild(spark, dir, "documents.parquet") {
-        val banded = bandedSignatures(spark, dir).localCheckpoint()
-        val sizes = shingleRows(spark, dir).groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_sh")).localCheckpoint()
-        (banded, sizes)
+        // at rest since round 8 (`minhash_index` store): the banded
+        // signatures + shingle sizes are the probe surface every LSH
+        // consumer shares — sign once per corpus, read back across
+        // sessions/processes like the PQ and canopy indexes
+        val store = PersistedStore.ensure(spark, dir, "documents.parquet",
+          "minhash_index", "v1") { root =>
+          bandedSignatures(spark, dir)
+            .write.mode("overwrite").parquet(s"$root/banded")
+          shingleRows(spark, dir).groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_sh"))
+            .write.mode("overwrite").parquet(s"$root/sizes")
+        }
+        (spark.read.parquet(s"$store/banded").localCheckpoint(),
+          spark.read.parquet(s"$store/sizes").localCheckpoint())
       }
 
   /** The banded-bucket candidate stage of [[minhashLsh]] alone
@@ -964,10 +977,19 @@ object Dedup {
     * downstream maintenance step from them. */
   private[graft] def incrementalMatches(
       spark: SparkSession, dir: String): DataFrame =
-    incrMatchCache.getOrBuild(spark, dir, "documents.parquet")(
-      verifyExact(incrementalCandidates(spark, dir),
-        shingleRows(spark, dir).select(col("doc_id"), col("s")), Seq.empty)
-        .localCheckpoint())
+    incrMatchCache.getOrBuild(spark, dir, "documents.parquet") {
+      // at rest since round 8 (`incr_matches` store): a batch's
+      // verified (delta, corpus) matches feed BOTH maintenance ops
+      // (incremental dedup + incremental clustering) — computed once,
+      // read back by later sessions of the same corpus generation
+      val store = PersistedStore.ensure(spark, dir, "documents.parquet",
+        "incr_matches", "v1") { root =>
+        verifyExact(incrementalCandidates(spark, dir),
+          shingleRows(spark, dir).select(col("doc_id"), col("s")), Seq.empty)
+          .write.mode("overwrite").parquet(s"$root/matches")
+      }
+      spark.read.parquet(s"$store/matches").localCheckpoint()
+    }
 
   /** The band-probe candidate stage of [[dedupIncremental]] alone
     * (distinct delta×corpus pairs + sizes, pre-verification) — split out

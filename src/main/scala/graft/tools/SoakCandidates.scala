@@ -84,6 +84,31 @@ object SoakCandidates {
           .count()),
         "semdedup" -> (() => Similarity.semdedupOrderedPairs(
           Similarity.semdedupAssign(spark, dir)).count()),
+        // ordering/packing kernels (round 8): the window-over-bucket
+        // shapes' work volume is the keyed row count they rank/sum —
+        // docs×epochs for the shuffle, docs for pack/shard. The soak
+        // EXECUTES the distributed window at each decade (the claim is
+        // the bucketed decomposition keeps per-partition work flat, so
+        // the kernel completes and scales linearly; a naive single
+        // window funnels the corpus through one partition).
+        "epoch" -> (() => graft.operators.Curation.epochShuffleOf(
+          graft.Tables.documents(spark, dir).select(col("doc_id"))).count()),
+        "pack" -> (() => graft.operators.Curation.packByPrefixSum(
+          graft.Tables.documents(spark, dir).select(col("doc_id"),
+            col("source"), graft.functions.TextAnalysis
+              .bpeishTokenCount(col("text")).cast("long").as("n_tokens")),
+          graft.operators.Curation.PackBudget).count()),
+        "shard" -> (() => {
+          val m = graft.operators.Curation.shardManifestOf(
+            graft.operators.Curation.packByPrefixSum(
+              graft.Tables.documents(spark, dir).select(col("doc_id"),
+                col("source"), graft.functions.TextAnalysis
+                  .bpeishTokenCount(col("text")).cast("long").as("n_tokens")),
+              graft.operators.Curation.PackBudget))
+          val r = m.agg(org.apache.spark.sql.functions.sum(col("n_docs")),
+            org.apache.spark.sql.functions.count(lit(1))).head()
+          r.getLong(0) // sharded docs — population-linear when healthy
+        }),
         // trained IMI canopy (round 8): occupancy-law sizing k1 =
         // ceil(sqrt(vecs/10)) keeps per-cell occupancy ~= 10 (candidate
         // volume linear) while the assignment pass scores only 2*k1
@@ -140,6 +165,9 @@ object SoakCandidates {
         "knn" -> (() => Similarity.knnGraph.build(spark, dir).count()),
         "semdedup" -> (() => Similarity.semdedup.build(spark, dir).count()),
         "imi" -> (() => -1L), // candidate-stage measurement (law sizing)
+        "epoch" -> (() => -1L), // work-volume measurement
+        "pack" -> (() => -1L),
+        "shard" -> (() => -1L),
         "bm25" -> (() => TextOps.bm25.build(spark, dir).count()),
         "bm25pruned" -> (() => TextOps.bm25Pruned.build(spark, dir).count()),
         "bpe" -> (() => -1L)) // candidate-stage-only measurement

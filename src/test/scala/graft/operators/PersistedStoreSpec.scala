@@ -75,6 +75,29 @@ class PersistedStoreSpec extends SparkSpec {
       Bpe.standingMerges(spark, sf001))
   }
 
+  test("minhash banded-signature index persists and rebuilds identically") {
+    checkStore("minhash_index", "banded",
+      () => Dedup.clearMinhashIndexCache())(
+      Dedup.minhashIndex(spark, sf001)._1)
+  }
+
+  test("minhash shingle sizes persist and rebuild identically") {
+    checkStore("minhash_index", "sizes",
+      () => Dedup.clearMinhashIndexCache())(
+      Dedup.minhashIndex(spark, sf001)._2)
+  }
+
+  test("incremental verified-match set persists and rebuilds identically") {
+    checkStore("incr_matches", "matches",
+      () => Dedup.clearIncrMatchCache())(
+      Dedup.incrementalMatches(spark, sf001))
+  }
+
+  test("trained IMI canopy persists and rebuilds identically") {
+    checkStore("imi_canopy", "cells", () => Imi.clearImiCache())(
+      Imi.trainedCanopy(spark, sf001))
+  }
+
   test("bpe segmented vocab persists and rebuilds identically") {
     checkStore("bpe_merges", "vocab", () => Bpe.clearMergesCache())(
       Bpe.standingVocab(spark, sf001))
