@@ -188,6 +188,12 @@ object Bpe {
           .select(col("merge_rank").cast("int"), col("left_sym"),
             col("right_sym"), col("pair_count"))
         merges = Some(merges.fold(batchDf)(_.union(batchDf)))
+        // bound the union tree: at production round counts (30k merges
+        // ≈ 1k rounds) an unbounded union would make the final
+        // checkpoint replan a 1k-branch tree; collapse every 64 rounds
+        // (the merge table is O(done) metadata, the checkpoint is tiny)
+        if ((done / batch) % 64 == 63)
+          merges = merges.map(_.localCheckpoint())
         val old = vocab
         val foldedSyms = accepted.foldLeft(col("syms")) {
           case (c, (a, b, _)) => mergePair(c, lit(a), lit(b))
@@ -296,6 +302,28 @@ object Bpe {
     oracleInduction(NumMerges) +
       "\nSELECT * FROM merge_table") { (spark, dir) =>
     standingMerges(spark, dir)
+  }
+
+  private val batchedMergesCache = SessionCache.mkFrames()
+
+  private[graft] def clearBatchedMergesCache(): Unit =
+    batchedMergesCache.clear()
+
+  /** The BATCHED trainer registered against the SAME oracle as
+    * [[bpeMerges]]: [[trainBatched]] is provably equivalent to
+    * sequential greedy, so the identical DuckDB induction replay must
+    * hash-match — the green row is an independent-engine proof of the
+    * batch rule on real data, on every verify run. Session-cached
+    * (the artifact contract is [[standingMerges]]'; this op exists to
+    * keep the production-cadence path under the correctness gate). */
+  val bpeMergesBatched: Op = Op("q_bpe_merges_batched",
+    oracleInduction(NumMerges) +
+      "\nSELECT * FROM merge_table") { (spark, dir) =>
+    batchedMergesCache.getOrBuild(spark, dir, "documents.parquet") {
+      trainBatched(Tables.documents(spark, dir)
+        .filter(col("doc_id") % Dedup.IncrementalDeltaMod =!= 0),
+        NumMerges, batch = 4) // returns checkpointed
+    }
   }
 
   /** The learned subword inventory: every symbol of the final

@@ -310,6 +310,34 @@ object Imi {
       Similarity.semdedupFrom(spark, asg)
   }
 
+  /** Hard-negative mining over the TRAINED canopy — the fourth canopy
+    * consumer gets its fixed-cost sibling (same contract as
+    * [[Similarity.hardNegatives]]: per anchor the top-3
+    * highest-cosine DIFFERENT-label candidates; tail shared via
+    * [[Similarity.hardNegTopKFromCells]]). */
+  val hardNegativesTrained: Op = Op(
+    "q_hard_negatives_trained",
+    imiCellsSql(K1, NProbeHalf) +
+    s""", cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id AND a.label <> b.label
+       |), sc AS (
+       |  SELECT cand.src AS vec_id, x.label, cand.dst AS neg_id,
+       |         y.label AS neg_label,
+       |         CAST(list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i])) AS DOUBLE)
+       |           / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS cos
+       |  FROM cand
+       |  JOIN nn x ON x.vec_id = cand.src
+       |  JOIN nn y ON y.vec_id = cand.dst
+       |)
+       |SELECT vec_id, label, rank, neg_id, neg_label, cos FROM (
+       |  SELECT vec_id, label, neg_id, neg_label, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neg_id) AS rank
+       |  FROM sc) WHERE rank <= 3""".stripMargin) { (spark, dir) =>
+    Similarity.hardNegTopKFromCells(spark, trainedCanopy(spark, dir), 3)
+  }
+
   /** Embedding near-dup ANN over the TRAINED canopy — same contract
     * as [[Similarity.embedNearDupAnn]] (same-label candidate pairs
     * sharing a probed cell, exactly verified at cos ≥ 0.35), fixed

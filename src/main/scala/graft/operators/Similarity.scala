@@ -1599,8 +1599,14 @@ object Similarity {
        |  SELECT vec_id, label, neg_id, neg_label, cos,
        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neg_id) AS rank
        |  FROM sc) WHERE rank <= 3""".stripMargin) { (spark, dir) =>
-    val k = 3
-    val cellsV = graphCanopy(spark, dir)
+    hardNegTopKFromCells(spark, graphCanopy(spark, dir), 3)
+  }
+
+  /** The hard-negative scoring tail over ANY (cell, vec_id, label, v,
+    * n2) canopy frame — shared by [[hardNegatives]] and the
+    * trained-index sibling ([[Imi.hardNegativesTrained]]). */
+  private[operators] def hardNegTopKFromCells(
+      spark: SparkSession, cellsV: DataFrame, k: Int): DataFrame = {
     val pa = cellsV.select(col("cell"), col("vec_id").as("src"),
       col("label").as("la"), col("v").as("vs"), col("n2").as("ns"))
     val pb = cellsV.select(col("cell"), col("vec_id").as("dst"),

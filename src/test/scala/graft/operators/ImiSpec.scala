@@ -97,6 +97,18 @@ class ImiSpec extends SparkSpec {
     assert(heads.join(sem, Seq("vec_id"), "left_anti").count() === 0)
   }
 
+  test("trained hard negatives: cross-label only, contiguous ranks, " +
+    "capped at 3") {
+    val hn = Imi.hardNegativesTrained.build(spark, sf001).cache()
+    assert(hn.count() > 0)
+    assert(hn.filter($"label" === $"neg_label").count() === 0)
+    val byVec = hn.groupBy($"vec_id")
+      .agg(count(lit(1)).as("n"), min($"rank").as("mn"), max($"rank").as("mx"))
+      .filter($"mn" =!= 1 || $"mx" =!= $"n" || $"n" > 3)
+    assert(byVec.count() === 0)
+    hn.unpersist()
+  }
+
   test("trained near-dup ANN: subset of the exact kernel, no false " +
     "positives, threshold respected") {
     val ann = Imi.embedNearDupAnnTrained.build(spark, sf001).cache()
