@@ -117,38 +117,9 @@ object Imi {
     * consumers can reconstruct the top-1 cell and the
     * concatenated-centroid cosine without re-scoring. */
   def cellsOf(spark: SparkSession, e: DataFrame, k1: Int, steps: Int,
-      nprobe: Int): DataFrame = {
-    val h = halves(spark, e)
-    val cb = codebook(spark, h, k1, steps)
-    val scored = h.join(broadcast(cb), Seq("half"))
-      .withColumn("dot", idot(spark, col("h"), col("cv")))
-      .select(col("vec_id"), col("half"), col("cent_id"), col("cn"),
-        col("dot"),
-        cosine(col("dot"), col("hn2"), col("cn")).as("cos"))
-    // top-nprobe per (vec_id, half) as ONE sorted-slice aggregate (no
-    // window over the N×k1 scored rows; ties totalize by cent_id —
-    // the same order as DuckDB's ROW_NUMBER(ORDER BY cos DESC, cent_id))
-    val top = scored.groupBy(col("vec_id"), col("half"))
-      .agg(slice(array_sort(collect_list(struct(
-        negate(col("cos")).as("ncos"), col("cent_id").as("c"),
-        col("dot").as("dot"), col("cn").as("cn")))), 1, nprobe).as("cs"))
-      .select(col("vec_id"), col("half"), posexplode(col("cs")).as(Seq("p", "s")))
-      .select(col("vec_id"), col("half"), (col("p") + 1).as("r"),
-        col("s.c").as("c"), col("s.dot").as("dot"), col("s.cn").as("cn"))
-    val h0 = top.filter(col("half") === 0).select(col("vec_id"),
-      col("r").as("r0"), col("c").as("c0"),
-      col("dot").as("dot0"), col("cn").as("cn0"))
-    val h1 = top.filter(col("half") === 1).select(col("vec_id"),
-      col("r").as("r1"), col("c").as("c1"),
-      col("dot").as("dot1"), col("cn").as("cn1"))
-    h0.join(h1, Seq("vec_id"))
-      .join(e.select(col("vec_id"), col("label"), col("v"), col("n2")),
-        Seq("vec_id"))
-      .select(col("vec_id"), col("label"),
-        (col("c0") * CellBase + col("c1")).as("cell"),
-        col("r0"), col("r1"), col("dot0"), col("dot1"),
-        col("cn0"), col("cn1"), col("v"), col("n2"))
-  }
+      nprobe: Int): DataFrame =
+    cellsWithCodebook(spark, e,
+      codebook(spark, halves(spark, e), k1, steps), nprobe)
 
   private val imiCache = SessionCache.mkFrames()
 
@@ -182,6 +153,198 @@ object Imi {
       .select(col("ca.vec_id").as("src"), col("cb.vec_id").as("dst"))
       .distinct()
   }
+
+  /** Delta slice of the INCREMENTAL probe: decoupled from both the
+    * seed rule (vec_id < k1) and the stride-canopy arrivals so the
+    * index never contains its own probes. Same split the stream probe
+    * uses ([[Similarity.StreamAnnMod]]). */
+  val DeltaMod: Int = Similarity.StreamAnnMod
+
+  private val standingCache = SessionCache.mkFramePairs()
+
+  private[graft] def clearStandingCache(): Unit = standingCache.clear()
+
+  /** The STANDING trained index at rest (`imi_standing` store): the
+    * per-half codebook trained on the standing slice ONLY
+    * (vec_id % DeltaMod ≠ 0) plus the standing vectors' probed cells.
+    * This is the ANN index-maintenance story: training is yesterday's
+    * artifact; an arriving vector is ASSIGNED against the stored
+    * codebook (2·k1 broadcast centroid scores, map-only) and probed
+    * against the stored cells — the index is never retrained or
+    * rebuilt for a delta. Returns (codebook, cells). */
+  private[graft] def standingIndex(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    standingCache.getOrBuild(spark, dir, "embeddings.parquet") {
+      val store = PersistedStore.ensure(spark, dir, "embeddings.parquet",
+        "imi_standing", s"v1:k$K1:s$LloydSteps:p$NProbeHalf:d$DeltaMod") {
+        root =>
+          val standing = Similarity.quantizedLabeled(spark, dir)
+            .filter(col("vec_id") % DeltaMod =!= 0)
+          val h = halves(spark, standing)
+          val cb = codebook(spark, h, K1, LloydSteps)
+          cb.write.mode("overwrite").parquet(s"$root/codebook")
+          cellsWithCodebook(spark, standing,
+            spark.read.parquet(s"$root/codebook"), NProbeHalf)
+            .write.mode("overwrite").parquet(s"$root/cells")
+      }
+      (spark.read.parquet(s"$store/codebook"),
+        spark.read.parquet(s"$store/cells"))
+    }
+
+  /** [[cellsOf]]'s assignment stage against a PRE-TRAINED codebook —
+    * the shared tail of index build (standing slice) and delta
+    * assignment (arriving slice): no training, just 2·k1 broadcast
+    * centroid scores per vector and the per-half top-nprobe slice. */
+  def cellsWithCodebook(spark: SparkSession, e: DataFrame, cb: DataFrame,
+      nprobe: Int): DataFrame = {
+    val h = halves(spark, e)
+    val scored = h.join(broadcast(cb), Seq("half"))
+      .withColumn("dot", idot(spark, col("h"), col("cv")))
+      .select(col("vec_id"), col("half"), col("cent_id"), col("cn"),
+        col("dot"),
+        cosine(col("dot"), col("hn2"), col("cn")).as("cos"))
+    val top = scored.groupBy(col("vec_id"), col("half"))
+      .agg(slice(array_sort(collect_list(struct(
+        negate(col("cos")).as("ncos"), col("cent_id").as("c"),
+        col("dot").as("dot"), col("cn").as("cn")))), 1, nprobe).as("cs"))
+      .select(col("vec_id"), col("half"), posexplode(col("cs")).as(Seq("p", "s")))
+      .select(col("vec_id"), col("half"), (col("p") + 1).as("r"),
+        col("s.c").as("c"), col("s.dot").as("dot"), col("s.cn").as("cn"))
+    val h0 = top.filter(col("half") === 0).select(col("vec_id"),
+      col("r").as("r0"), col("c").as("c0"),
+      col("dot").as("dot0"), col("cn").as("cn0"))
+    val h1 = top.filter(col("half") === 1).select(col("vec_id"),
+      col("r").as("r1"), col("c").as("c1"),
+      col("dot").as("dot1"), col("cn").as("cn1"))
+    h0.join(h1, Seq("vec_id"))
+      .join(e.select(col("vec_id"), col("label"), col("v"), col("n2")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("label"),
+        (col("c0") * CellBase + col("c1")).as("cell"),
+        col("r0"), col("r1"), col("dot0"), col("dot1"),
+        col("cn0"), col("cn1"), col("v"), col("n2"))
+  }
+
+  /** INCREMENTAL ANN probe — the `q_dedup_incremental` shape for the
+    * vector index: arriving vectors (vec_id % DeltaMod = 0) are
+    * assigned against the STANDING corpus' stored codebook (map-only,
+    * never retrained) and probed against the stored standing cells;
+    * each delta vector gets its exact-cosine top-5 among standing
+    * vectors sharing a probed cell (the same hierarchical
+    * per-(cell, src) top-k as the kNN graph — no corpus window, no
+    * corpus shuffle beyond the cell equi-join). At 100 TB: the index
+    * is parquet bucketed by cell; a delta batch broadcasts its probed
+    * cells, pays one partition-pruned probe, and the index files are
+    * untouched. The oracle replays training-on-standing + both
+    * assignments + the probe in one statement. */
+  val imiDelta: Op = Op(
+    "q_imi_delta",
+    imiDeltaSql(K1, NProbeHalf, DeltaMod)) { (spark, dir) =>
+    val (cb, standingCells) = standingIndex(spark, dir)
+    val delta = Similarity.quantizedLabeled(spark, dir)
+      .filter(col("vec_id") % DeltaMod === 0)
+    val deltaCells = cellsWithCodebook(spark, delta, cb, NProbeHalf)
+    val pa = deltaCells.select(col("cell"), col("vec_id").as("src"),
+      col("v").as("vs"), col("n2").as("ns"))
+    val pb = standingCells.select(col("cell"), col("vec_id").as("dst"),
+      col("v").as("vd"), col("n2").as("nd"))
+    val k = 5
+    val scoredPairs = pa.join(pb, Seq("cell"))
+      .select(col("cell"), col("src"), col("dst"),
+        cosine(idot(spark, col("vs"), col("vd")),
+          col("ns"), col("nd")).as("cos"))
+    val perCell = scoredPairs
+      .groupBy(col("cell"), col("src"))
+      .agg(slice(array_sort(collect_list(struct(
+        negate(col("cos")).as("ncos"),
+        col("dst").as("nn_id"),
+        col("cos").as("cos")))), 1, k).as("t"))
+    perCell
+      .groupBy(col("src"))
+      .agg(slice(array_distinct(array_sort(flatten(collect_list(col("t"))))),
+        1, k).as("top"))
+      .select(col("src").as("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.nn_id").as("nn_id"), col("col.cos").as("cos"))
+  }
+
+  /** Oracle for [[imiDelta]]: train on the standing slice, assign
+    * BOTH slices against the trained codebook, probe delta×standing
+    * on shared cells, exact top-5 per delta vector. */
+  private def imiDeltaSql(k1: Int, nprobe: Int, deltaMod: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, ${Similarity.QuantSql} AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, label, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM e
+       |), nn AS (
+       |  SELECT * FROM n WHERE n2 > 0
+       |), hv AS (
+       |  SELECT vec_id, 0 AS half, v[1:32] AS h FROM nn
+       |  UNION ALL
+       |  SELECT vec_id, 1 AS half, v[33:64] AS h FROM nn
+       |), hq AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, half, h,
+       |           list_sum(list_transform(h, x -> x*x)) AS hn2 FROM hv)
+       |  WHERE hn2 > 0
+       |), hs AS (
+       |  SELECT * FROM hq WHERE vec_id % $deltaMod <> 0
+       |), seed AS (
+       |  SELECT half, vec_id AS cent_id, h AS cv, hn2 AS cn FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY half ORDER BY vec_id) AS rn
+       |    FROM hs) WHERE rn <= $k1
+       |), sc0 AS (
+       |  SELECT a.vec_id, a.half, a.h, c.cent_id,
+       |         CAST(list_sum(list_transform(range(1, 33), i -> a.h[i]*c.cv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(a.hn2 AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS cos
+       |  FROM hs a JOIN seed c ON a.half = c.half
+       |), as0 AS (
+       |  SELECT half, cell, h FROM (
+       |    SELECT half, cent_id AS cell, h,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, half ORDER BY cos DESC, cent_id) AS rn
+       |    FROM sc0) WHERE rn = 1
+       |), sums AS (
+       |  SELECT half, cell, i, CAST(SUM(h[i]) AS BIGINT) AS s
+       |  FROM as0, range(1, 33) t(i)
+       |  GROUP BY half, cell, i
+       |), cb AS (
+       |  SELECT half, cell AS cent_id, list(s ORDER BY i) AS cv
+       |  FROM sums GROUP BY half, cell
+       |), cbn AS (
+       |  SELECT * FROM (
+       |    SELECT half, cent_id, cv,
+       |           list_sum(list_transform(cv, x -> x*x)) AS cn FROM cb)
+       |  WHERE cn > 0
+       |), scT AS (
+       |  SELECT a.vec_id, a.half, c.cent_id,
+       |         CAST(list_sum(list_transform(range(1, 33), i -> a.h[i]*c.cv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(a.hn2 AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS cos
+       |  FROM hq a JOIN cbn c ON a.half = c.half
+       |), hc AS (
+       |  SELECT vec_id, half, cent_id AS c FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, half ORDER BY cos DESC, cent_id) AS rn
+       |    FROM scT) WHERE rn <= $nprobe
+       |), cells AS (
+       |  SELECT h0.vec_id, h0.c * $CellBase + h1.c AS cell
+       |  FROM hc h0
+       |  JOIN hc h1 ON h1.vec_id = h0.vec_id AND h1.half = 1
+       |  WHERE h0.half = 0
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM cells a JOIN cells b ON a.cell = b.cell
+       |  WHERE a.vec_id % $deltaMod = 0 AND b.vec_id % $deltaMod <> 0
+       |), sc AS (
+       |  SELECT cand.src AS vec_id, cand.dst AS nn_id,
+       |         CAST(list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i])) AS DOUBLE)
+       |           / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS cos
+       |  FROM cand
+       |  JOIN nn x ON x.vec_id = cand.src
+       |  JOIN nn y ON y.vec_id = cand.dst
+       |)
+       |SELECT vec_id, rank, nn_id, cos FROM (
+       |  SELECT vec_id, nn_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rank
+       |  FROM sc) WHERE rank <= 5""".stripMargin
 
   // ---------------------------------------------------------------
   // shared oracle-SQL prefix: replays halves → seed → one Lloyd step

@@ -97,6 +97,21 @@ class ImiSpec extends SparkSpec {
     assert(heads.join(sem, Seq("vec_id"), "left_anti").count() === 0)
   }
 
+  test("incremental probe: delta queries only, standing neighbors only, " +
+    "contiguous ranks — the index is never retrained for a delta") {
+    val out = Imi.imiDelta.build(spark, sf001).cache()
+    assert(out.count() > 0)
+    assert(out.filter($"vec_id" % Imi.DeltaMod =!= 0).count() === 0,
+      "a non-delta vector was probed")
+    assert(out.filter($"nn_id" % Imi.DeltaMod === 0).count() === 0,
+      "a delta vector leaked into the standing index")
+    val byVec = out.groupBy($"vec_id")
+      .agg(count(lit(1)).as("n"), min($"rank").as("mn"), max($"rank").as("mx"))
+      .filter($"mn" =!= 1 || $"mx" =!= $"n" || $"n" > 5)
+    assert(byVec.count() === 0)
+    out.unpersist()
+  }
+
   test("trained hard negatives: cross-label only, contiguous ranks, " +
     "capped at 3") {
     val hn = Imi.hardNegativesTrained.build(spark, sf001).cache()

@@ -98,6 +98,18 @@ class PersistedStoreSpec extends SparkSpec {
       Imi.trainedCanopy(spark, sf001))
   }
 
+  test("standing IMI index (codebook half) persists and rebuilds " +
+    "identically") {
+    checkStore("imi_standing", "codebook", () => Imi.clearStandingCache())(
+      Imi.standingIndex(spark, sf001)._1)
+  }
+
+  test("standing IMI index (cells half) persists and rebuilds " +
+    "identically") {
+    checkStore("imi_standing", "cells", () => Imi.clearStandingCache())(
+      Imi.standingIndex(spark, sf001)._2)
+  }
+
   test("bpe segmented vocab persists and rebuilds identically") {
     checkStore("bpe_merges", "vocab", () => Bpe.clearMergesCache())(
       Bpe.standingVocab(spark, sf001))
