@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -264,6 +264,72 @@ object Imi {
       .agg(slice(array_distinct(array_sort(flatten(collect_list(col("t"))))),
         1, k).as("top"))
       .select(col("src").as("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.nn_id").as("nn_id"), col("col.cos").as("cos"))
+  }
+
+  /** Arrival-time form of [[imiDelta]] — the per-ROW probe a STREAM
+    * runs with zero state ([[Similarity.annProbeRows]]'s device on the
+    * TRAINED index): takes ANY (vec_id, embedding) frame and for each
+    * row alone scores the two BROADCAST per-half codebook arrays,
+    * combines the nprobe² probed cells, pulls each cell's standing
+    * member list from the BROADCAST cell→members map (absent cells —
+    * an IMI pair combo no standing vector occupies — filter out),
+    * exact-scores and slices top-5 inside the row. No aggregation, no
+    * stream-side join key, no window ⇒ result depends on each row
+    * alone, any batching yields the same output, and row-local ≡ the
+    * join form of [[imiDelta]] (spec-pinned; the streaming
+    * registration reuses imiDelta's oracle verbatim). */
+  def probeRows(spark: SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
+    val k = 5
+    val (cb, standingCells) = standingIndex(spark, dir)
+    val cents0 = cb.filter(col("half") === 0)
+      .agg(collect_list(struct(col("cent_id"), col("cv"), col("cn")))
+        .as("cents0"))
+    val cents1 = cb.filter(col("half") === 1)
+      .agg(collect_list(struct(col("cent_id"), col("cv"), col("cn")))
+        .as("cents1"))
+    val cellMap = standingCells.groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("n2")))
+        .as("members"))
+      .agg(map_from_entries(collect_list(struct(col("cell"), col("members"))))
+        .as("cmap"))
+    val q = queries
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("q0", slice(col("qv"), 1, 32))
+      .withColumn("q1", slice(col("qv"), 33, 32))
+      .withColumn("qn", inorm2(spark, col("qv")))
+      .withColumn("hn0", inorm2(spark, col("q0")))
+      .withColumn("hn1", inorm2(spark, col("q1")))
+      // same qualification as the batch side: whole vector AND both
+      // halves nonzero (a zero half has no cells in the join form)
+      .filter(col("qn") > 0 && col("hn0") > 0 && col("hn1") > 0)
+      .crossJoin(broadcast(cents0))
+      .crossJoin(broadcast(cents1))
+      .crossJoin(broadcast(cellMap))
+    def topCells(qh: Column, qhn: Column, cents: Column) =
+      slice(array_sort(transform(cents, c =>
+        struct(negate(cosine(idot(spark, qh, c.getField("cv")),
+          qhn, c.getField("cn"))).as("ncos"),
+          c.getField("cent_id").as("c")))), 1, NProbeHalf)
+    val myCells = flatten(transform(
+      topCells(col("q0"), col("hn0"), col("cents0")), a =>
+        transform(topCells(col("q1"), col("hn1"), col("cents1")), b =>
+          a.getField("c") * CellBase + b.getField("c"))))
+    // absent cells (no standing member in that pair combo) → null from
+    // element_at; drop them before flattening
+    val cand = flatten(filter(
+      transform(myCells, c => element_at(col("cmap"), c)),
+      m => m.isNotNull))
+    val cos = (m: Column) =>
+      cosine(idot(spark, col("qv"), m.getField("v")),
+        col("qn"), m.getField("n2"))
+    val top = slice(array_distinct(array_sort(transform(cand, m =>
+      struct(negate(cos(m)).as("ncos"),
+        m.getField("vec_id").as("nn_id"),
+        cos(m).as("cos"))))), 1, k)
+    q.select(col("vec_id"), posexplode(top))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.nn_id").as("nn_id"), col("col.cos").as("cos"))
   }

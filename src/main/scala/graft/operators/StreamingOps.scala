@@ -266,6 +266,19 @@ object StreamingOps {
       EventStream.runAnnProbeToMemory(spark, dir, "q_stream_ann_mem"))
   }
 
+  /** Streaming probe of the TRAINED standing IMI index — completes the
+    * vector-index triple (batch [[Imi.imiDelta]] / persisted
+    * incremental index / this arrival-time leg, ONE kernel). The
+    * oracle is imiDelta's VERBATIM: the stream's memory table must
+    * hash-equal the batch probe — only possible if the row-local probe
+    * is exactly the join form and batching changes nothing. */
+  val streamAnnTrained: Op = Op(
+    "q_stream_ann_trained",
+    Imi.imiDelta.oracle.get) { (spark, dir) =>
+    spark.table(
+      EventStream.runImiProbeToMemory(spark, dir, "q_stream_ann_tr_mem"))
+  }
+
   /** Exactly-once streaming commit: the events rollup built from
     * per-micro-batch deltas published through the transactional
     * manifest store with version = batchId + 1 (replayed batches

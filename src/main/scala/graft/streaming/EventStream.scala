@@ -926,6 +926,28 @@ object EventStream {
         .start()
     }
 
+  /** Stateless streaming probe of the TRAINED standing index — the
+    * stream leg of the imiDelta triple (batch join form / persisted
+    * incremental index / arrival-time probe, one kernel): arriving
+    * vectors run [[graft.operators.Imi.probeRows]] against the
+    * broadcast stored codebook + cell map. Zero state operators; the
+    * registered op's oracle is imiDelta's verbatim, so the green row
+    * pins stream ≡ batch hash-exactly. */
+  def runImiProbeToMemory(
+      spark: SparkSession, dir: String, queryName: String): String =
+    runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
+      import graft.operators.Imi
+      val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+      val arrivals = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id") % Imi.DeltaMod === 0)
+      Imi.probeRows(spark, dir, arrivals)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
   /** Stateless streaming BM25 probe — retrieval at ingest: arriving
     * query docs (doc_id % Bm25QueryMod = 0, the registered contract's
     * query set) probe the standing rare-term postings index and emit

@@ -112,6 +112,19 @@ class ImiSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("row-local probe == join-form probe (the stream leg's kernel " +
+    "is exactly the batch op)") {
+    val arrivals = graft.Tables.embeddings(spark, sf001)
+      .filter($"vec_id" % Imi.DeltaMod === 0)
+    val rowLocal = Imi.probeRows(spark, sf001, arrivals)
+      .collect().map(_.toString).sorted
+    val joinForm = Imi.imiDelta.build(spark, sf001)
+      .collect().map(_.toString).sorted
+    assert(rowLocal.nonEmpty)
+    assert(rowLocal === joinForm,
+      "arrival-time probe diverged from the relational form")
+  }
+
   test("trained hard negatives: cross-label only, contiguous ranks, " +
     "capped at 3") {
     val hn = Imi.hardNegativesTrained.build(spark, sf001).cache()
