@@ -385,6 +385,25 @@ class EventStreamSpec extends SparkSpec {
       s"expected zero stateful operators: ${active.get.lastProgress.json}")
   }
 
+  test("streaming TRAINED-index probe equals the batch imiDelta op, " +
+    "stateless") {
+    import spark.implicits._
+    val batch = graft.operators.Imi.imiDelta.build(spark, sf001)
+      .select($"vec_id", $"rank", $"nn_id", $"cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = graft.operators.StreamingOps.streamAnnTrained
+      .build(spark, sf001)
+      .select($"vec_id", $"rank", $"nn_id", $"cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty, "expected arriving probe vectors in testdata")
+    assert(got === batch)
+    val active = spark.streams.active.find(
+      _.name.startsWith("q_stream_ann_tr_mem"))
+    assert(active.nonEmpty)
+    assert(active.get.lastProgress.stateOperators.isEmpty,
+      s"expected zero stateful operators: ${active.get.lastProgress.json}")
+  }
+
   test("streaming BM25 probe equals the batch retrieval op, stateless") {
     import spark.implicits._
     val batch = graft.operators.TextOps.bm25.build(spark, sf001)
