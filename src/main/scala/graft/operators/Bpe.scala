@@ -137,15 +137,21 @@ object Bpe {
     * Per round: one (batch+1)-row `TakeOrderedAndProject` argmax (the
     * collected rows are O(batch) metadata, same adjudication as the
     * 8-row merge-table reads), then ONE map-only fold applying the
-    * whole batch in rank order, then the round checkpoint. */
+    * whole batch in rank order, then the round checkpoint.
+    *
+    * `onRound` observes (round, acceptedMerges) after each committed
+    * round — telemetry only (the BpeTrainBench occupancy measurement);
+    * the default is a no-op and the merge table is unaffected. */
   def trainBatched(docs: DataFrame, numMerges: Int = NumMerges,
-      batch: Int = 32): DataFrame = {
+      batch: Int = 32,
+      onRound: (Int, Int) => Unit = (_, _) => ()): DataFrame = {
     var vocab = wordFreqs(docs)
       .withColumn("syms", initSyms(col("w")))
       .select(col("w"), col("freq"), col("syms"))
       .localCheckpoint()
     var merges: Option[DataFrame] = None
     var done = 0
+    var round = 0
     var exhausted = false
     while (done < numMerges && !exhausted) {
       val want = math.min(batch, numMerges - done)
@@ -203,6 +209,8 @@ object Bpe {
           .localCheckpoint()
         SessionCache.releaseFrame(old)
         done += accepted.size
+        round += 1
+        onRound(round, accepted.size)
       }
     }
     val out = merges.getOrElse(

@@ -22,13 +22,25 @@ object BpeTrainBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.Tables.documents(spark, dir)
+    val perRound = scala.collection.mutable.ArrayBuffer.empty[Int]
     val t0 = System.nanoTime()
     val m =
       if (batch <= 1) graft.operators.Bpe.train(docs, merges)
-      else graft.operators.Bpe.trainBatched(docs, merges, batch)
+      else graft.operators.Bpe.trainBatched(docs, merges, batch,
+        (_, accepted) => perRound += accepted)
     val n = m.count()
     val secs = (System.nanoTime() - t0) / 1e9
+    val rounds = perRound.size
+    val occ = if (rounds > 0) f"${perRound.sum.toDouble / rounds}%.1f" else "n/a"
+    def meanOf(xs: collection.Seq[Int]) =
+      if (xs.isEmpty) "n/a" else f"${xs.sum.toDouble / xs.size}%.1f"
+    val q = rounds / 4
+    val trend = if (rounds >= 8)
+      s" occFirstQ=${meanOf(perRound.take(q))}" +
+        s" occLastQ=${meanOf(perRound.takeRight(q))}"
+    else ""
     println(f"[bpebench] dir=$dir merges=$n%d (asked $merges) batch=$batch " +
+      f"rounds=${if (batch <= 1) n else rounds}%d occupancy=$occ$trend " +
       f"wall=$secs%.1f s  merges/sec=${n / secs}%.2f")
     spark.stop()
   }
