@@ -327,13 +327,14 @@ object Imi {
     val cos = (m: Column) =>
       cosine(idot(spark, col("qv"), m.getField("v")),
         col("qn"), m.getField("n2"))
+    // one dot per candidate: the sort key carries -cos, the output
+    // column recovers cos by exact IEEE negation
     val top = slice(array_distinct(array_sort(transform(cand, m =>
       struct(negate(cos(m)).as("ncos"),
-        m.getField("vec_id").as("nn_id"),
-        cos(m).as("cos"))))), 1, k)
+        m.getField("vec_id").as("nn_id"))))), 1, k)
     q.select(col("vec_id"), posexplode(top))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.nn_id").as("nn_id"), col("col.cos").as("cos"))
+        col("col.nn_id").as("nn_id"), negate(col("col.ncos")).as("cos"))
   }
 
   /** Oracle for [[imiDelta]]: train on the standing slice, assign

@@ -1496,10 +1496,10 @@ object Similarity {
        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rank
        |  FROM sc) WHERE rank <= 5""".stripMargin) { (spark, dir) =>
     val k = 5
-    // Vectors ride THROUGH the canopy: the cell self-join scores each
-    // co-occurrence inline (no separate vector-attach joins, no
-    // candidate-distinct shuffle — the only shuffle after the canopy
-    // carries skinny (ncos, nn_id, cos) structs). A pair sharing
+    // Vectors ride THROUGH the canopy into the row-local per-cell
+    // scoring (see knnTopKFromCells: one member-grouping exchange, no
+    // pair join, no candidate-distinct shuffle — the only later
+    // shuffle carries skinny (ncos, nn_id) structs). A pair sharing
     // several cells yields byte-identical structs, removed by
     // array_distinct inside the per-src top-k aggregate — equivalent
     // to distinct-then-score because the cosine is a deterministic
@@ -1518,36 +1518,42 @@ object Similarity {
     * trained-index sibling ([[Imi.knnGraphTrained]]). */
   private[operators] def knnTopKFromCells(
       spark: SparkSession, cellsV: DataFrame, k: Int): DataFrame = {
-    val pa = cellsV.select(col("cell"), col("vec_id").as("src"),
-      col("v").as("vs"), col("n2").as("ns"))
-    val pb = cellsV.select(col("cell"), col("vec_id").as("dst"),
-      col("v").as("vd"), col("n2").as("nd"))
-    val scoredPairs = pa.join(pb, Seq("cell"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("cell"), col("src"), col("dst"),
-        cosine(idot(spark, col("vs"), col("vd")),
-          col("ns"), col("nd")).as("cos"))
-    // Hierarchical top-k: per-(cell, src) top-k first — the join output
-    // is already hash-partitioned by cell, and HashPartitioning(cell)
-    // satisfies ClusteredDistribution(cell, src), so this aggregate
-    // adds NO exchange; the scored-pair volume never shuffles. The
-    // global merge then moves only ≤ nprobe·k structs per vector.
-    // Union-of-per-cell-top-k ⊇ global top-k because every candidate
-    // appears in some cell's list; a dst reached via several cells
-    // yields byte-identical structs, removed by array_distinct.
-    val perCell = scoredPairs
-      .groupBy(col("cell"), col("src"))
-      .agg(slice(array_sort(collect_list(struct(
-        negate(col("cos")).as("ncos"),
-        col("dst").as("nn_id"),
-        col("cos").as("cos")))), 1, k).as("t"))
+    // ROW-LOCAL per-cell all-pairs (the arrival-time probe's device,
+    // distributed one row per cell): ONE exchange groups members per
+    // cell — each vector moves once per probed cell, instead of riding
+    // the cell self-join where every co-cell pair copies BOTH vectors
+    // (occupancy× the bytes; measured 6.8 s → 1.8 s at sf0.1 on the
+    // trained canopy, ImiTailProbe). A grouped row holds one cell's
+    // members — bounded by the occupancy law (canopy stride / IMI
+    // k1-sizing keep per-cell membership ~occ·nprobe, corpus-
+    // independent), the same bound that makes the candidate volume
+    // linear. Per-cell top-k computes inside the row via HOFs; the
+    // global merge then moves only ≤ nprobe·k skinny structs per
+    // vector. Union-of-per-cell-top-k ⊇ global top-k because every
+    // candidate appears in some cell's list; a dst reached via several
+    // cells yields byte-identical structs, removed by array_distinct.
+    val ms = cellsV
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("n2")))
+        .as("ms"))
+    val perCell = ms.select(explode(transform(col("ms"),
+      s => struct(s.getField("vec_id").as("src"),
+        slice(array_sort(transform(
+          filter(col("ms"),
+            m => m.getField("vec_id") =!= s.getField("vec_id")),
+          m => {
+            val c = cosine(idot(spark, s.getField("v"), m.getField("v")),
+              s.getField("n2"), m.getField("n2"))
+            struct(negate(c).as("ncos"), m.getField("vec_id").as("nn_id"))
+          })), 1, k).as("t")))).as("e"))
+      .select(col("e.src").as("src"), col("e.t").as("t"))
     perCell
       .groupBy(col("src"))
       .agg(slice(array_distinct(array_sort(flatten(collect_list(col("t"))))),
         1, k).as("top"))
       .select(col("src").as("vec_id"), posexplode(col("top")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.nn_id").as("nn_id"), col("col.cos").as("cos"))
+        col("col.nn_id").as("nn_id"), negate(col("col.ncos")).as("cos"))
   }
 
   /** Hard-negative mining for contrastive training — for every anchor
@@ -1607,22 +1613,28 @@ object Similarity {
     * trained-index sibling ([[Imi.hardNegativesTrained]]). */
   private[operators] def hardNegTopKFromCells(
       spark: SparkSession, cellsV: DataFrame, k: Int): DataFrame = {
-    val pa = cellsV.select(col("cell"), col("vec_id").as("src"),
-      col("label").as("la"), col("v").as("vs"), col("n2").as("ns"))
-    val pb = cellsV.select(col("cell"), col("vec_id").as("dst"),
-      col("label").as("lb"), col("v").as("vd"), col("n2").as("nd"))
-    val scoredPairs = pa.join(pb, Seq("cell"))
-      .filter(col("la") =!= col("lb"))
-      .select(col("cell"), col("src"), col("la"), col("dst"), col("lb"),
-        cosine(idot(spark, col("vs"), col("vd")),
-          col("ns"), col("nd")).as("cos"))
-    val perCell = scoredPairs
-      .groupBy(col("cell"), col("src"), col("la"))
-      .agg(slice(array_sort(collect_list(struct(
-        negate(col("cos")).as("ncos"),
-        col("dst").as("neg_id"),
-        col("lb").as("neg_label"),
-        col("cos").as("cos")))), 1, k).as("t"))
+    // same ROW-LOCAL per-cell device as [[knnTopKFromCells]] (one
+    // member-grouping exchange, occupancy-law-bounded rows); the label
+    // mismatch is the in-row candidate filter
+    val ms = cellsV
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id"), col("label"), col("v"),
+        col("n2"))).as("ms"))
+    val perCell = ms.select(explode(transform(col("ms"),
+      s => struct(s.getField("vec_id").as("src"),
+        s.getField("label").as("la"),
+        slice(array_sort(transform(
+          filter(col("ms"),
+            m => m.getField("label") =!= s.getField("label")),
+          m => {
+            val c = cosine(idot(spark, s.getField("v"), m.getField("v")),
+              s.getField("n2"), m.getField("n2"))
+            struct(negate(c).as("ncos"),
+              m.getField("vec_id").as("neg_id"),
+              m.getField("label").as("neg_label"))
+          })), 1, k).as("t")))).as("e"))
+      .select(col("e.src").as("src"), col("e.la").as("la"),
+        col("e.t").as("t"))
     perCell
       .groupBy(col("src"), col("la"))
       .agg(slice(array_distinct(array_sort(flatten(collect_list(col("t"))))),
@@ -1632,7 +1644,7 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         (col("pos") + 1).cast("long").as("rank"),
         col("col.neg_id").as("neg_id"), col("col.neg_label").as("neg_label"),
-        col("col.cos").as("cos"))
+        negate(col("col.ncos")).as("cos"))
   }
 
   /** Candidate edge set of [[knnGraph]] (pre-scoring): distinct ordered
@@ -1873,13 +1885,14 @@ object Similarity {
     val cos = (m: Column) =>
       cosine(idot(spark, col("qv"), m.getField("v")),
         col("qn"), m.getField("n2"))
+    // one dot per candidate: the sort key carries -cos, the output
+    // column recovers cos by exact IEEE negation
     val top = slice(array_distinct(array_sort(transform(cand, m =>
       struct(negate(cos(m)).as("ncos"),
-        m.getField("vec_id").as("nn_id"),
-        cos(m).as("cos"))))), 1, k)
+        m.getField("vec_id").as("nn_id"))))), 1, k)
     q.select(col("vec_id"), posexplode(top))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.nn_id").as("nn_id"), col("col.cos").as("cos"))
+        col("col.nn_id").as("nn_id"), negate(col("col.ncos")).as("cos"))
   }
 
   /** Top-1 cell assignment with the centroid similarity kept:

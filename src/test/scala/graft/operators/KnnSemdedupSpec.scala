@@ -141,11 +141,12 @@ class KnnSemdedupSpec extends SparkSpec {
     assert(k > 0 && k < clean.count())
   }
 
-  test("knn plan gate: per-cell top-k adds no exchange over the pair join") {
-    // shuffle budget: canopy aggregate (×2 sides) + the pair join's two
-    // sort-merge sides + ONE final per-src merge = 5. A 6th shuffle
-    // means the hierarchical aggregate lost its cell co-partitioning
-    // and the scored-pair volume is crossing the wire again.
+  test("knn plan gate: the tail stays within the shuffle budget") {
+    // shuffle budget: canopy assignment aggregate + ONE member-grouping
+    // exchange (the row-local per-cell scoring — vectors cross the wire
+    // once per probed cell) + ONE final per-src merge of skinny structs,
+    // ≤ 5 with AQE partials. A 6th shuffle means the tail regressed to
+    // a pair join that copies both vectors per co-cell candidate.
     // after execution AQE's toString prints the final plan AND repeats
     // the initial plan — count only the first (current) section
     val plan = knn.queryExecution.executedPlan.toString
