@@ -93,6 +93,85 @@ class BpeSpec extends SparkSpec {
       key(Bpe.train(docs, Bpe.NumMerges)))
   }
 
+  // full-batch (approximate) law: the same one-hop domination rule in
+  // plain Scala — deliberately NOT the engine's fold or the oracle's
+  // anti-join form
+  private def refTrainParallel(freqs: Map[String, Long], rounds: Int,
+      k: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = freqs.keys
+      .map(w => w -> (w.map(_.toString).toVector :+ Bpe.Marker)).toMap
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var done = 0
+    var r = 0
+    var stop = false
+    while (r < rounds && !stop) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, syms) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + freqs(w)
+      if (counts.isEmpty) stop = true
+      else {
+        val ranked = counts.toSeq
+          .sortBy { case ((x, y), c) => (-c, x, y) }.take(k)
+          .map { case ((x, y), c) => (x, y, c) }
+        val accepted = ranked.zipWithIndex.collect {
+          case ((a, b, c), i) if !ranked.take(i).exists { case (x, y, _) =>
+            x == a || x == b || y == a || y == b } => (a, b, c)
+        }
+        // structural invariant the simultaneity argument rests on:
+        // accepted pairs are pairwise symbol-disjoint
+        val used = accepted.flatMap { case (a, b, _) => Seq(a, b) }
+        assert(used.distinct.size ==
+          accepted.map { case (a, b, _) => Set(a, b).size }.sum,
+          s"round ${r + 1} accepted pairs share a symbol: $accepted")
+        accepted.zipWithIndex.foreach { case ((a, b, c), j) =>
+          out += ((done + j + 1, a, b, c)) }
+        for ((a, b, _) <- accepted)
+          vocab = vocab.map { case (w, s) => w -> mergeScan(s, a, b) }
+        done += accepted.size
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  private def mergeKey(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("merge_rank").collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSeq
+
+  test("full-batch induction matches the plain-Scala domination law " +
+    "at several geometries") {
+    for ((rounds, k) <- Seq((3, 4), (4, 8), (6, 3)))
+      assert(mergeKey(Bpe.trainFullBatch(fixtureDocs, rounds, k)) ===
+        refTrainParallel(fixtureFreqs, rounds, k), s"rounds=$rounds k=$k")
+  }
+
+  test("full-batch at k=1 degenerates to exact sequential greedy") {
+    assert(mergeKey(Bpe.trainFullBatch(fixtureDocs, 12, 1)) ===
+      refTrain(fixtureFreqs, 12))
+  }
+
+  test("full-batch approximation stays close to greedy on the fixture " +
+    "(merge-set overlap measured, not assumed)") {
+    val par = refTrainParallel(fixtureFreqs, 6, 8)
+    val seq = refTrain(fixtureFreqs, par.length)
+    val overlap = par.map(m => (m._2, m._3)).toSet
+      .intersect(seq.map(m => (m._2, m._3)).toSet).size
+    info(s"merge-set overlap vs greedy at depth ${par.length}: " +
+      s"$overlap/${par.length}")
+    assert(overlap > 0)
+  }
+
+  test("registered full-batch op emits consecutively ranked rows at sf0.001") {
+    val rows = Bpe.bpeMergesParallel.build(spark, sf001)
+      .orderBy("merge_rank").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Int]("merge_rank")).toSeq ===
+      (1 to rows.length))
+    assert(rows.map(_.getAs[Long]("pair_count")).forall(_ > 0))
+  }
+
   test("greedy run semantics: (a,a) merges aaa -> [aa,a,_], aaaa -> [aa,aa,_]") {
     val got = Seq("aaa", "aaaa").toDF("w")
       .withColumn("syms", Bpe.initSyms(col("w")))
