@@ -311,6 +311,84 @@ object TextOps {
         (col("n_rare") * 20 > col("n_bigrams")).as("novelty_flag"))
   }
 
+  /** A bigram qualifies as a collocation candidate at this corpus
+    * count — the published practice (Manning & Schütze ch. 5: raw-count
+    * floors kill the hapax noise that dominates PMI's top ranks). */
+  val CollocMinCount = 5
+
+  /** Collocations reported. */
+  val CollocTopK = 50
+
+  /** Collocation extraction — the corpus-analysis pass behind
+    * tokenizer/vocab decisions (which adjacent-word pairs behave as
+    * units): rank bigrams by association LIFT
+    * `N·c(w1,w2) / (c(w1)·c(w2))` — the exponential of PMI, so the
+    * ranking is PMI's ranking without a cross-engine `log` (no bit
+    * guarantee for transcendentals; products and one division of
+    * exactly-represented counts are IEEE-identical in both engines,
+    * the cosine device). Count floor [[CollocMinCount]] applies first.
+    *
+    * Scale shape: token/bigram counts are the same map-combinable
+    * aggregates as [[bigramLm]] (the only corpus-scaled shuffle
+    * carries pre-aggregated counts); the floored bigram head joins the
+    * vocab-sized unigram table (AQE broadcasts when it fits); the
+    * global top-[[CollocTopK]] is a `TakeOrderedAndProject`, and the
+    * rank window runs on those [[CollocTopK]] rows only — bounded
+    * metadata, never the corpus. */
+  val collocations: Op = Op(
+    "q_collocations",
+    s"""WITH t AS (
+      |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+      |), u AS (
+      |  SELECT x AS w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |    SELECT unnest(w) AS x FROM t) GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS tot FROM u
+      |), b AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM (
+      |    SELECT w[i] AS w1, w[i+1] AS w2
+      |    FROM t, unnest(range(1, len(w))) AS x(i))
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= $CollocMinCount
+      |), j AS (
+      |  SELECT b.w1, b.w2, b.n12, u1.n AS n1, u2.n AS n2,
+      |    (CAST(tot.tot AS DOUBLE) * CAST(b.n12 AS DOUBLE))
+      |      / (CAST(u1.n AS DOUBLE) * CAST(u2.n AS DOUBLE)) AS lift
+      |  FROM b JOIN u u1 ON u1.w = b.w1 JOIN u u2 ON u2.w = b.w2, tot
+      |)
+      |SELECT w1, w2, n12, n1, n2, lift, rk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS rk
+      |  FROM j) WHERE rk <= $CollocTopK""".stripMargin) { (spark, dir) =>
+    collocationsOf(Tables.documents(spark, dir))
+  }
+
+  /** [[collocations]] kernel over any (doc_id, text) frame. */
+  def collocationsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(explode(regexp_extract_all(lower(col("text")),
+      lit("[a-z]+"), lit(0))).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum(col("n")).as("tot"))
+    val big = docBigrams(docs)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= CollocMinCount)
+    val ranked = big
+      .join(uni.select(col("w").as("w1"), col("n").as("n1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n").as("n2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (col("tot").cast("double") * col("n12").cast("double")) /
+          (col("n1").cast("double") * col("n2").cast("double")))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(CollocTopK)
+    // rank window over the CollocTopK-row TakeOrderedAndProject output
+    // only — bounded metadata
+    ranked
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("lift").desc, col("w1"), col("w2"))))
+      .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+        col("lift"), col("rk"))
+  }
+
   /** Feature-hash dimensionality of [[hashEmbed]]. */
   val HashDim = 32
 

@@ -124,6 +124,31 @@ object SoakCandidates {
             Similarity.quantized(spark, dir).withColumn("label", lit(0)),
             k1, graft.operators.Imi.NProbeHalf).count()
         }),
+        // incremental ANN probe (round-8 third session): the standing
+        // slice trains the law-sized IMI codebook; the delta slice is
+        // ASSIGNED against it (delta·2k1 broadcast scores, map-only —
+        // the index never retrains) and probed against the standing
+        // cells. The measured volume is the delta→standing candidate
+        // pairs; linearity here is the index-MAINTENANCE claim: a
+        // delta batch pays occupancy-bounded probe work, never a
+        // corpus rescan.
+        "imidelta" -> (() => {
+          val k1 = math.max(4, math.ceil(math.sqrt(vecs / 10.0)).toInt)
+          val imi = graft.operators.Imi
+          val e = Similarity.quantized(spark, dir)
+            .withColumn("label", lit(0))
+          val standing = e.filter(col("vec_id") % imi.DeltaMod =!= 0)
+          val delta = e.filter(col("vec_id") % imi.DeltaMod === 0)
+          val cb = imi.codebook(spark, imi.halves(spark, standing), k1,
+            imi.LloydSteps).localCheckpoint()
+          val sc = imi.cellsWithCodebook(spark, standing, cb,
+            imi.NProbeHalf).select(col("cell"), col("vec_id"))
+          val dc = imi.cellsWithCodebook(spark, delta, cb,
+            imi.NProbeHalf).select(col("cell"), col("vec_id").as("src"))
+          println(s"[soak] $dir imidelta: k1=$k1 " +
+            s"deltaAssignRows=${delta.count() * 2 * k1}")
+          dc.join(sc, Seq("cell")).count()
+        }),
         // BM25 match-log rows (query terms x matched postings) — the
         // volume the one real shuffle carries; population = docs.
         // NOTE: near-degenerate on the synthetic 10x corpus (its 31-word
@@ -165,6 +190,7 @@ object SoakCandidates {
         "knn" -> (() => Similarity.knnGraph.build(spark, dir).count()),
         "semdedup" -> (() => Similarity.semdedup.build(spark, dir).count()),
         "imi" -> (() => -1L), // candidate-stage measurement (law sizing)
+        "imidelta" -> (() => -1L), // candidate-stage measurement
         "epoch" -> (() => -1L), // work-volume measurement
         "pack" -> (() => -1L),
         "shard" -> (() => -1L),

@@ -82,6 +82,41 @@ class ProfilingSpec extends SparkSpec {
     assert(got === Set(("a", "x"), ("b", "x"), ("x", "b")))
   }
 
+  // ---- collocationsOf ------------------------------------------------
+  test("collocations: lift = N*n12/(n1*n2), count floor applies, " +
+    "ranks descend by lift with deterministic ties") {
+    // "qq zz" always adjacent (perfect collocation), "aa" frequent and
+    // promiscuous (low lift), "rare pair" below the count floor
+    val docs = Seq(
+      (1L, "qq zz aa bb qq zz aa cc qq zz aa dd rare pair"),
+      (2L, "qq zz aa ee qq zz aa ff qq zz rare pair"),
+      (3L, "aa qq zz aa gg qq zz aa hh qq zz")).toDF("doc_id", "text")
+    val got = TextOps.collocationsOf(docs).collect()
+    val rks = got.map(_.getAs[Int]("rk")).toSeq
+    assert(rks === (1 to got.length), "ranks must be consecutive from 1")
+    // floor: every reported pair has n12 >= CollocMinCount; the 2x
+    // "rare pair" bigram must be absent
+    assert(got.forall(_.getAs[Long]("n12") >= TextOps.CollocMinCount))
+    assert(!got.exists(r => r.getAs[String]("w1") == "rare"))
+    // formula recomputed driver-side from the fixture's token stream
+    val toks = docs.collect().flatMap(
+      _.getString(1).toLowerCase.split("[^a-z]+").filter(_.nonEmpty))
+    val n = toks.length.toDouble
+    def cnt(w: String) = toks.count(_ == w).toDouble
+    got.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      val want = n * r.getAs[Long]("n12") / (cnt(w1) * cnt(w2))
+      assert(math.abs(r.getAs[Double]("lift") - want) < 1e-9,
+        s"lift($w1,$w2)")
+    }
+    // lift order is non-increasing; (qq,zz) is the perfect collocation
+    val lifts = got.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+    val top = got.find(_.getAs[Int]("rk") == 1).get
+    assert((top.getAs[String]("w1"), top.getAs[String]("w2")) ===
+      (("qq", "zz")))
+  }
+
   // ---- bigramNoveltyOf ----------------------------------------------
   test("bigramNovelty: rare transitions flag, frequent ones don't, no-bigram doc is false") {
     val docs = Seq(
