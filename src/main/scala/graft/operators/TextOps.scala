@@ -134,30 +134,120 @@ object TextOps {
     * split subtree re-evaluates a constant handful of times per row. */
   val ChunkWords = 32
 
-  val docChunks: Op = Op(
-    "q_doc_chunks",
-    s"""WITH d AS (
+  /** The doc → chunk-rows oracle CTEs (`d`, `chunks`) shared by
+    * [[docChunks]] and [[chunkDedup]] — one SQL source for the
+    * chunking law so a chunk-construction fix cannot diverge. */
+  private[operators] def chunkCtes: String =
+    s"""d AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
        |  FROM documents
-       |)
-       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
-       |       len(list_slice(w, i*$ChunkWords+1, i*$ChunkWords+$ChunkWords)) AS n_words,
-       |       list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |         list_transform(string_split(
-       |           array_to_string(list_slice(w, i*$ChunkWords+1, i*$ChunkWords+$ChunkWords), ' '), ''),
-       |           c -> CAST(ascii(c) AS BIGINT))),
-       |         (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_fp
-       |FROM d, unnest(range(CAST(ceil(len(w)/$ChunkWords.0) AS BIGINT))) AS t(i)""".stripMargin) { (spark, dir) =>
+       |), chunks AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |         len(list_slice(w, i*$ChunkWords+1, i*$ChunkWords+$ChunkWords)) AS n_words,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(
+       |             array_to_string(list_slice(w, i*$ChunkWords+1, i*$ChunkWords+$ChunkWords), ' '), ''),
+       |             c -> CAST(ascii(c) AS BIGINT))),
+       |           (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_fp
+       |  FROM d, unnest(range(CAST(ceil(len(w)/$ChunkWords.0) AS BIGINT))) AS t(i)
+       |)""".stripMargin
+
+  val docChunks: Op = Op(
+    "q_doc_chunks",
+    s"""WITH $chunkCtes
+       |SELECT doc_id, chunk_idx, n_words, chunk_fp FROM chunks""".stripMargin) {
+    (spark, dir) => chunksOf(Tables.documents(spark, dir))
+  }
+
+  /** [[docChunks]] kernel over any (doc_id, text) frame: map-only
+    * chunking, (doc_id, chunk_idx, n_words, chunk_fp) rows. */
+  def chunksOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val words = split(lower(trim(col("text"))), "\\s+")
     val nChunks = ceil(size(words).cast("double") / ChunkWords).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1), i =>
       struct(i.cast("long").as("chunk_idx"),
         slice(words, i * ChunkWords + 1, lit(ChunkWords)).as("arr")))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), explode(chunks).as("c"))
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
         size(col("c.arr")).cast("long").as("n_words"),
         fingerprint(concat_ws(" ", col("c.arr"))).as("chunk_fp"))
+  }
+
+  /** Pack (doc_id, chunk_idx) into one orderable int64 — chunk_idx <
+    * 10⁶ by construction ([[ChunkWords]]-word chunks ⇒ a 32M-word
+    * per-doc bound, documented), the pack-the-ordering device shared
+    * with the as-of oracles. */
+  private val ChunkPack = 1000000L
+
+  /** Chunk-level (paragraph) dedup — the CCNet recipe at chunk
+    * granularity: a chunk SURVIVES iff it is the corpus-wide FIRST
+    * occurrence of its content fingerprint, first = smallest
+    * (doc_id, chunk_idx). Per document: chunks in, chunks kept, and
+    * the rolling hash over the surviving chunk fingerprints in
+    * chunk order — the reassembled-document witness, so the contract
+    * is byte-exact, not count-only.
+    *
+    * Distinct from `q_dedup_exact` (whole-document granularity) and
+    * `q_span_dedup` (substring granularity): this is the granularity
+    * that strips boilerplate paragraphs shared between otherwise
+    * distinct documents while leaving the rest of each document
+    * intact.
+    *
+    * Scale shape: chunking is map-only ([[chunksOf]]); the
+    * first-keeper table is ONE map-combinable MIN aggregate on
+    * chunk_fp; membership is an equi-join on fp (AQE broadcasts the
+    * keeper table when it fits); the per-doc rollup folds the doc's
+    * own ≤ n_chunks fingerprints. All integer, no windows, nothing
+    * pairwise — a duplicate group of any size costs one aggregate
+    * row, the group-style contract. */
+  val chunkDedup: Op = Op(
+    "q_chunk_dedup",
+    s"""WITH $chunkCtes,
+       |k AS (
+       |  SELECT chunk_fp,
+       |         MIN(doc_id * $ChunkPack + chunk_idx) AS first_key
+       |  FROM chunks GROUP BY chunk_fp
+       |), m AS (
+       |  SELECT c.doc_id, c.chunk_idx, c.chunk_fp,
+       |         c.doc_id * $ChunkPack + c.chunk_idx = k.first_key AS kept
+       |  FROM chunks c JOIN k USING (chunk_fp)
+       |)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    COALESCE(list(chunk_fp ORDER BY chunk_idx) FILTER (WHERE kept),
+       |      CAST([] AS BIGINT[]))),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS kept_fp
+       |FROM m GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    chunkDedupOf(chunksOf(Tables.documents(spark, dir)))
+  }
+
+  /** [[chunkDedup]] kernel over any (doc_id, chunk_idx, chunk_fp)
+    * chunk frame. */
+  def chunkDedupOf(chunks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val key = col("doc_id") * ChunkPack + col("chunk_idx")
+    val keepers = chunks.groupBy(col("chunk_fp"))
+      .agg(min(col("doc_id") * ChunkPack + col("chunk_idx"))
+        .as("first_key"))
+    chunks.join(keepers, Seq("chunk_fp"))
+      .withColumn("kept", key === col("first_key"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        aggregate(
+          transform(array_sort(collect_list(
+            when(col("kept"),
+              struct(col("chunk_idx"), col("chunk_fp"))))),
+            e => e.getField("chunk_fp")),
+          lit(0L),
+          (acc, x) => (acc * 31 + x) % 1000000007L).as("kept_fp"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        col("kept_fp"))
   }
 
   /** Deterministic rolling-hash fingerprint per document (integer-only

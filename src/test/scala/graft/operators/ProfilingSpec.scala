@@ -117,6 +117,39 @@ class ProfilingSpec extends SparkSpec {
       (("qq", "zz")))
   }
 
+  // ---- chunkDedupOf ---------------------------------------------------
+  test("chunkDedup: global first-keeper by (doc_id, chunk_idx), " +
+    "full-duplicate doc keeps zero, kept_fp folds surviving fps in order") {
+    // chunks are ChunkWords-word slices; craft docs whose texts repeat
+    // a 32-word block so chunk fingerprints collide across docs
+    val block = (1 to TextOps.ChunkWords).map(i => s"w$i").mkString(" ")
+    val other = (1 to TextOps.ChunkWords).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block $other"), // first occurrence of both chunks
+      (2L, s"$block $block"), // both chunks are dups of doc 1's first
+      (3L, s"$other tail words here")
+    ).toDF("doc_id", "text")
+    val chunks = TextOps.chunksOf(docs)
+    val got = TextOps.chunkDedupOf(chunks).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("kept_fp"))).toMap
+    assert(got(1L)._1 === 2 && got(1L)._2 === 2, "doc 1 keeps both")
+    assert(got(2L)._1 === 2 && got(2L)._2 === 0,
+      "doc 2 is all duplicate chunks")
+    assert(got(3L)._1 === 2 && got(3L)._2 === 1,
+      "doc 3's first chunk duplicates doc 1's second")
+    // kept_fp recomputed driver-side: fold 31-hash over surviving fps
+    val fps = chunks.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        r.getAs[Long]("chunk_fp")).toMap
+    def fold(xs: Seq[Long]) =
+      xs.foldLeft(0L)((a, x) => (a * 31 + x) % 1000000007L)
+    assert(got(1L)._3 === fold(Seq(fps((1L, 0L)), fps((1L, 1L)))))
+    assert(got(2L)._3 === fold(Nil), "empty fold seeds at 0")
+    assert(got(3L)._3 === fold(Seq(fps((3L, 1L)))))
+  }
+
   // ---- bigramNoveltyOf ----------------------------------------------
   test("bigramNovelty: rare transitions flag, frequent ones don't, no-bigram doc is false") {
     val docs = Seq(
