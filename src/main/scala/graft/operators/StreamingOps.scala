@@ -118,6 +118,32 @@ object StreamingOps {
         max(col("jaccard")).as("best_j"))
   }
 
+  /** Streaming chunk-level dedup ≡ the incremental batch twin — the
+    * SAME oracle as [[TextOps.chunkDedupIncr]], completing the
+    * batch/incremental/streaming triple on ONE kernel
+    * ([[TextOps.chunkDedupIncrOf]]). The stream emits the stateless
+    * per-chunk probe log against the persisted standing keeper store
+    * ([[EventStream.runChunkDedupToMemory]]); the op re-derives the
+    * standing keepers it needs from the log itself (standing_first is
+    * a function of chunk_fp, so MIN per fp recovers it exactly) and
+    * folds through the shared incremental kernel in batch. */
+  val streamChunkDedup: Op = Op(
+    "q_stream_chunk_dedup",
+    TextOps.chunkDedupIncr.oracle.get) { (spark, dir) =>
+    // the memory sink's MemoryPlan is not a MultiInstanceRelation, so
+    // the kernel's log ⋈ agg(log) self-join can't deduplicate its
+    // attribute ids — checkpoint the delta-sized log into a LogicalRDD
+    // first (eager, one pass; in production the log is a parquet sink
+    // and this is just a scan)
+    val log = spark.table(EventStream.runChunkDedupToMemory(
+      spark, dir, "q_stream_chunk_dedup_mem")).localCheckpoint()
+    TextOps.chunkDedupIncrOf(
+      log.select(col("doc_id"), col("chunk_idx"), col("chunk_fp")),
+      log.filter(col("standing_first").isNotNull)
+        .groupBy(col("chunk_fp"))
+        .agg(min(col("standing_first")).as("first_key")))
+  }
+
   /** Streaming benchmark decontamination ≡ the batch gate — the SAME
     * oracle as [[Curation.decontaminate]]. The stream emits the
     * (doc_id, g8, bench_doc_id) match log statelessly

@@ -225,14 +225,24 @@ object TextOps {
     chunkDedupOf(chunksOf(Tables.documents(spark, dir)))
   }
 
-  /** [[chunkDedup]] kernel over any (doc_id, chunk_idx, chunk_fp)
-    * chunk frame. */
-  def chunkDedupOf(chunks: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val key = col("doc_id") * ChunkPack + col("chunk_idx")
-    val keepers = chunks.groupBy(col("chunk_fp"))
+  /** [[chunkDedup]]'s first-keeper table over any chunk frame:
+    * (chunk_fp, first_key) — ONE map-combinable MIN aggregate. The
+    * MIN monoid is what makes the incremental sibling exact: corpus
+    * keeper = min(standing keeper, delta keeper). */
+  def chunkKeepersOf(chunks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    chunks.groupBy(col("chunk_fp"))
       .agg(min(col("doc_id") * ChunkPack + col("chunk_idx"))
         .as("first_key"))
+
+  /** [[chunkDedup]]'s per-doc rollup of `chunks` against a supplied
+    * first-keeper table — shared by the batch op (keepers from the
+    * same chunks) and the incremental sibling (keepers = persisted
+    * standing table folded with the delta's own). */
+  def chunkDedupRollup(chunks: org.apache.spark.sql.DataFrame,
+      keepers: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val key = col("doc_id") * ChunkPack + col("chunk_idx")
     chunks.join(keepers, Seq("chunk_fp"))
       .withColumn("kept", key === col("first_key"))
       .groupBy(col("doc_id"))
@@ -248,6 +258,88 @@ object TextOps {
           (acc, x) => (acc * 31 + x) % 1000000007L).as("kept_fp"))
       .select(col("doc_id"), col("n_chunks"), col("n_kept"),
         col("kept_fp"))
+  }
+
+  /** [[chunkDedup]] kernel over any (doc_id, chunk_idx, chunk_fp)
+    * chunk frame. */
+  def chunkDedupOf(chunks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    chunkDedupRollup(chunks, chunkKeepersOf(chunks))
+
+  private val chunkKeepersCache = SessionCache.mkFrames()
+
+  private[graft] def clearChunkKeepersCache(): Unit =
+    chunkKeepersCache.clear()
+
+  /** The STANDING corpus' first-keeper table — session-cached AND at
+    * rest (`chunk_keepers` store): (chunk_fp, first_key) over the
+    * standing slice, the artifact a delta batch probes. */
+  private[graft] def standingChunkKeepers(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    chunkKeepersCache.getOrBuild(spark, dir, "documents.parquet") {
+      val store = graft.operators.PersistedStore.ensure(spark, dir,
+        "documents.parquet", "chunk_keepers", "v1") { root =>
+        chunkKeepersOf(chunksOf(Tables.documents(spark, dir)
+          .filter(col("doc_id") % Dedup.IncrementalDeltaMod =!= 0)))
+          .write.mode("overwrite").parquet(s"$root/keepers")
+      }
+      spark.read.parquet(s"$store/keepers")
+    }
+
+  /** [[chunkDedupIncr]]'s kernel over any delta chunk frame + standing
+    * first-keeper table: the delta's own keeper MIN folds against the
+    * standing artifact via `least` (missing standing fp = +∞), and the
+    * rollup runs on the folded corpus keepers — MIN is a monoid, so
+    * corpus keeper = min(standing, delta) EXACTLY, never a corpus
+    * rescan. */
+  def chunkDedupIncrOf(deltaChunks: org.apache.spark.sql.DataFrame,
+      standingKeepers: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val corpusK = chunkKeepersOf(deltaChunks)
+      .select(col("chunk_fp"), col("first_key").as("delta_first"))
+      .join(standingKeepers
+        .select(col("chunk_fp"), col("first_key").as("standing_first")),
+        Seq("chunk_fp"), "left")
+      .select(col("chunk_fp"),
+        least(col("delta_first"),
+          coalesce(col("standing_first"), lit(Long.MaxValue)))
+          .as("first_key"))
+    chunkDedupRollup(deltaChunks, corpusK)
+  }
+
+  /** INCREMENTAL chunk dedup — the `q_dedup_incremental` shape at
+    * chunk granularity: the standing corpus' first-keeper table is
+    * yesterday's PERSISTED artifact ([[standingChunkKeepers]]); an
+    * arriving delta chunks map-only and folds through
+    * [[chunkDedupIncrOf]]. The oracle is the BATCH law restricted to
+    * delta documents — the green row proves incremental ≡ batch, the
+    * standing-labels device. */
+  val chunkDedupIncr: Op = Op(
+    "q_chunk_dedup_incr",
+    s"""WITH $chunkCtes,
+       |k AS (
+       |  SELECT chunk_fp,
+       |         MIN(doc_id * $ChunkPack + chunk_idx) AS first_key
+       |  FROM chunks GROUP BY chunk_fp
+       |), m AS (
+       |  SELECT c.doc_id, c.chunk_idx, c.chunk_fp,
+       |         c.doc_id * $ChunkPack + c.chunk_idx = k.first_key AS kept
+       |  FROM chunks c JOIN k USING (chunk_fp)
+       |)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    COALESCE(list(chunk_fp ORDER BY chunk_idx) FILTER (WHERE kept),
+       |      CAST([] AS BIGINT[]))),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS kept_fp
+       |FROM m WHERE doc_id % ${Dedup.IncrementalDeltaMod} = 0
+       |GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    chunkDedupIncrOf(
+      chunksOf(Tables.documents(spark, dir)
+        .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0)),
+      standingChunkKeepers(spark, dir))
   }
 
   /** Deterministic rolling-hash fingerprint per document (integer-only

@@ -691,6 +691,55 @@ object EventStream {
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** Chunk-level dedup AT INGEST — the stream leg of the
+    * batch/incremental/streaming triple on
+    * [[graft.operators.TextOps.chunkDedupIncr]]'s kernel: arriving
+    * delta documents chunk MAP-ONLY in the stream
+    * ([[graft.operators.TextOps.chunksOf]] is explode+transform, no
+    * aggregation), probe the standing corpus' PERSISTED first-keeper
+    * table (`chunk_keepers` store) by ONE stream-static broadcast left
+    * join, and emit the per-chunk probe log
+    * (doc_id, chunk_idx, chunk_fp, standing_first — null when the
+    * fingerprint is corpus-new). Per-batch cost is the batch's own
+    * chunks × broadcast probe; nothing accumulates across batches. The
+    * registered op folds the delta-side keeper MIN and the per-doc
+    * rollup in batch (delta-sized) — the standard streaming-ETL split.
+    * At 100 TB the keeper table outgrows a broadcast and the probe
+    * becomes a co-located join on a chunk_fp-bucketed store layout
+    * (`sources/Bucketing.scala`); the stream side stays map-only. */
+  def runChunkDedupToMemory(
+      spark: SparkSession, dir: String, queryName: String): String =
+    runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
+      val mod = graft.operators.Dedup.IncrementalDeltaMod
+      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val delta = spark.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % mod === 0)
+      chunkProbeLog(spark, dir, delta)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
+  /** The whole stream-side transform of [[runChunkDedupToMemory]]:
+    * delta docs (doc_id, text, …) → per-chunk probe rows against
+    * `dir`'s standing keeper store. Takes ANY frame — streaming or
+    * batch — because it is stateless by construction (map-only
+    * chunking + one stream-static broadcast join: each output row
+    * depends on its input row alone, so any micro-batch split yields
+    * the same log). */
+  def chunkProbeLog(
+      spark: SparkSession, dir: String, delta: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    val standing = broadcast(TextOps.standingChunkKeepers(spark, dir)
+      .select(col("chunk_fp"), col("first_key").as("standing_first")))
+    TextOps.chunksOf(delta.select(col("doc_id"), col("text")))
+      .join(standing, Seq("chunk_fp"), "left")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_fp"),
+        col("standing_first"))
+  }
+
   // ------- continuous cluster maintenance (q_stream_incr_cc) -------
 
   /** Fold state of the continuous clustering stream: the GROWING

@@ -149,6 +149,29 @@ object SoakCandidates {
             s"deltaAssignRows=${delta.count() * 2 * k1}")
           dc.join(sc, Seq("cell")).count()
         }),
+        // chunk-level dedup (round 8): a GROUP-style family — no
+        // pairwise stage exists, so the measured volume is the chunk
+        // rows the keeper MIN aggregate scans (map-only generate ⇒
+        // population-linear by construction; the soak EXECUTES the
+        // full kernel at each decade to prove it completes, and prints
+        // the chunk volume next to the per-doc output count).
+        "chunk" -> (() => {
+          val chunks = TextOps.chunksOf(graft.Tables.documents(spark, dir))
+          println(s"[soak] $dir chunk: chunkRows=${chunks.count()}")
+          TextOps.chunkDedupOf(chunks).count()
+        }),
+        // incremental sibling: the delta's probe volume against the
+        // standing keeper table — delta chunk rows, never the corpus.
+        "chunkincr" -> (() => {
+          val docs = graft.Tables.documents(spark, dir)
+          val mod = Dedup.IncrementalDeltaMod
+          val deltaChunks = TextOps.chunksOf(
+            docs.filter(col("doc_id") % mod === 0))
+          println(s"[soak] $dir chunkincr: deltaChunkRows=${deltaChunks.count()}")
+          TextOps.chunkDedupIncrOf(deltaChunks,
+            TextOps.chunkKeepersOf(TextOps.chunksOf(
+              docs.filter(col("doc_id") % mod =!= 0)))).count()
+        }),
         // BM25 match-log rows (query terms x matched postings) — the
         // volume the one real shuffle carries; population = docs.
         // NOTE: near-degenerate on the synthetic 10x corpus (its 31-word
@@ -194,6 +217,8 @@ object SoakCandidates {
         "epoch" -> (() => -1L), // work-volume measurement
         "pack" -> (() => -1L),
         "shard" -> (() => -1L),
+        "chunk" -> (() => -1L), // work-volume measurement
+        "chunkincr" -> (() => -1L),
         "bm25" -> (() => TextOps.bm25.build(spark, dir).count()),
         "bm25pruned" -> (() => TextOps.bm25Pruned.build(spark, dir).count()),
         "bpe" -> (() => -1L)) // candidate-stage-only measurement

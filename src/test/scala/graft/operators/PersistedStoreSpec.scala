@@ -115,6 +115,12 @@ class PersistedStoreSpec extends SparkSpec {
       Bpe.standingVocab(spark, sf001))
   }
 
+  test("standing chunk-keeper table persists and rebuilds identically") {
+    checkStore("chunk_keepers", "keepers",
+      () => TextOps.clearChunkKeepersCache())(
+      TextOps.standingChunkKeepers(spark, sf001))
+  }
+
   test("rebuild commits a NEW version dir and keeps the predecessor " +
     "(readers never see in-place mutation); older versions are GC'd") {
     PersistedStore.drop(spark, sf001, "ver_probe")

@@ -150,6 +150,39 @@ class ProfilingSpec extends SparkSpec {
     assert(got(3L)._3 === fold(Seq(fps((3L, 1L)))))
   }
 
+  // ---- chunkDedupIncrOf -----------------------------------------------
+  test("chunkDedupIncr: delta fold against the standing keeper table " +
+    "equals the batch law restricted to delta docs, both boundary " +
+    "directions") {
+    val blk = (c: Char) =>
+      (1 to TextOps.ChunkWords).map(i => s"$c$i").mkString(" ")
+    val (a, b, c) = (blk('a'), blk('b'), blk('c'))
+    // standing = doc_id % 10 != 0, delta = % 10 == 0.
+    //   doc 1  (standing): A B    — corpus-first keeper of A and B
+    //   doc 10 (delta):    A C    — A dups standing doc 1; C is corpus-
+    //                              first IN THE DELTA (doc 11 > doc 10)
+    //   doc 11 (standing): C      — later-key standing copy of C: the
+    //                              delta must WIN this keeper
+    //   doc 20 (delta):    C C    — all chunks dup doc 10's C
+    val docs = Seq(
+      (1L, s"$a $b"), (10L, s"$a $c"), (11L, c), (20L, s"$c $c")
+    ).toDF("doc_id", "text")
+    val delta = TextOps.chunksOf(docs.filter($"doc_id" % 10 === 0))
+    val standingK = TextOps.chunkKeepersOf(
+      TextOps.chunksOf(docs.filter($"doc_id" % 10 =!= 0)))
+    val incr = TextOps.chunkDedupIncrOf(delta, standingK)
+      .collect().map(_.toString).sorted
+    val batch = TextOps.chunkDedupOf(TextOps.chunksOf(docs))
+      .filter($"doc_id" % 10 === 0).collect().map(_.toString).sorted
+    assert(incr === batch, "incremental fold must equal the batch law")
+    val byDoc = TextOps.chunkDedupIncrOf(delta, standingK).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"))).toMap
+    assert(byDoc(10L) === ((2L, 1L)),
+      "doc 10: A lost to standing doc 1, C kept against standing doc 11")
+    assert(byDoc(20L) === ((2L, 0L)), "doc 20 is all duplicates")
+  }
+
   // ---- bigramNoveltyOf ----------------------------------------------
   test("bigramNovelty: rare transitions flag, frequent ones don't, no-bigram doc is false") {
     val docs = Seq(

@@ -212,6 +212,63 @@ class EventStreamSpec extends SparkSpec {
       s"expected zero stateful operators, got: ${progress.json}")
   }
 
+  test("streaming chunk dedup equals the incremental batch twin") {
+    import spark.implicits._
+    val batch = graft.operators.TextOps.chunkDedupIncr.build(spark, sf001)
+      .select($"doc_id", $"n_chunks", $"n_kept", $"kept_fp")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = graft.operators.StreamingOps.streamChunkDedup
+      .build(spark, sf001)
+      .select($"doc_id", $"n_chunks", $"n_kept", $"kept_fp")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "expected delta docs in testdata")
+    assert(got === batch)
+  }
+
+  test("chunk probe log is batching-invariant across micro-batches") {
+    import spark.implicits._
+    val mod = graft.operators.Dedup.IncrementalDeltaMod
+    val deltaDocs = graft.Tables.documents(spark, sf001)
+      .filter($"doc_id" % mod === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(deltaDocs.length >= 3)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = EventStream.chunkProbeLog(spark, sf001,
+        src.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("chunk_probe_split_test")
+      .option("checkpointLocation",
+        s"/tmp/graft-split-ckpt-${java.util.UUID.randomUUID()}")
+      .start()
+    try {
+      deltaDocs.grouped((deltaDocs.length + 2) / 3).foreach { g =>
+        src.addData(g.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val split = spark.table("chunk_probe_split_test")
+        .select($"doc_id", $"chunk_idx", $"chunk_fp", $"standing_first")
+        .collect().map(_.toString).sorted.toSeq
+      val oneShot = EventStream.chunkProbeLog(spark, sf001,
+          graft.Tables.documents(spark, sf001).filter($"doc_id" % mod === 0))
+        .select($"doc_id", $"chunk_idx", $"chunk_fp", $"standing_first")
+        .collect().map(_.toString).sorted.toSeq
+      assert(oneShot.nonEmpty)
+      assert(split === oneShot)
+    } finally q.stop()
+  }
+
+  test("streaming chunk dedup plan is stateless (no state store ops)") {
+    graft.operators.StreamingOps.streamChunkDedup.build(spark, sf001).count()
+    val active = spark.streams.active.find(
+      _.name.startsWith("q_stream_chunk_dedup_mem"))
+    assert(active.nonEmpty, "live chunk-dedup query not found")
+    val progress = active.get.lastProgress
+    assert(progress != null)
+    assert(progress.stateOperators.isEmpty,
+      s"expected zero stateful operators, got: ${progress.json}")
+  }
+
   test("streaming decontamination equals the batch gate, stateless") {
     import spark.implicits._
     val batch = graft.operators.Curation.decontaminate.build(spark, sf001)
