@@ -488,31 +488,74 @@ object Bpe {
     * dataloader-side shape (tokenizer.json in, token counts out). */
   val bpeEncode: Op = Op("q_bpe_encode",
     oracleInduction(NumMerges) + "\n" + oracleEncode(NumMerges)) {
-    (spark, dir) =>
-      val mergeRows = standingMerges(spark, dir)
-        .orderBy(col("merge_rank")).collect()
-      val delta = Tables.documents(spark, dir)
-        .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0)
-      val docWords = delta.select(col("doc_id"),
-        explode(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+"), lit(0))).as("w"))
-      val typeSyms = mergeRows.foldLeft(
-        docWords.select(col("w")).distinct()
-          .withColumn("syms", initSyms(col("w")))) { (df, m) =>
-        df.withColumn("syms", mergePair(col("syms"),
-          lit(m.getAs[String]("left_sym")),
-          lit(m.getAs[String]("right_sym"))))
-      }
-      docWords
-        .join(broadcast(typeSyms
-          .select(col("w"), size(col("syms")).cast("long").as("n_tok"))),
-          Seq("w"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"),
-          sum(length(col("w")).cast("long")).as("n_chars"),
-          sum(col("n_tok")).as("n_tokens"))
-        .select(col("doc_id"), col("n_words"), col("n_chars"),
-          col("n_tokens"))
+    (spark, dir) => encodeStats(spark, dir)
+  }
+
+  /** [[bpeEncode]]'s kernel: per-delta-doc (n_words, n_chars,
+    * n_tokens) under the standing merge table — shared with the
+    * fertility telemetry. */
+  private[graft] def encodeStats(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val mergeRows = standingMerges(spark, dir)
+      .orderBy(col("merge_rank")).collect()
+    val delta = Tables.documents(spark, dir)
+      .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0)
+    val docWords = delta.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("w"))
+    val typeSyms = mergeRows.foldLeft(
+      docWords.select(col("w")).distinct()
+        .withColumn("syms", initSyms(col("w")))) { (df, m) =>
+      df.withColumn("syms", mergePair(col("syms"),
+        lit(m.getAs[String]("left_sym")),
+        lit(m.getAs[String]("right_sym"))))
+    }
+    docWords
+      .join(broadcast(typeSyms
+        .select(col("w"), size(col("syms")).cast("long").as("n_tok"))),
+        Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n_tok")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_tokens"))
+  }
+
+  /** Tokenizer FERTILITY telemetry over the encoded delta — the
+    * rollout health metric a tokenizer team watches per language
+    * slice: fertility (tokens per word) spikes on a slice the learned
+    * merges don't cover (over-segmentation — higher serving cost per
+    * word), and chars-per-token is the compression the vocabulary
+    * actually buys there. Both are exact fixed-point PERMILLE via
+    * BIGINT floor division over slice-level sums, so the rows are
+    * hash-exact cross-engine. Rides [[encodeStats]] (persisted
+    * standing merges — never a retrain) + one lang join and a
+    * languages-sized aggregate. */
+  val bpeFertility: Op = Op("q_bpe_fertility",
+    oracleInduction(NumMerges) + "\n" + oracleEncodeCtes(NumMerges) +
+      s"""
+         |SELECT d.lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(enc.n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(enc.n_tokens) AS BIGINT) AS n_tokens,
+         |  (1000 * CAST(SUM(enc.n_tokens) AS BIGINT))
+         |    // CAST(SUM(enc.n_words) AS BIGINT) AS fert_permille,
+         |  (1000 * CAST(SUM(enc.n_chars) AS BIGINT))
+         |    // CAST(SUM(enc.n_tokens) AS BIGINT) AS cpt_permille
+         |FROM enc JOIN documents d USING (doc_id)
+         |GROUP BY d.lang""".stripMargin) { (spark, dir) =>
+    encodeStats(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        expr("(1000 * n_tokens) div n_words").as("fert_permille"),
+        expr("(1000 * n_chars) div n_tokens").as("cpt_permille"))
   }
 
   /** The induction replayed relationally for DuckDB: iterated
@@ -660,7 +703,7 @@ object Bpe {
     * come from `m1..mN`), then join per-document word streams against
     * the final type→token-count table. Emits CTEs `d0..dN` and the
     * final SELECT. */
-  private[operators] def oracleEncode(n: Int): String = {
+  private[operators] def oracleEncodeCtes(n: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s""", dw AS MATERIALIZED (
@@ -707,13 +750,18 @@ object Bpe {
     sb.append(
       s""", tok AS (
          |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tok FROM d$n GROUP BY w
-         |)
-         |SELECT dw.doc_id,
-         |  CAST(COUNT(*) AS BIGINT) AS n_words,
-         |  CAST(SUM(len(dw.w)) AS BIGINT) AS n_chars,
-         |  CAST(SUM(tok.n_tok) AS BIGINT) AS n_tokens
-         |FROM dw JOIN tok ON dw.w = tok.w
-         |GROUP BY dw.doc_id""".stripMargin)
+         |), enc AS (
+         |  SELECT dw.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(len(dw.w)) AS BIGINT) AS n_chars,
+         |    CAST(SUM(tok.n_tok) AS BIGINT) AS n_tokens
+         |  FROM dw JOIN tok ON dw.w = tok.w
+         |  GROUP BY dw.doc_id
+         |)""".stripMargin)
     sb.toString
   }
+
+  private[operators] def oracleEncode(n: Int): String =
+    oracleEncodeCtes(n) +
+      "\nSELECT doc_id, n_words, n_chars, n_tokens FROM enc"
 }

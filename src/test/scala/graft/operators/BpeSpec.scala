@@ -244,6 +244,32 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("fertility telemetry reconciles against the per-doc encode " +
+    "output, every word is at least one token") {
+    val enc = Bpe.bpeEncode.build(spark, sf001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val langOf = graft.Tables.documents(spark, sf001)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val want = enc.toSeq.groupBy { case (id, _) => langOf(id) }
+      .map { case (lang, rs) =>
+        val (w, c, t) = rs.map(_._2).reduce((a, b) =>
+          (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+        lang -> ((rs.size.toLong, w, t,
+          1000L * t / w, 1000L * c / t))
+      }
+    val got = Bpe.bpeFertility.build(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // every word carries >= 1 token, so fertility can't dip under 1000
+    got.values.foreach { case (_, _, _, fert, _) =>
+      assert(fert >= 1000L, "fertility below one token per word")
+    }
+  }
+
   test("argmax plans per-partition top-1 over a partial aggregate") {
     val vocab = Bpe.wordFreqs(fixtureDocs)
       .withColumn("syms", Bpe.initSyms(col("w")))
