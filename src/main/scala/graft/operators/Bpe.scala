@@ -558,6 +558,88 @@ object Bpe {
         expr("(1000 * n_chars) div n_tokens").as("cpt_permille"))
   }
 
+  /** The DATALOADER artifact itself: per delta document the token-ID
+    * sequence under the standing tokenizer — ids assigned by symbol
+    * sort order over the STANDING inventory (the final segmented
+    * vocab's distinct symbols, 1-based; a delta symbol outside the
+    * inventory — possible when later merges consumed every standing
+    * occurrence of an early merge's output, or on corpus-new
+    * characters — maps to unk=0, and the op reports the unk count as
+    * OOV telemetry). The sequence itself is witnessed by an
+    * order-sensitive integer fingerprint (the `kept_fp` device: fold
+    * 31·acc+id over tokens in document order), so the oracle proves
+    * token IDENTITY AND ORDER cross-engine, not just counts — this is
+    * `input_ids`, where [[bpeEncode]] is only the token-count stats.
+    * Scale shape: the merge fold touches the delta's word-TYPE table;
+    * the doc-order stream joins two broadcast tables (type syms,
+    * inventory) and folds per doc — one data-scaled shuffle. */
+  val bpeTokens: Op = Op("q_bpe_tokens",
+    oracleInduction(NumMerges) + "\n" + oracleEncodeCtes(NumMerges) +
+      s""", dwo AS (
+         |  SELECT doc_id, i AS w_idx, ws[i] AS w
+         |  FROM (SELECT doc_id,
+         |          regexp_extract_all(lower(text), '[a-z]+') AS ws
+         |        FROM documents
+         |        WHERE doc_id % ${Dedup.IncrementalDeltaMod} = 0),
+         |       unnest(range(1, len(ws) + 1)) AS t(i)
+         |), inv AS (
+         |  SELECT sym, row_number() OVER (ORDER BY sym) AS id
+         |  FROM (SELECT DISTINCT sym FROM r$NumMerges)
+         |), toks AS (
+         |  SELECT dwo.doc_id, dwo.w_idx, d.pos,
+         |         CAST(COALESCE(inv.id, 0) AS BIGINT) AS id
+         |  FROM dwo JOIN d$NumMerges d ON dwo.w = d.w
+         |  LEFT JOIN inv ON d.sym = inv.sym
+         |)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unk,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list(id ORDER BY w_idx, pos)),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS ids_fp
+         |FROM toks GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    val mergeRows = standingMerges(spark, dir)
+      .orderBy(col("merge_rank")).collect()
+    val delta = Tables.documents(spark, dir)
+      .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0)
+    val docWords = delta.select(col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as(Seq("w_idx", "w")))
+    val typeSyms = mergeRows.foldLeft(
+      docWords.select(col("w")).distinct()
+        .withColumn("syms", initSyms(col("w")))) { (df, m) =>
+      df.withColumn("syms", mergePair(col("syms"),
+        lit(m.getAs[String]("left_sym")),
+        lit(m.getAs[String]("right_sym"))))
+    }
+    // the standing INVENTORY with sort-order ids — vocab-sized, so the
+    // ranking window and the broadcast are both artifact-bounded
+    val inv = standingVocab(spark, dir)
+      .select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("sym")))
+        .cast("long"))
+    docWords
+      .join(broadcast(typeSyms), Seq("w"))
+      .select(col("doc_id"), col("w_idx"),
+        posexplode(col("syms")).as(Seq("s_idx", "sym")))
+      .join(broadcast(inv), Seq("sym"), "left")
+      .withColumn("id", coalesce(col("id"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_unk"),
+        aggregate(
+          transform(array_sort(collect_list(
+            struct(col("w_idx"), col("s_idx"), col("id")))),
+            e => e.getField("id")),
+          lit(0L),
+          (acc, x) => (acc * 31 + x) % 1000000007L).as("ids_fp"))
+      .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+        col("ids_fp"))
+  }
+
   /** The induction replayed relationally for DuckDB: iterated
     * argmax + greedy merge, where greedy-within-a-run is the parity
     * rule — inside each maximal run of match positions, merge starts

@@ -244,6 +244,40 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("token-id sequences: the ids_fp witness reproduces the " +
+    "reference scan's id stream in document order") {
+    val merges = Bpe.bpeMerges.build(spark, sf001)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    val inv = Bpe.bpeVocab.build(spark, sf001)
+      .select($"sym").as[String].collect()
+      .distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1).toLong }.toMap
+    val got = Bpe.bpeTokens.build(spark, sf001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    val delta = graft.Tables.documents(spark, sf001)
+      .filter($"doc_id" % Dedup.IncrementalDeltaMod === 0)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    delta.foreach { case (id, t) =>
+      val ws = "[a-z]+".r.findAllIn(t).toSeq
+      if (ws.isEmpty) assert(!got.contains(id))
+      else {
+        val symsOf = ws.distinct.map { w =>
+          var s = w.map(_.toString).toVector :+ Bpe.Marker
+          merges.foreach { case (a, b) => s = mergeScan(s, a, b) }
+          w -> s
+        }.toMap
+        val ids = ws.flatMap(w => symsOf(w).map(s => inv.getOrElse(s, 0L)))
+        val fp = ids.foldLeft(0L)((a, x) => (a * 31 + x) % 1000000007L)
+        assert(got(id) ===
+          ((ids.length.toLong, ids.count(_ == 0L).toLong, fp)),
+          s"doc $id token-id stream mismatch")
+      }
+    }
+  }
+
   test("fertility telemetry reconciles against the per-doc encode " +
     "output, every word is at least one token") {
     val enc = Bpe.bpeEncode.build(spark, sf001)
