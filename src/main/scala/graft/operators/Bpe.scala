@@ -613,13 +613,7 @@ object Bpe {
         lit(m.getAs[String]("left_sym")),
         lit(m.getAs[String]("right_sym"))))
     }
-    // the standing INVENTORY with sort-order ids — vocab-sized, so the
-    // ranking window and the broadcast are both artifact-bounded
-    val inv = standingVocab(spark, dir)
-      .select(explode(col("syms")).as("sym")).distinct()
-      .withColumn("id", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("sym")))
-        .cast("long"))
+    val inv = inventoryIds(spark, dir)
     docWords
       .join(broadcast(typeSyms), Seq("w"))
       .select(col("doc_id"), col("w_idx"),
@@ -639,6 +633,19 @@ object Bpe {
       .select(col("doc_id"), col("n_tokens"), col("n_unk"),
         col("ids_fp"))
   }
+
+  /** The standing INVENTORY with sort-order ids (sym, id) — the final
+    * segmented vocab's distinct symbols ranked by binary sort order,
+    * 1-based (0 is reserved for unk). Vocab-sized, so the ranking
+    * window and any broadcast of it are artifact-bounded. Shared by
+    * the batch token emitter and the streaming leg. */
+  private[graft] def inventoryIds(spark: SparkSession, dir: String)
+      : DataFrame =
+    standingVocab(spark, dir)
+      .select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("sym")))
+        .cast("long"))
 
   /** The induction replayed relationally for DuckDB: iterated
     * argmax + greedy merge, where greedy-within-a-run is the parity

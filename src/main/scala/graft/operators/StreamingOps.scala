@@ -274,6 +274,18 @@ object StreamingOps {
       spark, dir, "q_stream_bpe_encode_mem"))
   }
 
+  /** Streaming token-id emission ≡ the batch dataloader artifact —
+    * the SAME oracle as [[Bpe.bpeTokens]]: the green row proves the
+    * row-local HOF fold (merge rounds as literal expressions, the
+    * inventory as a broadcast map) equals the batch op's
+    * broadcast-join form, token identity AND order, cross-engine. */
+  val streamBpeTokens: Op = Op(
+    "q_stream_bpe_tokens",
+    Bpe.bpeTokens.oracle.get) { (spark, dir) =>
+    spark.table(graft.streaming.EventStream.runBpeTokensToMemory(
+      spark, dir, "q_stream_bpe_tokens_mem"))
+  }
+
   val streamDsir: Op = Op(
     "q_stream_dsir",
     Retrieval.dsirWeights.oracle.get) { (spark, dir) =>

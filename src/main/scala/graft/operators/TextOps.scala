@@ -336,9 +336,13 @@ object TextOps {
        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS kept_fp
        |FROM m WHERE doc_id % ${Dedup.IncrementalDeltaMod} = 0
        |GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    // the delta chunk frame feeds BOTH the keeper fold and the rollup
+    // join — pin it once (the dsirDocCounts device) so the delta is
+    // scanned once and the final plan touches no documents scan at all
     chunkDedupIncrOf(
       chunksOf(Tables.documents(spark, dir)
-        .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0)),
+        .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0))
+        .localCheckpoint(),
       standingChunkKeepers(spark, dir))
   }
 

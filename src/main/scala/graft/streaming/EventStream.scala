@@ -1086,6 +1086,58 @@ object EventStream {
         .start()
     }
 
+  /** STATELESS streaming token-id emission — the dataloader artifact
+    * ([[graft.operators.Bpe.bpeTokens]]'s law) computed AT ARRIVAL:
+    * per document the token-id sequence's length, unk count and
+    * order-sensitive fingerprint, all per-row expression work — the
+    * merge table folds in as literal rounds (the
+    * [[runBpeEncodeToMemory]] device), the standing inventory rides a
+    * broadcast one-row MAP (`element_at` miss = unk 0, exactly the
+    * batch op's left-join coalesce), and the in-order fold runs inside
+    * the row over `flatten(transform(words, syms))` — word order ×
+    * symbol order IS document order, so no sort and no aggregation
+    * cross rows. No state store, no stream-side shuffle; the batch
+    * op's broadcast-join form and this row-local form prove equal
+    * through the SHARED oracle on every verify run. */
+  def runBpeTokensToMemory(
+      spark: SparkSession, dir: String, queryName: String): String =
+    runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
+      import graft.operators.{Bpe, Dedup}
+      val mergeRows = Bpe.standingMerges(spark, dir)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getAs[String]("left_sym"),
+          r.getAs[String]("right_sym")))
+      val imap = Bpe.inventoryIds(spark, dir)
+        .agg(map_from_entries(
+          collect_list(struct(col("sym"), col("id")))).as("imap"))
+      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val words = regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))
+      def symsOf(w: org.apache.spark.sql.Column) =
+        mergeRows.foldLeft(Bpe.initSyms(w)) { (s, m) =>
+          Bpe.mergePair(s, lit(m._1), lit(m._2))
+        }
+      spark.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0)
+        .filter(size(words) > 0)
+        .crossJoin(broadcast(imap))
+        .withColumn("ids",
+          transform(flatten(transform(words, w => symsOf(w))),
+            s => coalesce(element_at(col("imap"), s), lit(0L))))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          aggregate(col("ids"), lit(0L),
+            (acc, x) => acc + when(x === 0L, 1L).otherwise(0L))
+            .as("n_unk"),
+          aggregate(col("ids"), lit(0L),
+            (acc, x) => (acc * 31 + x) % 1000000007L).as("ids_fp"))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
   /** Streaming DSIR scoring — arriving documents scored against the
     * STANDING importance model at ingest ([[graft.operators.Retrieval
     * .dsirWeights]]'s ratio table + selection threshold, built once

@@ -348,4 +348,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"),
       s"bucket offsets must broadcast back:\n$p")
   }
+
+  test("incremental chunk dedup never rescans the corpus: the delta " +
+    "is pinned once at build and the standing side is the persisted " +
+    "keeper store") {
+    val p = plan(TextOps.chunkDedupIncr)
+    val docScans = p.linesIterator
+      .count(l => l.contains("documents.parquet"))
+    assert(docScans == 0,
+      s"the final plan must hold zero documents scans (the delta is " +
+        s"checkpointed once at build; the standing side is the store), " +
+        s"got $docScans:\n$p")
+    assert(p.contains("chunk_keepers"),
+      s"standing keepers must come from the persisted store:\n$p")
+  }
+
+  test("token-id emission joins both artifacts as broadcast — the " +
+    "only data-scaled exchange is the per-doc fold") {
+    val p = plan(Bpe.bpeTokens)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2,
+      s"type-syms and inventory must both broadcast, got $broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join belongs in the token stream:\n$p")
+  }
 }

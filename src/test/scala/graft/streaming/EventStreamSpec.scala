@@ -422,6 +422,25 @@ class EventStreamSpec extends SparkSpec {
       s"expected zero stateful operators: ${active.get.lastProgress.json}")
   }
 
+  test("streaming token-id emission equals the batch dataloader " +
+    "artifact (identity AND order), stateless") {
+    import spark.implicits._
+    val batch = graft.operators.Bpe.bpeTokens.build(spark, sf001)
+      .select($"doc_id", $"n_tokens", $"n_unk", $"ids_fp")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = graft.operators.StreamingOps.streamBpeTokens
+      .build(spark, sf001)
+      .select($"doc_id", $"n_tokens", $"n_unk", $"ids_fp")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "expected tokenized delta docs in testdata")
+    assert(got === batch)
+    val active = spark.streams.active.find(
+      _.name.startsWith("q_stream_bpe_tokens_mem"))
+    assert(active.nonEmpty)
+    assert(active.get.lastProgress.stateOperators.isEmpty,
+      s"expected zero stateful operators: ${active.get.lastProgress.json}")
+  }
+
   test("streaming ANN probe equals the batch kNN graph restricted to arrivals, stateless") {
     import spark.implicits._
     val S = graft.operators.Similarity
