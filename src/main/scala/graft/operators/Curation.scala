@@ -643,6 +643,69 @@ object Curation {
       PackBudget)
   }
 
+  /** Packing-efficiency telemetry over [[packSequences]]' assignment —
+    * the padding-waste report a training team reads before burning
+    * compute: per source the pack count, the fill rate (permille of
+    * the token budget actually used — the remainder is padding the
+    * GPUs attend over), and the overflow tail (prefix-sum packing lets
+    * a pack overflow by at most ONE document; the count and the max
+    * measure how often and how far). All integer arithmetic over the
+    * pack assignment ⇒ hash-exact; two metadata-sized aggregates after
+    * the shared packing kernel. */
+  val packStats: Op = Op(
+    "q_pack_stats",
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           - n_tokens AS preceding_tokens
+       |  FROM d
+       |), p AS (
+       |  SELECT source,
+       |         CAST(preceding_tokens // $PackBudget AS BIGINT) AS pack_id,
+       |         n_tokens
+       |  FROM c
+       |), g AS (
+       |  SELECT source, pack_id,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       |         CAST(COUNT(*) AS BIGINT) AS pack_docs
+       |  FROM p GROUP BY source, pack_id
+       |)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_packs,
+       |  CAST(SUM(pack_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(pack_tokens) AS BIGINT) AS sum_tokens,
+       |  (1000 * CAST(SUM(pack_tokens) AS BIGINT))
+       |    // (COUNT(*) * $PackBudget) AS fill_permille,
+       |  CAST(SUM(CASE WHEN pack_tokens > $PackBudget THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_overflow,
+       |  CAST(MAX(pack_tokens) AS BIGINT) AS max_pack_tokens
+       |FROM g GROUP BY source""".stripMargin) { (spark, dir) =>
+    packByPrefixSum(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        bpeishTokenCount(col("text")).cast("long").as("n_tokens")),
+      PackBudget)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(sum(col("n_tokens")).as("pack_tokens"),
+        count(lit(1)).as("pack_docs"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("pack_docs")).as("n_docs"),
+        sum(col("pack_tokens")).as("sum_tokens"),
+        sum(when(col("pack_tokens") > PackBudget, 1L).otherwise(0L))
+          .as("n_overflow"),
+        max(col("pack_tokens")).as("max_pack_tokens"))
+      .select(col("source"), col("n_packs"), col("n_docs"),
+        col("sum_tokens"),
+        expr(s"(1000 * sum_tokens) div (n_packs * $PackBudget)")
+          .as("fill_permille"),
+        col("n_overflow"), col("max_pack_tokens"))
+  }
+
   /** Temperature-flattened source mixing, α = 1/2 — the multilingual /
     * multi-source rebalancing rule of mC4 and XLM-R (sample source i
     * with probability ∝ pᵢ^α): where [[mixAssembly]] equalizes token

@@ -236,6 +236,38 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pack stats reconcile against the pack assignment; fill and " +
+    "overflow laws hold") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf001)
+    val packs = Curation.packByPrefixSum(docs.select($"doc_id", $"source",
+      graft.functions.TextAnalysis.bpeishTokenCount($"text")
+        .cast("long").as("n_tokens")), Curation.PackBudget)
+      .select($"source", $"pack_id", $"n_tokens")
+      .as[(String, Long, Long)].collect()
+    val want = packs.groupBy(_._1).map { case (src, rs) =>
+      val byPack = rs.groupBy(_._2).map { case (_, g) =>
+        (g.map(_._3).sum, g.size.toLong) }.toSeq
+      val (tok, docsN) = (byPack.map(_._1).sum, byPack.map(_._2).sum)
+      src -> ((byPack.size.toLong, docsN, tok,
+        1000L * tok / (byPack.size * Curation.PackBudget),
+        byPack.count(_._1 > Curation.PackBudget).toLong,
+        byPack.map(_._1).max))
+    }
+    val got = Curation.packStats.build(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the prefix-sum law: a pack holds <= budget + one overflowing doc,
+    // so max_pack_tokens - budget is bounded by the largest single doc
+    val maxDoc = packs.map(_._3).max
+    got.values.foreach { case (_, _, _, _, _, maxPack) =>
+      assert(maxPack <= Curation.PackBudget + maxDoc,
+        "a pack overflowed by more than one document")
+    }
+  }
+
   test("shard manifest: conserves totals, every shard populated, " +
     "hash law balances tokens") {
     import spark.implicits._
