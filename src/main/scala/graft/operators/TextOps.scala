@@ -308,15 +308,10 @@ object TextOps {
     chunkDedupRollup(deltaChunks, corpusK)
   }
 
-  /** INCREMENTAL chunk dedup — the `q_dedup_incremental` shape at
-    * chunk granularity: the standing corpus' first-keeper table is
-    * yesterday's PERSISTED artifact ([[standingChunkKeepers]]); an
-    * arriving delta chunks map-only and folds through
-    * [[chunkDedupIncrOf]]. The oracle is the BATCH law restricted to
-    * delta documents — the green row proves incremental ≡ batch, the
-    * standing-labels device. */
-  val chunkDedupIncr: Op = Op(
-    "q_chunk_dedup_incr",
+  /** Shared oracle of the incremental/bucketed chunk-dedup twins: the
+    * BATCH law restricted to delta documents (a def, not a val — both
+    * registered ops interpolate it at their own init). */
+  private def chunkDedupIncrOracle: String =
     s"""WITH $chunkCtes,
        |k AS (
        |  SELECT chunk_fp,
@@ -335,7 +330,58 @@ object TextOps {
        |      CAST([] AS BIGINT[]))),
        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS kept_fp
        |FROM m WHERE doc_id % ${Dedup.IncrementalDeltaMod} = 0
-       |GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+       |GROUP BY doc_id""".stripMargin
+
+  /** The BUCKETED-LAYOUT form of the standing keeper table — the
+    * probe that survives a keeper table too big to broadcast (the
+    * `q_dedup_incr_bucketed` device): the (chunk_fp, first_key) rows
+    * are PERSISTED as a hash-clustered, sorted managed table on
+    * chunk_fp, so the delta's keeper-fold left join plans as a
+    * sort-merge join whose keeper side reads straight from the bucket
+    * files — NO keeper-side Exchange, ever (plan-gated); the only
+    * shuffle is the (small) aggregated delta keeper frame
+    * repartitioning to the layout. Written once per (session, corpus)
+    * and reused; the merge hint pins SMJ so a bench-scale keeper
+    * table can't silently flip the demonstration back to a
+    * broadcast. */
+  private[graft] def bucketedChunkKeepers(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val table = "gb_chunk_keepers_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    if (!spark.catalog.tableExists(table)) {
+      SinkOps.deleteDir(spark,
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
+      graft.sources.Bucketing.writeBucketed(
+        standingChunkKeepers(spark, dir), table, "chunk_fp", 16)
+    }
+    spark.table(table).hint("merge")
+  }
+
+  /** [[chunkDedupIncr]] through the persisted bucketed keeper layout —
+    * same oracle (identical output by construction: same keeper fold,
+    * same rollup; only the probe join's physical layout differs).
+    * Registered so the bench measures the bucketed probe as its own
+    * steady-state number. */
+  val chunkDedupBucketed: Op = Op(
+    "q_chunk_dedup_bucketed",
+    chunkDedupIncrOracle) { (spark, dir) =>
+    chunkDedupIncrOf(
+      chunksOf(Tables.documents(spark, dir)
+        .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0))
+        .localCheckpoint(),
+      bucketedChunkKeepers(spark, dir))
+  }
+
+  /** INCREMENTAL chunk dedup — the `q_dedup_incremental` shape at
+    * chunk granularity: the standing corpus' first-keeper table is
+    * yesterday's PERSISTED artifact ([[standingChunkKeepers]]); an
+    * arriving delta chunks map-only and folds through
+    * [[chunkDedupIncrOf]]. The oracle is the BATCH law restricted to
+    * delta documents — the green row proves incremental ≡ batch, the
+    * standing-labels device. */
+  val chunkDedupIncr: Op = Op(
+    "q_chunk_dedup_incr",
+    chunkDedupIncrOracle) { (spark, dir) =>
     // the delta chunk frame feeds BOTH the keeper fold and the rollup
     // join — pin it once (the dsirDocCounts device) so the delta is
     // scanned once and the final plan touches no documents scan at all

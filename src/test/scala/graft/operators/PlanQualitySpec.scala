@@ -363,6 +363,28 @@ class PlanQualitySpec extends SparkSpec {
       s"standing keepers must come from the persisted store:\n$p")
   }
 
+  test("bucketed keeper probe: sort-merge join, zero Exchange above " +
+    "the keeper-table scan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val p = TextOps.chunkDedupBucketed.build(spark, sf001)
+      .queryExecution.sparkPlan
+    val smjs = p.collect { case j: SortMergeJoinExec => j }
+    val probe = smjs.find { j =>
+      j.left.toString.contains("gb_chunk_keepers_") ||
+        j.right.toString.contains("gb_chunk_keepers_")
+    }
+    assert(probe.nonEmpty,
+      s"no SMJ reads the bucketed keeper table:\n$p")
+    val keeperSide =
+      if (probe.get.left.toString.contains("gb_chunk_keepers_"))
+        probe.get.left
+      else probe.get.right
+    val shuffles = keeperSide.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"keeper side of the probe join re-shuffles:\n$keeperSide")
+  }
+
   test("token-id emission joins both artifacts as broadcast — the " +
     "only data-scaled exchange is the per-doc fold") {
     val p = plan(Bpe.bpeTokens)

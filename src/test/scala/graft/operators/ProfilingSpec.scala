@@ -183,6 +183,17 @@ class ProfilingSpec extends SparkSpec {
     assert(byDoc(20L) === ((2L, 0L)), "doc 20 is all duplicates")
   }
 
+  // ---- chunkDedupBucketed ---------------------------------------------
+  test("bucketed chunk-dedup probe equals the broadcast-form " +
+    "incremental twin") {
+    val incr = TextOps.chunkDedupIncr.build(spark, sf001)
+      .collect().map(_.toString).sorted.toSeq
+    val bucketed = TextOps.chunkDedupBucketed.build(spark, sf001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(incr.nonEmpty)
+    assert(bucketed === incr)
+  }
+
   // ---- bigramNoveltyOf ----------------------------------------------
   test("bigramNovelty: rare transitions flag, frequent ones don't, no-bigram doc is false") {
     val docs = Seq(
