@@ -398,17 +398,27 @@ object Multimodal {
     * frame. Every asset with id % 9 == 0 is ALSO written as a
     * byte-identical copy under id+[[DupIdBase]] — planted EXACT
     * duplicate FILES for the ingest-dedup op. Idempotent: a
-    * `_FIXTURE_OK_v2` marker commits the directory; the writer is a
+    * `_FIXTURE_OK_v3_<n>` marker commits the directory; the writer is a
     * distributed `foreachPartition` over the asset frame
     * (local-filesystem paths — this is the dev-side fixture GENERATOR;
     * a cluster ingest reads whatever shared store already holds the
-    * assets and never runs this). Returns `root`. */
+    * assets and never runs this). The marker name encodes the asset
+    * count, so a corpus that changed size regenerates the directory
+    * (stale files are wiped first). Returns `root`. */
   val DupIdBase = 100000L
 
   def writeAssetFixture(spark: SparkSession, root: String, n: Int): String = {
-    val markerP = new org.apache.hadoop.fs.Path(s"$root/_FIXTURE_OK_v2")
+    // the marker encodes n: a corpus that grew (or shrank) since the
+    // last generation misses the marker and the directory regenerates
+    // to exactly the new asset population — without this, the asset
+    // dir was frozen at its FIRST generation's size and the "assets
+    // scale with the corpus" rule held only once
+    val markerP = new org.apache.hadoop.fs.Path(s"$root/_FIXTURE_OK_v3_$n")
     val fs = markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(markerP)) {
+      // a stale generation (different n, or the legacy unversioned
+      // marker) must not leave orphan .bmp files behind the new marker
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
       fs.mkdirs(new org.apache.hadoop.fs.Path(root))
       val dupBase = DupIdBase
       syntheticImageAssets(spark, n).foreachPartition {

@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   * BpeSpec): within one round the chosen pair (a, b) merges left to
   * right, a just-merged token never re-merges (for a run "aaaa" with
   * pair (a,a): [aa, aa], for "aaa": [aa, a]); ties in pair counts
-  * break by (count DESC, a ASC, b ASC) — all-ASCII symbols, so Spark
-  * and DuckDB binary string order agree. The DuckDB oracle replays
+  * break by (count DESC, a ASC, b ASC) — both engines compare strings
+  * by binary UTF-8 order, so the tie order agrees for any symbol
+  * surface. The DuckDB oracle replays
   * the SAME iterated argmax+merge relationally (lead/lag windows with
   * run-parity selection — greedy ≡ "merge every even-offset match
   * inside each maximal run", the gaps-and-islands form), so the green
@@ -37,22 +38,34 @@ import org.apache.spark.sql.functions._
   * formulation.
   *
   * Reference behavior (tokenizer-adjacent counting):
-  * `/root/reference/analyzeCollection.mjs:61-108` normalizes and
-  * re-counts text fields per import run; the induction here is the
-  * published BPE algorithm, re-expressed Spark-first.
+  * `/root/reference/scripts/pricing/01_import_pricecharting_csv.js:190-236`
+  * normalizes and re-counts text fields row by row per import run;
+  * the induction here is the published BPE algorithm, re-expressed
+  * Spark-first.
   */
 object Bpe {
 
   /** Merge rounds for the registered ops (a real tokenizer runs
     * 30k–100k rounds; the LAW is round-count-agnostic and each round
     * is one tiny aggregate — 8 keeps the bench honest while the spec
-    * pins deeper runs on the fixture). */
+    * pins deeper runs, to 256 merges, on fixtures). */
   val NumMerges = 8
 
-  /** End-of-word marker symbol (words are [a-z]+, so '_' is outside
-    * the alphabet — word-final merges stay distinguishable, as in the
-    * published algorithm's </w>). */
-  val Marker = "_"
+  /** The token surface — the SAME law the curation/packing kernels
+    * tokenize with ([[graft.functions.TextAnalysis.BpeishRe]]: letter
+    * runs, digit runs, single punctuation; case-preserving): the
+    * tokenizer trains and encodes over the full surface the pipeline
+    * budgets by, so digits and punctuation are in-vocab instead of
+    * flooding `unk` — the two token laws meet. */
+  val TokenRe: String = graft.functions.TextAnalysis.BpeishRe
+
+  /** End-of-word marker symbol: a single space. Tokens are
+    * [[TokenRe]] matches, which exclude ALL whitespace, so the marker
+    * is outside the alphabet by construction (`_` no longer is — the
+    * widened surface contains it as punctuation) and word-final
+    * merges stay distinguishable, as in the published algorithm's
+    * </w>. */
+  val Marker = " "
 
   /** Geometry of the registered FULL-BATCH (approximate) induction —
     * rounds × top-k under the one-hop domination rule (see
@@ -62,12 +75,12 @@ object Bpe {
   val ParallelRounds = 3
   val ParallelTopK = 8
 
-  /** Word-frequency table over (text) rows: lowercase alphabetic word
-    * types with corpus multiplicity. One corpus pass, map-side
+  /** Word-frequency table over (text) rows: [[TokenRe]] word types
+    * with corpus multiplicity. One corpus pass, map-side
     * combinable. */
   private[graft] def wordFreqs(docs: DataFrame): DataFrame =
-    docs.select(explode(regexp_extract_all(lower(col("text")),
-        lit("[a-z]+"), lit(0))).as("w"))
+    docs.select(explode(regexp_extract_all(col("text"),
+        lit(TokenRe), lit(0))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
 
   /** Initial symbol array of a word: its characters plus [[Marker]]. */
@@ -87,6 +100,69 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1),
           array(concat(element_at(acc, -1), s))))
         .otherwise(concat(acc, array(s))))
+
+  /** The whole merge table as ONE map value — `map<(a, b), rank>` in
+    * a single-row frame. Cross-join (broadcast) this into any frame
+    * and encode with [[encodeFixpoint]]: the merge table enters the
+    * plan as DATA (one MapData literal per task via the broadcast),
+    * never as operators, so plan/expression size is O(1) in merge
+    * count — the fix for the per-merge `foldLeft` chain whose
+    * expression tree grew with vocab size (unanalyzable at a
+    * production 30k merges). Struct keys avoid any separator-collision
+    * assumption about symbol contents. */
+  private[graft] def mergeRankMap(merges: DataFrame): DataFrame =
+    merges.agg(
+      map_from_entries(collect_list(struct(
+        struct(col("left_sym").as("a"), col("right_sym").as("b"))
+          .as("k"),
+        col("merge_rank").as("v")))).as("mrank"))
+
+  /** Canonical BPE ENCODE as one bounded-fixpoint expression — the
+    * published application algorithm (Sennrich et al. 2016 §2.2 /
+    * subword-nmt `encode`): repeatedly find the adjacent pair with
+    * the LOWEST merge rank present in the table and merge all its
+    * occurrences greedily left-to-right, until no adjacent pair is in
+    * the table. `mrank` is [[mergeRankMap]]'s map column.
+    *
+    * The loop rides `aggregate` over `sequence(1, |syms|-1)`: every
+    * productive iteration shrinks the symbol array by ≥ 1, so
+    * |initial syms| - 1 iterations ALWAYS reach the fixpoint and the
+    * spent iterations after it are no-ops (null best-rank ⇒ identity).
+    * Plan size is O(1) in BOTH merge count and word length — per-word
+    * work is O(len² · lookup), all inside codegen'd HOFs.
+    *
+    * Note this is the rank-priority FIXPOINT law, not "apply merge 1
+    * everywhere, then merge 2, …": the two differ exactly when a
+    * later merge's output resurrects an earlier-ranked pair (possible
+    * only for symbols derivable by two distinct merge paths); the
+    * fixpoint form is what published encoders implement, and the
+    * DuckDB oracle replays it as a recursive CTE. */
+  private[graft] def encodeFixpoint(syms: Column, mrank: Column)
+      : Column =
+    aggregate(
+      sequence(lit(1), greatest(size(syms) - 1, lit(1))),
+      syms,
+      (acc, _) => {
+        val ranks = zip_with(
+          slice(acc, lit(1), size(acc) - 1),
+          slice(acc, lit(2), size(acc) - 1),
+          (x, y) => element_at(mrank, struct(x.as("a"), y.as("b"))))
+        val br = array_min(ranks)
+        val idx = array_position(ranks, br).cast("int")
+        when(br.isNull, acc).otherwise(
+          mergePair(acc, element_at(acc, idx), element_at(acc, idx + 1)))
+      })
+
+  /** Per-word-TYPE segmentation of `docWords`' distinct words under a
+    * merge table: (w, syms) — the shared kernel of the encode family
+    * (one fixpoint evaluation per TYPE, broadcast back to the
+    * data-scaled word stream). */
+  private[graft] def typeSegments(docWords: DataFrame, merges: DataFrame)
+      : DataFrame =
+    docWords.select(col("w")).distinct()
+      .crossJoin(broadcast(mergeRankMap(merges)))
+      .select(col("w"),
+        encodeFixpoint(initSyms(col("w")), col("mrank")).as("syms"))
 
   /** Adjacent-pair counts over a (w, freq, syms) vocab — weighted by
     * word frequency; the per-round aggregate. */
@@ -204,9 +280,12 @@ object Bpe {
         merges = Some(merges.fold(batchDf)(_.union(batchDf)))
         // bound the union tree: at production round counts (30k merges
         // ≈ 1k rounds) an unbounded union would make the final
-        // checkpoint replan a 1k-branch tree; collapse every 64 rounds
-        // (the merge table is O(done) metadata, the checkpoint is tiny)
-        if ((done / batch) % 64 == 63)
+        // checkpoint replan a 1k-branch tree; collapse every 64 ROUNDS
+        // (keyed on the round counter — partial-batch accepts make
+        // `done` advance by ~2.5/round, so a done-keyed condition both
+        // under-fires and re-fires; the merge table is O(done)
+        // metadata, the checkpoint is tiny)
+        if (round % 64 == 63)
           merges = merges.map(_.localCheckpoint())
         val old = vocab
         val foldedSyms = accepted.foldLeft(col("syms")) {
@@ -380,7 +459,7 @@ object Bpe {
     * segmented vocab as sibling parquet dirs under one signature). */
   private def ensureStore(spark: SparkSession, dir: String): String =
     PersistedStore.ensure(spark, dir, "documents.parquet",
-      "bpe_merges", "v2") { root =>
+      "bpe_merges", "v3") { root => // v3: widened TokenRe surface + ' ' marker
       val (m, v) = trainWithVocab(Tables.documents(spark, dir)
         .filter(col("doc_id") % Dedup.IncrementalDeltaMod =!= 0))
       m.write.mode("overwrite").parquet(s"$root/merges")
@@ -480,38 +559,28 @@ object Bpe {
 
   /** Apply the standing merge table to the DELTA slice: per-document
     * (n_words, n_chars, n_tokens) under the trained tokenizer — the
-    * encode path. The merges (O(rounds) metadata) are collected from
-    * the persisted artifact and applied as literal folds to the
+    * encode path. The merge table rides in as ONE broadcast map value
+    * ([[mergeRankMap]]) and the [[encodeFixpoint]] loop segments the
     * DELTA'S WORD TYPES only; per-document stats come from a broadcast
     * join of the doc→word stream against that tiny type table, so
-    * encode cost is corpus-for-the-split + types×rounds — the
-    * dataloader-side shape (tokenizer.json in, token counts out). */
+    * encode cost is corpus-for-the-split + types×len² — and the PLAN
+    * is O(1) in merge count (gated in BpePlanSpec): the same code
+    * analyzes at 8 merges and at a production 30k. */
   val bpeEncode: Op = Op("q_bpe_encode",
-    oracleInduction(NumMerges) + "\n" + oracleEncode(NumMerges)) {
+    oracleInduction(NumMerges) + "\n" + oracleEncodeFix +
+      "\nSELECT doc_id, n_words, n_chars, n_tokens FROM enc") {
     (spark, dir) => encodeStats(spark, dir)
   }
 
-  /** [[bpeEncode]]'s kernel: per-delta-doc (n_words, n_chars,
-    * n_tokens) under the standing merge table — shared with the
-    * fertility telemetry. */
-  private[graft] def encodeStats(spark: SparkSession, dir: String)
+  /** [[bpeEncode]]'s kernel over any (doc) frame and merge table —
+    * shared with the fertility telemetry and the plan gate. */
+  private[graft] def encodeStatsFrom(docs: DataFrame, merges: DataFrame)
       : DataFrame = {
-    val mergeRows = standingMerges(spark, dir)
-      .orderBy(col("merge_rank")).collect()
-    val delta = Tables.documents(spark, dir)
-      .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0)
-    val docWords = delta.select(col("doc_id"),
-      explode(regexp_extract_all(lower(col("text")),
-        lit("[a-z]+"), lit(0))).as("w"))
-    val typeSyms = mergeRows.foldLeft(
-      docWords.select(col("w")).distinct()
-        .withColumn("syms", initSyms(col("w")))) { (df, m) =>
-      df.withColumn("syms", mergePair(col("syms"),
-        lit(m.getAs[String]("left_sym")),
-        lit(m.getAs[String]("right_sym"))))
-    }
+    val docWords = docs.select(col("doc_id"),
+      explode(regexp_extract_all(col("text"),
+        lit(TokenRe), lit(0))).as("w"))
     docWords
-      .join(broadcast(typeSyms
+      .join(broadcast(typeSegments(docWords, merges)
         .select(col("w"), size(col("syms")).cast("long").as("n_tok"))),
         Seq("w"))
       .groupBy(col("doc_id"))
@@ -521,6 +590,15 @@ object Bpe {
       .select(col("doc_id"), col("n_words"), col("n_chars"),
         col("n_tokens"))
   }
+
+  /** [[encodeStatsFrom]] against the standing artifact, on the delta
+    * slice. */
+  private[graft] def encodeStats(spark: SparkSession, dir: String)
+      : DataFrame =
+    encodeStatsFrom(
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0),
+      standingMerges(spark, dir))
 
   /** Tokenizer FERTILITY telemetry over the encoded delta — the
     * rollout health metric a tokenizer team watches per language
@@ -533,7 +611,7 @@ object Bpe {
     * standing merges — never a retrain) + one lang join and a
     * languages-sized aggregate. */
   val bpeFertility: Op = Op("q_bpe_fertility",
-    oracleInduction(NumMerges) + "\n" + oracleEncodeCtes(NumMerges) +
+    oracleInduction(NumMerges) + "\n" + oracleEncodeFix +
       s"""
          |SELECT d.lang,
          |  CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -570,26 +648,24 @@ object Bpe {
     * 31·acc+id over tokens in document order), so the oracle proves
     * token IDENTITY AND ORDER cross-engine, not just counts — this is
     * `input_ids`, where [[bpeEncode]] is only the token-count stats.
-    * Scale shape: the merge fold touches the delta's word-TYPE table;
-    * the doc-order stream joins two broadcast tables (type syms,
-    * inventory) and folds per doc — one data-scaled shuffle. */
+    * Scale shape: the [[encodeFixpoint]] loop touches the delta's
+    * word-TYPE table (merge table as ONE broadcast map — plan O(1) in
+    * vocab size); the doc-order stream joins two broadcast tables
+    * (type syms, inventory) and folds per doc — one data-scaled
+    * shuffle. */
   val bpeTokens: Op = Op("q_bpe_tokens",
-    oracleInduction(NumMerges) + "\n" + oracleEncodeCtes(NumMerges) +
-      s""", dwo AS (
-         |  SELECT doc_id, i AS w_idx, ws[i] AS w
-         |  FROM (SELECT doc_id,
-         |          regexp_extract_all(lower(text), '[a-z]+') AS ws
-         |        FROM documents
-         |        WHERE doc_id % ${Dedup.IncrementalDeltaMod} = 0),
-         |       unnest(range(1, len(ws) + 1)) AS t(i)
-         |), inv AS (
+    oracleInduction(NumMerges) + "\n" + oracleEncodeFix +
+      s""", inv AS (
          |  SELECT sym, row_number() OVER (ORDER BY sym) AS id
          |  FROM (SELECT DISTINCT sym FROM r$NumMerges)
+         |), fd AS (
+         |  SELECT w, i AS pos, syms[i] AS sym
+         |  FROM ffix, unnest(range(1, len(syms) + 1)) AS t(i)
          |), toks AS (
-         |  SELECT dwo.doc_id, dwo.w_idx, d.pos,
+         |  SELECT fdw.doc_id, fdw.w_idx, fd.pos,
          |         CAST(COALESCE(inv.id, 0) AS BIGINT) AS id
-         |  FROM dwo JOIN d$NumMerges d ON dwo.w = d.w
-         |  LEFT JOIN inv ON d.sym = inv.sym
+         |  FROM fdw JOIN fd ON fdw.w = fd.w
+         |  LEFT JOIN inv ON fd.sym = inv.sym
          |)
          |SELECT doc_id,
          |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -599,23 +675,15 @@ object Bpe {
          |      list(id ORDER BY w_idx, pos)),
          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS ids_fp
          |FROM toks GROUP BY doc_id""".stripMargin) { (spark, dir) =>
-    val mergeRows = standingMerges(spark, dir)
-      .orderBy(col("merge_rank")).collect()
     val delta = Tables.documents(spark, dir)
       .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0)
     val docWords = delta.select(col("doc_id"),
-      posexplode(regexp_extract_all(lower(col("text")),
-        lit("[a-z]+"), lit(0))).as(Seq("w_idx", "w")))
-    val typeSyms = mergeRows.foldLeft(
-      docWords.select(col("w")).distinct()
-        .withColumn("syms", initSyms(col("w")))) { (df, m) =>
-      df.withColumn("syms", mergePair(col("syms"),
-        lit(m.getAs[String]("left_sym")),
-        lit(m.getAs[String]("right_sym"))))
-    }
+      posexplode(regexp_extract_all(col("text"),
+        lit(TokenRe), lit(0))).as(Seq("w_idx", "w")))
     val inv = inventoryIds(spark, dir)
     docWords
-      .join(broadcast(typeSyms), Seq("w"))
+      .join(broadcast(typeSegments(docWords,
+        standingMerges(spark, dir))), Seq("w"))
       .select(col("doc_id"), col("w_idx"),
         posexplode(col("syms")).as(Seq("s_idx", "sym")))
       .join(broadcast(inv), Seq("sym"), "left")
@@ -632,6 +700,51 @@ object Bpe {
           (acc, x) => (acc * 31 + x) % 1000000007L).as("ids_fp"))
       .select(col("doc_id"), col("n_tokens"), col("n_unk"),
         col("ids_fp"))
+  }
+
+  /** Fertility per TOKEN CLASS — the rollout telemetry that shows
+    * what the widened surface actually buys: letter runs vs digit
+    * runs vs punctuation segment differently (merges are learned
+    * mostly over letters; digits/punct mostly fall back to characters
+    * + marker), and a per-class fertility table is how a tokenizer
+    * team sees that before burning compute. Same [[encodeFixpoint]]
+    * kernel aggregated over the word stream by class instead of by
+    * document; all-BIGINT permilles, hash-exact. */
+  val bpeFertilityClass: Op = Op("q_bpe_fertility_class",
+    oracleInduction(NumMerges) + "\n" + oracleEncodeFix +
+      s"""
+         |SELECT CASE WHEN regexp_full_match(fdw.w, '[a-zA-Z]+')
+         |              THEN 'letter'
+         |            WHEN regexp_full_match(fdw.w, '[0-9]+')
+         |              THEN 'digit'
+         |            ELSE 'punct' END AS tok_class,
+         |  CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(len(fdw.w)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(ftok.n_tok) AS BIGINT) AS n_tokens,
+         |  (1000 * CAST(SUM(ftok.n_tok) AS BIGINT))
+         |    // CAST(COUNT(*) AS BIGINT) AS fert_permille
+         |FROM fdw JOIN ftok ON fdw.w = ftok.w
+         |GROUP BY tok_class""".stripMargin) { (spark, dir) =>
+    val delta = Tables.documents(spark, dir)
+      .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0)
+    val docWords = delta.select(col("doc_id"),
+      explode(regexp_extract_all(col("text"),
+        lit(TokenRe), lit(0))).as("w"))
+    docWords
+      .join(broadcast(typeSegments(docWords,
+        standingMerges(spark, dir))
+        .select(col("w"), size(col("syms")).cast("long").as("n_tok"))),
+        Seq("w"))
+      .groupBy(
+        when(col("w").rlike("^[a-zA-Z]+$"), "letter")
+          .when(col("w").rlike("^[0-9]+$"), "digit")
+          .otherwise("punct").as("tok_class"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n_tok")).as("n_tokens"))
+      .select(col("tok_class"), col("n_words"), col("n_chars"),
+        col("n_tokens"),
+        expr("(1000 * n_tokens) div n_words").as("fert_permille"))
   }
 
   /** The standing INVENTORY with sort-order ids (sym, id) — the final
@@ -655,10 +768,12 @@ object Bpe {
     * left-to-right scan). Produces CTEs `r0..rN`, `m1..mN` and
     * `merge_table`. */
   /** Shared oracle prefix: standing-slice word types exploded to
-    * (w, freq, pos, sym) — CTEs `w0`, `v0`, `r0`. */
+    * (w, freq, pos, sym) — CTEs `w0`, `v0`, `r0`. Declared
+    * `WITH RECURSIVE` so the encode oracles can append a recursive
+    * fixpoint CTE (harmless for the purely-iterative induction). */
   private def oraclePrefix: String =
-    s"""WITH w0 AS (
-       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    s"""WITH RECURSIVE w0 AS (
+       |  SELECT unnest(regexp_extract_all(text, '$TokenRe')) AS w
        |  FROM documents WHERE doc_id % ${Dedup.IncrementalDeltaMod} <> 0
        |), v0 AS (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM w0 GROUP BY w
@@ -787,70 +902,73 @@ object Bpe {
     sb.toString
   }
 
-  /** The encode path replayed for DuckDB: push the DELTA word types
-    * through the same n merge-application rounds (no argmax — pairs
-    * come from `m1..mN`), then join per-document word streams against
-    * the final type→token-count table. Emits CTEs `d0..dN` and the
-    * final SELECT. */
-  private[operators] def oracleEncodeCtes(n: Int): String = {
-    val sb = new StringBuilder
-    sb.append(
-      s""", dw AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-         |  FROM documents WHERE doc_id % ${Dedup.IncrementalDeltaMod} = 0
-         |), d0 AS MATERIALIZED (
-         |  SELECT w,
-         |    unnest(range(1, len(w) + 2)) AS pos,
-         |    unnest(list_append(list_transform(range(1, len(w) + 1),
-         |      i -> substring(w, CAST(i AS INTEGER), 1)), '$Marker')) AS sym
-         |  FROM (SELECT DISTINCT w FROM dw)
-         |)""".stripMargin)
-    for (k <- 1 to n) {
-      val p = k - 1
-      sb.append(
-        s""", dg$k AS (
-           |  SELECT w, pos, sym,
-           |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
-           |    COALESCE(sym = (SELECT a FROM m$k) AND
-           |      lead(sym) OVER (PARTITION BY w ORDER BY pos)
-           |        = (SELECT b FROM m$k), FALSE) AS mt
-           |  FROM d$p
-           |), dh$k AS (
-           |  SELECT *, CASE WHEN mt THEN pos -
-           |    row_number() OVER (PARTITION BY w, mt ORDER BY pos) END AS isl
-           |  FROM dg$k
-           |), ds$k AS (
-           |  SELECT *, mt AND ((pos -
-           |    min(pos) OVER (PARTITION BY w, isl)) % 2 = 0) AS st
-           |  FROM dh$k
-           |), d$k AS MATERIALIZED (
-           |  SELECT w, row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
-           |    sym
-           |  FROM (
-           |    SELECT w, pos,
-           |      CASE WHEN st THEN sym || nxt ELSE sym END AS sym,
-           |      COALESCE(lag(st) OVER (PARTITION BY w ORDER BY pos),
-           |        FALSE) AS dropme
-           |    FROM ds$k)
-           |  WHERE NOT dropme
-           |)""".stripMargin)
-    }
-    sb.append(
-      s""", tok AS (
-         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tok FROM d$n GROUP BY w
-         |), enc AS (
-         |  SELECT dw.doc_id,
-         |    CAST(COUNT(*) AS BIGINT) AS n_words,
-         |    CAST(SUM(len(dw.w)) AS BIGINT) AS n_chars,
-         |    CAST(SUM(tok.n_tok) AS BIGINT) AS n_tokens
-         |  FROM dw JOIN tok ON dw.w = tok.w
-         |  GROUP BY dw.doc_id
-         |)""".stripMargin)
-    sb.toString
-  }
-
-  private[operators] def oracleEncode(n: Int): String =
-    oracleEncodeCtes(n) +
-      "\nSELECT doc_id, n_words, n_chars, n_tokens FROM enc"
+  /** The encode path replayed for DuckDB: the rank-priority FIXPOINT
+    * law ([[encodeFixpoint]]) as a RECURSIVE CTE — per delta word
+    * type, each recursion step looks up the minimum merge rank among
+    * the type's adjacent symbol pairs and applies that one merge
+    * greedily left-to-right; a type with no applicable pair stops
+    * producing rows, and the final state per type is the
+    * deepest-iteration row. The greedy all-occurrences scan is a
+    * single `replace` over a tab-wrapped rendering (`\t s \t` per
+    * symbol — tokens are whitespace-free so `\t` never occurs inside
+    * a symbol, and the per-symbol wrapping makes matches
+    * boundary-aligned and non-overlapping exactly like the scan).
+    * Unlike the engine's per-round unroll this plan is O(1) in merge
+    * count on the oracle side too. Emits CTEs `fmt` (merge lookup),
+    * `fdw` (delta doc words with position), `ffix` (final
+    * segmentation per type), `ftok` (type → token count) and `enc`
+    * (per-document stats). */
+  private[operators] def oracleEncodeFix: String =
+    s""", fmt AS MATERIALIZED (
+       |  SELECT left_sym AS a, right_sym AS b, merge_rank AS rk
+       |  FROM merge_table
+       |), fdw AS MATERIALIZED (
+       |  SELECT doc_id, i AS w_idx, ws[i] AS w
+       |  FROM (SELECT doc_id,
+       |          regexp_extract_all(text, '$TokenRe') AS ws
+       |        FROM documents
+       |        WHERE doc_id % ${Dedup.IncrementalDeltaMod} = 0),
+       |       unnest(range(1, len(ws) + 1)) AS t(i)
+       |), finit AS (
+       |  SELECT w, list_append(list_transform(range(1, len(w) + 1),
+       |    i -> substring(w, CAST(i AS INTEGER), 1)), '$Marker') AS syms
+       |  FROM (SELECT DISTINCT w FROM fdw)
+       |), fst AS (
+       |  SELECT w, syms, 0 AS it FROM finit
+       |  UNION ALL
+       |  SELECT s.w,
+       |    string_split(substring(rep, 2, length(rep) - 2),
+       |      chr(9) || chr(9)) AS syms,
+       |    s.it + 1 AS it
+       |  FROM (
+       |    SELECT q.w, q.it,
+       |      replace(
+       |        chr(9) || array_to_string(q.syms, chr(9) || chr(9))
+       |          || chr(9),
+       |        chr(9) || m.a || chr(9) || chr(9) || m.b || chr(9),
+       |        chr(9) || m.a || m.b || chr(9)) AS rep
+       |    FROM (
+       |      SELECT w, syms, it,
+       |        (SELECT min(fmt.rk) FROM fmt
+       |         WHERE list_contains(
+       |           list_transform(range(1, len(syms)),
+       |             i -> syms[i] || chr(9) || syms[i + 1]),
+       |           fmt.a || chr(9) || fmt.b)) AS br
+       |      FROM fst) q
+       |    JOIN fmt m ON m.rk = q.br) s
+       |), ffix AS MATERIALIZED (
+       |  SELECT w, syms FROM (
+       |    SELECT w, syms,
+       |      row_number() OVER (PARTITION BY w ORDER BY it DESC) AS rn
+       |    FROM fst) WHERE rn = 1
+       |), ftok AS (
+       |  SELECT w, CAST(len(syms) AS BIGINT) AS n_tok FROM ffix
+       |), enc AS (
+       |  SELECT fdw.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(len(fdw.w)) AS BIGINT) AS n_chars,
+       |    CAST(SUM(ftok.n_tok) AS BIGINT) AS n_tokens
+       |  FROM fdw JOIN ftok ON fdw.w = ftok.w
+       |  GROUP BY fdw.doc_id
+       |)""".stripMargin
 }

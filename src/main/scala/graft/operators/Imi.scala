@@ -107,11 +107,29 @@ object Imi {
       .filter(col("cn") > 0)
   }
 
-  /** `steps` Lloyd refinements of the per-half seed codebooks. */
+  /** `steps` Lloyd refinements of the per-half seed codebooks.
+    *
+    * Cell-packing guard: centroid ids are seed vec_ids, and the packed
+    * cell id `c0·CellBase + c1` silently ALIASES two distinct cells
+    * once a cent_id reaches [[CellBase]] — and because the oracles use
+    * the same formula, the cross-engine gate could not catch it. The
+    * build-time assert (one 1-row aggregate, amortized behind the
+    * persisted stores) turns that silent merge into a loud failure;
+    * a corpus with sparse vec_ids past 2²¹ needs a dense re-rank of
+    * cent_ids before packing. */
   def codebook(spark: SparkSession, h: DataFrame, k1: Int,
-      steps: Int): DataFrame =
-    (1 to steps).foldLeft(seedCodebook(h, k1))((cb, _) =>
-      lloydStep(spark, h, cb))
+      steps: Int): DataFrame = {
+    val cb = (1 to steps).foldLeft(seedCodebook(h, k1))((c, _) =>
+      lloydStep(spark, h, c))
+    val maxId = cb.agg(max(col("cent_id"))).collect()(0)
+    if (!maxId.isNullAt(0) &&
+        maxId.getAs[Number](0).longValue >= CellBase)
+      throw new IllegalStateException(
+        s"IMI cent_id ${maxId.getAs[Number](0)} >= CellBase $CellBase: " +
+          "packed cell ids would alias; densify vec_ids (or re-rank " +
+          "cent_ids) before building the index")
+    cb
+  }
 
   /** The probed-cell frame: (vec_id, label, cell, r0, r1, dot0, dot1,
     * cn0, cn1, v, n2) — one row per (vector, probed cell), nprobeHalf²

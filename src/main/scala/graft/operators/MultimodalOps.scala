@@ -106,10 +106,26 @@ object MultimodalOps {
     * deterministic fixture [[Multimodal.writeAssetFixture]] materializes
     * once per corpus; a production deployment points this at whatever
     * object store already holds the media). Asset count scales with the
-    * corpus (3/5 of its documents), same rule the in-engine frame used. */
+    * corpus (3/5 of its documents), same rule the in-engine frame used.
+    *
+    * The corpus count behind the sizing rule is memoized per
+    * (session, dir, documents-listing-signature) — the signature check
+    * is a driver-side file listing, no Spark job — so repeated store
+    * accesses don't pay a `count()` job each, while a corpus
+    * regenerated at the same path still re-counts (and, via the
+    * n-bearing fixture marker, regrows the directory). */
+  private val assetDirCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), String]
+
   private[graft] def assetDir(spark: SparkSession, dir: String): String = {
-    val n = (Tables.documents(spark, dir).count() * 3 / 5).toInt.max(30)
-    Multimodal.writeAssetFixture(spark, SinkOps.stagingDir(dir, "media_assets"), n)
+    val sig = graft.sources.RunLog.sourceSignature(
+      spark, dir, "documents.parquet")
+    assetDirCache.computeIfAbsent(
+      (System.identityHashCode(spark), dir, sig), { _ =>
+        val n = (Tables.documents(spark, dir).count() * 3 / 5).toInt.max(30)
+        Multimodal.writeAssetFixture(
+          spark, SinkOps.stagingDir(dir, "media_assets"), n)
+      })
   }
 
   /** File ingest of the asset directory — the user's actual first act:

@@ -24,6 +24,10 @@ private[graft] object PersistedStore {
   private val storeLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]
 
+  /** Commit-time GC skips `ver-*` dirs younger than this (a
+    * cross-process writer's in-flight build; see [[ensure]]). */
+  private[graft] val GcGraceNanos: Long = 15L * 60 * 1000 * 1000 * 1000
+
   /** Build-or-reuse the store for (`dir`, `tag`): when the recorded
     * signature matches the current source listing the CURRENT VERSION
     * root it references is served as-is; otherwise `write(versionRoot)`
@@ -37,9 +41,10 @@ private[graft] object PersistedStore {
     * signature file, so a reader holding the PREVIOUS version's path
     * keeps scanning intact files — `mode(overwrite)` never deletes
     * under an active reader. The superseded version survives one more
-    * generation (protecting in-flight readers) and is garbage-
-    * collected on the NEXT rebuild; only `ver-*` dirs two generations
-    * old are deleted. A crash mid-rebuild leaves a stale/absent
+    * generation (protecting in-flight readers); a `ver-*` dir is
+    * garbage-collected at a later commit once it is (a) at least two
+    * generations old AND (b) older than the cross-process grace
+    * window (see below). A crash mid-rebuild leaves a stale/absent
     * signature and an orphan version dir — never a valid-looking
     * half-written store.
     *
@@ -47,9 +52,13 @@ private[graft] object PersistedStore {
     * SESSIONS in one process (the session caches' per-scope locks
     * don't cover two sessions sharing a dir). Cross-PROCESS, racing
     * writers build into DISTINCT version dirs and the last signature
-    * write wins — the loser's dir is unreferenced and GC'd at the
-    * next rebuild; a reader can only observe a version whose writer
-    * finished its data pass before committing the signature. */
+    * write wins — the loser's dir is unreferenced and becomes a GC
+    * candidate at a later commit; a reader can only observe a version
+    * whose writer finished its data pass before committing the
+    * signature. GC runs at every commit but SKIPS `ver-*` dirs
+    * younger than [[GcGraceNanos]] (the nanoTime suffix in the dir
+    * name), so a concurrent cross-process writer's in-flight build —
+    * which the JVM lock cannot see — is never deleted mid-write. */
   def ensure(spark: SparkSession, dir: String, sourceGlob: String,
       tag: String, version: String, sigDir: String = null)(
       write: String => Unit): String = {
@@ -93,13 +102,27 @@ private[graft] object PersistedStore {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
           // GC: versions other than the new one and its immediate
-          // predecessor (which an in-flight reader may still scan)
+          // predecessor (which an in-flight reader may still scan).
+          // Grace window: the JVM lock above only serializes THIS
+          // process — a concurrent cross-process writer's in-flight
+          // `ver-*` dir must not be deleted mid-write, so dirs whose
+          // nanoTime suffix (CLOCK_MONOTONIC, shared across processes
+          // on one host) is younger than the window are left alone;
+          // they become ordinary GC candidates at a later commit.
           val keep = Set(ver, prevVer).filter(_.nonEmpty)
+          val now = System.nanoTime()
+          def youngerThanGrace(name: String): Boolean = {
+            val ts = name.substring(name.lastIndexOf('-') + 1)
+            try now - java.lang.Long.parseUnsignedLong(ts, 16) <
+              GcGraceNanos
+            catch { case _: NumberFormatException => false }
+          }
           Option(fs.listStatus(new org.apache.hadoop.fs.Path(store)))
             .getOrElse(Array.empty)
             .filter(st => st.isDirectory &&
               st.getPath.getName.startsWith("ver-") &&
-              !keep(st.getPath.getName))
+              !keep(st.getPath.getName) &&
+              !youngerThanGrace(st.getPath.getName))
             .foreach(st => fs.delete(st.getPath, true))
           root
         }

@@ -347,12 +347,23 @@ object TextOps {
   private[graft] def bucketedChunkKeepers(
       spark: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    val table = "gb_chunk_keepers_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // the table name embeds the chunk_keepers STORE GENERATION (its
+    // versioned root dir name), not just the corpus path: a corpus
+    // regenerated at the same path within a session rebuilds the
+    // store under a fresh ver-* dir, which misses here and re-buckets
+    // — without this the bucketed probe silently served stale keepers
+    val keepers = standingChunkKeepers(spark, dir) // ensures the store
+    val ver = {
+      val root = PersistedStore.currentRoot(spark, dir, "chunk_keepers")
+      root.substring(root.lastIndexOf('/') + 1)
+    }
+    val table = ("gb_chunk_keepers_" + dir + "_" + ver)
+      .replaceAll("[^a-zA-Z0-9]", "_")
     if (!spark.catalog.tableExists(table)) {
       SinkOps.deleteDir(spark,
         s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
       graft.sources.Bucketing.writeBucketed(
-        standingChunkKeepers(spark, dir), table, "chunk_fp", 16)
+        keepers, table, "chunk_fp", 16)
     }
     spark.table(table).hint("merge")
   }

@@ -1044,36 +1044,35 @@ object EventStream {
   /** STATELESS streaming BPE encode — arriving delta documents are
     * tokenized against the STANDING tokenizer artifact
     * ([[graft.operators.Bpe.standingMerges]], the persisted
-    * `bpe_merges` store): the merge table is O(rounds) metadata folded
-    * into the plan as literal greedy-merge rounds, so each document's
-    * (n_words, n_chars, n_tokens) is pure per-row expression work —
-    * no streaming aggregation, no state store, no stream-side shuffle
-    * (state operators spec-pinned EMPTY). The batch op's broadcast
-    * type-table join and this per-row fold compute the same law
-    * (BpeSpec pins the law against the published sequential scan;
-    * EventStreamSpec pins stream ≡ batch hash-exactly), they just
-    * trade where the per-type work lands: amortized across a bounded
-    * type table in batch, inline at ingest here — the
-    * tokenize-on-arrival shape a 100 TB/day feed needs. */
+    * `bpe_merges` store): the merge table rides a broadcast ONE-ROW
+    * MAP ([[graft.operators.Bpe.mergeRankMap]]) into the
+    * rank-priority fixpoint encoder, so each document's (n_words,
+    * n_chars, n_tokens) is pure per-row expression work with a plan
+    * that is O(1) in merge count — no streaming aggregation, no state
+    * store, no stream-side shuffle (state operators spec-pinned
+    * EMPTY). The batch op's broadcast type-table join and this
+    * per-row fixpoint compute the same law (BpeSpec pins the law
+    * against the published subword-nmt encode scan; EventStreamSpec
+    * pins stream ≡ batch hash-exactly), they just trade where the
+    * per-type work lands: amortized across a bounded type table in
+    * batch, inline at ingest here — the tokenize-on-arrival shape a
+    * 100 TB/day feed needs. */
   def runBpeEncodeToMemory(
       spark: SparkSession, dir: String, queryName: String): String =
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
       import graft.operators.{Bpe, Dedup}
-      val mergeRows = Bpe.standingMerges(spark, dir)
-        .orderBy(col("merge_rank")).collect()
-        .map(r => (r.getAs[String]("left_sym"),
-          r.getAs[String]("right_sym")))
+      val mrank = Bpe.mergeRankMap(Bpe.standingMerges(spark, dir))
       val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
-      val words = regexp_extract_all(lower(col("text")),
-        lit("[a-z]+"), lit(0))
+      val words = regexp_extract_all(col("text"),
+        lit(Bpe.TokenRe), lit(0))
       def tokCount(w: org.apache.spark.sql.Column) =
-        size(mergeRows.foldLeft(Bpe.initSyms(w)) { (s, m) =>
-          Bpe.mergePair(s, lit(m._1), lit(m._2))
-        }).cast("long")
+        size(Bpe.encodeFixpoint(Bpe.initSyms(w), col("mrank")))
+          .cast("long")
       spark.readStream.schema(docsSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0)
         .filter(size(words) > 0)
+        .crossJoin(broadcast(mrank))
         .select(col("doc_id"),
           size(words).cast("long").as("n_words"),
           aggregate(words, lit(0L),
@@ -1090,37 +1089,34 @@ object EventStream {
     * ([[graft.operators.Bpe.bpeTokens]]'s law) computed AT ARRIVAL:
     * per document the token-id sequence's length, unk count and
     * order-sensitive fingerprint, all per-row expression work — the
-    * merge table folds in as literal rounds (the
-    * [[runBpeEncodeToMemory]] device), the standing inventory rides a
-    * broadcast one-row MAP (`element_at` miss = unk 0, exactly the
-    * batch op's left-join coalesce), and the in-order fold runs inside
-    * the row over `flatten(transform(words, syms))` — word order ×
-    * symbol order IS document order, so no sort and no aggregation
-    * cross rows. No state store, no stream-side shuffle; the batch
-    * op's broadcast-join form and this row-local form prove equal
-    * through the SHARED oracle on every verify run. */
+    * merge table AND the standing inventory each ride a broadcast
+    * one-row MAP (the merges into the fixpoint encoder — plan O(1) in
+    * merge count, the [[runBpeEncodeToMemory]] device; the inventory
+    * via `element_at`, miss = unk 0, exactly the batch op's left-join
+    * coalesce), and the in-order fold runs inside the row over
+    * `flatten(transform(words, syms))` — word order × symbol order IS
+    * document order, so no sort and no aggregation cross rows. No
+    * state store, no stream-side shuffle; the batch op's
+    * broadcast-join form and this row-local form prove equal through
+    * the SHARED oracle on every verify run. */
   def runBpeTokensToMemory(
       spark: SparkSession, dir: String, queryName: String): String =
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
       import graft.operators.{Bpe, Dedup}
-      val mergeRows = Bpe.standingMerges(spark, dir)
-        .orderBy(col("merge_rank")).collect()
-        .map(r => (r.getAs[String]("left_sym"),
-          r.getAs[String]("right_sym")))
+      val mrank = Bpe.mergeRankMap(Bpe.standingMerges(spark, dir))
       val imap = Bpe.inventoryIds(spark, dir)
         .agg(map_from_entries(
           collect_list(struct(col("sym"), col("id")))).as("imap"))
       val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
-      val words = regexp_extract_all(lower(col("text")),
-        lit("[a-z]+"), lit(0))
+      val words = regexp_extract_all(col("text"),
+        lit(Bpe.TokenRe), lit(0))
       def symsOf(w: org.apache.spark.sql.Column) =
-        mergeRows.foldLeft(Bpe.initSyms(w)) { (s, m) =>
-          Bpe.mergePair(s, lit(m._1), lit(m._2))
-        }
+        Bpe.encodeFixpoint(Bpe.initSyms(w), col("mrank"))
       spark.readStream.schema(docsSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0)
         .filter(size(words) > 0)
+        .crossJoin(broadcast(mrank))
         .crossJoin(broadcast(imap))
         .withColumn("ids",
           transform(flatten(transform(words, w => symsOf(w))),

@@ -26,6 +26,31 @@ class BpeSpec extends SparkSpec {
     out.result()
   }
 
+  // the published ENCODE loop (subword-nmt): repeatedly merge the
+  // lowest-RANK adjacent pair present in the table, greedily
+  // left-to-right, until no adjacent pair is in the table — the
+  // rank-priority fixpoint the engine's encodeFixpoint expression and
+  // the oracle's recursive CTE both implement
+  private def encodeFixRef(w: String, rank: Map[(String, String), Int])
+      : Vector[String] = {
+    var syms = w.map(_.toString).toVector :+ Bpe.Marker
+    var done = false
+    while (!done) {
+      val prs = syms.zip(syms.tail).flatMap(rank.get)
+      if (prs.isEmpty) done = true
+      else {
+        val br = prs.min
+        val (a, b) = rank.find(_._2 == br).get._1
+        syms = mergeScan(syms, a, b)
+      }
+    }
+    syms
+  }
+
+  private def rankOf(merges: Seq[(String, String)])
+      : Map[(String, String), Int] =
+    merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+
   private def refTrain(freqs: Map[String, Long], n: Int)
       : Seq[(Int, String, String, Long)] = {
     var vocab = freqs.keys
@@ -204,8 +229,8 @@ class BpeSpec extends SparkSpec {
       .map(r => r.getAs[String]("sym") -> r.getAs[Long]("n_occ")).toMap
     val nWords = graft.Tables.documents(spark, sf001)
       .filter($"doc_id" % Dedup.IncrementalDeltaMod =!= 0)
-      .select(explode(regexp_extract_all(lower($"text"),
-        lit("[a-z]+"), lit(0))))
+      .select(explode(regexp_extract_all($"text",
+        lit(Bpe.TokenRe), lit(0))))
       .count()
     // the marker only ever merges as a SUFFIX (nothing follows it), so
     // exactly one marker-bearing symbol terminates each word occurrence
@@ -216,10 +241,12 @@ class BpeSpec extends SparkSpec {
       "expected at least one learned non-marker subword")
   }
 
-  test("encode token counts agree with the reference scan per document") {
+  test("encode token counts agree with the reference fixpoint encode " +
+    "per document") {
     val merges = Bpe.bpeMerges.build(spark, sf001)
       .orderBy("merge_rank").collect()
       .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    val rank = rankOf(merges.toSeq)
     val enc = Bpe.bpeEncode.build(spark, sf001).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
@@ -227,15 +254,13 @@ class BpeSpec extends SparkSpec {
     assert(enc.nonEmpty)
     val delta = graft.Tables.documents(spark, sf001)
       .filter($"doc_id" % Dedup.IncrementalDeltaMod === 0)
-      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+      .select($"doc_id", $"text").as[(Long, String)].collect()
     delta.foreach { case (id, t) =>
-      val ws = "[a-z]+".r.findAllIn(t).toSeq
+      val ws = Bpe.TokenRe.r.findAllIn(t).toSeq
       if (ws.isEmpty) assert(!enc.contains(id))
       else {
         val tok = ws.distinct.map { w =>
-          var s = w.map(_.toString).toVector :+ Bpe.Marker
-          merges.foreach { case (a, b) => s = mergeScan(s, a, b) }
-          w -> s.length.toLong
+          w -> encodeFixRef(w, rank).length.toLong
         }.toMap
         assert(enc(id) === ((ws.length.toLong,
           ws.map(_.length.toLong).sum, ws.map(tok).sum)),
@@ -257,17 +282,16 @@ class BpeSpec extends SparkSpec {
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got.nonEmpty)
+    val rank = rankOf(merges.toSeq)
     val delta = graft.Tables.documents(spark, sf001)
       .filter($"doc_id" % Dedup.IncrementalDeltaMod === 0)
-      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+      .select($"doc_id", $"text").as[(Long, String)].collect()
     delta.foreach { case (id, t) =>
-      val ws = "[a-z]+".r.findAllIn(t).toSeq
+      val ws = Bpe.TokenRe.r.findAllIn(t).toSeq
       if (ws.isEmpty) assert(!got.contains(id))
       else {
         val symsOf = ws.distinct.map { w =>
-          var s = w.map(_.toString).toVector :+ Bpe.Marker
-          merges.foreach { case (a, b) => s = mergeScan(s, a, b) }
-          w -> s
+          w -> encodeFixRef(w, rank)
         }.toMap
         val ids = ws.flatMap(w => symsOf(w).map(s => inv.getOrElse(s, 0L)))
         val fp = ids.foldLeft(0L)((a, x) => (a * 31 + x) % 1000000007L)
@@ -321,5 +345,142 @@ class BpeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString()
     assert(p.contains("BroadcastHashJoin"),
       s"type table must broadcast:\n$p")
+  }
+
+  test("fixpoint law: a later merge's output can resurrect an " +
+    "earlier-ranked pair and the encoder honors rank priority " +
+    "(a rank-order 1..N sweep would differ)") {
+    // rank 1 = (c, ab) is applicable only AFTER rank 2 = (a, b)
+    // creates "ab": the published encode loop revisits it; applying
+    // merge 1 then merge 2 once each never would
+    val merges = Seq((1, "c", "ab", 1L), (2, "a", "b", 1L))
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+    val got = Seq("cab").toDF("w")
+      .crossJoin(broadcast(Bpe.mergeRankMap(merges)))
+      .select(Bpe.encodeFixpoint(Bpe.initSyms($"w"), $"mrank").as("s"))
+      .as[Seq[String]].head()
+    assert(got === Seq("cab", Bpe.Marker))
+    assert(got === encodeFixRef("cab",
+      Map(("c", "ab") -> 1, ("a", "b") -> 2)))
+    // the old per-rank sweep leaves [c, ab, _] — pinned as DIFFERENT
+    val sweep = Seq("cab").toDF("w")
+      .select(Bpe.mergePair(Bpe.mergePair(Bpe.initSyms($"w"),
+        lit("c"), lit("ab")), lit("a"), lit("b")).as("s"))
+      .as[Seq[String]].head()
+    assert(sweep === Seq("c", "ab", Bpe.Marker))
+  }
+
+  test("widened surface: digits, punctuation and case are first-class " +
+    "symbols — training and encode match the plain-Scala reference " +
+    "on a mixed corpus") {
+    val docsSeq = Seq(
+      (0L, "Call 911! Call 911 now... ABC abc 3.14"),
+      (1L, "x2 + y2 = z2; 911! (abc) [ABC] #tag abc ABC"),
+      (2L, "aaa aaaa 12 12 12 !!! . . ."))
+    val docs = docsSeq.toDF("doc_id", "text")
+    val freqs = docsSeq.flatMap(d => Bpe.TokenRe.r.findAllIn(d._2))
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    assert(freqs.keySet.exists(_.matches("[0-9]+")), "fixture needs digits")
+    assert(freqs.keySet.exists(_.matches("[^a-zA-Z0-9\\s]")),
+      "fixture needs punctuation")
+    assert(freqs.keySet.contains("ABC") && freqs.keySet.contains("abc"),
+      "fixture needs case distinction")
+    val want = refTrain(freqs, 24)
+    assert(mergeKey(Bpe.train(docs, 24)) === want,
+      "training diverged on the widened surface")
+    val mergesDf = want
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+    val rank = want.map(m => (m._2, m._3) -> m._1).toMap
+    val got = Bpe.encodeStatsFrom(docs, mergesDf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    docsSeq.foreach { case (id, t) =>
+      val ws = Bpe.TokenRe.r.findAllIn(t).toSeq
+      val tok = ws.distinct
+        .map(w => w -> encodeFixRef(w, rank).length.toLong).toMap
+      assert(got(id) === ((ws.length.toLong,
+        ws.map(_.length.toLong).sum, ws.map(tok).sum)),
+        s"doc $id encode mismatch on the mixed corpus")
+    }
+  }
+
+  test("encode plan size is O(1) in merge count — a production-depth " +
+    "merge table analyzes the SAME plan (the r8 scale-killer gate)") {
+    val docs = Seq((0L, "abc 123 x.y")).toDF("doc_id", "text")
+    def mergesDf(n: Int) =
+      (1 to n).map(i => (i, s"l$i", s"r$i", 1L))
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+    def nodes(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect { case p => p }.size
+    // normalize expr-ids and lambda-variable counters (global,
+    // monotonically increasing) — the SHAPE is what must not grow
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.treeString.replaceAll("[0-9]+", "")
+    val base = Bpe.encodeStatsFrom(docs, mergesDf(8))
+    for (n <- Seq(256, 4096)) {
+      val big = Bpe.encodeStatsFrom(docs, mergesDf(n))
+      assert(nodes(big) === nodes(base),
+        s"physical plan node count grew at $n merges")
+      assert(shape(big) === shape(base),
+        s"analyzed expression tree grew at $n merges")
+    }
+  }
+
+  test("256-merge open-vocab tokenizer: the fixpoint encoder matches " +
+    "the plain-Scala reference at production depth") {
+    val rnd = new java.util.Random(7)
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    while (seen.size < 600) {
+      val len = 3 + rnd.nextInt(8)
+      seen += Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val vocab = seen.toVector
+    val cum = vocab.indices.map(i => 1.0 / (i + 1))
+      .scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    def draw(): String = {
+      val x = rnd.nextDouble() * total
+      vocab(cum.indexWhere(_ >= x))
+    }
+    val docsSeq = (0 until 120).map { id =>
+      (id.toLong, Seq.fill(40 + rnd.nextInt(40))(draw()).mkString(" "))
+    }
+    val docs = docsSeq.toDF("doc_id", "text")
+    val freqs = docsSeq.flatMap(d => Bpe.TokenRe.r.findAllIn(d._2))
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val want = refTrain(freqs, 256)
+    assert(want.length === 256,
+      "open-vocab fixture exhausted before 256 merges")
+    val mergesDf = want
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+    val rank = want.map(m => (m._2, m._3) -> m._1).toMap
+    val got = Bpe.encodeStatsFrom(docs, mergesDf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    docsSeq.foreach { case (id, t) =>
+      val ws = Bpe.TokenRe.r.findAllIn(t).toSeq
+      val tok = ws.distinct
+        .map(w => w -> encodeFixRef(w, rank).length.toLong).toMap
+      assert(got(id) === ((ws.length.toLong,
+        ws.map(_.length.toLong).sum, ws.map(tok).sum)),
+        s"doc $id encode mismatch at 256 merges")
+    }
+  }
+
+  test("per-class fertility reconciles with the encode totals " +
+    "(the letter-only driver corpus collapses to one class)") {
+    val rows = Bpe.bpeFertilityClass.build(spark, sf001).collect()
+    assert(rows.map(_.getAs[String]("tok_class")).toSet === Set("letter"),
+      "driver testdata is letter-only; mixed classes belong to the " +
+        "mixed-corpus spec")
+    val enc = Bpe.bpeEncode.build(spark, sf001).collect()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum ===
+      enc.map(_.getAs[Long]("n_tokens")).sum)
+    assert(rows.map(_.getAs[Long]("n_words")).sum ===
+      enc.map(_.getAs[Long]("n_words")).sum)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fert_permille") ===
+        1000L * r.getAs[Long]("n_tokens") / r.getAs[Long]("n_words"))
+    }
   }
 }

@@ -142,8 +142,22 @@ class PersistedStoreSpec extends SparkSpec {
           "in-flight readers")
       assert(exists(s"$r2/rows"))
       assert(PersistedStore.currentRoot(spark, sf001, "ver_probe") === r2)
+      // GC has a cross-process grace window: an unreferenced ver-* dir
+      // is deleted only once its nanoTime suffix has aged past
+      // GcGraceNanos (a concurrent writer's in-flight build must never
+      // be deleted mid-write). Plant an unreferenced dir with an
+      // expired timestamp: the next commit must GC it while keeping
+      // the (young) r1/r2 generations.
+      val storeRoot = r2.substring(0, r2.lastIndexOf('/'))
+      val expired = s"$storeRoot/ver-dead-" + java.lang.Long.toHexString(
+        System.nanoTime() - PersistedStore.GcGraceNanos - 1L)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(expired))
       val r3 = build("v3")
-      assert(!exists(r1), "a two-generations-old version must be GC'd")
+      assert(!exists(expired),
+        "an unreferenced version past the grace window must be GC'd")
+      assert(exists(r1),
+        "a version younger than the grace window must NOT be GC'd " +
+          "(it could be a concurrent writer's in-flight build)")
       assert(exists(s"$r2/rows") && exists(s"$r3/rows"))
     } finally PersistedStore.drop(spark, sf001, "ver_probe")
   }
