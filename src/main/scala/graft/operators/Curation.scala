@@ -787,10 +787,22 @@ object Curation {
     * [[packSequences]]' oracle IS that single-window SQL, so the
     * hash-exact row proves the decomposition. */
   def packByPrefixSum(d: org.apache.spark.sql.DataFrame, budget: Long)
+      : org.apache.spark.sql.DataFrame =
+    precedingBySource(d, "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"preceding_tokens div $budget").as("pack_id"))
+
+  /** The prefix sum itself over any (`ord`, source, n_tokens) frame —
+    * shared by the whole-doc packer, the incremental packer (which
+    * adds a persisted base offset before dividing) and the
+    * chunk-granularity packer (whose order key packs (doc_id,
+    * chunk_idx)). Returns the input plus `preceding_tokens`. */
+  def precedingBySource(d: org.apache.spark.sql.DataFrame, ord: String,
+      shift: Int = PackBucketShift)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyed = d.withColumn("bucket",
-      shiftright(col("doc_id"), PackBucketShift))
+      shiftright(col(ord), shift))
     val counts = keyed.groupBy(col("source"), col("bucket"))
       .agg(sum(col("n_tokens")).as("bn"))
     val wOff = Window.partitionBy(col("source")).orderBy(col("bucket"))
@@ -799,12 +811,11 @@ object Curation {
       .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
       .select(col("source"), col("bucket"), col("off"))
     val wLocal = Window.partitionBy(col("source"), col("bucket"))
-      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)
+      .orderBy(col(ord)).rowsBetween(Window.unboundedPreceding, 0)
     keyed.join(broadcast(offsets), Seq("source", "bucket"))
       .withColumn("preceding_tokens",
         col("off") + sum(col("n_tokens")).over(wLocal) - col("n_tokens"))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        expr(s"preceding_tokens div $budget").as("pack_id"))
+      .drop("bucket", "off")
   }
 
   /** Epochs materialized by [[epochShuffle]] (fixed so the oracle can
@@ -1032,6 +1043,295 @@ object Curation {
     Tables.documents(spark, dir).select(col("doc_id"), col("source"),
       bpeishTokenCount(col("text")).cast("long").as("n_tokens"),
       when(total3 > 0, ratio <= 0.2).otherwise(lit(true)).as("rep_pass"))
+  }
+
+  /** The incremental split of the packing family: standing = the
+    * first ¾ of the corpus' doc_id range, delta = the rest — arrivals
+    * append in id order, exactly the regime where a per-source token
+    * HIGH-WATER MARK lets a delta pack CONTINUE the prefix sum
+    * instead of recomputing it (SUM is the monoid, so incremental ≡
+    * batch EXACTLY — the `chunkDedupIncrOf` proof shape on the
+    * packing law). One 1-row aggregate, bounded metadata. */
+  private[graft] def packSplitId(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long =
+    Tables.documents(spark, dir)
+      .agg(expr("(max(doc_id) * 3) div 4").as("s"))
+      .collect()(0).getLong(0)
+
+  private val packHwmCache = SessionCache.mkFrames()
+
+  private[graft] def clearPackHwmCache(): Unit = packHwmCache.clear()
+
+  /** The per-source packing high-water mark AT REST (`pack_hwm`
+    * store): Σ tokens and doc count over the STANDING slice — the
+    * only state a delta pack needs. At 100 TB this is a
+    * #sources-row table updated once per ingest window; the delta
+    * pass never rescans the standing corpus. */
+  private[graft] def standingPackHwm(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    packHwmCache.getOrBuild(spark, dir, "documents.parquet") {
+      val store = PersistedStore.ensure(spark, dir, "documents.parquet",
+        "pack_hwm", "v1") { root =>
+        val split = packSplitId(spark, dir)
+        Tables.documents(spark, dir).filter(col("doc_id") < split)
+          .select(col("source"),
+            bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
+          .groupBy(col("source"))
+          .agg(sum(col("n_tokens")).as("standing_tokens"),
+            count(lit(1)).as("standing_docs"))
+          .write.mode("overwrite").parquet(s"$root/hwm")
+      }
+      spark.read.parquet(s"$store/hwm").localCheckpoint()
+    }
+
+  /** [[packIncr]]'s kernel: the delta slice packed by CONTINUING each
+    * source's prefix sum from the persisted high-water mark — shared
+    * with the incremental shard manifest. */
+  private[graft] def packIncrRows(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val split = packSplitId(spark, dir)
+    val delta = Tables.documents(spark, dir)
+      .filter(col("doc_id") >= split)
+      .select(col("doc_id"), col("source"),
+        bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
+    precedingBySource(delta, "doc_id")
+      .join(broadcast(standingPackHwm(spark, dir)
+        .select(col("source"), col("standing_tokens"))),
+        Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"(coalesce(standing_tokens, 0L) + preceding_tokens) " +
+          s"div $PackBudget").as("pack_id"))
+  }
+
+  /** INCREMENTAL sequence packing — the batch/incremental sibling the
+    * packing family was missing (every other flagship family has
+    * one): the delta's pack assignment continues each source's token
+    * prefix sum from the persisted [[standingPackHwm]], so pack ids
+    * agree with a full recompute EXACTLY (the oracle IS the batch law
+    * filtered to the delta) and yesterday's packed shards are never
+    * touched or re-read. Scale shape: one delta scan + a
+    * #sources-row broadcast — the standing corpus contributes only
+    * its high-water row per source. */
+  val packIncr: Op = Op(
+    "q_pack_incr",
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           - n_tokens AS preceding_tokens
+       |  FROM d
+       |), t AS (
+       |  SELECT (MAX(doc_id) * 3) // 4 AS split FROM documents
+       |)
+       |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(preceding_tokens // $PackBudget AS BIGINT) AS pack_id
+       |FROM c CROSS JOIN t WHERE c.doc_id >= t.split""".stripMargin) {
+    (spark, dir) => packIncrRows(spark, dir)
+  }
+
+  /** INCREMENTAL mix factors — [[mixAssembly]]'s counters carried the
+    * high-water-mark way: the equalizing factor needs only per-source
+    * corpus token totals, and those are a SUM monoid over
+    * (standing hwm + delta aggregate), so the delta emission computes
+    * factors IDENTICAL to the full recompute (oracle = the batch law
+    * filtered to the delta) from a #sources-row fold — the standing
+    * corpus is never rescanned. Sources seen only in the standing
+    * slice still shape the factors (outer fold, delta 0). */
+  val mixIncr: Op = Op(
+    "q_mix_incr",
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |  FROM documents
+       |), s AS (
+       |  SELECT source, SUM(n_tokens) AS src_tokens FROM d GROUP BY source
+       |), f AS (
+       |  SELECT source,
+       |         (CAST(SUM(src_tokens) OVER () AS DOUBLE)
+       |            / CAST(COUNT(*) OVER () AS DOUBLE))
+       |           / CAST(src_tokens AS DOUBLE) AS factor
+       |  FROM s
+       |), t AS (
+       |  SELECT (MAX(doc_id) * 3) // 4 AS split FROM documents
+       |)
+       |SELECT d.doc_id, d.source, d.n_tokens, f.factor,
+       |       CAST(floor(f.factor) AS BIGINT)
+       |         + CASE WHEN CAST($idBucketSql AS DOUBLE)
+       |                     < (f.factor - floor(f.factor)) * 100
+       |                THEN 1 ELSE 0 END AS n_copies
+       |FROM d JOIN f ON d.source = f.source
+       |CROSS JOIN t WHERE d.doc_id >= t.split""".stripMargin) {
+    (spark, dir) =>
+      val split = packSplitId(spark, dir)
+      val delta = Tables.documents(spark, dir)
+        .filter(col("doc_id") >= split)
+        .select(col("doc_id"), col("source"),
+          bpeishTokenCount(col("text")).as("n_tokens"))
+      val deltaSums = delta.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).cast("long").as("delta_tokens"))
+      val full = standingPackHwm(spark, dir)
+        .select(col("source"), col("standing_tokens"))
+        .join(deltaSums, Seq("source"), "full_outer")
+        .select(col("source"),
+          (coalesce(col("standing_tokens"), lit(0L)) +
+            coalesce(col("delta_tokens"), lit(0L))).as("src_tokens"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      val factors = full
+        .select(col("source"),
+          ((sum(col("src_tokens")).over(wAll).cast("double")
+            / count(lit(1)).over(wAll).cast("double"))
+            / col("src_tokens").cast("double")).as("factor"))
+      val frac = col("factor") - floor(col("factor")).cast("double")
+      delta.join(broadcast(factors), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("factor"),
+          (floor(col("factor")) +
+            when(idBucket(col("doc_id")).cast("double") < frac * 100, 1L)
+              .otherwise(0L)).as("n_copies"))
+  }
+
+  /** INCREMENTAL shard manifest — today's shipment: the manifest rows
+    * of the DELTA's pack assignment ([[packIncrRows]], pack ids
+    * continued from the high-water mark so they agree with the batch
+    * law), grouped to shards by the same hash. Checksums and token
+    * totals are modular/plain SUMs, so standing manifest + delta
+    * manifest FOLD to the full manifest per shard (spec-pinned) —
+    * the manifest is maintained, never recomputed. */
+  val shardManifestIncr: Op = Op(
+    "q_shard_manifest_incr",
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           - n_tokens AS preceding_tokens
+       |  FROM d
+       |), t AS (
+       |  SELECT (MAX(doc_id) * 3) // 4 AS split FROM documents
+       |), p AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(preceding_tokens // $PackBudget AS BIGINT) AS pack_id,
+       |         (doc_id * 2654435761 + n_tokens * 1103515245 + 12345)
+       |           % 2147483648 AS hdoc
+       |  FROM c CROSS JOIN t WHERE c.doc_id >= t.split
+       |), f AS (
+       |  SELECT *,
+       |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |       list_transform(string_split(source, ''),
+       |         ch -> CAST(ascii(ch) AS BIGINT))),
+       |       (acc, x) -> (acc * 31 + x) % 1000000007)
+       |     + pack_id * 1103515245 + 12345) % 2147483648 AS h1
+       |  FROM p
+       |), s AS (
+       |  SELECT source, pack_id,
+       |    ((xor(h1, h1 // 8192) * 1274126177) % 2147483648 // 65536)
+       |      % $NumShards AS shard_id,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       |    CAST(SUM(hdoc) AS BIGINT) AS pack_sum
+       |  FROM f GROUP BY source, pack_id, 3
+       |)
+       |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       |       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |       CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(SUM(pack_sum) % 2147483648 AS BIGINT) AS checksum
+       |FROM s GROUP BY 1""".stripMargin) { (spark, dir) =>
+    shardManifestOf(packIncrRows(spark, dir))
+  }
+
+  /** Stride of the chunk-granularity packer: the budget minus
+    * headroom for the largest atom ([[TextOps.ChunkWords]]-word
+    * chunks), so a pack can NEVER exceed [[PackBudget]]: chunks
+    * assigned by `preceding div stride` span at most
+    * (stride - 1) + ChunkWords = PackBudget tokens. The reserved
+    * headroom caps the fill ceiling at stride/budget ≈ 94% — the
+    * price of a HARD budget, vs the whole-doc law whose packs
+    * overflow by up to a whole document (q_pack_stats measures 28/60
+    * packs over budget at sf0.01). */
+  val ChunkPackStride: Long = PackBudget - (TextOps.ChunkWords - 1)
+
+  /** SPLIT-AT-CHUNK-BOUNDARY packing — the sibling that never
+    * overflows: long documents split across packs at
+    * [[TextOps.chunksOf]] boundaries (chunks stay atomic), each chunk
+    * goes to pack `preceding_words div stride` with the stride
+    * reserving headroom for one maximal chunk, so every pack fits the
+    * budget BY LAW — zero overflow, while the whole-doc law
+    * overflows by ≤ 1 document (unbounded in tokens at 100 TB: one
+    * 1M-token document blows a 512 budget 2000×). Output is the PACK
+    * manifest with a reassembly witness: the rolling hash over the
+    * pack's chunk fingerprints in (doc_id, chunk_idx) order — the
+    * `kept_fp` device — proves pack CONTENT and ORDER cross-engine,
+    * so a training job can re-derive exactly what each context
+    * window contains. */
+  val packChunks: Op = Op(
+    "q_pack_chunks",
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), ch AS (
+       |  SELECT doc_id, source, i AS chunk_idx,
+       |         len(list_slice(w, i*${TextOps.ChunkWords}+1, i*${TextOps.ChunkWords}+${TextOps.ChunkWords})) AS n_words,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(string_split(
+       |               array_to_string(list_slice(w, i*${TextOps.ChunkWords}+1, i*${TextOps.ChunkWords}+${TextOps.ChunkWords}), ' '), ''),
+       |               ch -> CAST(ascii(ch) AS BIGINT))),
+       |           (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_fp
+       |  FROM d, unnest(range(CAST(ceil(len(w)/${TextOps.ChunkWords}.0) AS BIGINT))) AS t(i)
+       |), c AS (
+       |  SELECT doc_id, source, chunk_idx, n_words, chunk_fp,
+       |         CAST(SUM(n_words) OVER (PARTITION BY source
+       |           ORDER BY doc_id, chunk_idx
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           - n_words AS prec
+       |  FROM ch
+       |)
+       |SELECT source,
+       |  CAST(prec // $ChunkPackStride AS BIGINT) AS pack_id,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(n_words) AS BIGINT) AS pack_words,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list(chunk_fp ORDER BY doc_id, chunk_idx)),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pack_fp
+       |FROM c GROUP BY source, pack_id""".stripMargin) { (spark, dir) =>
+    val chunks = TextOps.chunksWithSource(Tables.documents(spark, dir))
+      .withColumn("k",
+        col("doc_id") * TextOps.ChunkPack + col("chunk_idx"))
+    // bucket shift widened by ~log2(ChunkPack): the packed order key
+    // multiplies doc_id by 10⁶, so the default shift would give each
+    // DOC its own bucket and a doc-scaled offsets frame
+    precedingBySource(
+      chunks.select(col("k"), col("source"), col("doc_id"),
+        col("chunk_idx"), col("chunk_fp"),
+        col("n_words").as("n_tokens")), "k",
+      shift = PackBucketShift + 20)
+      .select(col("source"), col("k"), col("chunk_fp"),
+        col("n_tokens").as("n_words"), col("doc_id"),
+        expr(s"preceding_tokens div $ChunkPackStride").as("pack_id"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_words")).as("pack_words"),
+        aggregate(
+          transform(array_sort(collect_list(
+            struct(col("k"), col("chunk_fp")))),
+            e => e.getField("chunk_fp")),
+          lit(0L),
+          (acc, x) => (acc * 31 + x) % 1000000007L).as("pack_fp"))
+      .select(col("source"), col("pack_id"), col("n_docs"),
+        col("n_chunks"), col("pack_words"), col("pack_fp"))
   }
 
   val pipelineE2e: Op = Op(

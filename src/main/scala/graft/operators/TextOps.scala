@@ -179,7 +179,24 @@ object TextOps {
     * 10⁶ by construction ([[ChunkWords]]-word chunks ⇒ a 32M-word
     * per-doc bound, documented), the pack-the-ordering device shared
     * with the as-of oracles. */
-  private val ChunkPack = 1000000L
+  private[graft] val ChunkPack = 1000000L
+
+  /** [[chunksOf]] with the document's `source` carried through — the
+    * packing siblings key their prefix sums on it. */
+  private[graft] def chunksWithSource(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val nChunks = ceil(size(words).cast("double") / ChunkWords).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.cast("long").as("chunk_idx"),
+        slice(words, i * ChunkWords + 1, lit(ChunkWords)).as("arr")))
+    docs
+      .select(col("doc_id"), col("source"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("source"),
+        col("c.chunk_idx").as("chunk_idx"),
+        size(col("c.arr")).cast("long").as("n_words"),
+        fingerprint(concat_ws(" ", col("c.arr"))).as("chunk_fp"))
+  }
 
   /** Chunk-level (paragraph) dedup — the CCNet recipe at chunk
     * granularity: a chunk SURVIVES iff it is the corpus-wide FIRST

@@ -345,4 +345,135 @@ class CurationSpec extends SparkSpec {
     // and check no doc_id % 29 == 0 packs
     clean.unpersist(); out.unpersist()
   }
+
+  test("incremental pack == the batch law restricted to the delta " +
+    "(SUM monoid: the high-water mark continues the prefix sum " +
+    "exactly)") {
+    import spark.implicits._
+    val split = Curation.packSplitId(spark, sf001)
+    val batch = Curation.packByPrefixSum(
+      graft.Tables.documents(spark, sf001)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextAnalysis.bpeishTokenCount(col("text"))
+            .cast("long").as("n_tokens")), Curation.PackBudget)
+      .filter(col("doc_id") >= split)
+      .select($"doc_id", $"source", $"n_tokens", $"pack_id")
+      .as[(Long, String, Long, Long)].collect().sorted
+    val incr = Curation.packIncr.build(spark, sf001)
+      .select($"doc_id", $"source", $"n_tokens", $"pack_id")
+      .as[(Long, String, Long, Long)].collect().sorted
+    assert(incr.nonEmpty)
+    assert(incr === batch.toSeq)
+    // the continuation is real: some delta pack id is > 0 (the high-
+    // water mark pushed it past the first window)
+    assert(incr.exists(_._4 > 0), "delta packs never left pack 0 — " +
+      "the high-water mark is not being applied")
+  }
+
+  test("incremental shard manifest folds into the full manifest " +
+    "(token totals, doc counts and checksums are monoids)") {
+    import spark.implicits._
+    def byShard(df: org.apache.spark.sql.DataFrame) =
+      df.select($"shard_id", $"n_docs", $"total_tokens", $"checksum")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val full = byShard(Curation.shardManifest.build(spark, sf001))
+    val delta = byShard(Curation.shardManifestIncr.build(spark, sf001))
+    val split = Curation.packSplitId(spark, sf001)
+    val standing = byShard(Curation.shardManifestOf(
+      Curation.packByPrefixSum(graft.Tables.documents(spark, sf001)
+        .filter(col("doc_id") < split)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextAnalysis.bpeishTokenCount(col("text"))
+            .cast("long").as("n_tokens")), Curation.PackBudget)))
+    assert(delta.nonEmpty && standing.nonEmpty)
+    val shards = full.keySet
+    assert(shards === (standing.keySet ++ delta.keySet))
+    shards.foreach { s =>
+      val (sd, st, sc) = standing.getOrElse(s, (0L, 0L, 0L))
+      val (dd, dt, dc) = delta.getOrElse(s, (0L, 0L, 0L))
+      val (fd, ft, fc) = full(s)
+      assert(sd + dd === fd, s"shard $s doc count does not fold")
+      assert(st + dt === ft, s"shard $s token total does not fold")
+      assert((sc + dc) % 2147483648L === fc,
+        s"shard $s checksum does not fold")
+    }
+  }
+
+  test("incremental mix == the batch factors restricted to the delta " +
+    "(per-source totals fold from the high-water mark)") {
+    import spark.implicits._
+    val split = Curation.packSplitId(spark, sf001)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"source", $"factor", $"n_copies")
+        .as[(Long, String, Double, Long)].collect().sorted
+    val batch = key(Curation.mixAssembly.build(spark, sf001)
+      .filter(col("doc_id") >= split))
+    val incr = key(Curation.mixIncr.build(spark, sf001))
+    assert(incr.nonEmpty)
+    assert(incr === batch.toSeq)
+  }
+
+  test("chunk packing: zero overflow BY LAW, split docs across packs, " +
+    "reassembly witness re-derivable, fill beats the doc law's " +
+    "budget-respecting fill") {
+    import spark.implicits._
+    val packs = Curation.packChunks.build(spark, sf001).cache()
+    // (1) zero overflow — the stride reserves headroom for one
+    // maximal chunk, so the budget is a HARD bound
+    val over = packs.filter(col("pack_words") > Curation.PackBudget)
+    assert(over.count() === 0, "a chunk pack exceeded the budget")
+    // (2) split-capable: some document's chunks span >= 2 packs
+    val chunks = TextOps.chunksWithSource(
+      graft.Tables.documents(spark, sf001))
+      .withColumn("k", col("doc_id") * TextOps.ChunkPack + col("chunk_idx"))
+    val assigned = Curation.precedingBySource(
+      chunks.select(col("k"), col("source"), col("doc_id"),
+        col("chunk_idx"), col("chunk_fp"), col("n_words").as("n_tokens")),
+      "k", shift = Curation.PackBucketShift + 20)
+      .select(col("doc_id"), col("source"), col("k"), col("chunk_fp"),
+        expr(s"preceding_tokens div ${Curation.ChunkPackStride}")
+          .as("pack_id"))
+    val spanning = assigned.groupBy(col("doc_id"))
+      .agg(countDistinct(col("pack_id")).as("np")).filter(col("np") >= 2)
+    assert(spanning.count() > 0,
+      "no document splits across packs — the sibling is not exercising " +
+        "its reason to exist")
+    // (3) the pack_fp witness is re-derivable from the chunk stream
+    val want = assigned
+      .groupBy(col("source"), col("pack_id"))
+      .agg(aggregate(transform(array_sort(collect_list(
+        struct(col("k"), col("chunk_fp")))), e => e.getField("chunk_fp")),
+        lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L).as("fp"))
+      .select($"source", $"pack_id", $"fp")
+      .as[(String, Long, Long)].collect().sorted
+    val got = packs.select($"source", $"pack_id", $"pack_fp")
+      .as[(String, Long, Long)].collect().sorted
+    assert(got === want.toSeq)
+    // (4) fill: among packs that RESPECT the budget the chunk law
+    // fills strictly better than the whole-doc law (whose aggregate
+    // fill only looks higher because overflow counts as fill)
+    val chunkFill = {
+      val r = packs.agg(sum($"pack_words").as("w"),
+        count(lit(1)).as("n")).collect()(0)
+      1000.0 * r.getLong(0) / (r.getLong(1) * Curation.PackBudget)
+    }
+    val docPacks = Curation.packByPrefixSum(
+      graft.Tables.documents(spark, sf001)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextAnalysis.bpeishTokenCount(col("text"))
+            .cast("long").as("n_tokens")), Curation.PackBudget)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(sum(col("n_tokens")).as("pt"))
+    val docFillInBudget = {
+      val r = docPacks.filter(col("pt") <= Curation.PackBudget)
+        .agg(sum($"pt").as("w"), count(lit(1)).as("n")).collect()(0)
+      1000.0 * r.getLong(0) / (r.getLong(1) * Curation.PackBudget)
+    }
+    info(f"chunk-law fill=$chunkFill%.1f permille; doc-law " +
+      f"budget-respecting fill=$docFillInBudget%.1f permille")
+    assert(chunkFill > docFillInBudget,
+      "chunk packing must out-fill the doc law's budget-respecting packs")
+    packs.unpersist()
+  }
 }

@@ -149,4 +149,34 @@ class ImiSpec extends SparkSpec {
     info(f"trained near-dup pair recall vs exact: $recall%.3f " +
       s"(${ann.count()}/${exact.count()})")
   }
+
+  test("compaction (merge path): folding the delta into the standing " +
+    "cells == assigning the whole corpus against the standing " +
+    "codebook — the index is never retrained") {
+    val all = Similarity.quantizedLabeled(spark, sf001)
+    val (cb, _) = Imi.standingIndex(spark, sf001)
+    val want = Imi.cellsWithCodebook(spark, all, cb, Imi.NProbeHalf)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().sorted
+    val got = Imi.imiCompact.build(spark, sf001)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().sorted
+    assert(got.nonEmpty)
+    assert(got === want.toSeq)
+    // both slices are present in the compacted index
+    val flags = Imi.imiCompact.build(spark, sf001)
+      .select($"is_delta").distinct().as[Long].collect().toSet
+    assert(flags === Set(0L, 1L),
+      "compacted index must contain standing AND delta vectors")
+  }
+
+  test("compaction (retrain path, forced threshold) == a full retrain " +
+    "on the union") {
+    val got = Imi.compactUnion(spark, sf001, 0.0)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().sorted
+    val want = Imi.cellsOf(spark,
+      Similarity.quantizedLabeled(spark, sf001),
+      Imi.K1, Imi.LloydSteps, Imi.NProbeHalf)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().sorted
+    assert(got.nonEmpty)
+    assert(got === want.toSeq)
+  }
 }

@@ -110,6 +110,11 @@ class PersistedStoreSpec extends SparkSpec {
       Imi.standingIndex(spark, sf001)._2)
   }
 
+  test("compacted IMI index persists and rebuilds identically") {
+    checkStore("imi_compact", "cells", () => Imi.clearCompactCache())(
+      Imi.imiCompact.build(spark, sf001))
+  }
+
   test("bpe segmented vocab persists and rebuilds identically") {
     checkStore("bpe_merges", "vocab", () => Bpe.clearMergesCache())(
       Bpe.standingVocab(spark, sf001))
