@@ -108,13 +108,18 @@ object Bpe {
     * never as operators, so plan/expression size is O(1) in merge
     * count — the fix for the per-merge `foldLeft` chain whose
     * expression tree grew with vocab size (unanalyzable at a
-    * production 30k merges). Struct keys avoid any separator-collision
-    * assumption about symbol contents. */
+    * production 30k merges). Keys are `a \t b` strings: tokens are
+    * [[TokenRe]] matches (whitespace-free) and the marker is ' ', so
+    * a tab can never occur inside a symbol and the key is
+    * collision-free — and map probes compare flat UTF-8 bytes
+    * (measured ~20× faster than struct keys, whose GetMapValue probe
+    * goes through interpreted struct ordering per entry). */
+  private[graft] val KeySep = "\t"
+
   private[graft] def mergeRankMap(merges: DataFrame): DataFrame =
     merges.agg(
       map_from_entries(collect_list(struct(
-        struct(col("left_sym").as("a"), col("right_sym").as("b"))
-          .as("k"),
+        concat_ws(KeySep, col("left_sym"), col("right_sym")).as("k"),
         col("merge_rank").as("v")))).as("mrank"))
 
   /** Canonical BPE ENCODE as one bounded-fixpoint expression — the
@@ -141,17 +146,36 @@ object Bpe {
       : Column =
     aggregate(
       sequence(lit(1), greatest(size(syms) - 1, lit(1))),
-      syms,
+      struct(lit(false).as("done"), syms.as("syms")),
       (acc, _) => {
+        val cur = acc.getField("syms")
         val ranks = zip_with(
-          slice(acc, lit(1), size(acc) - 1),
-          slice(acc, lit(2), size(acc) - 1),
-          (x, y) => element_at(mrank, struct(x.as("a"), y.as("b"))))
+          slice(cur, lit(1), size(cur) - 1),
+          slice(cur, lit(2), size(cur) - 1),
+          (x, y) => element_at(mrank, concat(x, lit(KeySep), y)))
         val br = array_min(ranks)
         val idx = array_position(ranks, br).cast("int")
-        when(br.isNull, acc).otherwise(
-          mergePair(acc, element_at(acc, idx), element_at(acc, idx + 1)))
-      })
+        // bind (br, a, b) ONCE per iteration through a one-element
+        // transform: mergePair's fold evaluates its pair argument per
+        // SYMBOL, so inlining the rank-scan expressions there would
+        // re-run the whole adjacent-pair lookup for every element —
+        // measured 10× slower at depth 256 (BpeEncodeBench). The
+        // `done` flag short-circuits the iterations past the fixpoint
+        // (the loop bound is |syms|-1, the worst case; most types fix
+        // in a few merges), and CASE WHEN's lazy branches make those
+        // iterations O(1).
+        val bound = array(struct(br.as("br"),
+          element_at(cur, idx).as("a"),
+          element_at(cur, idx + 1).as("b")))
+        when(acc.getField("done"), acc).otherwise(
+          element_at(transform(bound, m =>
+            when(m.getField("br").isNull,
+              struct(lit(true).as("done"), cur.as("syms")))
+              .otherwise(struct(lit(false).as("done"),
+                mergePair(cur, m.getField("a"), m.getField("b"))
+                  .as("syms")))), 1))
+      },
+      acc => acc.getField("syms"))
 
   /** Per-word-TYPE segmentation of `docWords`' distinct words under a
     * merge table: (w, syms) — the shared kernel of the encode family

@@ -346,6 +346,20 @@ class CurationSpec extends SparkSpec {
     clean.unpersist(); out.unpersist()
   }
 
+  test("pipeline doc-metrics cache == fresh computation (parity), and " +
+    "the capstone rides it") {
+    import spark.implicits._
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"source", $"n_tokens", $"rep_pass")
+        .as[(Long, String, Long, Boolean)].collect().sorted
+    val fresh = key(Curation.pipelineDocMetrics(spark, sf001))
+    Curation.clearPipelineMetricsCache()
+    val cached1 = key(Curation.pipelineDocMetricsCached(spark, sf001))
+    val cached2 = key(Curation.pipelineDocMetricsCached(spark, sf001))
+    assert(cached1 === fresh.toSeq)
+    assert(cached2 === fresh.toSeq)
+  }
+
   test("incremental pack == the batch law restricted to the delta " +
     "(SUM monoid: the high-water mark continues the prefix sum " +
     "exactly)") {
