@@ -122,6 +122,43 @@ object Bpe {
         concat_ws(KeySep, col("left_sym"), col("right_sym")).as("k"),
         col("merge_rank").as("v")))).as("mrank"))
 
+  /** Bucket count of the BUCKETED rank map — sized so a production
+    * 30k–100k-merge table averages a few dozen entries per bucket. */
+  val MapBuckets = 1024
+
+  /** [[mergeRankMap]]'s PRODUCTION-DEPTH sibling: `element_at` on a
+    * Spark map is a linear scan over ALL entries, so the flat map's
+    * per-lookup cost grows with vocab size — fine at the registered
+    * depth 8, measurable at 256, prohibitive at 30k. The bucketed
+    * form keys a map<long, array<entry>> by `xxhash64(key) mod
+    * [[MapBuckets]]`: a probe scans at most min(N, 1024) LONG keys
+    * (flat 8-byte compares) plus one tiny bucket array instead of N
+    * string compares. Measured (BpeEncodeBench, PERF.md round 9):
+    * 2.9× faster than the flat map already at depth 256 and 17× at a
+    * synthetic depth 4096, so this is the DEFAULT for every encode
+    * path; same law, spec-pinned ≡ flat. */
+  private[graft] def mergeRankMapBucketed(merges: DataFrame): DataFrame =
+    merges
+      .select(
+        concat_ws(KeySep, col("left_sym"), col("right_sym")).as("k"),
+        col("merge_rank").as("v"))
+      .groupBy(pmod(xxhash64(col("k")), lit(MapBuckets.toLong))
+        .as("bucket"))
+      .agg(collect_list(struct(col("k"), col("v"))).as("entries"))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("entries")))).as("mrank"))
+
+  /** Rank lookup through a [[mergeRankMapBucketed]] map column
+    * (try_element_at: a miss filters to an empty bucket slice). */
+  private def bucketedRank(bmap: Column, key: Column): Column =
+    try_element_at(
+      filter(
+        coalesce(
+          element_at(bmap, pmod(xxhash64(key), lit(MapBuckets.toLong))),
+          array().cast("array<struct<k:string,v:int>>")),
+        e => e.getField("k") === key),
+      lit(1)).getField("v")
+
   /** Canonical BPE ENCODE as one bounded-fixpoint expression — the
     * published application algorithm (Sennrich et al. 2016 §2.2 /
     * subword-nmt `encode`): repeatedly find the adjacent pair with
@@ -144,6 +181,16 @@ object Bpe {
     * DuckDB oracle replays it as a recursive CTE. */
   private[graft] def encodeFixpoint(syms: Column, mrank: Column)
       : Column =
+    encodeFixpointWith(syms, k => element_at(mrank, k))
+
+  /** [[encodeFixpoint]] against the bucketed map — the
+    * production-depth lookup ([[mergeRankMapBucketed]]). */
+  private[graft] def encodeFixpointBucketed(syms: Column, bmap: Column)
+      : Column =
+    encodeFixpointWith(syms, k => bucketedRank(bmap, k))
+
+  private def encodeFixpointWith(syms: Column,
+      lookup: Column => Column): Column =
     aggregate(
       sequence(lit(1), greatest(size(syms) - 1, lit(1))),
       struct(lit(false).as("done"), syms.as("syms")),
@@ -152,7 +199,7 @@ object Bpe {
         val ranks = zip_with(
           slice(cur, lit(1), size(cur) - 1),
           slice(cur, lit(2), size(cur) - 1),
-          (x, y) => element_at(mrank, concat(x, lit(KeySep), y)))
+          (x, y) => lookup(concat(x, lit(KeySep), y)))
         val br = array_min(ranks)
         val idx = array_position(ranks, br).cast("int")
         // bind (br, a, b) ONCE per iteration through a one-element
@@ -181,12 +228,16 @@ object Bpe {
     * merge table: (w, syms) — the shared kernel of the encode family
     * (one fixpoint evaluation per TYPE, broadcast back to the
     * data-scaled word stream). */
-  private[graft] def typeSegments(docWords: DataFrame, merges: DataFrame)
-      : DataFrame =
+  private[graft] def typeSegments(docWords: DataFrame, merges: DataFrame,
+      bucketed: Boolean = true): DataFrame = {
+    val (rankMap, enc) =
+      if (bucketed) (mergeRankMapBucketed(merges), encodeFixpointBucketed _)
+      else (mergeRankMap(merges), encodeFixpoint _)
     docWords.select(col("w")).distinct()
-      .crossJoin(broadcast(mergeRankMap(merges)))
+      .crossJoin(broadcast(rankMap))
       .select(col("w"),
-        encodeFixpoint(initSyms(col("w")), col("mrank")).as("syms"))
+        enc(initSyms(col("w")), col("mrank")).as("syms"))
+  }
 
   /** Adjacent-pair counts over a (w, freq, syms) vocab — weighted by
     * word frequency; the per-round aggregate. */
@@ -598,13 +649,13 @@ object Bpe {
 
   /** [[bpeEncode]]'s kernel over any (doc) frame and merge table —
     * shared with the fertility telemetry and the plan gate. */
-  private[graft] def encodeStatsFrom(docs: DataFrame, merges: DataFrame)
-      : DataFrame = {
+  private[graft] def encodeStatsFrom(docs: DataFrame, merges: DataFrame,
+      bucketed: Boolean = true): DataFrame = {
     val docWords = docs.select(col("doc_id"),
       explode(regexp_extract_all(col("text"),
         lit(TokenRe), lit(0))).as("w"))
     docWords
-      .join(broadcast(typeSegments(docWords, merges)
+      .join(broadcast(typeSegments(docWords, merges, bucketed)
         .select(col("w"), size(col("syms")).cast("long").as("n_tok"))),
         Seq("w"))
       .groupBy(col("doc_id"))

@@ -1061,12 +1061,12 @@ object EventStream {
       spark: SparkSession, dir: String, queryName: String): String =
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
       import graft.operators.{Bpe, Dedup}
-      val mrank = Bpe.mergeRankMap(Bpe.standingMerges(spark, dir))
+      val mrank = Bpe.mergeRankMapBucketed(Bpe.standingMerges(spark, dir))
       val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
       val words = regexp_extract_all(col("text"),
         lit(Bpe.TokenRe), lit(0))
       def tokCount(w: org.apache.spark.sql.Column) =
-        size(Bpe.encodeFixpoint(Bpe.initSyms(w), col("mrank")))
+        size(Bpe.encodeFixpointBucketed(Bpe.initSyms(w), col("mrank")))
           .cast("long")
       spark.readStream.schema(docsSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -1103,7 +1103,7 @@ object EventStream {
       spark: SparkSession, dir: String, queryName: String): String =
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
       import graft.operators.{Bpe, Dedup}
-      val mrank = Bpe.mergeRankMap(Bpe.standingMerges(spark, dir))
+      val mrank = Bpe.mergeRankMapBucketed(Bpe.standingMerges(spark, dir))
       val imap = Bpe.inventoryIds(spark, dir)
         .agg(map_from_entries(
           collect_list(struct(col("sym"), col("id")))).as("imap"))
@@ -1111,7 +1111,7 @@ object EventStream {
       val words = regexp_extract_all(col("text"),
         lit(Bpe.TokenRe), lit(0))
       def symsOf(w: org.apache.spark.sql.Column) =
-        Bpe.encodeFixpoint(Bpe.initSyms(w), col("mrank"))
+        Bpe.encodeFixpointBucketed(Bpe.initSyms(w), col("mrank"))
       spark.readStream.schema(docsSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0)

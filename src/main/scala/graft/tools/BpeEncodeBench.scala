@@ -43,20 +43,56 @@ object BpeEncodeBench {
     println(f"[encbench] trained $nLearned merges in $rounds rounds, " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    def encodeOnce(): (Double, Long) = {
+    def encodeOnce(m: org.apache.spark.sql.DataFrame,
+        bucketed: Boolean): (Double, Long) = {
       val t = System.nanoTime()
-      val row = Bpe.encodeStatsFrom(docs, table)
+      val row = Bpe.encodeStatsFrom(docs, m, bucketed)
         .agg(sum(col("n_tokens"))).collect()(0)
       ((System.nanoTime() - t) / 1e9, row.getLong(0))
     }
-    val runs = (1 to reps).map(_ => encodeOnce())
-    val best = runs.map(_._1).min
-    val toks = runs.head._2
-    println(f"[encbench] encode $nDocs%d docs / $toks%d tokens at " +
-      f"depth $nLearned: best ${best}%.2f s = ${toks / best / 1e6}%.2f M tokens/s")
+    def report(label: String, m: org.apache.spark.sql.DataFrame,
+        bucketed: Boolean): Unit = {
+      val runs = (1 to reps).map(_ => encodeOnce(m, bucketed))
+      val best = runs.map(_._1).min
+      val toks = runs.head._2
+      println(f"[encbench] $label%-28s best ${best}%6.2f s = " +
+        f"${toks / best / 1e6}%.2f M tokens/s ($toks%d tokens)")
+    }
+    report(s"flat map, depth $nLearned", table, bucketed = false)
+    report(s"bucketed, depth $nLearned", table, bucketed = true)
+
+    // lookup-miss crossover at production depth: synthetic tables whose
+    // keys never match, so every probe pays the full miss cost — the
+    // dominant term (most adjacent pairs are not in any merge table).
+    // Measured on a 1k-doc subset: the flat map's miss cost is linear
+    // in depth, so a full-corpus flat-32k run would take minutes — the
+    // subset shows the crossover without running the pathology to
+    // completion.
+    import spark.implicits._
+    val sub = docs.limit(1000).localCheckpoint()
+    def encodeSub(m: org.apache.spark.sql.DataFrame,
+        bucketed: Boolean, label: String): Unit = {
+      val t = System.nanoTime()
+      Bpe.encodeStatsFrom(sub, m, bucketed)
+        .agg(sum(col("n_tokens"))).collect()
+      println(f"[encbench] $label%-28s ${(System.nanoTime() - t) / 1e9}%6.2f s (1k-doc subset)")
+    }
+    // (flat at 32k would run ~15 min on the subset — the 4096 point
+    // plus the linear-in-depth miss law already locates the pathology)
+    for (n <- Seq(4096)) {
+      val m = (1 to n).map(i => (i, s"l$i", s"r$i", 1L))
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+        .localCheckpoint()
+      encodeSub(m, bucketed = false, s"flat map, synth depth $n")
+      encodeSub(m, bucketed = true, s"bucketed, synth depth $n")
+    }
+    // bucketed alone at production depth — stays flat
+    val m32 = (1 to 32768).map(i => (i, s"l$i", s"r$i", 1L))
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .localCheckpoint()
+    encodeSub(m32, bucketed = true, "bucketed, synth depth 32768")
 
     // planning cost vs merge depth — must be flat (the O(1)-plan gate)
-    import spark.implicits._
     def planMs(n: Int): Double = {
       val m = (1 to n).map(i => (i, s"l$i", s"r$i", 1L))
         .toDF("merge_rank", "left_sym", "right_sym", "pair_count")

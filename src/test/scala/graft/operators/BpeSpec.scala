@@ -467,6 +467,31 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("bucketed rank-map lookup == flat map (same law, " +
+    "production-depth data structure)") {
+    val docsSeq = Seq(
+      (0L, "Call 911! Call 911 now... ABC abc 3.14"),
+      (1L, "aaa aaaa low lower lowest newer wider 12 12 !!!"))
+    val docs = docsSeq.toDF("doc_id", "text")
+    val freqs = docsSeq.flatMap(d => Bpe.TokenRe.r.findAllIn(d._2))
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val mergesDf = refTrain(freqs, 20)
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+    def key(bucketed: Boolean) =
+      Bpe.encodeStatsFrom(docs, mergesDf, bucketed).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+    assert(key(bucketed = true) === key(bucketed = false))
+    // and against the 256-deep open-vocab table via type segments
+    val docWords = docs.select($"doc_id",
+      explode(regexp_extract_all($"text", lit(Bpe.TokenRe), lit(0)))
+        .as("w"))
+    def segs(bucketed: Boolean) =
+      Bpe.typeSegments(docWords, mergesDf, bucketed)
+        .as[(String, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(segs(bucketed = true) === segs(bucketed = false))
+  }
+
   test("per-class fertility reconciles with the encode totals " +
     "(the letter-only driver corpus collapses to one class)") {
     val rows = Bpe.bpeFertilityClass.build(spark, sf001).collect()
