@@ -531,24 +531,12 @@ object Curation {
        |         AND q.doc_id NOT IN (SELECT doc_id FROM losers)
        |         AND q.doc_id NOT IN (SELECT doc_id FROM cont) AS kept
        |FROM q JOIN repx ON q.doc_id = repx.doc_id""".stripMargin) { (spark, dir) =>
-    val docs = Tables.documents(spark, dir)
-    // quality tokens + repetition ratio in ONE map pass over the text
-    // (they were two separate documents scans; the tokenizing regexes
-    // dominate these passes' CPU, so fusing them halves that cost)
-    val nWords = size(split(lower(trim(col("text"))), "\\s+"))
-    val total3 = greatest(nWords - 2, lit(0)).cast("long")
-    val distinct3 = when(nWords >= 3,
-      size(wordShingles(col("text"), 3)).cast("long")).otherwise(0L)
-    val ratio = when(total3 > 0,
-      (total3 - distinct3).cast("double") / total3.cast("double"))
-      .otherwise(lit(0.0))
-    val perDoc = docs.select(col("doc_id"),
-      bpeishTokenCount(col("text")).as("n_tokens"),
-      when(total3 > 0, ratio <= 0.2).otherwise(lit(true)).as("rep_pass"))
-      // three longs per doc feeding TWO consumers (the percentile
-      // aggregate and the final flag join); lazy, the tokenizer and
-      // shingle regexes — the dominant CPU here — run twice
-      .localCheckpoint()
+    // quality tokens + repetition ratio in ONE map pass over the text,
+    // via the SHARED session-cached metrics frame (the same fused pass
+    // the pipeline capstone rides — whoever runs first pays the
+    // tokenizer/shingle regexes once per session and corpus)
+    val perDoc = pipelineDocMetricsCached(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("rep_pass"))
     val thr = perDoc.agg(expr("percentile(n_tokens, 0.25)").as("p25"))
     // cluster labels come from the INCREMENTAL assembly (standing
     // persisted labels + delta fold — `q_dedup_incr_cc`'s builder, whose
