@@ -109,6 +109,21 @@ object SoakCandidates {
             org.apache.spark.sql.functions.count(lit(1))).head()
           r.getLong(0) // sharded docs — population-linear when healthy
         }),
+        // round-9 packing siblings: work volume of the delta
+        // continuation (delta rows packed against the high-water mark)
+        // and the chunk packer's output packs (∝ corpus tokens /
+        // stride) — both linear when the prefix-sum decomposition
+        // holds at each decade
+        "packincr" -> (() =>
+          graft.operators.Curation.packIncrRows(spark, dir).count()),
+        "packchunks" -> (() =>
+          graft.operators.Curation.packChunks.build(spark, dir).count()),
+        // round-9 compaction: the merged index's probed-cell volume
+        // (N·nprobe² when every vector qualifies) — linear because the
+        // delta is ASSIGNED against the stored codebook, never
+        // retrained
+        "imicompact" -> (() => graft.operators.Imi.compactUnion(
+          spark, dir, graft.operators.Imi.CompactRetrainFrac).count()),
         // trained IMI canopy (round 8): occupancy-law sizing k1 =
         // ceil(sqrt(vecs/10)) keeps per-cell occupancy ~= 10 (candidate
         // volume linear) while the assignment pass scores only 2*k1
@@ -217,6 +232,9 @@ object SoakCandidates {
         "epoch" -> (() => -1L), // work-volume measurement
         "pack" -> (() => -1L),
         "shard" -> (() => -1L),
+        "packincr" -> (() => -1L), // work-volume measurement
+        "packchunks" -> (() => -1L),
+        "imicompact" -> (() => -1L),
         "chunk" -> (() => -1L), // work-volume measurement
         "chunkincr" -> (() => -1L),
         "bm25" -> (() => TextOps.bm25.build(spark, dir).count()),
