@@ -1098,7 +1098,11 @@ object EventStream {
     * document order, so no sort and no aggregation cross rows. No
     * state store, no stream-side shuffle; the batch op's
     * broadcast-join form and this row-local form prove equal through
-    * the SHARED oracle on every verify run. */
+    * the SHARED oracle on every verify run. (At a production 30k-sym
+    * inventory the string-keyed `imap` probe would bucket exactly like
+    * [[graft.operators.Bpe.mergeRankMapBucketed]] — `element_at` map
+    * probes are linear in entry count; tiny at the registered
+    * depth.) */
   def runBpeTokensToMemory(
       spark: SparkSession, dir: String, queryName: String): String =
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
