@@ -20,8 +20,18 @@ object TextAnalysis {
     size(split(trim(text), "\\s+"))
 
   /** BPE-ish token count: letter runs, digit runs, single punctuation —
-    * a cheap proxy for subword token budgeting at ingest time. */
-  val BpeishRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    * a cheap proxy for subword token budgeting at ingest time.
+    *
+    * The whitespace class is spelled OUT instead of `\s`: Java regex
+    * (the engine) and RE2 (the DuckDB oracle) disagree on `\s`
+    * membership — U+000B vertical tab is whitespace to Java but not to
+    * RE2 — so a corpus containing such control chars would tokenize
+    * differently cross-engine despite correct engine behavior. The
+    * explicit class `[ \t\n\x0B\f\r]` is exactly Java's ASCII `\s`, so
+    * engine results are UNCHANGED on any corpus while both regex
+    * dialects now read identical semantics (TextAnalysisSpec pins the
+    * control-char law). */
+  val BpeishRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]"
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit(BpeishRe))
 

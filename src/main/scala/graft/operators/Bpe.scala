@@ -159,6 +159,38 @@ object Bpe {
         e => e.getField("k") === key),
       lit(1)).getField("v")
 
+  /** The token-id INVENTORY as a bucketed one-row map — the same
+    * device as [[mergeRankMapBucketed]], for the symbol→id probe: a
+    * flat string-keyed map pays a linear `element_at` scan per lookup,
+    * which at a production 30k-symbol inventory is exactly the defect
+    * class the bucketed merge map closed. Input is [[inventoryIds]]'
+    * (sym, id); output is one `map<long, array<struct<k,v>>>` row
+    * keyed by `xxhash64(sym) mod [[MapBuckets]]`. Default on the
+    * batch token emitter AND the streaming tokens leg (BpeSpec pins
+    * bucketed ≡ flat, hits and misses). */
+  private[graft] def inventoryMapBucketed(inv: DataFrame): DataFrame =
+    inv
+      .select(col("sym").as("k"), col("id").as("v"))
+      .groupBy(pmod(xxhash64(col("k")), lit(MapBuckets.toLong))
+        .as("bucket"))
+      .agg(collect_list(struct(col("k"), col("v"))).as("entries"))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("entries")))).as("imap"))
+
+  /** Id lookup through an [[inventoryMapBucketed]] map column; a miss
+    * (symbol outside the inventory) is unk = 0 — the batch op's
+    * left-join coalesce, row-local. */
+  private[graft] def bucketedSymId(bmap: Column, key: Column): Column =
+    coalesce(
+      try_element_at(
+        filter(
+          coalesce(
+            element_at(bmap, pmod(xxhash64(key), lit(MapBuckets.toLong))),
+            array().cast("array<struct<k:string,v:bigint>>")),
+          e => e.getField("k") === key),
+        lit(1)).getField("v"),
+      lit(0L))
+
   /** Canonical BPE ENCODE as one bounded-fixpoint expression — the
     * published application algorithm (Sennrich et al. 2016 §2.2 /
     * subword-nmt `encode`): repeatedly find the adjacent pair with
@@ -610,6 +642,63 @@ object Bpe {
     }
   }
 
+  /** Merge depth of the DEEP legs — deep enough that the batched
+    * trainer commits multi-accept rounds for many generations and the
+    * fixpoint encoder probes a non-toy table on EVERY verify run
+    * (the registered standing store stays at [[NumMerges]] so the six
+    * ops sharing its oracle keep an 8-generation DuckDB replay; the
+    * deep oracle is paid by exactly two rows). Spec and bench pin
+    * deeper still (256/4096). */
+  val DeepMerges = 64
+
+  private val deepMergesCache = SessionCache.mkFrames()
+
+  private[graft] def clearDeepMergesCache(): Unit = deepMergesCache.clear()
+
+  /** The DEEP merge table — trained by [[trainBatched]] (the
+    * production job cadence, provably greedy-equivalent) at
+    * [[DeepMerges]], persisted at rest like the standing store. */
+  private[graft] def deepMerges(spark: SparkSession, dir: String)
+      : DataFrame =
+    deepMergesCache.getOrBuild(spark, dir, "documents.parquet") {
+      val store = PersistedStore.ensure(spark, dir, "documents.parquet",
+        "bpe_merges_deep", s"v1:m$DeepMerges") { root =>
+        trainBatched(Tables.documents(spark, dir)
+          .filter(col("doc_id") % Dedup.IncrementalDeltaMod =!= 0),
+          DeepMerges, batch = 32)
+          .write.mode("overwrite").parquet(s"$root/merges")
+      }
+      spark.read.parquet(s"$store/merges").localCheckpoint()
+    }
+
+  /** The batched trainer at NON-TOY depth as a registered op — the
+    * cross-engine gate for [[trainBatched]] ran at depth 8 while spec
+    * and bench proved 256; this row makes every verify run replay a
+    * [[DeepMerges]]-generation induction in DuckDB against the
+    * engine's multi-accept batched fold (same sequential-greedy
+    * oracle as [[bpeMerges]] — the equivalence proof at depth). */
+  val bpeMergesDeep: Op = Op("q_bpe_merges_deep",
+    oracleInduction(DeepMerges) +
+      "\nSELECT * FROM merge_table") { (spark, dir) =>
+    deepMerges(spark, dir)
+  }
+
+  /** The fixpoint ENCODER at non-toy depth: [[encodeStatsFrom]] (the
+    * bucketed-map production path) against the [[DeepMerges]]-deep
+    * table on the delta slice — with [[bpeEncode]] this pins that the
+    * encode plan really is depth-flat under the correctness gate, not
+    * only in the plan spec: same code, same oracle law, 8× the merge
+    * table. */
+  val bpeEncodeDeep: Op = Op("q_bpe_encode_deep",
+    oracleInduction(DeepMerges) + "\n" + oracleEncodeFix +
+      "\nSELECT doc_id, n_words, n_chars, n_tokens FROM enc") {
+    (spark, dir) =>
+      encodeStatsFrom(
+        Tables.documents(spark, dir)
+          .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0),
+        deepMerges(spark, dir))
+  }
+
   /** The learned subword inventory: every symbol of the final
     * segmented vocab with its corpus occurrence mass (Σ freq over
     * positions) and type spread (distinct words containing it) — the
@@ -725,9 +814,12 @@ object Bpe {
     * `input_ids`, where [[bpeEncode]] is only the token-count stats.
     * Scale shape: the [[encodeFixpoint]] loop touches the delta's
     * word-TYPE table (merge table as ONE broadcast map — plan O(1) in
-    * vocab size); the doc-order stream joins two broadcast tables
-    * (type syms, inventory) and folds per doc — one data-scaled
-    * shuffle. */
+    * vocab size); symbol→id resolution ALSO lands on the type table
+    * (one [[bucketedSymId]] probe per type-symbol through the bucketed
+    * inventory map — O(min(N, buckets)) long compares instead of the
+    * inventory-linear flat-map scan, and never per occurrence); the
+    * doc-order stream then joins ONE broadcast table (type → ids) and
+    * folds per doc — one data-scaled shuffle. */
   val bpeTokens: Op = Op("q_bpe_tokens",
     oracleInduction(NumMerges) + "\n" + oracleEncodeFix +
       s""", inv AS (
@@ -755,14 +847,18 @@ object Bpe {
     val docWords = delta.select(col("doc_id"),
       posexplode(regexp_extract_all(col("text"),
         lit(TokenRe), lit(0))).as(Seq("w_idx", "w")))
-    val inv = inventoryIds(spark, dir)
+    // per-TYPE id resolution: one bucketed-map probe per type symbol,
+    // amortized over the bounded type table — the data-scaled word
+    // stream only joins the finished (w → ids) table
+    val typeIds = typeSegments(docWords, standingMerges(spark, dir))
+      .crossJoin(broadcast(inventoryMapBucketed(inventoryIds(spark, dir))))
+      .select(col("w"),
+        transform(col("syms"), s => bucketedSymId(col("imap"), s))
+          .as("ids"))
     docWords
-      .join(broadcast(typeSegments(docWords,
-        standingMerges(spark, dir))), Seq("w"))
+      .join(broadcast(typeIds), Seq("w"))
       .select(col("doc_id"), col("w_idx"),
-        posexplode(col("syms")).as(Seq("s_idx", "sym")))
-      .join(broadcast(inv), Seq("sym"), "left")
-      .withColumn("id", coalesce(col("id"), lit(0L)))
+        posexplode(col("ids")).as(Seq("s_idx", "id")))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),

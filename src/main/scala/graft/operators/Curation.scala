@@ -274,7 +274,7 @@ object Curation {
     "q_mix_assembly",
     s"""WITH d AS (
        |  SELECT doc_id, source,
-       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS n_tokens
        |  FROM documents
        |), s AS (
        |  SELECT source, SUM(n_tokens) AS src_tokens FROM d GROUP BY source
@@ -489,7 +489,7 @@ object Curation {
        |  SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> MIN(lbl)
        |), toks AS (
        |  SELECT doc_id,
-       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS n_tokens
        |  FROM documents
        |), q AS (
        |  SELECT doc_id,
@@ -573,10 +573,10 @@ object Curation {
     "q_quality_gate",
     """SELECT doc_id, n_tokens, p25
       |FROM (SELECT doc_id,
-      |        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tokens
+      |        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')) AS n_tokens
       |      FROM documents),
       |     (SELECT quantile_cont(
-      |        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')), 0.25) AS p25
+      |        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')), 0.25) AS p25
       |      FROM documents)
       |WHERE n_tokens >= p25""".stripMargin) { (spark, dir) =>
     // materialize the (doc_id, n_tokens) projection ONCE: it feeds both
@@ -613,7 +613,7 @@ object Curation {
     "q_pack_sequences",
     """WITH d AS (
       |  SELECT doc_id, source,
-      |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tokens
+      |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')) AS n_tokens
       |  FROM documents
       |), c AS (
       |  SELECT doc_id, source, n_tokens,
@@ -644,7 +644,7 @@ object Curation {
     "q_pack_stats",
     s"""WITH d AS (
        |  SELECT doc_id, source,
-       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS n_tokens
        |  FROM documents
        |), c AS (
        |  SELECT doc_id, source, n_tokens,
@@ -715,7 +715,7 @@ object Curation {
     "q_temperature_mix",
     s"""WITH d AS (
        |  SELECT doc_id, source,
-       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS n_tokens
        |  FROM documents
        |), s AS (
        |  SELECT source, SUM(n_tokens) AS src_tokens FROM d GROUP BY source
@@ -892,7 +892,7 @@ object Curation {
     "q_shard_manifest",
     s"""WITH d AS (
        |  SELECT doc_id, source,
-       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS n_tokens
        |  FROM documents
        |), c AS (
        |  SELECT doc_id, source, n_tokens,
@@ -1130,7 +1130,7 @@ object Curation {
     "q_pack_incr",
     s"""WITH d AS (
        |  SELECT doc_id, source,
-       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS n_tokens
        |  FROM documents
        |), c AS (
        |  SELECT doc_id, source, n_tokens,
@@ -1159,7 +1159,7 @@ object Curation {
     "q_mix_incr",
     s"""WITH d AS (
        |  SELECT doc_id, source,
-       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS n_tokens
        |  FROM documents
        |), s AS (
        |  SELECT source, SUM(n_tokens) AS src_tokens FROM d GROUP BY source
@@ -1220,7 +1220,7 @@ object Curation {
     "q_shard_manifest_incr",
     s"""WITH d AS (
        |  SELECT doc_id, source,
-       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS n_tokens
        |  FROM documents
        |), c AS (
        |  SELECT doc_id, source, n_tokens,
@@ -1370,7 +1370,7 @@ object Curation {
        |  SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> MIN(lbl)
        |), toks AS (
        |  SELECT doc_id, source,
-       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+       |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS n_tokens
        |  FROM documents
        |), repx AS (
        |  SELECT doc_id,

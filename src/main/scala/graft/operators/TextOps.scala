@@ -20,7 +20,7 @@ object TextOps {
     "q_text_quality",
     """SELECT doc_id,
       |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
-      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpeish_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')) AS n_bpeish_tokens,
       |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
       |    / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
       |  len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b'))

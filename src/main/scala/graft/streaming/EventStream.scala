@@ -1090,27 +1090,25 @@ object EventStream {
     * per document the token-id sequence's length, unk count and
     * order-sensitive fingerprint, all per-row expression work — the
     * merge table AND the standing inventory each ride a broadcast
-    * one-row MAP (the merges into the fixpoint encoder — plan O(1) in
-    * merge count, the [[runBpeEncodeToMemory]] device; the inventory
-    * via `element_at`, miss = unk 0, exactly the batch op's left-join
-    * coalesce), and the in-order fold runs inside the row over
+    * one-row BUCKETED map (the merges into the fixpoint encoder —
+    * plan O(1) in merge count, the [[runBpeEncodeToMemory]] device;
+    * the inventory through
+    * [[graft.operators.Bpe.inventoryMapBucketed]], miss = unk 0,
+    * exactly the batch op's probe — a flat string-keyed `element_at`
+    * is linear in inventory size, the same defect class the bucketed
+    * merge map closed, so the production-depth form is the default
+    * here too), and the in-order fold runs inside the row over
     * `flatten(transform(words, syms))` — word order × symbol order IS
     * document order, so no sort and no aggregation cross rows. No
     * state store, no stream-side shuffle; the batch op's
     * broadcast-join form and this row-local form prove equal through
-    * the SHARED oracle on every verify run. (At a production 30k-sym
-    * inventory the string-keyed `imap` probe would bucket exactly like
-    * [[graft.operators.Bpe.mergeRankMapBucketed]] — `element_at` map
-    * probes are linear in entry count; tiny at the registered
-    * depth.) */
+    * the SHARED oracle on every verify run. */
   def runBpeTokensToMemory(
       spark: SparkSession, dir: String, queryName: String): String =
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
       import graft.operators.{Bpe, Dedup}
       val mrank = Bpe.mergeRankMapBucketed(Bpe.standingMerges(spark, dir))
-      val imap = Bpe.inventoryIds(spark, dir)
-        .agg(map_from_entries(
-          collect_list(struct(col("sym"), col("id")))).as("imap"))
+      val imap = Bpe.inventoryMapBucketed(Bpe.inventoryIds(spark, dir))
       val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
       val words = regexp_extract_all(col("text"),
         lit(Bpe.TokenRe), lit(0))
@@ -1124,7 +1122,7 @@ object EventStream {
         .crossJoin(broadcast(imap))
         .withColumn("ids",
           transform(flatten(transform(words, w => symsOf(w))),
-            s => coalesce(element_at(col("imap"), s), lit(0L))))
+            s => Bpe.bucketedSymId(col("imap"), s)))
         .select(col("doc_id"),
           size(col("ids")).cast("long").as("n_tokens"),
           aggregate(col("ids"), lit(0L),

@@ -37,6 +37,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getInt(1) === 7)
   }
 
+  test("BpeishRe control-char law: ASCII whitespace incl. \\x0B is a " +
+    "separator, never a token — the explicit class both regex " +
+    "dialects read identically") {
+    // U+000B vertical tab is whitespace to Java's \s but punctuation to
+    // RE2's; BpeishRe spells the class out so BOTH engines exclude it.
+    // Every ASCII whitespace char must separate (ab<ws>cd → 2 tokens),
+    // and none may surface as a punctuation token.
+    val wsChars = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val texts = wsChars.map(c => s"ab${c}cd")
+    val counts = texts.toDF("text")
+      .select(TextAnalysis.bpeishTokenCount($"text")).collect()
+      .map(_.getInt(0)).toSeq
+    assert(counts === Seq.fill(wsChars.size)(2),
+      "each ASCII whitespace char must split into exactly 2 letter runs")
+    val toks = texts.toDF("text")
+      .select(explode(regexp_extract_all($"text",
+        lit(TextAnalysis.BpeishRe), lit(0))).as("t"))
+      .collect().map(_.getString(0)).toSet
+    assert(toks === Set("ab", "cd"), "no whitespace char may be a token")
+    // non-ASCII whitespace (NBSP) stays a punct token in BOTH dialects —
+    // unchanged from the \s law (Java \s is ASCII-only too)
+    val nbsp = Seq("ab\u00A0cd").toDF("text")
+      .select(TextAnalysis.bpeishTokenCount($"text")).collect().head.getInt(0)
+    assert(nbsp === 3)
+  }
+
   test("wordShingles: distinct k-grams, short-text fallback") {
     val r = Seq("a b c d", "x y").toDF("text")
       .select(TextAnalysis.wordShingles($"text", 3)).collect()

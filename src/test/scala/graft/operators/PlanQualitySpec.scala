@@ -385,12 +385,21 @@ class PlanQualitySpec extends SparkSpec {
       s"keeper side of the probe join re-shuffles:\n$keeperSide")
   }
 
-  test("token-id emission joins both artifacts as broadcast — the " +
-    "only data-scaled exchange is the per-doc fold") {
+  test("token-id emission: ONE broadcast type→ids join on the word " +
+    "stream (ids resolved per TYPE through the bucketed inventory " +
+    "map), no shuffle join — the only data-scaled exchange is the " +
+    "per-doc fold") {
     val p = plan(Bpe.bpeTokens)
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
-    assert(broadcasts >= 2,
-      s"type-syms and inventory must both broadcast, got $broadcasts:\n$p")
+    assert(broadcasts === 1,
+      s"exactly the finished (w → ids) table broadcasts to the word " +
+        s"stream — the inventory must ride the one-row bucketed map " +
+        s"inside the type stage, not a second data-side join; got " +
+        s"$broadcasts:\n$p")
+    // the inventory probe itself must appear: the one-row bucketed map
+    // enters as a broadcast nested-loop cross on the TYPE table
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed inventory map must broadcast into the type stage:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"no shuffle join belongs in the token stream:\n$p")
   }
