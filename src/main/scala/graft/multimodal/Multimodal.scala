@@ -408,18 +408,24 @@ object Multimodal {
   val DupIdBase = 100000L
 
   def writeAssetFixture(spark: SparkSession, root: String, n: Int): String = {
-    // the marker encodes n: a corpus that grew (or shrank) since the
-    // last generation misses the marker and the directory regenerates
-    // to exactly the new asset population — without this, the asset
-    // dir was frozen at its FIRST generation's size and the "assets
-    // scale with the corpus" rule held only once
-    val markerP = new org.apache.hadoop.fs.Path(s"$root/_FIXTURE_OK_v3_$n")
-    val fs = markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(markerP)) {
-      // a stale generation (different n, or the legacy unversioned
-      // marker) must not leave orphan .bmp files behind the new marker
-      fs.delete(new org.apache.hadoop.fs.Path(root), true)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    // GENERATION-DIR layout (the PersistedStore ver-dir pattern): the
+    // asset population for size n lives under `root/gen-v4-<n>`, built
+    // in a private temp dir and ATOMICALLY renamed into place with the
+    // marker already inside — so no process can ever observe a
+    // half-built directory, and a regeneration (corpus resized) never
+    // deletes a directory another JVM is mid-read on. The n-bearing dir
+    // name is what keeps "assets scale with the corpus" true across
+    // resizes; losing the rename race just adopts the winner's commit.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(hconf)
+    val genP = new org.apache.hadoop.fs.Path(rootP, s"gen-v4-$n")
+    val markerName = "_FIXTURE_OK"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(genP, markerName))) {
+      val tmpP = new org.apache.hadoop.fs.Path(rootP,
+        s".tmp-gen-v4-$n-${java.util.UUID.randomUUID}")
+      fs.mkdirs(tmpP)
+      val tmpLocal = tmpP.toUri.getPath
       val dupBase = DupIdBase
       syntheticImageAssets(spark, n).foreachPartition {
         rows: Iterator[Row] =>
@@ -427,16 +433,40 @@ object Multimodal {
             val id = r.getAs[Long]("asset_id")
             val bytes = r.getAs[Array[Byte]]("content")
             java.nio.file.Files.write(
-              java.nio.file.Paths.get(root, f"asset-$id%05d.bmp"), bytes)
+              java.nio.file.Paths.get(tmpLocal, f"asset-$id%05d.bmp"),
+              bytes)
             if (id % 9 == 0)
               java.nio.file.Files.write(
-                java.nio.file.Paths.get(root,
+                java.nio.file.Paths.get(tmpLocal,
                   f"asset-${id + dupBase}%05d.bmp"), bytes)
           }
       }
-      fs.create(markerP, true).close()
+      // marker INSIDE the dir before the rename: a committed gen dir is
+      // complete by construction
+      fs.create(new org.apache.hadoop.fs.Path(tmpP, markerName), true)
+        .close()
+      if (!fs.rename(tmpP, genP)) {
+        // another process committed this generation first — adopt it
+        fs.delete(tmpP, true)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(genP, markerName)))
+          throw new IllegalStateException(
+            s"asset fixture commit race left no valid generation at $genP")
+      }
+      // retire older material best-effort, keeping ONE predecessor
+      // generation for in-flight readers (the ver-dir rule); legacy
+      // pre-v4 loose files at the root are always safe to drop — any
+      // reader of that layout rebuilds here first
+      val others = fs.listStatus(rootP).filter { s =>
+        val nm = s.getPath.getName
+        nm != genP.getName && !nm.startsWith(".tmp-gen-")
+      }
+      val (gens, legacy) = others.partition(s =>
+        s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      legacy.foreach(s => fs.delete(s.getPath, true))
+      gens.sortBy(-_.getModificationTime).drop(1)
+        .foreach(s => fs.delete(s.getPath, true))
     }
-    root
+    genP.toUri.getPath
   }
 
   /** Deterministic synthetic asset table (tests / demos). */

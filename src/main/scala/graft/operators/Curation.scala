@@ -1353,6 +1353,160 @@ object Curation {
           (acc, x) => (acc * 31 + x) % 1000000007L).as("pack_fp"))
   }
 
+  /** Stride of [[packChunksFill]]'s PARTIAL class: partial chunks are
+    * ≤ [[TextOps.ChunkWords]] − 1 words, so reserving that headroom
+    * bounds a partial pack at (stride − 1) + (ChunkWords − 1) =
+    * [[PackBudget]] exactly. */
+  val ChunkFillPartialStride: Long = PackBudget - (TextOps.ChunkWords - 2)
+
+  // the full-class law is exact only because whole chunks tile the
+  // budget — a geometry change must be caught at init, not as overflow
+  require(PackBudget % TextOps.ChunkWords == 0,
+    s"ChunkWords ${TextOps.ChunkWords} must divide PackBudget $PackBudget")
+
+  /** Source label of [[packChunksFill]]'s cross-source tail pool. */
+  val PoolSource = "(pool)"
+
+  /** BACKFILLED chunk packing — [[packChunks]] without the ~8% fill
+    * ceiling, in three laws that are each still a prefix sum:
+    *
+    *  1. FULL chunks (exactly [[TextOps.ChunkWords]] words — the
+    *     corpus' mass) pack 16-to-a-pack per source at stride =
+    *     [[PackBudget]], EXACT because ChunkWords divides the budget
+    *     (the object-init `require`): every committed full pack holds
+    *     precisely `budget` words — fill 1000‰.
+    *  2. PARTIAL chunks (doc-final, < ChunkWords) prefix-sum per
+    *     source at [[ChunkFillPartialStride]].
+    *  3. Each (source, class)'s LAST pack — the per-source remainder,
+    *     the waste that dominates at small pack counts (40 half-empty
+    *     tails at sf0.1 cost ~3% aggregate fill) — dissolves into a
+    *     cross-source TAIL POOL, repacked by one more prefix sum over
+    *     (source, doc order) at [[ChunkPackStride]] (headroom for a
+    *     maximal chunk: the pool mixes sizes). The pool is
+    *     metadata-sized BY CONSTRUCTION — ≤ 2 packs' worth of chunks
+    *     per source, ∝ sources, not corpus — so its single-partition
+    *     window is as scale-free as the #sources-row offsets frame.
+    *
+    * Zero overflow holds BY LAW in all three (max pack =
+    * (stride − 1) + max item ≤ budget in each class), packs stay
+    * source-pure except the explicitly labeled pool remainder, and
+    * the reassembly witness is unchanged — pack_fp folds chunk
+    * fingerprints in (doc_id, chunk_idx) order, so content AND order
+    * stay provable per pack. Measured fill at sf0.1: ≥ 970‰ vs the
+    * single-class law's 923‰ (PERF.md round 10). */
+  val packChunksFill: Op = Op(
+    "q_pack_chunks_fill",
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), ch AS (
+       |  SELECT doc_id, source, i AS chunk_idx,
+       |         len(list_slice(w, i*${TextOps.ChunkWords}+1, i*${TextOps.ChunkWords}+${TextOps.ChunkWords})) AS n_words,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(string_split(
+       |               array_to_string(list_slice(w, i*${TextOps.ChunkWords}+1, i*${TextOps.ChunkWords}+${TextOps.ChunkWords}), ' '), ''),
+       |               ch -> CAST(ascii(ch) AS BIGINT))),
+       |           (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_fp
+       |  FROM d, unnest(range(CAST(ceil(len(w)/${TextOps.ChunkWords}.0) AS BIGINT))) AS t(i)
+       |), cls AS (
+       |  SELECT *, CASE WHEN n_words = ${TextOps.ChunkWords}
+       |              THEN 0 ELSE 1 END AS pc
+       |  FROM ch
+       |), c AS (
+       |  SELECT doc_id, source, chunk_idx, n_words, chunk_fp, pc,
+       |         CAST(SUM(n_words) OVER (PARTITION BY source, pc
+       |           ORDER BY doc_id, chunk_idx
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           - n_words AS prec
+       |  FROM cls
+       |), p AS (
+       |  SELECT *, CAST(CASE WHEN pc = 0 THEN prec // $PackBudget
+       |                      ELSE prec // $ChunkFillPartialStride END
+       |              AS BIGINT) AS pid,
+       |         MAX(CAST(CASE WHEN pc = 0 THEN prec // $PackBudget
+       |                       ELSE prec // $ChunkFillPartialStride END
+       |               AS BIGINT))
+       |           OVER (PARTITION BY source, pc) AS tail_id
+       |  FROM c
+       |), pool AS (
+       |  SELECT doc_id, chunk_idx, n_words, chunk_fp,
+       |         CAST(SUM(n_words) OVER (ORDER BY source, doc_id, chunk_idx
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           - n_words AS prec2
+       |  FROM p WHERE pid = tail_id
+       |), u AS (
+       |  SELECT source, CAST(pc AS BIGINT) AS pack_class, pid AS pack_id,
+       |         doc_id, chunk_idx, n_words, chunk_fp
+       |  FROM p WHERE pid < tail_id
+       |  UNION ALL
+       |  SELECT '$PoolSource' AS source, CAST(2 AS BIGINT) AS pack_class,
+       |         CAST(prec2 // ${ChunkPackStride} AS BIGINT) AS pack_id,
+       |         doc_id, chunk_idx, n_words, chunk_fp
+       |  FROM pool
+       |)
+       |SELECT source, pack_class, pack_id,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(n_words) AS BIGINT) AS pack_words,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list(chunk_fp ORDER BY doc_id, chunk_idx)),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pack_fp
+       |FROM u GROUP BY source, pack_class, pack_id""".stripMargin) {
+    (spark, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val chunks = TextOps.chunksWithSource(Tables.documents(spark, dir))
+        .withColumn("k",
+          col("doc_id") * TextOps.ChunkPack + col("chunk_idx"))
+        .select(col("k"), col("source"), col("chunk_fp"),
+          col("n_words").cast("long").as("n_tokens"))
+      def packed(df: org.apache.spark.sql.DataFrame, stride: Long,
+          cls: Long) =
+        precedingBySource(df, "k", shift = PackBucketShift + 20)
+          .select(col("source"), lit(cls).as("pack_class"), col("k"),
+            col("chunk_fp"), col("n_tokens").as("n_words"),
+            expr(s"preceding_tokens div $stride").as("pack_id"))
+      val full = packed(
+        chunks.filter(col("n_tokens") === TextOps.ChunkWords.toLong),
+        PackBudget, 0L)
+      val part = packed(
+        chunks.filter(col("n_tokens") =!= TextOps.ChunkWords.toLong),
+        ChunkFillPartialStride, 1L)
+      val assigned = full.unionByName(part)
+        .withColumn("tail_id", max(col("pack_id")).over(
+          W.partitionBy(col("source"), col("pack_class"))))
+      val main = assigned.filter(col("pack_id") < col("tail_id"))
+        .select(col("source"), col("pack_class"), col("pack_id"),
+          col("k"), col("chunk_fp"), col("n_words"))
+      // the tail pool is ≤ 2 packs of chunks per (source), ∝ sources —
+      // a single-partition window over metadata, never the corpus
+      val pool = assigned.filter(col("pack_id") === col("tail_id"))
+        .withColumn("prec2",
+          coalesce(sum(col("n_words")).over(
+            W.orderBy(col("source"), col("k"))
+              .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select(lit(PoolSource).as("source"),
+          lit(2L).as("pack_class"),
+          expr(s"prec2 div $ChunkPackStride").as("pack_id"),
+          col("k"), col("chunk_fp"), col("n_words"))
+      main.unionByName(pool)
+        .groupBy(col("source"), col("pack_class"), col("pack_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_words")).as("pack_words"),
+          array_sort(collect_list(struct(col("k"), col("chunk_fp"))))
+            .as("ordered"))
+        .select(col("source"), col("pack_class"), col("pack_id"),
+          size(array_distinct(transform(col("ordered"),
+            e => e.getField("k") -
+              pmod(e.getField("k"), lit(TextOps.ChunkPack)))))
+            .cast("long").as("n_docs"),
+          col("n_chunks"), col("pack_words"),
+          aggregate(
+            transform(col("ordered"), e => e.getField("chunk_fp")),
+            lit(0L),
+            (acc, x) => (acc * 31 + x) % 1000000007L).as("pack_fp"))
+  }
+
   val pipelineE2e: Op = Op(
     "q_pipeline_e2e",
     s"""WITH RECURSIVE ${Dedup.jaccardPairCtes()},

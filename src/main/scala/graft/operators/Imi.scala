@@ -107,28 +107,28 @@ object Imi {
       .filter(col("cn") > 0)
   }
 
-  /** `steps` Lloyd refinements of the per-half seed codebooks.
+  /** `steps` Lloyd refinements of the per-half seed codebooks, with
+    * cent_ids DENSIFIED before packing.
     *
-    * Cell-packing guard: centroid ids are seed vec_ids, and the packed
-    * cell id `c0·CellBase + c1` silently ALIASES two distinct cells
-    * once a cent_id reaches [[CellBase]] — and because the oracles use
-    * the same formula, the cross-engine gate could not catch it. The
-    * build-time assert (one 1-row aggregate, amortized behind the
-    * persisted stores) turns that silent merge into a loud failure;
-    * a corpus with sparse vec_ids past 2²¹ needs a dense re-rank of
-    * cent_ids before packing. */
+    * Raw centroid ids are seed vec_ids — arbitrary values on a
+    * hashed/uuid-derived or offset id space — and the packed cell id
+    * `c0·CellBase + c1` silently ALIASES two distinct cells once a
+    * cent_id reaches [[CellBase]]; because the oracles use the same
+    * formula, the cross-engine gate could not catch it (the r9 guard
+    * merely turned the silent merge into an abort). The scale-safe
+    * form re-ranks each half's surviving centroids by `row_number`
+    * over the raw cent_id: ids become 1..k1 — always < [[CellBase]] —
+    * and the re-rank is MONOTONE in the raw id, so every cosine
+    * tie-break (`ORDER BY cos DESC, cent_id`) orders exactly as
+    * before; the oracle prefixes apply the identical re-rank (`cbr`
+    * CTE). Codebook-sized window — metadata, never data-scaled. */
   def codebook(spark: SparkSession, h: DataFrame, k1: Int,
       steps: Int): DataFrame = {
+    require(k1 < CellBase, s"k1 $k1 must stay below CellBase $CellBase")
     val cb = (1 to steps).foldLeft(seedCodebook(h, k1))((c, _) =>
       lloydStep(spark, h, c))
-    val maxId = cb.agg(max(col("cent_id"))).collect()(0)
-    if (!maxId.isNullAt(0) &&
-        maxId.getAs[Number](0).longValue >= CellBase)
-      throw new IllegalStateException(
-        s"IMI cent_id ${maxId.getAs[Number](0)} >= CellBase $CellBase: " +
-          "packed cell ids would alias; densify vec_ids (or re-rank " +
-          "cent_ids) before building the index")
-    cb
+    val w = Window.partitionBy(col("half")).orderBy(col("cent_id"))
+    cb.withColumn("cent_id", row_number().over(w).cast("long"))
   }
 
   /** The probed-cell frame: (vec_id, label, cell, r0, r1, dot0, dot1,
@@ -152,7 +152,7 @@ object Imi {
   def trainedCanopy(spark: SparkSession, dir: String): DataFrame =
     imiCache.getOrBuild(spark, dir, "embeddings.parquet") {
       val store = PersistedStore.ensure(spark, dir, "embeddings.parquet",
-        "imi_canopy", s"v1:k$K1:s$LloydSteps:p$NProbeHalf") { root =>
+        "imi_canopy", s"v2:k$K1:s$LloydSteps:p$NProbeHalf") { root =>
         cellsOf(spark, Similarity.quantizedLabeled(spark, dir),
           K1, LloydSteps, NProbeHalf)
           .write.mode("overwrite").parquet(s"$root/cells")
@@ -196,7 +196,7 @@ object Imi {
       spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     standingCache.getOrBuild(spark, dir, "embeddings.parquet") {
       val store = PersistedStore.ensure(spark, dir, "embeddings.parquet",
-        "imi_standing", s"v1:k$K1:s$LloydSteps:p$NProbeHalf:d$DeltaMod") {
+        "imi_standing", s"v2:k$K1:s$LloydSteps:p$NProbeHalf:d$DeltaMod") {
         root =>
           val standing = Similarity.quantizedLabeled(spark, dir)
             .filter(col("vec_id") % DeltaMod =!= 0)
@@ -384,12 +384,26 @@ object Imi {
     * it: a full retrain on the union ([[cellsOf]]) — the periodic
     * rebuild every index maintenance schedule carries. */
   private[graft] def compactUnion(spark: SparkSession, dir: String,
-      retrainFrac: Double): DataFrame = {
+      retrainFrac: Double, deltaMod: Int = DeltaMod,
+      expectRetrain: Option[Boolean] = None): DataFrame = {
     val all = Similarity.quantizedLabeled(spark, dir)
-    val delta = all.filter(col("vec_id") % DeltaMod === 0)
+    val delta = all.filter(col("vec_id") % deltaMod === 0)
     val nAll = all.count() // 2 scalar counts — bounded metadata
     val nDelta = delta.count()
-    if (nAll > 0 && nDelta.toDouble / nAll > retrainFrac)
+    val retrain = nAll > 0 && nDelta.toDouble / nAll > retrainFrac
+    // a registered op's oracle replays exactly ONE branch of this law;
+    // if a corpus ever flips the threshold the gate would go red with
+    // no code change — fail loudly at build time instead (ADVICE r9)
+    expectRetrain.foreach { e =>
+      if (e != retrain) throw new IllegalStateException(
+        s"imi compaction law flipped: delta fraction " +
+          f"${nDelta.toDouble / math.max(nAll, 1)}%.3f vs threshold " +
+          s"$retrainFrac chose ${if (retrain) "retrain" else "merge"}, " +
+          s"but the registered op's oracle replays the " +
+          s"${if (e) "retrain" else "merge"} path — re-register the op " +
+          "for this corpus shape")
+    }
+    if (retrain)
       cellsOf(spark, all, K1, LloydSteps, NProbeHalf)
     else {
       val (cb, standingCells) = standingIndex(spark, dir)
@@ -420,14 +434,59 @@ object Imi {
          |FROM cells""".stripMargin) { (spark, dir) =>
     compactCache.getOrBuild(spark, dir, "embeddings.parquet") {
       val store = PersistedStore.ensure(spark, dir, "embeddings.parquet",
-        "imi_compact", s"v1:k$K1:s$LloydSteps:p$NProbeHalf:d$DeltaMod" +
+        "imi_compact", s"v2:k$K1:s$LloydSteps:p$NProbeHalf:d$DeltaMod" +
           s":f${(CompactRetrainFrac * 100).toInt}") { root =>
-        compactUnion(spark, dir, CompactRetrainFrac)
+        compactUnion(spark, dir, CompactRetrainFrac,
+          expectRetrain = Some(false))
           .write.mode("overwrite").parquet(s"$root/cells")
       }
       spark.read.parquet(s"$store/cells").localCheckpoint()
     }.select(col("vec_id"), col("cell"),
       when(col("vec_id") % DeltaMod === 0, 1L).otherwise(0L)
+        .as("is_delta"))
+  }
+
+  /** Delta mod of the RETRAIN leg: every third vector ⇒ delta
+    * fraction ≈ 33%, ABOVE [[CompactRetrainFrac]] — the accumulated
+    * backlog a maintenance schedule hits when compaction was deferred
+    * too long. */
+  val RetrainDeltaMod = 3
+
+  private val retrainCache = SessionCache.mkFrames()
+
+  private[graft] def clearRetrainCache(): Unit = retrainCache.clear()
+
+  /** The RETRAIN branch of [[compactUnion]] as its own registered op —
+    * the r9 verdict's gap: the >threshold path was spec-forced but
+    * never cross-engine-proven. At a 33% delta fraction the law
+    * retrains the codebook on the UNION ([[cellsOf]] over the whole
+    * corpus — the periodic rebuild every index maintenance schedule
+    * carries), committed as a versioned store generation like the
+    * merge leg; the oracle replays train-on-union from scratch
+    * (the full [[imiCellsSql]] chain), so the green row proves the
+    * retrain law itself. The build asserts the branch: if a corpus
+    * shape ever drops the fraction under the threshold the op fails
+    * loudly instead of silently diverging from its oracle. */
+  val imiRetrain: Op = Op(
+    "q_imi_retrain",
+    imiCellsSql(K1, NProbeHalf) +
+      s"""
+         |SELECT vec_id, cell,
+         |  CAST(CASE WHEN vec_id % $RetrainDeltaMod = 0 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_delta
+         |FROM cells""".stripMargin) { (spark, dir) =>
+    retrainCache.getOrBuild(spark, dir, "embeddings.parquet") {
+      val store = PersistedStore.ensure(spark, dir, "embeddings.parquet",
+        "imi_retrain", s"v1:k$K1:s$LloydSteps:p$NProbeHalf" +
+          s":d$RetrainDeltaMod:f${(CompactRetrainFrac * 100).toInt}") {
+        root =>
+          compactUnion(spark, dir, CompactRetrainFrac,
+            deltaMod = RetrainDeltaMod, expectRetrain = Some(true))
+            .write.mode("overwrite").parquet(s"$root/cells")
+      }
+      spark.read.parquet(s"$store/cells").localCheckpoint()
+    }.select(col("vec_id"), col("cell"),
+      when(col("vec_id") % RetrainDeltaMod === 0, 1L).otherwise(0L)
         .as("is_delta"))
   }
 
@@ -503,11 +562,16 @@ object Imi {
        |    SELECT half, cent_id, cv,
        |           list_sum(list_transform(cv, x -> x*x)) AS cn FROM cb)
        |  WHERE cn > 0
+       |), cbr AS (
+       |  SELECT half,
+       |         CAST(row_number() OVER (PARTITION BY half ORDER BY cent_id)
+       |           AS BIGINT) AS cent_id, cv, cn
+       |  FROM cbn
        |), scT AS (
        |  SELECT a.vec_id, a.half, c.cent_id,
        |         CAST(list_sum(list_transform(range(1, 33), i -> a.h[i]*c.cv[i])) AS DOUBLE)
        |           / (sqrt(CAST(a.hn2 AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS cos
-       |  FROM hq a JOIN cbn c ON a.half = c.half
+       |  FROM hq a JOIN cbr c ON a.half = c.half
        |), hc AS (
        |  SELECT vec_id, half, cent_id AS c FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, half ORDER BY cos DESC, cent_id) AS rn
@@ -566,12 +630,17 @@ object Imi {
        |    SELECT half, cent_id, cv,
        |           list_sum(list_transform(cv, x -> x*x)) AS cn FROM cb)
        |  WHERE cn > 0
+       |), cbr AS (
+       |  SELECT half,
+       |         CAST(row_number() OVER (PARTITION BY half ORDER BY cent_id)
+       |           AS BIGINT) AS cent_id, cv, cn
+       |  FROM cbn
        |), scT AS (
        |  SELECT a.vec_id, a.half, c.cent_id, c.cn,
        |         CAST(list_sum(list_transform(range(1, 33), i -> a.h[i]*c.cv[i])) AS BIGINT) AS dot,
        |         CAST(list_sum(list_transform(range(1, 33), i -> a.h[i]*c.cv[i])) AS DOUBLE)
        |           / (sqrt(CAST(a.hn2 AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS cos
-       |  FROM hq a JOIN cbn c ON a.half = c.half
+       |  FROM hq a JOIN cbr c ON a.half = c.half
        |), hc AS (
        |  SELECT vec_id, half, rn AS r, cent_id AS c, dot, cn FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, half ORDER BY cos DESC, cent_id) AS rn

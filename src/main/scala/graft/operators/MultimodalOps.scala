@@ -115,13 +115,20 @@ object MultimodalOps {
     * regenerated at the same path still re-counts (and, via the
     * n-bearing fixture marker, regrows the directory). */
   private val assetDirCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), String]
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String),
+      String]
 
   private[graft] def assetDir(spark: SparkSession, dir: String): String = {
     val sig = graft.sources.RunLog.sourceSignature(
       spark, dir, "documents.parquet")
+    // keyed on SessionCache.sessionId (stable and unique per live
+    // session — an identityHashCode can collide or be REUSED after a
+    // session is GC'd, serving a dir sized for another corpus); a soft
+    // cap keeps long-lived multi-session processes from growing the
+    // map unboundedly — evicted sessions just re-memoize their count
+    if (assetDirCache.size > 64) assetDirCache.clear()
     assetDirCache.computeIfAbsent(
-      (System.identityHashCode(spark), dir, sig), { _ =>
+      (SessionCache.sessionId(spark), dir, sig), { _ =>
         val n = (Tables.documents(spark, dir).count() * 3 / 5).toInt.max(30)
         Multimodal.writeAssetFixture(
           spark, SinkOps.stagingDir(dir, "media_assets"), n)

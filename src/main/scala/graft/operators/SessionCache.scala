@@ -34,6 +34,24 @@ private[graft] object SessionCache {
     case _ => ()
   }
 
+  /** Stable UNIQUE id per live session — `identityHashCode` can
+    * collide and is REUSED after a session is GC'd (a new session
+    * could silently adopt a dead session's cache row); this UUID is
+    * minted once per session instance and its WeakHashMap entry dies
+    * with the session, so ids are never recycled. */
+  private val sessionIds =
+    new java.util.WeakHashMap[SparkSession, String]
+
+  def sessionId(spark: SparkSession): String = sessionIds.synchronized {
+    val cur = sessionIds.get(spark)
+    if (cur != null) cur
+    else {
+      val id = java.util.UUID.randomUUID.toString
+      sessionIds.put(spark, id)
+      id
+    }
+  }
+
   final class Cache[T](release: T => Unit) {
     private val entries =
       new java.util.concurrent.ConcurrentHashMap[String, (String, T)]

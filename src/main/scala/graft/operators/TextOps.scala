@@ -374,9 +374,22 @@ object TextOps {
       val root = PersistedStore.currentRoot(spark, dir, "chunk_keepers")
       root.substring(root.lastIndexOf('/') + 1)
     }
-    val table = ("gb_chunk_keepers_" + dir + "_" + ver)
+    val prefix = ("gb_chunk_keepers_" + dir + "_")
       .replaceAll("[^a-zA-Z0-9]", "_")
+    val table = (prefix + ver).replaceAll("[^a-zA-Z0-9]", "_")
     if (!spark.catalog.tableExists(table)) {
+      // a regenerated corpus re-buckets under the NEW store generation;
+      // the previous generation's table (and warehouse dir) would
+      // otherwise accumulate forever in a long-lived session — drop
+      // every older generation of THIS corpus before writing the new one
+      spark.catalog.listTables().collect()
+        .map(_.name)
+        .filter(t => t.startsWith(prefix) && t != table)
+        .foreach { stale =>
+          spark.sql(s"DROP TABLE IF EXISTS $stale")
+          SinkOps.deleteDir(spark,
+            s"${spark.conf.get("spark.sql.warehouse.dir")}/$stale")
+        }
       SinkOps.deleteDir(spark,
         s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
       graft.sources.Bucketing.writeBucketed(

@@ -92,6 +92,38 @@ object BpeEncodeBench {
       .localCheckpoint()
     encodeSub(m32, bucketed = true, "bucketed, synth depth 32768")
 
+    // inventory probe at production depth: flat string map vs the
+    // bucketed map — the symbol→id resolution stage of the token
+    // emitter, isolated (200k probes, 4096-entry inventory, ~half
+    // misses — the miss pays the full scan in the flat form)
+    {
+      import graft.operators.Bpe
+      val probes = spark.range(200000)
+        .select(concat(lit("s"), (col("id") % 8192) + 1).as("k"))
+        .localCheckpoint()
+      val invDf = (1 to 4096).map(i => (s"s$i", i.toLong))
+        .toDF("sym", "id").localCheckpoint()
+      def probeOnce(bucketed: Boolean): Double = {
+        val t = System.nanoTime()
+        val ids =
+          if (bucketed)
+            probes.crossJoin(broadcast(Bpe.inventoryMapBucketed(invDf)))
+              .select(Bpe.bucketedSymId(col("imap"), col("k")).as("id"))
+          else
+            probes.crossJoin(broadcast(invDf.agg(map_from_entries(
+                collect_list(struct(col("sym"), col("id")))).as("imap"))))
+              .select(coalesce(element_at(col("imap"), col("k")), lit(0L))
+                .as("id"))
+        ids.agg(sum(col("id"))).collect()
+        (System.nanoTime() - t) / 1e9
+      }
+      for (b <- Seq(false, true)) {
+        val best = (1 to reps).map(_ => probeOnce(b)).min
+        val label = if (b) "bucketed inv, 4096 syms" else "flat inv, 4096 syms"
+        println(f"[encbench] $label%-28s best ${best}%6.2f s (200k probes)")
+      }
+    }
+
     // planning cost vs merge depth — must be flat (the O(1)-plan gate)
     def planMs(n: Int): Double = {
       val m = (1 to n).map(i => (i, s"l$i", s"r$i", 1L))

@@ -492,6 +492,28 @@ class BpeSpec extends SparkSpec {
     assert(segs(bucketed = true) === segs(bucketed = false))
   }
 
+  test("bucketed inventory-map probe == flat map lookup, hits AND " +
+    "misses (unk = 0), at a 4096-symbol synthetic inventory") {
+    // inventory: syms s1..s4096 with ids 1..4096; probes: every 97th
+    // symbol (hits across all buckets) plus misses that share buckets
+    val inv = (1 to 4096).map(i => (s"s$i", i.toLong)).toDF("sym", "id")
+    val probes = ((1 to 4096 by 97).map(i => s"s$i") ++
+      Seq("zz", "s0", "s4097", "")).toDF("k")
+    val flat = inv.agg(map_from_entries(
+      collect_list(struct($"sym", $"id"))).as("fmap"))
+    val got = probes
+      .crossJoin(broadcast(Bpe.inventoryMapBucketed(inv)))
+      .crossJoin(broadcast(flat))
+      .select($"k", Bpe.bucketedSymId($"imap", $"k").as("b"),
+        coalesce(element_at($"fmap", $"k"), lit(0L)).as("f"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"probe ${r.getString(0)}: bucketed ${r.getLong(1)} != " +
+        s"flat ${r.getLong(2)}"))
+    assert(got.count(_.getLong(1) === 0L) === 4,
+      "exactly the four out-of-inventory probes map to unk")
+  }
+
   test("per-class fertility reconciles with the encode totals " +
     "(the letter-only driver corpus collapses to one class)") {
     val rows = Bpe.bpeFertilityClass.build(spark, sf001).collect()

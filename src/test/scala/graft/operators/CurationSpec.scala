@@ -490,4 +490,56 @@ class CurationSpec extends SparkSpec {
       "chunk packing must out-fill the doc law's budget-respecting packs")
     packs.unpersist()
   }
+
+  test("backfilled chunk packing: zero overflow in ALL classes, " +
+    "committed full packs tile the budget exactly, nothing lost to " +
+    "the pool, witness intact, fill beats the single-class law") {
+    import spark.implicits._
+    val packs = Curation.packChunksFill.build(spark, sf001).cache()
+    // (1) hard budget everywhere — full, partial AND pool classes
+    assert(packs.filter(col("pack_words") > Curation.PackBudget)
+      .count() === 0, "a backfilled pack exceeded the budget")
+    assert(packs.select($"pack_class").distinct().as[Long].collect()
+      .toSet.subsetOf(Set(0L, 1L, 2L)))
+    // (2) the full class is EXACT: per-source tails moved to the pool,
+    // so EVERY committed full-class pack holds precisely the budget
+    assert(packs.filter($"pack_class" === 0L &&
+      $"pack_words" =!= Curation.PackBudget).count() === 0,
+      "every committed full-class pack must hold exactly the budget")
+    // pool packs are labeled, never source-named
+    assert(packs.filter($"pack_class" === 2L &&
+      $"source" =!= Curation.PoolSource).count() === 0)
+    assert(packs.filter($"pack_class" =!= 2L &&
+      $"source" === Curation.PoolSource).count() === 0)
+    // (3) conservation: every chunk of the corpus lands in exactly one
+    // pack — totals reconcile against the raw chunk stream
+    val chunks = TextOps.chunksWithSource(
+      graft.Tables.documents(spark, sf001)).cache()
+    val wantTotals = chunks.agg(
+      count(lit(1)).as("n"), sum($"n_words".cast("long")).as("w"))
+      .as[(Long, Long)].collect().head
+    val gotTotals = packs.agg(
+      sum($"n_chunks").as("n"), sum($"pack_words").as("w"))
+      .as[(Long, Long)].collect().head
+    assert(gotTotals === wantTotals,
+      "pooling must move chunks, never drop or duplicate them")
+    // (the pack_fp reassembly witness itself is proven hash-exact by
+    // the DuckDB oracle on every verify run — the independent replay
+    // of all three laws)
+    // (4) fill strictly beats the single-class chunk law (both laws
+    // respect the budget, so the comparison is apples-to-apples)
+    def fill(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = df.agg(sum($"pack_words").as("w"), count(lit(1)).as("n"))
+        .collect()(0)
+      1000.0 * r.getLong(0) / (r.getLong(1) * Curation.PackBudget)
+    }
+    val single = fill(Curation.packChunks.build(spark, sf001))
+    val backed = fill(packs)
+    info(f"backfilled fill=$backed%.1f permille vs single-class " +
+      f"$single%.1f permille")
+    assert(backed > single,
+      "the size-class law must out-fill the single-class chunk law")
+    chunks.unpersist()
+    packs.unpersist()
+  }
 }

@@ -179,4 +179,51 @@ class ImiSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got === want.toSeq)
   }
+
+  test("registered retrain leg: the 33%-delta fraction forces the " +
+    "retrain branch, the result == train-on-union, and a branch/oracle " +
+    "mismatch fails LOUDLY") {
+    val got = Imi.imiRetrain.build(spark, sf001)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().sorted
+    val want = Imi.cellsOf(spark,
+      Similarity.quantizedLabeled(spark, sf001),
+      Imi.K1, Imi.LloydSteps, Imi.NProbeHalf)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().sorted
+    assert(got.nonEmpty)
+    assert(got === want.toSeq,
+      "retrain generation must equal a from-scratch train on the union")
+    // the branch assert: expecting the OTHER branch throws instead of
+    // silently serving a result the op's oracle cannot match
+    val ex = intercept[IllegalStateException] {
+      Imi.compactUnion(spark, sf001, Imi.CompactRetrainFrac,
+        deltaMod = Imi.RetrainDeltaMod, expectRetrain = Some(false))
+    }
+    assert(ex.getMessage.contains("compaction law flipped"))
+  }
+
+  test("sparse/offset vec_ids (ids > CellBase): densified cent_ids " +
+    "keep packed cells alias-free and membership identical to the " +
+    "dense-id twin") {
+    // the r9 guard ABORTED here; the row_number re-rank must instead
+    // produce the same index modulo the id offset
+    val off = 5000000L // > CellBase = 2^21
+    val dense = e.limit(60).cache()
+    val offset = dense.withColumn("vec_id", $"vec_id" + off)
+    val k1 = 4; val np = 2
+    def cells(df: org.apache.spark.sql.DataFrame, sub: Long) =
+      Imi.cellsOf(spark, df, k1, Imi.LloydSteps, np)
+        .select(($"vec_id" - sub).as("vec_id"), $"cell")
+        .as[(Long, Long)].collect().sorted.toSeq
+    val want = cells(dense, 0L)
+    val got = cells(offset, off)
+    assert(want.nonEmpty)
+    assert(got === want,
+      "offset ids must yield the identical index after the re-rank")
+    // cent components are dense 1..k1 — packing can never alias
+    val comps = got.map(_._2).flatMap(c =>
+      Seq(c / Imi.CellBase, c % Imi.CellBase))
+    assert(comps.forall(c => c >= 1 && c <= k1),
+      s"cent components must re-rank to 1..$k1, got ${comps.distinct}")
+    dense.unpersist()
+  }
 }
