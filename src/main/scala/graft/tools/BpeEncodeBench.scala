@@ -94,33 +94,46 @@ object BpeEncodeBench {
 
     // inventory probe at production depth: flat string map vs the
     // bucketed map — the symbol→id resolution stage of the token
-    // emitter, isolated (200k probes, 4096-entry inventory, ~half
-    // misses — the miss pays the full scan in the flat form)
+    // emitter. Shape matters: the broadcast one-row map is COPIED into
+    // every joined output row, so a 1-probe-per-row frame measures the
+    // copy, not the probe; real consumers probe a whole symbol ARRAY
+    // per row (per type in batch, per document in the stream), so the
+    // bench amortizes the copy over 64 probes/row. Keys carry a shared
+    // subword-ish prefix (real inventories share prefixes heavily) and
+    // ~half the probes miss.
     {
       import graft.operators.Bpe
-      val probes = spark.range(200000)
-        .select(concat(lit("s"), (col("id") % 8192) + 1).as("k"))
-        .localCheckpoint()
-      val invDf = (1 to 4096).map(i => (s"s$i", i.toLong))
-        .toDF("sym", "id").localCheckpoint()
-      def probeOnce(bucketed: Boolean): Double = {
-        val t = System.nanoTime()
-        val ids =
-          if (bucketed)
-            probes.crossJoin(broadcast(Bpe.inventoryMapBucketed(invDf)))
-              .select(Bpe.bucketedSymId(col("imap"), col("k")).as("id"))
-          else
-            probes.crossJoin(broadcast(invDf.agg(map_from_entries(
-                collect_list(struct(col("sym"), col("id")))).as("imap"))))
-              .select(coalesce(element_at(col("imap"), col("k")), lit(0L))
-                .as("id"))
-        ids.agg(sum(col("id"))).collect()
-        (System.nanoTime() - t) / 1e9
-      }
-      for (b <- Seq(false, true)) {
-        val best = (1 to reps).map(_ => probeOnce(b)).min
-        val label = if (b) "bucketed inv, 4096 syms" else "flat inv, 4096 syms"
-        println(f"[encbench] $label%-28s best ${best}%6.2f s (200k probes)")
+      for (n <- Seq(4096, 32768)) {
+        val probes = spark.range(3125) // 3125 rows × 64 keys = 200k probes
+          .select(transform(sequence(lit(0L), lit(63L)), j =>
+            concat(lit("subword_tok_"),
+              pmod(col("id") * 64 + j, lit(2L * n)) + 1)).as("ks"))
+          .localCheckpoint()
+        val invDf = (1 to n).map(i => (s"subword_tok_$i", i.toLong))
+          .toDF("sym", "id").localCheckpoint()
+        def probeOnce(bucketed: Boolean): Double = {
+          val t = System.nanoTime()
+          val ids =
+            if (bucketed)
+              probes.crossJoin(broadcast(Bpe.inventoryMapBucketed(invDf)))
+                .select(aggregate(col("ks"), lit(0L), (acc, k) =>
+                  acc + Bpe.bucketedSymId(col("imap"), k)).as("s"))
+            else
+              probes.crossJoin(broadcast(invDf.agg(map_from_entries(
+                  collect_list(struct(col("sym"), col("id")))).as("imap"))))
+                .select(aggregate(col("ks"), lit(0L), (acc, k) =>
+                  acc + coalesce(element_at(col("imap"), k), lit(0L)))
+                  .as("s"))
+          ids.agg(sum(col("s"))).collect()
+          (System.nanoTime() - t) / 1e9
+        }
+        for (b <- Seq(false, true)) {
+          val best = (1 to reps).map(_ => probeOnce(b)).min
+          val label =
+            if (b) s"bucketed inv, $n syms" else s"flat inv, $n syms"
+          println(f"[encbench] $label%-28s best ${best}%6.2f s " +
+            "(200k probes, 64/row)")
+        }
       }
     }
 

@@ -197,4 +197,27 @@ class PersistedStoreSpec extends SparkSpec {
       PersistedStore.drop(spark, sf001, "race_probe")
     }
   }
+
+  test("bucketed keeper table: a regenerated store generation DROPS " +
+    "the previous generation's table and warehouse dir") {
+    // scope to THIS corpus' tables: other suites may bucket other dirs,
+    // and the drop rule is per-corpus by design
+    val prefix = ("gb_chunk_keepers_" + sf001 + "_")
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    def keeperTables = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(prefix)).toSet
+    TextOps.bucketedChunkKeepers(spark, sf001).count()
+    val before = keeperTables
+    assert(before.nonEmpty, "first build must register a bucketed table")
+    // force a NEW store generation (fresh ver dir ⇒ fresh table name)
+    PersistedStore.drop(spark, sf001, "chunk_keepers")
+    TextOps.clearChunkKeepersCache()
+    TextOps.bucketedChunkKeepers(spark, sf001).count()
+    val after = keeperTables
+    assert(after.nonEmpty)
+    assert(after.intersect(before).isEmpty,
+      "the regenerated store must bucket under a NEW table name")
+    assert(before.forall(t => !spark.catalog.tableExists(t)),
+      s"stale generations $before must be dropped when a new one buckets")
+  }
 }
