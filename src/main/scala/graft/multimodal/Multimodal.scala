@@ -392,19 +392,23 @@ object Multimodal {
   }
 
   /** Materialize [[syntheticImageAssets]] as REAL FILES — one
-    * `asset-%05d.bmp` per asset under `root` — so the ingest side can
-    * exercise the production entry point (`spark.read.format
-    * ("binaryFile")` over an asset directory) instead of an in-engine
-    * frame. Every asset with id % 9 == 0 is ALSO written as a
-    * byte-identical copy under id+[[DupIdBase]] — planted EXACT
-    * duplicate FILES for the ingest-dedup op. Idempotent: a
-    * `_FIXTURE_OK_v3_<n>` marker commits the directory; the writer is a
-    * distributed `foreachPartition` over the asset frame
-    * (local-filesystem paths — this is the dev-side fixture GENERATOR;
-    * a cluster ingest reads whatever shared store already holds the
-    * assets and never runs this). The marker name encodes the asset
-    * count, so a corpus that changed size regenerates the directory
-    * (stale files are wiped first). Returns `root`. */
+    * `asset-%05d.bmp` per asset under a GENERATION directory
+    * `root/gen-v4-<n>` — so the ingest side can exercise the
+    * production entry point (`spark.read.format("binaryFile")` over an
+    * asset directory) instead of an in-engine frame. Every asset with
+    * id % 9 == 0 is ALSO written as a byte-identical copy under
+    * id+[[DupIdBase]] — planted EXACT duplicate FILES for the
+    * ingest-dedup op. Idempotent and crash/race-safe: the generation
+    * is built in a private temp dir with a `_FIXTURE_OK` marker inside
+    * and committed by ATOMIC rename, so no process ever observes a
+    * half-built directory; the asset count lives in the generation
+    * DIRECTORY name, so a corpus that changed size builds a new
+    * generation while one predecessor survives for in-flight readers.
+    * The writer is a distributed `foreachPartition` over the asset
+    * frame (local-filesystem paths — this is the dev-side fixture
+    * GENERATOR; a cluster ingest reads whatever shared store already
+    * holds the assets and never runs this). Returns the GENERATION
+    * directory path. */
   val DupIdBase = 100000L
 
   def writeAssetFixture(spark: SparkSession, root: String, n: Int): String = {
@@ -445,24 +449,40 @@ object Multimodal {
       // complete by construction
       fs.create(new org.apache.hadoop.fs.Path(tmpP, markerName), true)
         .close()
-      if (!fs.rename(tmpP, genP)) {
-        // another process committed this generation first — adopt it
+      // RawLocalFileSystem.rename onto an EXISTING directory does not
+      // fail — it falls back to copy-INTO (nesting a duplicate tree
+      // inside the winner's commit) — so the loser must adopt by an
+      // exists-check, with a post-rename nested-dir sweep closing the
+      // check-then-rename window
+      if (fs.exists(genP)) {
+        fs.delete(tmpP, true) // another process committed first — adopt
+      } else if (!fs.rename(tmpP, genP)) {
         fs.delete(tmpP, true)
         if (!fs.exists(new org.apache.hadoop.fs.Path(genP, markerName)))
           throw new IllegalStateException(
             s"asset fixture commit race left no valid generation at $genP")
+      } else {
+        val nested = new org.apache.hadoop.fs.Path(genP, tmpP.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
       }
       // retire older material best-effort, keeping ONE predecessor
       // generation for in-flight readers (the ver-dir rule); legacy
       // pre-v4 loose files at the root are always safe to drop — any
-      // reader of that layout rebuilds here first
+      // reader of that layout rebuilds here first. Orphaned .tmp-gen-*
+      // trees (a builder crashed mid-write) are reclaimed once they age
+      // past an hour — young ones may be another process's in-flight
+      // build and must not be touched.
+      val tmpGraceMs = 60L * 60 * 1000
+      val now = System.currentTimeMillis()
       val others = fs.listStatus(rootP).filter { s =>
         val nm = s.getPath.getName
-        nm != genP.getName && !nm.startsWith(".tmp-gen-")
+        nm != genP.getName &&
+          !(nm.startsWith(".tmp-gen-") &&
+            now - s.getModificationTime < tmpGraceMs)
       }
-      val (gens, legacy) = others.partition(s =>
+      val (gens, rest) = others.partition(s =>
         s.isDirectory && s.getPath.getName.startsWith("gen-"))
-      legacy.foreach(s => fs.delete(s.getPath, true))
+      rest.foreach(s => fs.delete(s.getPath, true))
       gens.sortBy(-_.getModificationTime).drop(1)
         .foreach(s => fs.delete(s.getPath, true))
     }

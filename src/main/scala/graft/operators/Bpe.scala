@@ -137,58 +137,63 @@ object Bpe {
     * 2.9× faster than the flat map already at depth 256 and 17× at a
     * synthetic depth 4096, so this is the DEFAULT for every encode
     * path; same law, spec-pinned ≡ flat. */
-  private[graft] def mergeRankMapBucketed(merges: DataFrame): DataFrame =
-    merges
-      .select(
-        concat_ws(KeySep, col("left_sym"), col("right_sym")).as("k"),
-        col("merge_rank").as("v"))
-      .groupBy(pmod(xxhash64(col("k")), lit(MapBuckets.toLong))
+  /** The shared bucketed-one-row-map BUILDER: any (k string, v) frame
+    * becomes one `map<long, array<struct<k, v>>>` row keyed by
+    * `xxhash64(k) mod [[MapBuckets]]` under `outName`. One device,
+    * two instances (merge ranks, token-id inventory) — a change to the
+    * bucketing law lands once. */
+  private def bucketedMapOf(kv: DataFrame, outName: String): DataFrame =
+    kv.groupBy(pmod(xxhash64(col("k")), lit(MapBuckets.toLong))
         .as("bucket"))
       .agg(collect_list(struct(col("k"), col("v"))).as("entries"))
       .agg(map_from_entries(collect_list(
-        struct(col("bucket"), col("entries")))).as("mrank"))
+        struct(col("bucket"), col("entries")))).as(outName))
 
-  /** Rank lookup through a [[mergeRankMapBucketed]] map column
-    * (try_element_at: a miss filters to an empty bucket slice). */
-  private def bucketedRank(bmap: Column, key: Column): Column =
+  /** The shared PROBE of a [[bucketedMapOf]] map column: hash to the
+    * bucket, scan its entry slice, take the first key match
+    * (try_element_at: a miss filters to an empty slice → null).
+    * `entryType` is the bucket array's SQL type — the value type
+    * differs per instance (int ranks, bigint ids). */
+  private def bucketedProbe(bmap: Column, key: Column,
+      entryType: String): Column =
     try_element_at(
       filter(
         coalesce(
           element_at(bmap, pmod(xxhash64(key), lit(MapBuckets.toLong))),
-          array().cast("array<struct<k:string,v:int>>")),
+          array().cast(entryType)),
         e => e.getField("k") === key),
       lit(1)).getField("v")
+
+  private[graft] def mergeRankMapBucketed(merges: DataFrame): DataFrame =
+    bucketedMapOf(
+      merges.select(
+        concat_ws(KeySep, col("left_sym"), col("right_sym")).as("k"),
+        col("merge_rank").as("v")),
+      "mrank")
+
+  /** Rank lookup through a [[mergeRankMapBucketed]] map column. */
+  private def bucketedRank(bmap: Column, key: Column): Column =
+    bucketedProbe(bmap, key, "array<struct<k:string,v:int>>")
 
   /** The token-id INVENTORY as a bucketed one-row map — the same
     * device as [[mergeRankMapBucketed]], for the symbol→id probe: a
     * flat string-keyed map pays a linear `element_at` scan per lookup,
     * which at a production 30k-symbol inventory is exactly the defect
-    * class the bucketed merge map closed. Input is [[inventoryIds]]'
-    * (sym, id); output is one `map<long, array<struct<k,v>>>` row
-    * keyed by `xxhash64(sym) mod [[MapBuckets]]`. Default on the
-    * batch token emitter AND the streaming tokens leg (BpeSpec pins
-    * bucketed ≡ flat, hits and misses). */
+    * class the bucketed merge map closed (measured: flat is linear in
+    * inventory size, 20× slower at 32k symbols — PERF.md round 10).
+    * Input is [[inventoryIds]]' (sym, id). Default on the batch token
+    * emitter AND the streaming tokens leg (BpeSpec pins bucketed ≡
+    * flat, hits and misses). */
   private[graft] def inventoryMapBucketed(inv: DataFrame): DataFrame =
-    inv
-      .select(col("sym").as("k"), col("id").as("v"))
-      .groupBy(pmod(xxhash64(col("k")), lit(MapBuckets.toLong))
-        .as("bucket"))
-      .agg(collect_list(struct(col("k"), col("v"))).as("entries"))
-      .agg(map_from_entries(collect_list(
-        struct(col("bucket"), col("entries")))).as("imap"))
+    bucketedMapOf(
+      inv.select(col("sym").as("k"), col("id").as("v")), "imap")
 
   /** Id lookup through an [[inventoryMapBucketed]] map column; a miss
     * (symbol outside the inventory) is unk = 0 — the batch op's
     * left-join coalesce, row-local. */
   private[graft] def bucketedSymId(bmap: Column, key: Column): Column =
     coalesce(
-      try_element_at(
-        filter(
-          coalesce(
-            element_at(bmap, pmod(xxhash64(key), lit(MapBuckets.toLong))),
-            array().cast("array<struct<k:string,v:bigint>>")),
-          e => e.getField("k") === key),
-        lit(1)).getField("v"),
+      bucketedProbe(bmap, key, "array<struct<k:string,v:bigint>>"),
       lit(0L))
 
   /** Canonical BPE ENCODE as one bounded-fixpoint expression — the

@@ -374,8 +374,15 @@ object TextOps {
       val root = PersistedStore.currentRoot(spark, dir, "chunk_keepers")
       root.substring(root.lastIndexOf('/') + 1)
     }
-    val prefix = ("gb_chunk_keepers_" + dir + "_")
-      .replaceAll("[^a-zA-Z0-9]", "_")
+    // the dir component is a FIXED-WIDTH digest, not the sanitized path:
+    // sanitized paths are prefix-ambiguous (dir "data/web" prefixes
+    // "data/web/clean", and "data/x.y" collides with "data/x_y"), so a
+    // prefix-matched stale-table drop could hit ANOTHER corpus' live
+    // table; an 8-hex md5 key is self-delimiting
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4)
+      .map(b => f"${b & 0xff}%02x").mkString
+    val prefix = s"gb_chunk_keepers_${dirKey}_"
     val table = (prefix + ver).replaceAll("[^a-zA-Z0-9]", "_")
     if (!spark.catalog.tableExists(table)) {
       // a regenerated corpus re-buckets under the NEW store generation;

@@ -201,9 +201,12 @@ class PersistedStoreSpec extends SparkSpec {
   test("bucketed keeper table: a regenerated store generation DROPS " +
     "the previous generation's table and warehouse dir") {
     // scope to THIS corpus' tables: other suites may bucket other dirs,
-    // and the drop rule is per-corpus by design
-    val prefix = ("gb_chunk_keepers_" + sf001 + "_")
-      .replaceAll("[^a-zA-Z0-9]", "_")
+    // and the drop rule is per-corpus by design (fixed-width md5 dir
+    // key — the production naming)
+    val prefix = "gb_chunk_keepers_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sf001.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString + "_"
     def keeperTables = spark.catalog.listTables().collect()
       .map(_.name).filter(_.startsWith(prefix)).toSet
     TextOps.bucketedChunkKeepers(spark, sf001).count()
