@@ -17,7 +17,7 @@ object TextAnalysis {
 
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    size(split(trim(text), "[ \\t\\n\\x0B\\f\\r]+"))
 
   /** BPE-ish token count: letter runs, digit runs, single punctuation —
     * a cheap proxy for subword token budgeting at ingest time.
@@ -119,7 +119,7 @@ object TextAnalysis {
     * times per ROW, and the per-element work is one struct concat.
     */
   def wordShingles(text: Column, k: Int): Column = {
-    val words = split(lower(trim(text)), "\\s+")
+    val words = split(lower(trim(text)), "[ \\t\\n\\x0B\\f\\r]+")
     val n = size(words)
     val zipped = arrays_zip(
       (0 until k).map(j => slice(words, lit(j + 1), n - (k - 1))): _*)

@@ -234,9 +234,9 @@ object Curation {
       |             i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])))
       |      ELSE 0 END AS n_distinct_3grams
       |  FROM (SELECT doc_id,
-      |          string_split_regex(trim(lower(text)), '\s+') AS l
+      |          string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS l
       |        FROM documents))""".stripMargin) { (spark, dir) =>
-    val nWords = size(split(lower(trim(col("text"))), "\\s+"))
+    val nWords = size(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
     val total = greatest(nWords - 2, lit(0)).cast("long")
     val distinct3 = when(nWords >= 3,
       size(wordShingles(col("text"), 3)).cast("long")).otherwise(0L)
@@ -333,7 +333,7 @@ object Curation {
     "q_decontaminate",
     """WITH d AS (
       |  SELECT doc_id, doc_id % 29 = 0 AS is_bench,
-      |         string_split_regex(lower(trim(text)), '\s+') AS w
+      |         string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
       |  FROM documents
       |), g AS (
       |  SELECT doc_id, is_bench,
@@ -380,7 +380,7 @@ object Curation {
     s"""WITH w AS (
        |  SELECT doc_id, lang,
        |    LEAST(95, GREATEST(5,
-       |      len(string_split_regex(trim(text), '\\s+')) // 4)) AS keep_pct
+       |      len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) // 4)) AS keep_pct
        |  FROM documents
        |)
        |SELECT doc_id, lang, keep_pct,
@@ -508,7 +508,7 @@ object Curation {
        |               i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])))
        |        ELSE 0 END AS n_distinct_3grams
        |    FROM (SELECT doc_id,
-       |            string_split_regex(trim(lower(text)), '\\s+') AS l
+       |            string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS l
        |          FROM documents))
        |), gset AS (
        |  SELECT doc_id, doc_id % 29 = 0 AS is_bench,
@@ -1021,7 +1021,7 @@ object Curation {
   private[graft] def pipelineDocMetrics(
       spark: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    val nWords = size(split(lower(trim(col("text"))), "\\s+"))
+    val nWords = size(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
     val total3 = greatest(nWords - 2, lit(0)).cast("long")
     val distinct3 = when(nWords >= 3,
       size(wordShingles(col("text"), 3)).cast("long")).otherwise(0L)
@@ -1290,7 +1290,7 @@ object Curation {
     "q_pack_chunks",
     s"""WITH d AS (
        |  SELECT doc_id, source,
-       |         string_split_regex(lower(trim(text)), '\\s+') AS w
+       |         string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
        |  FROM documents
        |), ch AS (
        |  SELECT doc_id, source, i AS chunk_idx,
@@ -1402,7 +1402,7 @@ object Curation {
     "q_pack_chunks_fill",
     s"""WITH d AS (
        |  SELECT doc_id, source,
-       |         string_split_regex(lower(trim(text)), '\\s+') AS w
+       |         string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
        |  FROM documents
        |), ch AS (
        |  SELECT doc_id, source, i AS chunk_idx,
@@ -1549,7 +1549,7 @@ object Curation {
        |               i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])))
        |        ELSE 0 END AS n_distinct_3grams
        |    FROM (SELECT doc_id,
-       |            string_split_regex(trim(lower(text)), '\\s+') AS l
+       |            string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS l
        |          FROM documents))
        |), gset AS (
        |  SELECT doc_id, doc_id % $BenchSplitMod = 0 AS is_bench,

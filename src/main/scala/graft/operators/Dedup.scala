@@ -39,13 +39,13 @@ object Dedup {
   /** Exact dedup on normalized text (lower + collapse whitespace). */
   val dedupExact: Op = Op(
     "q_dedup_exact",
-    """SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+    """SELECT regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm,
       |       CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
       |       COUNT(*) AS n_copies
       |FROM documents
       |GROUP BY 1""".stripMargin) { (spark, dir) =>
     Tables.documents(spark, dir)
-      .groupBy(regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+      .groupBy(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+", " ").as("norm"))
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
   }
 
@@ -471,7 +471,7 @@ object Dedup {
     "q_ngram_jaccard",
     """WITH d AS (
       |  SELECT doc_id, lang, source,
-      |         string_split_regex(lower(trim(text)), '\s+') AS w
+      |         string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
       |  FROM documents
       |), sh AS (
       |  SELECT doc_id, lang, source,
@@ -580,7 +580,7 @@ object Dedup {
     "q_containment",
     s"""WITH d AS (
        |  SELECT doc_id, lang, source,
-       |         string_split_regex(lower(trim(text)), '\\s+') AS w
+       |         string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
        |  FROM documents
        |), sh AS (
        |  SELECT doc_id, lang, source,
@@ -700,7 +700,7 @@ object Dedup {
     * diverge between them). */
   private[operators] def shingleCtes: String =
     """d AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
       |  FROM documents
       |), sh AS (
       |  SELECT doc_id, len(w) AS n_words,
@@ -1081,7 +1081,7 @@ object Dedup {
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(expr(
-          s"transform(slice(split(lower(trim(text)), '\\\\s+'), 1, $SimhashWordCap), w -> xxhash64(w))"))
+          s"transform(slice(split(lower(trim(text)), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), 1, $SimhashWordCap), w -> xxhash64(w))"))
           .as("h"))
 
   /** 64-bit simhash per document (lane-packed vote aggregation). */
@@ -1235,7 +1235,7 @@ object Dedup {
       spark: SparkSession, dir: String): DataFrame = {
     val wordsOk = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(split(lower(trim(col("text"))), "\\s+")).as("n_words"))
+        size(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("n_words"))
       .filter(col("n_words") <= SimhashWordCap)
       .select("doc_id")
     shingleRows(spark, dir)

@@ -39,7 +39,7 @@ object Feeds {
       |    ON p.game = 'Brand#13' AND i.s_suppkey = (p.id % 10) + 1
       |)
       |SELECT id, title,
-      |       regexp_replace(regexp_replace(title, '\s\s+', ' ', 'g'), '^\s+|\s+$', '', 'g') AS title_clean,
+      |       regexp_replace(regexp_replace(title, '[ \t\n\x0B\f\r][ \t\n\x0B\f\r]+', ' ', 'g'), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') AS title_clean,
       |       'https://shop.example/products/' || slug AS link,
       |       CASE WHEN compare_at_cents IS NOT NULL AND compare_at_cents > price_cents
       |            THEN printf('%.2f USD', compare_at_cents/100.0)
@@ -81,8 +81,8 @@ object Feeds {
     joined.select(
       col("id"), col("title"),
       // F12 sanitize: collapse runs of whitespace, trim
-      regexp_replace(regexp_replace(col("title"), "\\s\\s+", " "),
-        "^\\s+|\\s+$", "").as("title_clean"),
+      regexp_replace(regexp_replace(col("title"), "[ \\t\\n\\x0B\\f\\r][ \\t\\n\\x0B\\f\\r]+", " "),
+        "^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$", "").as("title_clean"),
       concat(lit("https://shop.example/products/"), col("slug")).as("link"),
       // F18 sale-price swap (ref feeds:323-338)
       when(onSale, usd(col("compare_at_cents")))

@@ -313,8 +313,8 @@ object GraphOps {
        |  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
        |), q AS (
        |  SELECT doc_id,
-       |    len(string_split_regex(trim(text), '\\s+')) AS n_ws,
-       |    (len(string_split_regex(trim(text), '\\s+')) >= 5
+       |    len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_ws,
+       |    (len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) >= 5
        |      AND CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
        |          / CAST(greatest(length(text), 1) AS DOUBLE) < 0.2) AS qp
        |  FROM documents

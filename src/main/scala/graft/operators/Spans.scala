@@ -42,7 +42,7 @@ object Spans {
     * windows-per-doc regime (~47 windows for an average doc). */
   val SpanWindow = 8
 
-  private def tokens: Column = split(trim(col("text")), "\\s+")
+  private def tokens: Column = split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")
 
   /** (doc_id, i, win_text) for every W-token window start i (1-based).
     * Docs shorter than W tokens emit nothing — they have no window. */
@@ -60,7 +60,7 @@ object Spans {
 
   private def winSql(): String =
     s"""toks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
        |  FROM documents
        |), starts AS (
        |  SELECT doc_id, t, unnest(generate_series(1, len(t)-${SpanWindow - 1})) AS i

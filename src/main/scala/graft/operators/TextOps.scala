@@ -19,7 +19,7 @@ object TextOps {
   val textQuality: Op = Op(
     "q_text_quality",
     """SELECT doc_id,
-      |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+      |  len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS n_ws_tokens,
       |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')) AS n_bpeish_tokens,
       |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
       |    / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
@@ -27,7 +27,7 @@ object TextOps {
       |    + len(regexp_extract_all(text, '\bof\b')) + len(regexp_extract_all(text, '\band\b'))
       |    + len(regexp_extract_all(text, '\bto\b')) + len(regexp_extract_all(text, '\bin\b'))
       |    + len(regexp_extract_all(text, '\bis\b')) AS stop_hits,
-      |  (len(string_split_regex(trim(text), '\s+')) >= 5
+      |  (len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) >= 5
       |    AND CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
       |        / CAST(greatest(length(text), 1) AS DOUBLE) < 0.2) AS quality_pass
       |FROM documents""".stripMargin) { (spark, dir) =>
@@ -86,7 +86,7 @@ object TextOps {
   val tfidfTerms: Op = Op(
     "q_tfidf_terms",
     """WITH w AS (
-      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS term
       |  FROM documents
       |), tf AS (
       |  SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term
@@ -106,7 +106,7 @@ object TextOps {
       |WHERE rnk <= 3""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
     val w = docs.select(col("doc_id"),
-      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
     val tf = w.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -139,7 +139,7 @@ object TextOps {
     * chunking law so a chunk-construction fix cannot diverge. */
   private[operators] def chunkCtes: String =
     s"""d AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
        |  FROM documents
        |), chunks AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
@@ -163,7 +163,7 @@ object TextOps {
     * chunking, (doc_id, chunk_idx, n_words, chunk_fp) rows. */
   def chunksOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val words = split(lower(trim(col("text"))), "\\s+")
+    val words = split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
     val nChunks = ceil(size(words).cast("double") / ChunkWords).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1), i =>
       struct(i.cast("long").as("chunk_idx"),
@@ -185,7 +185,7 @@ object TextOps {
     * packing siblings key their prefix sums on it. */
   private[graft] def chunksWithSource(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val words = split(lower(trim(col("text"))), "\\s+")
+    val words = split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
     val nChunks = ceil(size(words).cast("double") / ChunkWords).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1), i =>
       struct(i.cast("long").as("chunk_idx"),
@@ -841,7 +841,7 @@ object TextOps {
   val bm25: Op = Op(
     "q_bm25",
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
        |  FROM documents
        |), words AS (
        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks
@@ -936,7 +936,7 @@ object TextOps {
         "documents.parquet", "tf_index", "v1") { root =>
         val toks = Tables.documents(spark, dir)
           .select(col("doc_id"),
-            split(lower(trim(col("text"))), "\\s+").as("w"))
+            split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+").as("w"))
         toks.select(col("doc_id"),
             size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
           .groupBy(col("doc_id"), col("dl"), col("term"))
@@ -952,7 +952,7 @@ object TextOps {
   private[graft] def bm25Stats(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Long, Long) = {
     val r = Tables.documents(spark, dir)
-      .select(size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("dl"))
+      .select(size(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
     (r.getLong(0), r.getLong(1))
   }
@@ -1000,7 +1000,7 @@ object TextOps {
   val bm25Pruned: Op = Op(
     "q_bm25_pruned",
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
        |  FROM documents
        |), words AS (
        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks
@@ -1076,7 +1076,7 @@ object TextOps {
     val (nDocs, tTokens) = bm25Stats(spark, dir)
     val qterms = arrivals.select(col("doc_id").as("qid"),
       explode(array_distinct(filter(
-        split(lower(trim(col("text"))), "\\s+"),
+        split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"),
         t => length(t) >= 7))).as("term"))
     qterms.join(broadcast(bm25RareIndex(spark, dir)), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))

@@ -268,7 +268,7 @@ object SoakCandidates {
           .select(col("doc_id"), org.apache.spark.sql.functions.explode(
             org.apache.spark.sql.functions.split(
               org.apache.spark.sql.functions.lower(
-                org.apache.spark.sql.functions.trim(col("text"))), "\\s+"))
+                org.apache.spark.sql.functions.trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
             .as("term")).distinct().count()
         val idxRows = TextOps.bm25RareIndex(spark, dir).count()
         println(f"[soak] $dir bm25 index: $idxRows rows of $allPostings postings " +

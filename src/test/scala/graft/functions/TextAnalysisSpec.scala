@@ -61,6 +61,19 @@ class TextAnalysisSpec extends SparkSpec {
     val nbsp = Seq("ab\u00A0cd").toDF("text")
       .select(TextAnalysis.bpeishTokenCount($"text")).collect().head.getInt(0)
     assert(nbsp === 3)
+    // the SPLIT laws (ws token count, shingles) read the same explicit
+    // class \u2014 round-10 adversarial parity: '\s+' splits diverged
+    // cross-engine on \x0B for 7 ops until spelled out
+    val splits = texts.toDF("text")
+      .select(TextAnalysis.wsTokenCount($"text")).collect()
+      .map(_.getInt(0)).toSeq
+    assert(splits === Seq.fill(wsChars.size)(2),
+      "ws split must treat each ASCII whitespace char as a separator")
+    val sh = Seq("a b" + "\u000B" + "c d").toDF("text")
+      .select(TextAnalysis.wordShingles($"text", 3)).collect()
+      .head.getSeq[String](0).toSet
+    assert(sh === Set("a b c", "b c d"),
+      "shingling must split on vertical tab like any whitespace")
   }
 
   test("wordShingles: distinct k-grams, short-text fallback") {
