@@ -26,7 +26,9 @@ object IngestOps {
     """SELECT COUNT(*) AS n_rows,
       |       CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
       |       CAST(0 AS BIGINT) AS n_unparsed
-      |FROM part""".stripMargin) { (spark, dir) =>
+      |FROM part
+      |WHERE p_name IS NOT NULL AND length(trim(p_name)) > 0""".stripMargin) {
+    (spark, dir) =>
     // deterministic staging dir per sf, built once and reused across
     // runs: the fixture is a pure function of `part`, so a committed
     // dir (_SUCCESS) is valid exactly while the source file's listing
@@ -38,8 +40,12 @@ object IngestOps {
     val marker = new org.apache.hadoop.fs.Path(s"$csvDir/_SUCCESS")
     val sigPath = new org.apache.hadoop.fs.Path(s"$csvDir/_SRC_SIG")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the fixture signature carries a WRITER-LAW version next to the
+    // source listing: a quoting/escape change (v2: RFC-4180 doubled
+    // quotes) must rebuild the staged CSV, or a stale fixture written
+    // under the old law reconciles against the new reader
     val srcSig = graft.sources.RunLog
-      .sourceSignature(spark, dir, "part.parquet")
+      .sourceSignature(spark, dir, "part.parquet") + ":csv_v2"
     val fixtureValid = fs.exists(marker) && fs.exists(sigPath) && {
       val in = fs.open(sigPath)
       try new String(in.readAllBytes(),
@@ -55,8 +61,13 @@ object IngestOps {
           concat(lit("$"), format_number(col("p_retailprice"), 2)).as("Loose-Price"))
         // parallel staging write (no coalesce(1)): the reader globs the
         // directory, so the fixture write never becomes a bottleneck at
-        // larger SF
-        .write.mode("overwrite").option("header", "true").csv(csvDir)
+        // larger SF. escape='"' pairs with the reader's RFC-4180
+        // doubled-quote law (the writer's default escape is backslash —
+        // asymmetric with the reader, silently corrupting fields that
+        // contain quote chars)
+        .write.mode("overwrite").option("header", "true")
+        .option("quote", "\"").option("escape", "\"")
+        .csv(csvDir)
       val out = fs.create(sigPath, true)
       try out.write(srcSig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()

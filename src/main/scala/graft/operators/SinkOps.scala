@@ -365,7 +365,11 @@ object SinkOps {
       .option("header", "true").option("sep", "\t").csv(feedDir)
     RunLog.logRun(spark, logDir, "merchant_feed", digests, back.count())
     val expected = part.select(col("p_partkey").as("pk"),
-      concat(col("p_name"), lit(" "), col("p_brand")).as("expected_title"))
+      // the writer's own sanitize law: any raw tab/newline/CR in the
+      // SOURCE name flattens to a space exactly like the injected tab
+      concat(graft.sources.Sinks.feedSanitize(col("p_name")), lit(" "),
+        graft.sources.Sinks.feedSanitize(col("p_brand")))
+        .as("expected_title"))
     val feedAgg = back.join(expected, col("id") === col("pk")).agg(
       count(lit(1)).as("n_rows"),
       sum(col("cents").cast("long")).as("sum_cents"),

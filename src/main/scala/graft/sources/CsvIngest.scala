@@ -33,12 +33,20 @@ object CsvIngest {
   def normalizeHeader(h: String): String =
     h.trim.toLowerCase.replaceAll("\\s+", "_").replaceAll("[^a-z0-9_]", "")
 
-  /** Read CSV with normalized headers. */
+  /** Read CSV with normalized headers. RFC-4180 semantics: quotes
+    * escape by DOUBLING (`escape = "`), and `multiLine` lets a quoted
+    * field carry raw newlines — without it a record containing one is
+    * split mid-field (found by the round-10 adversarial corpus).
+    * multiLine parses at FILE granularity (a record boundary can't be
+    * found mid-file without parsing from the start), so parallelism =
+    * #files — the staging writers emit many parts, which is exactly
+    * why. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read
       .option("header", "true")
       .option("quote", "\"")
       .option("escape", "\"")
+      .option("multiLine", "true")
       .csv(path)
     df.toDF(df.columns.map(normalizeHeader).toIndexedSeq: _*)
   }

@@ -59,17 +59,29 @@ object Sinks {
 
   /** S11: Google-Merchant-style delimited feed file (TSV default):
     * header row, CRLF line endings, tab-safe fields. */
+  /** The TSV field-sanitize law: every record-breaking char (tab,
+    * LF, CR) becomes ONE space — 1:1, not run-collapsing, so the
+    * feed-file contract's "injected tab comes back as a space" check
+    * stays exact. Shared with the op's expected-title derivation. */
+  def feedSanitize(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    regexp_replace(c, "[\\t\\n\\r]", " ")
+
   def writeFeed(
       df: DataFrame,
       path: String,
       sep: String = "\t",
       crlf: Boolean = true): Unit = {
-    // F13: a TSV cannot quote — tabs inside fields become spaces
+    // F13: a TSV cannot quote — tabs inside fields become spaces, and
+    // so do raw newlines/CRs (a CRLF-delimited record cannot carry
+    // either; the merchant-feed spec forbids them in fields — found by
+    // the round-10 adversarial corpus, where an embedded newline split
+    // a record mid-field on read-back)
     val safe =
       if (sep == "\t")
         df.select(df.schema.fields.map { f =>
           if (f.dataType == org.apache.spark.sql.types.StringType)
-            regexp_replace(col(f.name), "\t", " ").as(f.name)
+            feedSanitize(col(f.name)).as(f.name)
           else col(f.name)
         }.toIndexedSeq: _*)
       else df
@@ -78,6 +90,13 @@ object Sinks {
       .option("header", "true")
       .option("sep", sep)
       .option("lineSep", if (crlf) "\r\n" else "\n")
+      // the CSV WRITER trims field-edge whitespace by default
+      // (ignore*WhiteSpace=true on write, unlike the reader) — a feed
+      // writer must not mutate fields beyond the sanitize law, and the
+      // trim broke the tab→space contract on fields whose sanitized
+      // space lands at an edge (empty source name → " Brand#x")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
   }
 }

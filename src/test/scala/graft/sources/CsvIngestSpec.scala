@@ -78,13 +78,19 @@ class CsvIngestSpec extends SparkSpec {
     assert(got.count() === 302) // key 1 (merged) + 301 filler keys
   }
 
-  test("within-one-large-file last-write-wins survives file splitting") {
-    // one file large enough to be read as SEVERAL splits (tiny
-    // maxPartitionBytes forces it), the same key at the head and at the
-    // tail. The (_metadata.file_block_start, monotonically_increasing_id)
-    // pair orders splits by physical byte offset and rows within a split
-    // sequentially, so the winner must be the tail row no matter how the
-    // scan packs splits into partitions.
+  test("within-one-large-file last-write-wins: multiLine reads are " +
+    "file-granular (no mid-record splits BY CONSTRUCTION) and the " +
+    "tail row still wins") {
+    // Pre-round-10 this test forced the file into several SPLITS and
+    // proved the (file_block_start, monotonically_increasing_id) order
+    // key reassembled them. The reader is now `multiLine` (a quoted
+    // field may carry raw newlines — adversarial-parity fix), and a
+    // multiLine CSV cannot be split mid-file by ANY engine: record
+    // boundaries aren't findable without parsing from the start. So
+    // the invariant worth pinning flipped — even under a tiny
+    // maxPartitionBytes the file must stay ONE partition (if this ever
+    // starts splitting, quoted-newline records silently corrupt), and
+    // within it row order is read order, so the tail duplicate wins.
     val dir = Files.createTempDirectory("fx_bigfile")
     val filler = (100 to 3000).map(i => s"$i,Filler item number $i,$$1.00,NES,padpadpad")
     Files.writeString(dir.resolve("big.csv"), (Seq(
@@ -95,8 +101,8 @@ class CsvIngestSpec extends SparkSpec {
     val saved = conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     try {
       conf.set("spark.sql.files.maxPartitionBytes", "16384")
-      // the premise: this file really is read as multiple splits
-      assert(CsvIngest.read(spark, dir.toString).rdd.getNumPartitions > 1)
+      assert(CsvIngest.read(spark, dir.toString).rdd.getNumPartitions === 1,
+        "a multiLine CSV file must never be split mid-file")
       val got = CsvIngest.ingest(spark, dir.toString, aliases,
         keyCols = Seq("id"),
         requiredCols = Seq("id", "product_name"),
@@ -106,6 +112,24 @@ class CsvIngestSpec extends SparkSpec {
       assert(r.getAs[String]("product_name") === "From The Tail")
       assert(r.getAs[Long]("loose_price_cents") === 2000L)
     } finally conf.set("spark.sql.files.maxPartitionBytes", saved)
+  }
+
+  test("quoted fields round-trip raw newlines and doubled quotes " +
+    "(RFC-4180, multiLine)") {
+    val dir = Files.createTempDirectory("fx_rfc4180")
+    Files.writeString(dir.resolve("q.csv"),
+      "id,Product Name,loose price,console-name\n" +
+        "1,\"line one\nline two\",$10,NES\n" +
+        "2,\"he said \"\"hi\"\", twice\",$20,SNES\n")
+    val got = CsvIngest.ingest(spark, dir.toString, aliases,
+      keyCols = Seq("id"),
+      requiredCols = Seq("id", "product_name"),
+      moneyCols = Seq("loose_price"))
+      .orderBy(org.apache.spark.sql.functions.col("id"))
+      .collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[String]("product_name") === "line one\nline two")
+    assert(got(1).getAs[String]("product_name") === "he said \"hi\", twice")
   }
 
   test("missing logical column resolves to typed null") {
