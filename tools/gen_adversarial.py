@@ -1,0 +1,153 @@
+#!/usr/bin/env python3
+"""Build the ADVERSARIAL corpus twin (dev tooling, not part of the
+library): copy a scale-factor dir and mutate it along the three
+dimensions that hunt cross-engine (Spark/DuckDB) divergence the driver
+fixtures never exercise. Round-10 record: dimension 1 surfaced the
+`\\s+` split-law dialect gap (Java vs RE2 on U+000B) across 7 ops;
+dimension 2 surfaced the TSV newline-sanitize and CSV escape/multiLine
+bugs; dimension 3 was green on the first pass. Re-run every round:
+
+    python3 tools/gen_adversarial.py [srcDir] [dstDir]
+    sbt -batch "runMain graft.Verify <dstDir> /tmp/adv_out"
+    python3 tools/check.py <dstDir> /tmp/adv_out      # expect 0 fail
+
+Dimensions:
+  1. documents.text — vertical tabs, NBSP-glued words, tab-substituted
+     spaces, CRLF endings, unicode (regex-dialect + tokenizer laws);
+  2. events — duplicate timestamps within user sessions and duplicated
+     double values (every window/sessionize/as-of tie-break);
+     part/customer — embedded quotes, commas, raw newlines, tabs,
+     empty and CRLF/unicode names (CSV/TSV escaping, fuzzy matching);
+  3. lineitem/orders — duplicated prices/quantities within orders,
+     zero quantities, midnight-truncated and duplicated dates, rounded
+     totals; supplier — empty/tab/unicode names (pricing ladders,
+     rollups, join guards).
+
+Embeddings: every 10th vector duplicates its predecessor exactly —
+exact cosine ties through the whole vector family.
+"""
+import shutil, os, glob, sys
+
+import duckdb
+
+
+def main(src, dst):
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for p in glob.glob(f"{src}/*.parquet"):
+        name = os.path.basename(p)
+        if os.path.isdir(p):
+            shutil.copytree(p, f"{dst}/{name}")
+        else:
+            shutil.copy(p, f"{dst}/{name}")
+    con = duckdb.connect()
+
+    con.execute(f"""
+    COPY (
+      SELECT doc_id,
+        CASE doc_id % 7
+          WHEN 0 THEN text || ' tail' || chr(11) || 'after_vtab'
+          WHEN 1 THEN 'nbsp' || chr(160) || 'glued ' || text
+          WHEN 2 THEN replace(text, ' ', chr(9))
+          WHEN 3 THEN text || chr(13) || chr(10) || 'crlf line'
+          WHEN 4 THEN 'Unicode 文字 ' || text
+          ELSE text END AS text,
+        lang, source, n_chars
+      FROM read_parquet('{src}/documents.parquet')
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+
+    con.execute(f"""
+    COPY (
+      SELECT a.vec_id, a.label,
+        CASE WHEN a.vec_id % 10 = 1 AND b.embedding IS NOT NULL
+             THEN b.embedding ELSE a.embedding END AS embedding
+      FROM read_parquet('{src}/embeddings.parquet') a
+      LEFT JOIN read_parquet('{src}/embeddings.parquet') b
+        ON b.vec_id = a.vec_id - 1
+    ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+
+    con.execute(f"""
+    COPY (
+      SELECT event_id,
+        CASE WHEN event_id % 5 = 0 AND lag(ts) OVER w IS NOT NULL
+             THEN lag(ts) OVER w ELSE ts END AS ts,
+        user_id, event_type,
+        CASE WHEN event_id % 11 = 0 AND lag(value) OVER w IS NOT NULL
+             THEN lag(value) OVER w ELSE value END AS value,
+        props
+      FROM read_parquet('{src}/events.parquet')
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+
+    con.execute(f"""
+    COPY (
+      SELECT p_partkey,
+        CASE p_partkey % 11
+          WHEN 0 THEN p_name || ', "quoted, comma"'
+          WHEN 1 THEN p_name || chr(10) || 'second line'
+          WHEN 2 THEN 'Ünïcødé ' || p_name
+          WHEN 3 THEN p_name || chr(9) || 'tabbed'
+          WHEN 4 THEN ''
+          ELSE p_name END AS p_name,
+        p_brand, p_type, p_size, p_retailprice
+      FROM read_parquet('{src}/part.parquet')
+    ) TO '{dst}/part.parquet' (FORMAT PARQUET)""")
+
+    con.execute(f"""
+    COPY (
+      SELECT c_custkey,
+        CASE c_custkey % 13
+          WHEN 0 THEN ''
+          WHEN 1 THEN 'Müller' || chr(13) || chr(10) || 'GmbH'
+          ELSE c_name END AS c_name,
+        c_nationkey, c_acctbal, c_mktsegment
+      FROM read_parquet('{src}/customer.parquet')
+    ) TO '{dst}/customer.parquet' (FORMAT PARQUET)""")
+
+    con.execute(f"""
+    COPY (
+      SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        CASE WHEN l_orderkey % 9 = 0 THEN 0.0
+             WHEN l_orderkey % 9 = 1 THEN lag(l_quantity) OVER w
+             ELSE l_quantity END AS l_quantity,
+        CASE WHEN l_orderkey % 7 = 0
+               AND lag(l_extendedprice) OVER w IS NOT NULL
+             THEN lag(l_extendedprice) OVER w
+             ELSE l_extendedprice END AS l_extendedprice,
+        l_discount, l_tax, l_returnflag, l_linestatus,
+        CASE WHEN l_orderkey % 5 = 0 THEN date_trunc('day', l_shipdate)
+             WHEN l_orderkey % 5 = 1 AND lag(l_shipdate) OVER w IS NOT NULL
+             THEN lag(l_shipdate) OVER w
+             ELSE l_shipdate END AS l_shipdate
+      FROM read_parquet('{src}/lineitem.parquet')
+      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+    ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)""")
+
+    con.execute(f"""
+    COPY (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 8 = 0 THEN round(o_totalprice, 0)
+             ELSE o_totalprice END AS o_totalprice,
+        CASE WHEN o_orderkey % 6 = 0 THEN date_trunc('day', o_orderdate)
+             ELSE o_orderdate END AS o_orderdate,
+        o_orderpriority
+      FROM read_parquet('{src}/orders.parquet')
+    ) TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+
+    con.execute(f"""
+    COPY (
+      SELECT s_suppkey,
+        CASE s_suppkey % 10
+          WHEN 0 THEN ''
+          WHEN 1 THEN 'Søren & Sons' || chr(9) || 'AS'
+          ELSE s_name END AS s_name,
+        s_nationkey, s_acctbal
+      FROM read_parquet('{src}/supplier.parquet')
+    ) TO '{dst}/supplier.parquet' (FORMAT PARQUET)""")
+
+    print(f"[adversarial] wrote mutated twin of {src} at {dst}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+         sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_adversarial")
