@@ -13,7 +13,8 @@ bugs; dimension 3 was green on the first pass. Re-run every round:
 
 Dimensions:
   1. documents.text — vertical tabs, NBSP-glued words, tab-substituted
-     spaces, CRLF endings, unicode (regex-dialect + tokenizer laws);
+     spaces, CRLF endings, unicode, plus EMPTY and whitespace-only
+     documents (regex-dialect + tokenizer laws, zero-token edges);
   2. events — duplicate timestamps within user sessions and duplicated
      double values (every window/sessionize/as-of tie-break);
      part/customer — embedded quotes, commas, raw newlines, tabs,
@@ -45,13 +46,16 @@ def main(src, dst):
     con.execute(f"""
     COPY (
       SELECT doc_id,
-        CASE doc_id % 7
-          WHEN 0 THEN text || ' tail' || chr(11) || 'after_vtab'
-          WHEN 1 THEN 'nbsp' || chr(160) || 'glued ' || text
-          WHEN 2 THEN replace(text, ' ', chr(9))
-          WHEN 3 THEN text || chr(13) || chr(10) || 'crlf line'
-          WHEN 4 THEN 'Unicode 文字 ' || text
-          ELSE text END AS text,
+        CASE WHEN doc_id % 31 = 5 THEN ''
+             WHEN doc_id % 31 = 6 THEN '   '
+             WHEN doc_id % 31 = 7 THEN chr(9) || chr(13) || chr(10)
+             ELSE CASE doc_id % 7
+               WHEN 0 THEN text || ' tail' || chr(11) || 'after_vtab'
+               WHEN 1 THEN 'nbsp' || chr(160) || 'glued ' || text
+               WHEN 2 THEN replace(text, ' ', chr(9))
+               WHEN 3 THEN text || chr(13) || chr(10) || 'crlf line'
+               WHEN 4 THEN 'Unicode 文字 ' || text
+               ELSE text END END AS text,
         lang, source, n_chars
       FROM read_parquet('{src}/documents.parquet')
     ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
