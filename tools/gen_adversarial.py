@@ -1,11 +1,12 @@
 #!/usr/bin/env python3
 """Build the ADVERSARIAL corpus twin (dev tooling, not part of the
-library): copy a scale-factor dir and mutate it along the three
+library): copy a scale-factor dir and mutate it along the four
 dimensions that hunt cross-engine (Spark/DuckDB) divergence the driver
 fixtures never exercise. Round-10 record: dimension 1 surfaced the
 `\\s+` split-law dialect gap (Java vs RE2 on U+000B) across 7 ops;
 dimension 2 surfaced the TSV newline-sanitize and CSV escape/multiLine
-bugs; dimension 3 was green on the first pass. Re-run every round:
+bugs; dimensions 3 (relational ties/boundaries) and 4 (zero-token docs)
+were green on the first pass. Re-run every round:
 
     python3 tools/gen_adversarial.py [srcDir] [dstDir]
     sbt -batch "runMain graft.Verify <dstDir> /tmp/adv_out"
