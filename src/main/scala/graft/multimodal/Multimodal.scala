@@ -465,26 +465,42 @@ object Multimodal {
         val nested = new org.apache.hadoop.fs.Path(genP, tmpP.getName)
         if (fs.exists(nested)) fs.delete(nested, true)
       }
-      // retire older material best-effort, keeping ONE predecessor
-      // generation for in-flight readers (the ver-dir rule); legacy
-      // pre-v4 loose files at the root are always safe to drop — any
-      // reader of that layout rebuilds here first. Orphaned .tmp-gen-*
-      // trees (a builder crashed mid-write) are reclaimed once they age
-      // past an hour — young ones may be another process's in-flight
-      // build and must not be touched.
+      // retire older material best-effort; legacy pre-v4 loose files at
+      // the root are always safe to drop — any reader of that layout
+      // rebuilds here first. Orphaned .tmp-gen-* trees (a builder
+      // crashed mid-write) are reclaimed once their NEWEST write (dir
+      // or any child — a slow builder's latest file is its heartbeat)
+      // ages past the grace window — young ones may be another
+      // process's in-flight build and must not be touched. Committed
+      // predecessor generations keep the SAME grace: one predecessor is
+      // always kept for in-flight readers (the ver-dir rule), and older
+      // ones are deleted only once their commit has aged past the
+      // window, so a reader that opened a directory two corpus-resizes
+      // ago has the full grace to finish. All reclaim is best-effort:
+      // a delete that loses a race is benign, never a build failure.
       val tmpGraceMs = 60L * 60 * 1000
       val now = System.currentTimeMillis()
+      def newestWrite(s: org.apache.hadoop.fs.FileStatus): Long = {
+        val kids =
+          try fs.listStatus(s.getPath).map(_.getModificationTime)
+          catch { case _: java.io.IOException => Array.empty[Long] }
+        (s.getModificationTime +: kids).max
+      }
+      def reclaim(p: org.apache.hadoop.fs.Path): Unit =
+        try { fs.delete(p, true); () }
+        catch { case _: java.io.IOException => () }
       val others = fs.listStatus(rootP).filter { s =>
         val nm = s.getPath.getName
         nm != genP.getName &&
           !(nm.startsWith(".tmp-gen-") &&
-            now - s.getModificationTime < tmpGraceMs)
+            now - newestWrite(s) < tmpGraceMs)
       }
       val (gens, rest) = others.partition(s =>
         s.isDirectory && s.getPath.getName.startsWith("gen-"))
-      rest.foreach(s => fs.delete(s.getPath, true))
+      rest.foreach(s => reclaim(s.getPath))
       gens.sortBy(-_.getModificationTime).drop(1)
-        .foreach(s => fs.delete(s.getPath, true))
+        .filter(s => now - s.getModificationTime >= tmpGraceMs)
+        .foreach(s => reclaim(s.getPath))
     }
     genP.toUri.getPath
   }

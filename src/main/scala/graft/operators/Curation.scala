@@ -1107,15 +1107,43 @@ object Curation {
         .filter(col("doc_id") >= split)
         .select(col("doc_id"), col("source"),
           bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
-      precedingBySource(delta, "doc_id")
-        .join(broadcast(standingPackHwm(spark, dir)
-          .select(col("source"), col("standing_tokens"))),
-          Seq("source"), "left")
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          expr(s"(coalesce(standing_tokens, 0L) + preceding_tokens) " +
-            s"div $PackBudget").as("pack_id"))
+      packContinuing(delta, standingPackHwm(spark, dir))
         .localCheckpoint()
     }
+
+  /** The CONTINUATION kernel shared by the incremental packer and its
+    * streaming leg ([[StreamingOps.streamPack]]): pack a delta slice of
+    * (doc_id, source, n_tokens) rows by continuing each source's token
+    * prefix sum from a high-water frame (source, standing_tokens).
+    * Because the high-water mark is a SUM monoid, folding ANY id-ordered
+    * batching of the delta through this kernel — each batch continuing
+    * from the previous batch's advanced marks — yields EXACTLY the
+    * single-pass assignment (spec-pinned in CurationSpec; the stream
+    * op's oracle is the batch law itself). Scale shape per batch: one
+    * delta-sized window pass + a #sources-row broadcast. */
+  def packContinuing(delta: org.apache.spark.sql.DataFrame,
+      hwm: org.apache.spark.sql.DataFrame, budget: Long = PackBudget)
+      : org.apache.spark.sql.DataFrame =
+    precedingBySource(delta, "doc_id")
+      .join(broadcast(hwm.select(col("source"), col("standing_tokens"))),
+        Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"(coalesce(standing_tokens, 0L) + preceding_tokens) " +
+          s"div $budget").as("pack_id"))
+
+  /** Advance a (source, standing_tokens) high-water frame by a packed
+    * batch's per-source token sums — the monoid fold step of
+    * [[packContinuing]]. Sources unseen in the batch pass through. */
+  def advancePackHwm(hwm: org.apache.spark.sql.DataFrame,
+      packedBatch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    hwm.select(col("source"), col("standing_tokens"))
+      .join(packedBatch.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("batch_tokens")),
+        Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("standing_tokens"), lit(0L)) +
+          coalesce(col("batch_tokens"), lit(0L))).as("standing_tokens"))
 
   /** INCREMENTAL sequence packing — the batch/incremental sibling the
     * packing family was missing (every other flagship family has

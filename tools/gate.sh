@@ -1,0 +1,34 @@
+#!/bin/bash
+# The standing round-close gate — ONE chain, fail-fast, serialized on
+# the sbt project lock. Runs the full correctness surface on the driver
+# corpus AND the regenerated four-dimension adversarial twin (the
+# round-10 sweep that caught the \s dialect gap and both CSV/TSV
+# escaping bugs is now a gate step, not a hand-run), then the bench and
+# the ScalaTest suite.
+#
+#   bash tools/gate.sh          # full gate (~15 min)
+#   bash tools/gate.sh fast     # skip bench + sbt test (correctness only)
+#
+# Expect: two "== N ok, 0 fail ==" lines, one bench JSON line,
+# "All tests passed.".
+set -e
+cd "$(dirname "$0")/.."
+MODE="${1:-full}"
+
+echo "== gate: Verify @ sf0.01 =="
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+
+echo "== gate: adversarial twin (regenerate + full registry) =="
+python3 tools/gen_adversarial.py /root/testdata/sf0.001 /tmp/graft_adversarial
+sbt -batch "runMain graft.Verify /tmp/graft_adversarial /tmp/adv_out"
+python3 tools/check.py /tmp/graft_adversarial /tmp/adv_out
+
+if [ "$MODE" != "fast" ]; then
+  echo "== gate: bench @ sf0.1 =="
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"'
+  echo "== gate: sbt test =="
+  sbt -batch test
+fi
+echo "== gate: PASS =="
