@@ -460,20 +460,9 @@ object Curation {
           col("doc_id_b").as("bench_doc_id"), col("jaccard"))
   }
 
-  /** The curation capstone — what actually survives the pipeline: every
-    * doc flagged by all four independent gates (corpus-relative quality,
-    * repetition, near-dup cluster LOSER — the canonical member stays —
-    * and benchmark contamination), `kept` = passes all. This is the
-    * query a pipeline owner runs before shipping a corpus; it composes
-    * the other registered ops' kernels verbatim (the cluster and
-    * contamination branches reuse their op builders), and the oracle
-    * re-derives all four flags in one recursive-CTE SQL sharing the
-    * SAME word-split CTE across the Jaccard and 8-gram branches.
-    * Benchmark-slice docs themselves are never 'contaminated' (they ARE
-    * the eval set — a real pipeline would exclude them by the split,
-    * not this flag). */
-  val cleanCorpus: Op = Op(
-    "q_clean_corpus",
+  /** Clean-corpus oracle, split for reuse: the CTE chain (shared with
+    * the learned-scorer capstone `q_clean_corpus_scored`) … */
+  private[graft] val cleanCorpusCtesSql: String =
     s"""WITH RECURSIVE ${Dedup.jaccardPairCtes()},
        |np AS (
        |  SELECT doc_id_a, doc_id_b FROM pairs
@@ -523,14 +512,34 @@ object Curation {
        |    (SELECT doc_id, unnest(gr) AS g8 FROM gset WHERE NOT is_bench) tr
        |    JOIN (SELECT DISTINCT unnest(gr) AS g8 FROM gset WHERE is_bench) be
        |      ON tr.g8 = be.g8
-       |)
-       |SELECT q.doc_id, q.quality_pass, repx.rep_pass,
-       |       q.doc_id IN (SELECT doc_id FROM losers) AS is_dup_loser,
-       |       q.doc_id IN (SELECT doc_id FROM cont) AS is_contaminated,
-       |       q.quality_pass AND repx.rep_pass
-       |         AND q.doc_id NOT IN (SELECT doc_id FROM losers)
-       |         AND q.doc_id NOT IN (SELECT doc_id FROM cont) AS kept
-       |FROM q JOIN repx ON q.doc_id = repx.doc_id""".stripMargin) { (spark, dir) =>
+       |)""".stripMargin
+
+  /** … and the final per-doc gate SELECT. */
+  private[graft] val cleanCorpusSelectSql: String =
+    """SELECT q.doc_id, q.quality_pass, repx.rep_pass,
+      |       q.doc_id IN (SELECT doc_id FROM losers) AS is_dup_loser,
+      |       q.doc_id IN (SELECT doc_id FROM cont) AS is_contaminated,
+      |       q.quality_pass AND repx.rep_pass
+      |         AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+      |         AND q.doc_id NOT IN (SELECT doc_id FROM cont) AS kept
+      |FROM q JOIN repx ON q.doc_id = repx.doc_id""".stripMargin
+
+  /** The curation capstone — what actually survives the pipeline: every
+    * doc flagged by all four independent gates (corpus-relative quality,
+    * repetition, near-dup cluster LOSER — the canonical member stays —
+    * and benchmark contamination), `kept` = passes all. This is the
+    * query a pipeline owner runs before shipping a corpus; it composes
+    * the other registered ops' kernels verbatim (the cluster and
+    * contamination branches reuse their op builders), and the oracle
+    * re-derives all four flags in one recursive-CTE SQL sharing the
+    * SAME word-split CTE across the Jaccard and 8-gram branches.
+    * Benchmark-slice docs themselves are never 'contaminated' (they ARE
+    * the eval set — a real pipeline would exclude them by the split,
+    * not this flag). The LEARNED fifth gate is optional and registered
+    * separately ([[QualityModel.cleanCorpusScored]]). */
+  val cleanCorpus: Op = Op(
+    "q_clean_corpus",
+    cleanCorpusCtesSql + "\n" + cleanCorpusSelectSql) { (spark, dir) =>
     // quality tokens + repetition ratio in ONE map pass over the text,
     // via the SHARED session-cached metrics frame (the same fused pass
     // the pipeline capstone rides — whoever runs first pays the

@@ -681,6 +681,94 @@ object Imi {
     Similarity.knnTopKFromCells(spark, trainedCanopy(spark, dir), 5)
   }
 
+  /** Sampled-query cadence of [[imiRecall]]: every mod-th vector. */
+  val RecallQueryMod = 10
+
+  /** Neighbors compared per query in [[imiRecall]]. */
+  val RecallK = 5
+
+  /** RECALL TELEMETRY of the trained index — the number the compaction
+    * threshold is tuned against (the 1M soak measured ~13 recall points
+    * lost to frozen-codebook merge at 25% delta; this op makes the same
+    * measurement a standing, oracled pipeline stage instead of
+    * soak-time evidence): for every sampled query vector, how many of
+    * its exact brute-force top-[[RecallK]] neighbors the trained probe
+    * surfaces. Output is integer hit-counts per query — deterministic
+    * and DuckDB-replayable (both rankings tie-break on (cos DESC,
+    * nn_id), and the cosines are exact-integer dots under IEEE
+    * division, so the two engines rank identically).
+    *
+    * Scale shape: the trained side rides the persisted canopy's
+    * row-local per-cell tail with the src filter INSIDE the grouped row
+    * (unsampled members serve only as candidates — no wasted top-k);
+    * the brute side is the oracle contract — Q sampled queries × corpus
+    * as one broadcast of Q rows over a single scan, cost bounded by the
+    * SAMPLE, the documented price of ground truth. At 100 TB the
+    * sample mod grows so Q stays fixed. */
+  val imiRecall: Op = Op(
+    "q_imi_recall",
+    imiCellsSql(K1, NProbeHalf) +
+    s""", cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % $RecallQueryMod = 0
+       |), tk AS (
+       |  SELECT vec_id, nn_id FROM (
+       |    SELECT cand.src AS vec_id, cand.dst AS nn_id,
+       |           ROW_NUMBER() OVER (PARTITION BY cand.src ORDER BY
+       |             CAST(list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i])) AS DOUBLE)
+       |               / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) DESC,
+       |             cand.dst) AS rank
+       |    FROM cand
+       |    JOIN nn x ON x.vec_id = cand.src
+       |    JOIN nn y ON y.vec_id = cand.dst
+       |  ) WHERE rank <= $RecallK
+       |), bf AS (
+       |  SELECT vec_id, nn_id FROM (
+       |    SELECT q.vec_id, c.vec_id AS nn_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |             CAST(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) AS DOUBLE)
+       |               / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) DESC,
+       |             c.vec_id) AS rk
+       |    FROM nn q JOIN nn c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id % $RecallQueryMod = 0
+       |  ) WHERE rk <= $RecallK
+       |), hits AS (
+       |  SELECT tk.vec_id, CAST(COUNT(*) AS BIGINT) AS hits
+       |  FROM tk JOIN bf ON tk.vec_id = bf.vec_id AND tk.nn_id = bf.nn_id
+       |  GROUP BY tk.vec_id
+       |)
+       |SELECT q.vec_id, CAST(COALESCE(hits.hits, 0) AS BIGINT) AS hits,
+       |       CAST($RecallK AS BIGINT) AS k
+       |FROM (SELECT vec_id FROM nn WHERE vec_id % $RecallQueryMod = 0) q
+       |LEFT JOIN hits ON hits.vec_id = q.vec_id""".stripMargin) {
+    (spark, dir) =>
+    val mod = RecallQueryMod
+    val trained = Similarity.knnTopKFromCells(
+        spark, trainedCanopy(spark, dir), RecallK,
+        srcPred = v => v % mod === 0)
+      .select(col("vec_id"), col("nn_id"))
+    val e = Similarity.quantized(spark, dir)
+    val q = e.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        cosine(idot(spark, col("qv"), col("v")), col("qn"), col("n2"))
+          .as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val brute = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= RecallK)
+      .select(col("q_id").as("vec_id"), col("c_id").as("nn_id"))
+    val hits = trained.join(brute, Seq("vec_id", "nn_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("h"))
+    q.select(col("q_id").as("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("h"), lit(0L)).as("hits"),
+        lit(RecallK.toLong).as("k"))
+  }
+
   /** SemDeDup over the TRAINED canopy — clusters are the top-1 IMI
     * cell (r0 = r1 = 1), keep-order score is the cosine to the
     * CONCATENATED trained centroid (dot0+dot1 over √(cn0+cn1) — exact

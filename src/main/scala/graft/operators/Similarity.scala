@@ -1515,9 +1515,14 @@ object Similarity {
 
   /** The kNN-graph scoring tail over ANY (cell, vec_id, v, n2) canopy
     * frame — shared by [[knnGraph]] (stride-10 seed canopy) and the
-    * trained-index sibling ([[Imi.knnGraphTrained]]). */
-  private[operators] def knnTopKFromCells(
-      spark: SparkSession, cellsV: DataFrame, k: Int): DataFrame = {
+    * trained-index sibling ([[Imi.knnGraphTrained]]). `srcPred`
+    * restricts which members get a top-k computed (the recall
+    * telemetry's sampled queries) while every member still serves as a
+    * candidate — the filter applies inside the grouped row, before the
+    * per-source scoring work, so unsampled members cost nothing. */
+  private[graft] def knnTopKFromCells(
+      spark: SparkSession, cellsV: DataFrame, k: Int,
+      srcPred: Column => Column = _ => lit(true)): DataFrame = {
     // ROW-LOCAL per-cell all-pairs (the arrival-time probe's device,
     // distributed one row per cell): ONE exchange groups members per
     // cell — each vector moves once per probed cell, instead of riding
@@ -1536,7 +1541,8 @@ object Similarity {
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("vec_id"), col("v"), col("n2")))
         .as("ms"))
-    val perCell = ms.select(explode(transform(col("ms"),
+    val perCell = ms.select(explode(transform(
+      filter(col("ms"), s => srcPred(s.getField("vec_id"))),
       s => struct(s.getField("vec_id").as("src"),
         slice(array_sort(transform(
           filter(col("ms"),

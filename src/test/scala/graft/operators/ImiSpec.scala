@@ -37,6 +37,33 @@ class ImiSpec extends SparkSpec {
     cb.unpersist()
   }
 
+  test("recall telemetry: hits bounded by k, every sampled query " +
+    "present, and mean recall@5 of the trained probe >= 0.5 on " +
+    "testdata (the number the compaction threshold is tuned against)") {
+    val out = Imi.imiRecall.build(spark, sf001)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._2 >= 0 && r._2 <= r._3))
+    assert(out.forall(_._3 == Imi.RecallK.toLong))
+    // every nonzero sampled vector is a query row exactly once
+    val expected = e.filter($"vec_id" % Imi.RecallQueryMod === 0)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(out.map(_._1).sorted.toSeq === expected)
+    val recall = out.map(_._2).sum.toDouble / (out.length * Imi.RecallK)
+    assert(recall >= 0.5, s"trained-probe recall@5 $recall < 0.5")
+    // the src-filtered tail equals filtering the full kNN output — the
+    // in-row filter must not change which neighbors a query sees
+    val full = Imi.knnGraphTrained.build(spark, sf001)
+      .filter($"vec_id" % Imi.RecallQueryMod === 0)
+      .select($"vec_id", $"nn_id")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val filtered = Similarity.knnTopKFromCells(spark, canopy, 5,
+        srcPred = v => v % Imi.RecallQueryMod === 0)
+      .select($"vec_id", $"nn_id")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(filtered === full)
+  }
+
   test("session-cached trained canopy equals fresh construction; " +
     "persisted store is reused across cache eviction") {
     def rows(df: org.apache.spark.sql.DataFrame) =
