@@ -11,7 +11,7 @@
 #
 # Expect: two "== N ok, 0 fail ==" lines, one bench JSON line,
 # "All tests passed.".
-set -e
+set -e -o pipefail
 cd "$(dirname "$0")/.."
 MODE="${1:-full}"
 
@@ -27,7 +27,9 @@ python3 tools/check.py /tmp/graft_adversarial /tmp/adv_out
 if [ "$MODE" != "fast" ]; then
   echo "== gate: bench @ sf0.1 =="
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"'
+    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' \
+    | tee /dev/stderr | grep -q '"failed":\[\]' \
+    || { echo "== gate: BENCH HAD FAILED QUERIES =="; exit 1; }
   echo "== gate: sbt test =="
   sbt -batch test
 fi

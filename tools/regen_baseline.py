@@ -17,6 +17,7 @@ Usage: python3 tools/regen_baseline.py [--write] [extra_bench.json ...]
 """
 import glob
 import json
+import os
 import re
 import statistics
 import sys
@@ -66,7 +67,11 @@ def main():
     extra = [a for a in sys.argv[1:] if not a.startswith('--')]
     prev_min, _, _ = parse_baseline('BENCH_BASELINE.json')
 
-    rounds = sorted(glob.glob('BENCH_r*.json')) + extra
+    # BENCH_SELF.json is the latest full run — its mins are what Bench
+    # compared against last round and must survive regeneration
+    rounds = (sorted(glob.glob('BENCH_r*.json'))
+              + [p for p in ['BENCH_SELF.json'] if os.path.exists(p)]
+              + extra)
     per_query = {}
     for path in rounds:
         for q, t in parse_times(path).items():
