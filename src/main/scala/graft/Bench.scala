@@ -58,12 +58,18 @@ object Bench {
       try {
         val txt = scala.io.Source.fromFile(file).mkString
         val nested =
-          ("\"([A-Za-z0-9_]+)\":\\{\"min\":([0-9.]+)," +
-            "\"median\":([0-9.]+),\"n\":[0-9]+\\}").r
+          ("\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{\\s*\"min\"\\s*:\\s*([0-9.]+)" +
+            "\\s*,\\s*\"median\"\\s*:\\s*([0-9.]+)\\s*,\\s*\"n\"\\s*:" +
+            "\\s*[0-9]+\\s*\\}").r
             .findAllMatchIn(txt)
             .map(m => m.group(1) -> (m.group(2).toDouble,
               m.group(3).toDouble)).toMap
         if (nested.nonEmpty) nested
+        // a nested-schema file the regex failed on (e.g. reordered
+        // keys) must fail CLOSED to an empty prior — the flat scraper
+        // would extract garbage keys ("min", "median") and silently
+        // disable the steal guard for every real query
+        else if (txt.contains("\"median\"")) Map.empty
         else loadFlat(file).map { case (k, v) => k -> (v, v) }
       } catch { case _: Throwable => Map.empty }
     // per query: (reference min, reference median)

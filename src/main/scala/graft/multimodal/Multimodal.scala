@@ -498,9 +498,20 @@ object Multimodal {
       val (gens, rest) = others.partition(s =>
         s.isDirectory && s.getPath.getName.startsWith("gen-"))
       rest.foreach(s => reclaim(s.getPath))
-      gens.sortBy(-_.getModificationTime).drop(1)
-        .filter(s => now - s.getModificationTime >= tmpGraceMs)
-        .foreach(s => reclaim(s.getPath))
+      // supersession epoch: a reader's clock starts when the NEXT
+      // generation replaced the one it is reading, not when its dir
+      // was committed — a gen current for hours would otherwise be
+      // deletable the moment two successors land. The newest
+      // predecessor's superseder is genP itself (committed/adopted
+      // just now), so it always survives this sweep — the
+      // keep-one-predecessor rule — and an older gen is reclaimed
+      // only once the gen that superseded it has been committed for
+      // the full grace window.
+      val sorted = gens.sortBy(-_.getModificationTime)
+      sorted.zipWithIndex.drop(1).foreach { case (s, i) =>
+        if (now - sorted(i - 1).getModificationTime >= tmpGraceMs)
+          reclaim(s.getPath)
+      }
     }
     genP.toUri.getPath
   }

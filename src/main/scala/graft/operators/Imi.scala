@@ -87,14 +87,41 @@ object Imi {
     * stays exact int64, which is what keeps the training
     * DuckDB-replayable). Cells that lose all members drop out. */
   def lloydStep(spark: SparkSession, h: DataFrame, cb: DataFrame): DataFrame = {
-    val assigned = h.join(broadcast(cb), Seq("half"))
-      .select(col("vec_id"), col("half"), col("h"), col("cent_id"),
+    // argmax WITHOUT the vector in the aggregation buffer: carrying
+    // `h` through min(struct(…)) made every partial-agg entry ~300 B
+    // and the spill corpus-sized (the 10M soak filled the disk with
+    // it); the winning half-vector is re-joined by its unique
+    // (vec_id, half) key — one extra skinny shuffle, identical result
+    // (the argmax and its tie-break (cos DESC, cent_id) are
+    // unchanged). The argmax itself rides graft_topk(k=1) when the
+    // session has the extension: min(struct) is a DECLARATIVE
+    // aggregate with a struct buffer, which HashAggregateExec cannot
+    // hold — the plan degrades to SortAggregate and SORTS the whole
+    // N·k1 scored stream (the soak's measured terabyte spill at 10M),
+    // while the typed-imperative heap aggregates hash-side with an
+    // O(1) buffer. Same ordering key: largest (cos, −cent_id) ≡
+    // smallest (−cos, cent_id).
+    val scored = h.join(broadcast(cb), Seq("half"))
+      .select(col("vec_id"), col("half"), col("cent_id"),
         cosine(idot(spark, col("h"), col("cv")), col("hn2"), col("cn"))
           .as("cos"))
-      .groupBy(col("vec_id"), col("half"))
-      .agg(min(struct(negate(col("cos")).as("nc"),
-        col("cent_id").as("cell"), col("h").as("h"))).as("best"))
-      .select(col("half"), col("best.cell").as("cell"), col("best.h").as("h"))
+    val best =
+      (if (spark.catalog.functionExists("graft_topk"))
+        scored.groupBy(col("vec_id"), col("half"))
+          .agg(element_at(call_function("graft_topk",
+            struct(col("cos"), negate(col("cent_id")).as("negc")),
+            lit(1)), 1).as("b"))
+          .select(col("vec_id"), col("half"),
+            negate(col("b.negc")).as("cell"))
+      else
+        scored.groupBy(col("vec_id"), col("half"))
+          .agg(min(struct(negate(col("cos")).as("nc"),
+            col("cent_id").as("cell"))).as("b"))
+          .select(col("vec_id"), col("half"), col("b.cell").as("cell")))
+    val assigned = best
+      .join(h.select(col("vec_id"), col("half"), col("h")),
+        Seq("vec_id", "half"))
+      .select(col("half"), col("cell"), col("h"))
     assigned
       .select(col("half"), col("cell"), posexplode(col("h")).as(Seq("pos", "x")))
       .groupBy(col("half"), col("cell"), col("pos"))
@@ -223,13 +250,36 @@ object Imi {
       .select(col("vec_id"), col("half"), col("cent_id"), col("cn"),
         col("dot"),
         cosine(col("dot"), col("hn2"), col("cn")).as("cos"))
-    val top = scored.groupBy(col("vec_id"), col("half"))
-      .agg(slice(array_sort(collect_list(struct(
-        negate(col("cos")).as("ncos"), col("cent_id").as("c"),
-        col("dot").as("dot"), col("cn").as("cn")))), 1, nprobe).as("cs"))
-      .select(col("vec_id"), col("half"), posexplode(col("cs")).as(Seq("p", "s")))
-      .select(col("vec_id"), col("half"), (col("p") + 1).as("r"),
-        col("s.c").as("c"), col("s.dot").as("dot"), col("s.cn").as("cn"))
+    // top-nprobe per (vec, half): the bounded-heap aggregate when the
+    // session has the extension — collect_list buffers ALL k1 scored
+    // centroids per group (k1·40 B per group, corpus-sized spill at
+    // soak scale: the full lists ride the shuffle because collect_list
+    // has no partial reduction), while graft_topk's partial heaps keep
+    // O(nprobe) per group on both sides of the exchange. Ordering is
+    // identical: largest (cos, −cent_id) ≡ smallest (−cos, cent_id) —
+    // cos DESC, centroid id ASC — and the heap's descending output is
+    // the rank order the old ascending sort+slice produced.
+    val top = (if (spark.catalog.functionExists("graft_topk"))
+      scored.groupBy(col("vec_id"), col("half"))
+        .agg(call_function("graft_topk", struct(
+          col("cos"), negate(col("cent_id")).as("negc"),
+          col("dot").as("dot"), col("cn").as("cn")), lit(nprobe))
+          .as("cs"))
+        .select(col("vec_id"), col("half"),
+          posexplode(col("cs")).as(Seq("p", "s")))
+        .select(col("vec_id"), col("half"), (col("p") + 1).as("r"),
+          negate(col("s.negc")).as("c"), col("s.dot").as("dot"),
+          col("s.cn").as("cn"))
+    else
+      scored.groupBy(col("vec_id"), col("half"))
+        .agg(slice(array_sort(collect_list(struct(
+          negate(col("cos")).as("ncos"), col("cent_id").as("c"),
+          col("dot").as("dot"), col("cn").as("cn")))), 1, nprobe).as("cs"))
+        .select(col("vec_id"), col("half"),
+          posexplode(col("cs")).as(Seq("p", "s")))
+        .select(col("vec_id"), col("half"), (col("p") + 1).as("r"),
+          col("s.c").as("c"), col("s.dot").as("dot"),
+          col("s.cn").as("cn")))
     val h0 = top.filter(col("half") === 0).select(col("vec_id"),
       col("r").as("r0"), col("c").as("c0"),
       col("dot").as("dot0"), col("cn").as("cn0"))

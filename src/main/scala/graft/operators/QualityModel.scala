@@ -205,6 +205,54 @@ object QualityModel {
         (coalesce(col("m"), lit(0L)) > 0L).as("keep"))
   }
 
+  /** ROW-LOCAL scoring of any (doc_id, text) frame against a weight
+    * frame — the streaming leg's kernel, usable on a stream because it
+    * is stateless by construction: the weights enter as ONE broadcast
+    * one-row map (many probes per row — the amortized placement), the
+    * hashed-feature margin folds per TOKEN (Σ_tokens sign·w[bucket] ≡
+    * Σ_buckets x_b·w_b — integer addition commutes, so the row-local
+    * fold equals the batch group-by EXACTLY), and the stat features
+    * are per-row expressions. [[QualityDim]] = 64 = 2⁶, so bucket and
+    * sign decompose by mask/shift on the nonnegative fingerprint. */
+  private[graft] def scoreRowLocal(spark: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    require(QualityDim == 64,
+      "scoreRowLocal's shift-6 sign decomposition assumes QualityDim = 64")
+    import graft.functions.TextAnalysis.fingerprint
+    val wmap = standingModel(spark, dir)
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("w")))).as("wm"))
+    def probe(b: Column): Column =
+      coalesce(element_at(col("wm"), b), lit(0L))
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+    def tokTerm(t: Column): Column = {
+      val fp = fingerprint(t)
+      val sign = when(pmod(shiftright(fp, 6), lit(2)) === 0, 1L)
+        .otherwise(-1L)
+      sign * probe(pmod(fp, lit(QualityDim)))
+    }
+    val nW = size(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
+    docs.crossJoin(broadcast(wmap))
+      .select(col("doc_id"),
+        aggregate(transform(toks, t => tokTerm(t)), lit(0L),
+          (a, x) => a + x)
+          .as("tok_sum"),
+        (lit(QualityBias) * probe(lit(-1L))).as("bias_term"),
+        (bpeishTokenCount(col("text")).cast("long") * probe(lit(-2L)))
+          .as("len_term"),
+        greatest(nW - 2, lit(0)).cast("long").as("n3"),
+        when(nW >= 3, size(wordShingles(col("text"), 3)).cast("long"))
+          .otherwise(0L).as("nd3"),
+        probe(lit(-3L)).as("w_rep"))
+      .select(col("doc_id"),
+        (col("tok_sum") + col("bias_term") + col("len_term") +
+          when(col("n3") === 0L, 0L)
+            .otherwise(expr("(100 * (n3 - nd3)) div n3")) * col("w_rep"))
+          .as("margin"))
+      .select(col("doc_id"), col("margin"),
+        (col("margin") > 0L).as("keep"))
+  }
+
   // ------------------------------------------------------------------
   // oracle SQL — the FULL training replay, shared by all three ops.
   // Multiply-referenced CTEs are AS MATERIALIZED: DuckDB otherwise

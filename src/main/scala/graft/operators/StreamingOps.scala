@@ -347,6 +347,19 @@ object StreamingOps {
       .agg(sum(col("n")).as("n"), sum(col("value_cents")).as("value_cents"))
   }
 
+  /** Streaming learned-quality scoring ≡ the batch scorer — the SAME
+    * oracle as [[QualityModel.qualityScore]], completing the trained
+    * gate's triple (batch train+score / persisted model / this
+    * arrival-time leg): arriving docs score row-locally against the
+    * broadcast standing weights, no state store, no stream-side
+    * shuffle. */
+  val streamQuality: Op = Op(
+    "q_stream_quality",
+    QualityModel.qualityScore.oracle.get) { (spark, dir) =>
+    spark.table(EventStream.runQualityScoreToMemory(
+      spark, dir, "q_stream_quality_mem"))
+  }
+
   /** Streaming sequence packing ≡ the incremental batch packer — the
     * SAME oracle as [[Curation.packIncr]], completing the packing
     * family's batch/incremental/streaming triple on ONE kernel
@@ -360,7 +373,13 @@ object StreamingOps {
   val streamPack: Op = Op(
     "q_stream_pack",
     Curation.packIncr.oracle.get) { (spark, dir) =>
-    val root = SinkOps.stagingDir(dir, "stream_pack")
+    // root is SESSION-scoped (the live-query registry key is too): a
+    // shared per-dir root would let a second session's fresh-start
+    // reset delete the first session's live checkpoint and hwm chain
+    // out from under its running query. Scratch-sized leak per dead
+    // session (~the delta's pack rows), reclaimed with the scratch dir.
+    val root = SinkOps.stagingDir(dir,
+      s"stream_pack_${SessionCache.sessionId(spark).take(8)}")
     EventStream.runStreamPack(spark, dir, root)
     spark.read.parquet(s"$root/packs-*")
       .select(col("doc_id"), col("source"), col("n_tokens"),

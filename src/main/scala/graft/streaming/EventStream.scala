@@ -742,6 +742,30 @@ object EventStream {
         col("standing_first"))
   }
 
+  /** Streaming LEARNED-quality scoring — the stream leg of the trained
+    * gate ([[graft.operators.QualityModel]]): arriving documents score
+    * against the PERSISTED standing model statelessly — the weights
+    * enter as one broadcast one-row map and the margin folds row-
+    * locally per token, so there is no state store and no stream-side
+    * shuffle (the whole point of distilling the corpus-pass teacher
+    * into a fixed weight vector is exactly that ingest can apply it
+    * this way). Registered against the batch scorer's oracle: the
+    * memory table must hash-equal the batch margins, only possible if
+    * the per-token fold is exactly the batch group-by. */
+  def runQualityScoreToMemory(
+      spark: SparkSession, dir: String, queryName: String): String =
+    runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
+      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val docs = spark.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("text"))
+      graft.operators.QualityModel.scoreRowLocal(spark, dir, docs)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
   /** Streaming sequence packing — the stream leg of the packing
     * triple on [[graft.operators.Curation.packContinuing]]'s kernel:
     * delta documents arrive as an id-ordered file stream and each

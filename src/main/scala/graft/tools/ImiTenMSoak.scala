@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   *
   * What it measures:
   *  1. the occupancy law and candidate-volume exponent at 10M
-  *     (k1 = ⌈√(N/occ)⌉ → 1000 per half at N = 10M);
+  *     (k1 = ⌈√(N/occ)⌉ = 1000 per half at N = 10M, occ = 10);
   *  2. skew immunity of the CELL AGGREGATION layer: with one vector
   *     duplicated ×10⁵ (every copy lands in the same probed cells, so
   *     one cell holds ~10⁵ members) the occupancy group-by and the
@@ -18,29 +18,46 @@ import org.apache.spark.sql.functions._
   *     argument `Spans` makes for a 10⁹-duplicated window; this is the
   *     measured row behind it).
   *
-  * Candidate volume at 10M is counted COMBINATORIALLY — Σ over probed
-  * cells of m·(m−1)/2 — never materialized: the 1M soak's distinct
-  * pair set was already 1.22B rows, and a decade up it would blow the
-  * disk budget. Run `calib` mode at 1M to measure the multiplicity
-  * count next to the known distinct count, so the exponent read off
-  * the multiplicity metric is calibrated against r10's distinct-pair
-  * row.
+  * Two scale accommodations, both production-faithful:
+  *  - the codebook trains on a capped SAMPLE (first [[TrainCap]]
+  *    vectors — the FAISS practice: coarse quantizers train on a
+  *    representative sample, assignment covers the corpus); the full
+  *    10M-vector train is pure compute at the same answer shape and
+  *    was measured extrapolating to hours on this box;
+  *  - candidate volume is counted COMBINATORIALLY — Σ over probed
+  *    cells of m·(m−1)/2 — never materialized: the 1M soak's distinct
+  *    pair set was already 1.22B rows, and a decade up it would blow
+  *    the disk budget. The 1M base run measured multiplicity next to
+  *    r10's distinct row (1317 vs 1224 per vector = 1.076× — the
+  *    multi-cell pair multiplicity), so the exponent read off the
+  *    multiplicity metric is calibrated.
   *
-  * Usage (separate invocations so each JVM's spills are reclaimed):
-  *   SPARK_DRIVER_MEM=64g sbt "runMain graft.tools.ImiTenMSoak 10000000 uniform"
-  *   SPARK_DRIVER_MEM=64g sbt "runMain graft.tools.ImiTenMSoak 10000000 hot"
-  *   SPARK_DRIVER_MEM=64g sbt "runMain graft.tools.ImiTenMSoak 1000000 calib"
+  * The hot leg reuses the uniform run's codebook (a duplicate flood
+  * arrives against the standing quantizer — the production shape) so
+  * both measurements share one training pass.
+  *
+  * Usage:
+  *   SPARK_DRIVER_MEM=64g sbt "runMain graft.tools.ImiTenMSoak 10000000"
   */
 object ImiTenMSoak {
+  val TrainCap = 1000000
+  val HotCopies = 100000
+
   def main(args: Array[String]): Unit = {
     val nVecs = args.lift(0).map(_.toInt).getOrElse(10000000)
-    val mode = args.lift(1).getOrElse("uniform")
-    val occ = args.lift(2).map(_.toInt).getOrElse(10)
-    val hotCopies = 100000
+    val occ = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "64")
+      // the per-(vec, half) top-nprobe heaps are tiny but NUMEROUS
+      // (~300k groups per partition at 10M): the object-hash
+      // aggregate's default sort-based fallback threshold (128 keys)
+      // would sort the whole N·k1 scored stream — the terabyte spill
+      // this soak exists to catch. A cluster deployment sets this (or
+      // buckets the index) the same way.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "2000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -59,75 +76,74 @@ object ImiTenMSoak {
         .withColumn("n2", inorm2(spark, col("v")))
         .filter(col("n2") > 0)
 
-    // hot mode: vector 0 duplicated hotCopies times under fresh ids —
-    // every copy scores identically, so they share probed cells
-    val base = genQuantized(nVecs)
-    val e = (if (mode == "hot")
-      base.unionByName(spark.range(hotCopies.toLong)
-        .select((col("id") + nVecs.toLong).as("vec_id"))
-        .crossJoin(broadcast(base.filter(col("vec_id") === 0)
-          .select(col("label"), col("v"), col("n2")))))
-    else base).localCheckpoint()
-    val n = e.count()
+    val e = genQuantized(nVecs).localCheckpoint()
     val k1 = math.ceil(math.sqrt(nVecs.toDouble / occ)).toInt
     val np = Imi.NProbeHalf
-    println(s"[soak10m] N=$n mode=$mode k1=$k1 nprobe=$np occ_target=$occ")
+    val trainN = math.min(nVecs, TrainCap)
+    println(s"[soak10m] N=$nVecs k1=$k1 nprobe=$np occ_target=$occ " +
+      s"trainSample=$trainN")
 
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"[soak10m] $label%-36s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      println(f"[soak10m] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
       r
     }
 
-    val cb = timed("train codebook (1 Lloyd step)") {
-      Imi.codebook(spark, Imi.halves(spark, e), k1, Imi.LloydSteps)
-        .localCheckpoint()
+    val cb = timed(s"train codebook (sample $trainN, 1 Lloyd)") {
+      Imi.codebook(spark,
+        Imi.halves(spark, e.filter(col("vec_id") < trainN.toLong)),
+        k1, Imi.LloydSteps).localCheckpoint()
     }
-    val cells = timed("assign (probed cells)") {
+
+    def measure(tag: String, cells: DataFrame): Unit = {
+      val nc = cells.count()
+      println(s"[soak10m] [$tag] probed-cell rows = $nc")
+      val occRow = timed(s"[$tag] top-1 occupancy group-by") {
+        cells.filter(col("r0") === 1 && col("r1") === 1)
+          .groupBy(col("cell")).agg(count(lit(1)).as("m"))
+          .agg(avg(col("m")).as("avg"),
+            expr("percentile(m, 0.99)").as("p99"),
+            max(col("m")).as("mx"), count(lit(1)).as("cells")).collect()(0)
+      }
+      println(f"[soak10m] [$tag] top-1 occupancy avg=${occRow.getDouble(0)}%.1f " +
+        f"p99=${occRow.getDouble(1)}%.0f max=${occRow.getLong(2)} over " +
+        f"${occRow.getLong(3)} live cells")
+      val candMult = timed(s"[$tag] candidate volume (per-cell count)") {
+        cells.groupBy(col("cell")).agg(count(lit(1)).as("m"))
+          .agg(sum(expr("(m * (m - 1)) div 2")).as("s")).collect()(0)
+          .getLong(0)
+      }
+      println(s"[soak10m] [$tag] candidate multiplicity = $candMult " +
+        f"(per vector = ${candMult.toDouble / nc * np * np}%.1f)")
+      graft.operators.SessionCache.releaseFrame(cells)
+    }
+
+    val cellsU = timed("assign (probed cells, uniform)") {
       Imi.cellsWithCodebook(spark, e, cb, np)
         .select(col("vec_id"), col("cell"), col("r0"), col("r1"))
         .localCheckpoint()
     }
-    val nCells = cells.count()
-    println(s"[soak10m] probed-cell rows = $nCells (want N*np^2 = " +
-      s"${n * np * np})")
+    measure("uniform", cellsU)
 
-    // occupancy of the top-1 assignment — the algebraic group-by the
-    // skew stress targets
-    val occRow = timed("top-1 occupancy group-by") {
-      cells.filter(col("r0") === 1 && col("r1") === 1)
-        .groupBy(col("cell")).agg(count(lit(1)).as("m"))
-        .agg(avg(col("m")).as("avg"), expr("percentile(m, 0.99)").as("p99"),
-          max(col("m")).as("mx"), count(lit(1)).as("cells")).collect()(0)
-    }
-    println(f"[soak10m] top-1 occupancy avg=${occRow.getDouble(0)}%.1f " +
-      f"p99=${occRow.getDouble(1)}%.0f max=${occRow.getLong(2)} over " +
-      f"${occRow.getLong(3)} live cells")
+    // hot leg: one vector duplicated HotCopies times under fresh ids,
+    // against the SAME standing codebook. A duplicate's assignment is
+    // BY DEFINITION its original's (identical vector → identical
+    // scores → identical tie-breaks), so the hot corpus' cells are
+    // EXACTLY uniform-cells ∪ (vector 0's probed cells × HotCopies
+    // fresh ids) — the flood costs one 1-vector assignment, and the
+    // skew lands where it matters: in the cell aggregates.
+    val dupCells = Imi.cellsWithCodebook(spark,
+        e.filter(col("vec_id") === 0), cb, np)
+      .select(col("cell"), col("r0"), col("r1"))
+    val cellsHot = cellsU.unionByName(
+      spark.range(HotCopies.toLong)
+        .select((col("id") + nVecs.toLong).as("vec_id"))
+        .crossJoin(broadcast(dupCells))
+        .select(col("vec_id"), col("cell"), col("r0"), col("r1")))
+      .localCheckpoint()
+    measure("hot", cellsHot)
 
-    // candidate volume, combinatorial: sum over probed cells of
-    // m*(m-1)/2 — counts pair multiplicity without materializing pairs
-    val candMult = timed("candidate volume (per-cell count)") {
-      cells.groupBy(col("cell")).agg(count(lit(1)).as("m"))
-        .agg(sum(expr("(m * (m - 1)) div 2")).as("s")).collect()(0)
-        .getLong(0)
-    }
-    println(s"[soak10m] candidate multiplicity = $candMult (per vector ≈ " +
-      f"${candMult.toDouble / n}%.1f)")
-
-    if (mode == "calib") {
-      // distinct pair count at calibration scale only (1M ≈ 1.2B rows)
-      val candDistinct = timed("candidate volume (distinct pairs)") {
-        val c = cells.select(col("cell"), col("vec_id"))
-        c.alias("a").join(c.alias("b"),
-          col("a.cell") === col("b.cell") &&
-            col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("s"), col("b.vec_id").as("d"))
-          .distinct().count()
-      }
-      println(s"[soak10m] candidate distinct = $candDistinct " +
-        f"(multiplicity/distinct = ${candMult.toDouble / candDistinct}%.3f)")
-    }
     spark.stop()
   }
 }

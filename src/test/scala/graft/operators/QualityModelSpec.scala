@@ -63,6 +63,18 @@ class QualityModelSpec extends SparkSpec {
         "signal was not learned")
   }
 
+  test("row-local streaming scorer == the batch scorer, row for row " +
+    "(the per-token fold equals the per-bucket group-by exactly)") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"margin", $"keep")
+        .as[(Long, Long, Boolean)].collect().sorted.toSeq
+    val stream = rows(StreamingOps.streamQuality.build(spark, sf001))
+    val batch = rows(QualityModel.qualityScore.build(spark, sf001))
+    assert(stream.nonEmpty)
+    assert(stream === batch)
+  }
+
   test("scored capstone is the conjunction of the heuristic gate and " +
     "the learned gate, row for row") {
     import spark.implicits._
