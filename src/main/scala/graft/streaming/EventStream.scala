@@ -426,6 +426,9 @@ object EventStream {
         // several files (EventStreamSpec feeds two overlapping halves)
       .parquet(srcDir)
     stream.writeStream
+      // named: active-query enumerations must never meet a null name
+      .queryName("stream_bod_" + java.lang.Integer.toHexString(
+        hotPath.hashCode & 0x7fffffff))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sb = batch.sparkSession
         // the base has seen: every row of a bootstrapped file at or
@@ -809,6 +812,10 @@ object EventStream {
               graft.functions.TextAnalysis.bpeishTokenCount(col("text"))
                 .cast("long").as("n_tokens"))
           val q = delta.writeStream
+            // named: anything enumerating spark.streams.active (the
+            // stateless-plan specs do) must never meet a null name
+            .queryName("q_stream_pack_" + java.lang.Integer.toHexString(
+              root.hashCode & 0x7fffffff))
             .foreachBatch { (batch: DataFrame, b: Long) =>
               val sb = batch.sparkSession
               val committed = new org.apache.hadoop.fs.Path(

@@ -204,7 +204,7 @@ class EventStreamSpec extends SparkSpec {
     // turn the unbounded delta stream into unbounded state at 100 TB.
     graft.operators.StreamingOps.streamIncrDedup.build(spark, sf001).count()
     val active = spark.streams.active.find(
-      _.name.startsWith("q_stream_incr_dedup_mem"))
+      q => q.name != null && q.name.startsWith("q_stream_incr_dedup_mem"))
     assert(active.nonEmpty, "live incremental-dedup query not found")
     val progress = active.get.lastProgress
     assert(progress != null)
@@ -261,7 +261,7 @@ class EventStreamSpec extends SparkSpec {
   test("streaming chunk dedup plan is stateless (no state store ops)") {
     graft.operators.StreamingOps.streamChunkDedup.build(spark, sf001).count()
     val active = spark.streams.active.find(
-      _.name.startsWith("q_stream_chunk_dedup_mem"))
+      q => q.name != null && q.name.startsWith("q_stream_chunk_dedup_mem"))
     assert(active.nonEmpty, "live chunk-dedup query not found")
     val progress = active.get.lastProgress
     assert(progress != null)
@@ -281,7 +281,7 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty, "expected contaminated train docs in testdata")
     assert(got === batch)
     val active = spark.streams.active.find(
-      _.name.startsWith("q_stream_decontaminate_mem"))
+      q => q.name != null && q.name.startsWith("q_stream_decontaminate_mem"))
     assert(active.nonEmpty)
     assert(active.get.lastProgress.stateOperators.isEmpty,
       s"expected zero stateful operators: ${active.get.lastProgress.json}")
@@ -380,7 +380,7 @@ class EventStreamSpec extends SparkSpec {
     assert(got(0).getLong(1) === expected,
       "streamed bucket log diverged from the batch statistic")
     val active = spark.streams.active.filter(_.name != null)
-      .find(_.name.startsWith("q_stream_drift"))
+      .find(q => q.name != null && q.name.startsWith("q_stream_drift"))
     assert(active.nonEmpty)
     assert(active.get.lastProgress.stateOperators.isEmpty,
       s"expected zero stateful operators: ${active.get.lastProgress.json}")
@@ -398,7 +398,7 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty, "expected scored docs in testdata")
     assert(got === batch)
     val active = spark.streams.active.find(
-      _.name.startsWith("q_stream_dsir_mem"))
+      q => q.name != null && q.name.startsWith("q_stream_dsir_mem"))
     assert(active.nonEmpty)
     assert(active.get.lastProgress.stateOperators.isEmpty,
       s"expected zero stateful operators: ${active.get.lastProgress.json}")
@@ -416,7 +416,7 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty, "expected encoded delta docs in testdata")
     assert(got === batch)
     val active = spark.streams.active.find(
-      _.name.startsWith("q_stream_bpe_encode_mem"))
+      q => q.name != null && q.name.startsWith("q_stream_bpe_encode_mem"))
     assert(active.nonEmpty)
     assert(active.get.lastProgress.stateOperators.isEmpty,
       s"expected zero stateful operators: ${active.get.lastProgress.json}")
@@ -435,7 +435,7 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty, "expected tokenized delta docs in testdata")
     assert(got === batch)
     val active = spark.streams.active.find(
-      _.name.startsWith("q_stream_bpe_tokens_mem"))
+      q => q.name != null && q.name.startsWith("q_stream_bpe_tokens_mem"))
     assert(active.nonEmpty)
     assert(active.get.lastProgress.stateOperators.isEmpty,
       s"expected zero stateful operators: ${active.get.lastProgress.json}")
@@ -455,7 +455,7 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty, "expected arriving probe vectors in testdata")
     assert(got === batch)
     val active = spark.streams.active.find(
-      _.name.startsWith("q_stream_ann_mem"))
+      q => q.name != null && q.name.startsWith("q_stream_ann_mem"))
     assert(active.nonEmpty)
     assert(active.get.lastProgress.stateOperators.isEmpty,
       s"expected zero stateful operators: ${active.get.lastProgress.json}")
@@ -474,7 +474,7 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty, "expected arriving probe vectors in testdata")
     assert(got === batch)
     val active = spark.streams.active.find(
-      _.name.startsWith("q_stream_ann_tr_mem"))
+      q => q.name != null && q.name.startsWith("q_stream_ann_tr_mem"))
     assert(active.nonEmpty)
     assert(active.get.lastProgress.stateOperators.isEmpty,
       s"expected zero stateful operators: ${active.get.lastProgress.json}")
@@ -492,7 +492,7 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty, "expected retrieval hits in testdata")
     assert(got === batch)
     val active = spark.streams.active.find(
-      _.name.startsWith("q_stream_bm25_mem"))
+      q => q.name != null && q.name.startsWith("q_stream_bm25_mem"))
     assert(active.nonEmpty)
     assert(active.get.lastProgress.stateOperators.isEmpty,
       s"expected zero stateful operators: ${active.get.lastProgress.json}")
