@@ -26,9 +26,14 @@ python3 tools/check.py /tmp/graft_adversarial /tmp/adv_out
 
 if [ "$MODE" != "fast" ]; then
   echo "== gate: bench @ sf0.1 =="
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' \
-    | tee /dev/stderr | grep -q '"failed":\[\]' \
+  # NOTE: no `tee /dev/stderr` here — when the gate's stderr is a
+  # redirected log file, tee RE-OPENS it with O_TRUNC and wipes
+  # everything the gate logged before the bench step (observed
+  # round 11). Capture the line instead.
+  BENCH_LINE=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"')
+  echo "$BENCH_LINE"
+  echo "$BENCH_LINE" | grep -q '"failed":\[\]' \
     || { echo "== gate: BENCH HAD FAILED QUERIES =="; exit 1; }
   echo "== gate: sbt test =="
   sbt -batch test
