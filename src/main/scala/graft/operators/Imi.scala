@@ -474,14 +474,11 @@ object Imi {
     * train-on-standing + assign-union from scratch — the green row
     * proves merged-store ≡ full recompute, the incremental-sibling
     * pattern. */
-  val imiCompact: Op = Op(
-    "q_imi_compact",
-    imiStandingCellsSql(K1, NProbeHalf, DeltaMod) +
-      s"""
-         |SELECT vec_id, cell,
-         |  CAST(CASE WHEN vec_id % $DeltaMod = 0 THEN 1 ELSE 0 END
-         |    AS BIGINT) AS is_delta
-         |FROM cells""".stripMargin) { (spark, dir) =>
+  /** The compacted (merge-path) cells — session-cached over the
+    * versioned `imi_compact` store; shared by [[imiCompact]] and the
+    * compacted-recall telemetry [[imiRecallCompact]]. */
+  private[graft] def compactCells(
+      spark: SparkSession, dir: String): DataFrame =
     compactCache.getOrBuild(spark, dir, "embeddings.parquet") {
       val store = PersistedStore.ensure(spark, dir, "embeddings.parquet",
         "imi_compact", s"v2:k$K1:s$LloydSteps:p$NProbeHalf:d$DeltaMod" +
@@ -491,7 +488,17 @@ object Imi {
           .write.mode("overwrite").parquet(s"$root/cells")
       }
       spark.read.parquet(s"$store/cells").localCheckpoint()
-    }.select(col("vec_id"), col("cell"),
+    }
+
+  val imiCompact: Op = Op(
+    "q_imi_compact",
+    imiStandingCellsSql(K1, NProbeHalf, DeltaMod) +
+      s"""
+         |SELECT vec_id, cell,
+         |  CAST(CASE WHEN vec_id % $DeltaMod = 0 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_delta
+         |FROM cells""".stripMargin) { (spark, dir) =>
+    compactCells(spark, dir).select(col("vec_id"), col("cell"),
       when(col("vec_id") % DeltaMod === 0, 1L).otherwise(0L)
         .as("is_delta"))
   }
@@ -755,9 +762,12 @@ object Imi {
     * as one broadcast of Q rows over a single scan, cost bounded by the
     * SAMPLE, the documented price of ground truth. At 100 TB the
     * sample mod grows so Q stays fixed. */
-  val imiRecall: Op = Op(
-    "q_imi_recall",
-    imiCellsSql(K1, NProbeHalf) +
+  /** The recall tail's oracle SQL — appended to any prefix that emits
+    * `cells (vec_id, cell)` and `nn (vec_id, v, n2)`: probed top-k per
+    * sampled query vs the brute-force top-k, hit counts per query.
+    * Shared by [[imiRecall]] (trained index) and [[imiRecallCompact]]
+    * (merge-path index). */
+  private def recallTailSql: String =
     s""", cand AS (
        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
@@ -791,11 +801,16 @@ object Imi {
        |SELECT q.vec_id, CAST(COALESCE(hits.hits, 0) AS BIGINT) AS hits,
        |       CAST($RecallK AS BIGINT) AS k
        |FROM (SELECT vec_id FROM nn WHERE vec_id % $RecallQueryMod = 0) q
-       |LEFT JOIN hits ON hits.vec_id = q.vec_id""".stripMargin) {
-    (spark, dir) =>
+       |LEFT JOIN hits ON hits.vec_id = q.vec_id""".stripMargin
+
+  /** The recall tail's Spark side over ANY (cell, vec_id, v, n2) index
+    * frame: sampled-query probed top-k (row-local per-cell tail, src
+    * filter inside the grouped row) ∩ brute-force top-k → hit counts.
+    * Shared by both recall ops. */
+  private def recallFromCells(spark: SparkSession, dir: String,
+      cellsV: DataFrame): DataFrame = {
     val mod = RecallQueryMod
-    val trained = Similarity.knnTopKFromCells(
-        spark, trainedCanopy(spark, dir), RecallK,
+    val probed = Similarity.knnTopKFromCells(spark, cellsV, RecallK,
         srcPred = v => v % mod === 0)
       .select(col("vec_id"), col("nn_id"))
     val e = Similarity.quantized(spark, dir)
@@ -811,12 +826,36 @@ object Imi {
     val brute = scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= RecallK)
       .select(col("q_id").as("vec_id"), col("c_id").as("nn_id"))
-    val hits = trained.join(brute, Seq("vec_id", "nn_id"))
+    val hits = probed.join(brute, Seq("vec_id", "nn_id"))
       .groupBy(col("vec_id")).agg(count(lit(1)).as("h"))
     q.select(col("q_id").as("vec_id"))
       .join(hits, Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("h"), lit(0L)).as("hits"),
         lit(RecallK.toLong).as("k"))
+  }
+
+  val imiRecall: Op = Op(
+    "q_imi_recall",
+    imiCellsSql(K1, NProbeHalf) + recallTailSql) { (spark, dir) =>
+    recallFromCells(spark, dir, trainedCanopy(spark, dir))
+  }
+
+  /** Recall telemetry of the MERGE-path index — [[imiRecall]] on the
+    * compacted cells (everything assigned against the STANDING-slice
+    * codebook, [[imiCompact]]'s store): together the two ops are the
+    * standing form of the frozen-codebook recall curve — a deployment
+    * reads recall(trained) − recall(compacted) per maintenance window
+    * and flips to the retrain branch when the gap exceeds its recall
+    * budget, instead of trusting the soak-time extrapolation. Same
+    * sampled queries, same ground truth, same tail; only the index
+    * differs. */
+  val imiRecallCompact: Op = Op(
+    "q_imi_recall_compact",
+    imiStandingCellsSql(K1, NProbeHalf, DeltaMod) + recallTailSql) {
+    (spark, dir) =>
+    recallFromCells(spark, dir,
+      compactCells(spark, dir)
+        .select(col("cell"), col("vec_id"), col("v"), col("n2")))
   }
 
   /** SemDeDup over the TRAINED canopy — clusters are the top-1 IMI

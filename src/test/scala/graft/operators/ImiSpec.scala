@@ -64,6 +64,29 @@ class ImiSpec extends SparkSpec {
     assert(filtered === full)
   }
 
+  test("compacted-index recall: same query set as the trained leg, " +
+    "hits bounded, and the frozen-codebook gap is nonnegative-bounded " +
+    "(the knob telemetry reads recall(trained) - recall(compacted))") {
+    def byQuery(op: Imi.type => graft.operators.Op) =
+      op(Imi).build(spark, sf001)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val trained = byQuery(_.imiRecall)
+    val compacted = byQuery(_.imiRecallCompact)
+    assert(compacted.nonEmpty)
+    assert(compacted.keySet === trained.keySet,
+      "both legs must score the same sampled queries")
+    assert(compacted.values.forall(h => h >= 0 && h <= Imi.RecallK))
+    val rT = trained.values.sum.toDouble / (trained.size * Imi.RecallK)
+    val rC = compacted.values.sum.toDouble / (compacted.size * Imi.RecallK)
+    // the measured curve (tools/ImiRecallCurve): the merge path costs
+    // <= a few points on this clustered corpus — the gap must stay a
+    // small fraction, not a cliff (and can be slightly negative: two
+    // different codebooks make different per-query mistakes)
+    assert(rC >= rT - 0.15,
+      f"frozen-codebook recall $rC%.3f fell more than 15 points below " +
+        f"trained $rT%.3f")
+  }
+
   test("session-cached trained canopy equals fresh construction; " +
     "persisted store is reused across cache eviction") {
     def rows(df: org.apache.spark.sql.DataFrame) =
