@@ -425,10 +425,18 @@ object EventStream {
         // multi-batch merge path actually executes when the source has
         // several files (EventStreamSpec feeds two overlapping halves)
       .parquet(srcDir)
+    val qName = "stream_bod_" + java.lang.Integer.toHexString(
+      hotPath.hashCode & 0x7fffffff)
+    // a query leaked ACTIVE by an earlier failed drain would make this
+    // start throw a duplicate-name error and wedge the op until the
+    // session restarts — stop the stale instance first (its state is
+    // being reset by this very code path anyway)
+    spark.streams.active
+      .filter(q => q.name != null && q.name == qName)
+      .foreach(_.stop())
     stream.writeStream
       // named: active-query enumerations must never meet a null name
-      .queryName("stream_bod_" + java.lang.Integer.toHexString(
-        hotPath.hashCode & 0x7fffffff))
+      .queryName(qName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sb = batch.sparkSession
         // the base has seen: every row of a bootstrapped file at or
@@ -811,11 +819,18 @@ object EventStream {
             .select(col("doc_id"), col("source"),
               graft.functions.TextAnalysis.bpeishTokenCount(col("text"))
                 .cast("long").as("n_tokens"))
+          val qName = "q_stream_pack_" + java.lang.Integer.toHexString(
+            root.hashCode & 0x7fffffff)
+          // stop a stale same-named query a failed drain leaked —
+          // this branch resets its state anyway, and a duplicate-name
+          // start would otherwise wedge the op for the session
+          spark.streams.active
+            .filter(q => q.name != null && q.name == qName)
+            .foreach(_.stop())
           val q = delta.writeStream
             // named: anything enumerating spark.streams.active (the
             // stateless-plan specs do) must never meet a null name
-            .queryName("q_stream_pack_" + java.lang.Integer.toHexString(
-              root.hashCode & 0x7fffffff))
+            .queryName(qName)
             .foreachBatch { (batch: DataFrame, b: Long) =>
               val sb = batch.sparkSession
               val committed = new org.apache.hadoop.fs.Path(

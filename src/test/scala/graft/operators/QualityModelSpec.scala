@@ -73,6 +73,15 @@ class QualityModelSpec extends SparkSpec {
     val batch = rows(QualityModel.qualityScore.build(spark, sf001))
     assert(stream.nonEmpty)
     assert(stream === batch)
+    // the headline claim is a PLAN property, not a row property: the
+    // arrival-time scorer must hold no state store (the sibling
+    // stateless legs gate this in EventStreamSpec — same gate here so
+    // a future group-by on the stream side fails loudly)
+    val active = spark.streams.active.filter(_.name != null)
+      .find(_.name.startsWith("q_stream_quality_mem"))
+    assert(active.nonEmpty, "live quality-score query not found")
+    assert(active.get.lastProgress.stateOperators.isEmpty,
+      s"expected zero stateful operators: ${active.get.lastProgress.json}")
   }
 
   test("scored capstone is the conjunction of the heuristic gate and " +

@@ -380,7 +380,7 @@ class EventStreamSpec extends SparkSpec {
     assert(got(0).getLong(1) === expected,
       "streamed bucket log diverged from the batch statistic")
     val active = spark.streams.active.filter(_.name != null)
-      .find(q => q.name != null && q.name.startsWith("q_stream_drift"))
+      .find(_.name.startsWith("q_stream_drift"))
     assert(active.nonEmpty)
     assert(active.get.lastProgress.stateOperators.isEmpty,
       s"expected zero stateful operators: ${active.get.lastProgress.json}")

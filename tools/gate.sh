@@ -31,7 +31,8 @@ if [ "$MODE" != "fast" ]; then
   # everything the gate logged before the bench step (observed
   # round 11). Capture the line instead.
   BENCH_LINE=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"')
+    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"') \
+    || { echo "== gate: BENCH PRODUCED NO METRIC LINE (crash?) =="; exit 1; }
   echo "$BENCH_LINE"
   echo "$BENCH_LINE" | grep -q '"failed":\[\]' \
     || { echo "== gate: BENCH HAD FAILED QUERIES =="; exit 1; }
