@@ -611,7 +611,10 @@ class DedupSimilaritySpec extends SparkSpec {
         spark, q, queries, sf001, steps = 2, shortlist = 100, k = 5, nc = 64)
       .select($"q_id", $"c_id", $"rk").collect().map(_.toString).sorted
     val first = run()
-    val store = SinkOps.stagingDir(sf001, "pq_index_2_64")
+    // resolve the CURRENT version root (the store is version-committed
+    // since round 8 — listing the legacy in-place path only worked
+    // while stale pre-round-8 dirs lingered in /dev/shm)
+    def store = PersistedStore.currentRoot(spark, sf001, "pq_index_2_64")
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def listing = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/codes"))

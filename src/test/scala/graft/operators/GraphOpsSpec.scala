@@ -99,7 +99,10 @@ class GraphOpsSpec extends SparkSpec {
     def run() = GraphOps.standingLabels(spark, sf001)
       .collect().map(_.toString).sorted
     val first = run()
-    val store = graft.operators.SinkOps.stagingDir(sf001, "standing_labels")
+    // current version root, not the legacy in-place path (round-8
+    // versioned store layout)
+    def store = graft.operators.PersistedStore
+      .currentRoot(spark, sf001, "standing_labels")
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def listing = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/labels"))
@@ -117,8 +120,10 @@ class GraphOpsSpec extends SparkSpec {
     def labs() = Dedup.fuzzyStandingLabels(spark, sf001)
       .collect().map(_.toString).sorted
     val first = labs()
-    val store = graft.operators.SinkOps
-      .stagingDir(sf001, "fuzzy_standing_labels")
+    // current version root, not the legacy in-place path (round-8
+    // versioned store layout)
+    def store = graft.operators.PersistedStore
+      .currentRoot(spark, sf001, "fuzzy_standing_labels")
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def listing = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/labels"))
