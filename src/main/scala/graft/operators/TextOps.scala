@@ -591,6 +591,115 @@ object TextOps {
         (col("n_rare") * 20 > col("n_bigrams")).as("novelty_flag"))
   }
 
+  /** Perplexity terciles per language. */
+  val PplBuckets = 3
+
+  /** CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    * 2019: score every document with a per-language LM, split each
+    * language's corpus into perplexity terciles, train preferentially
+    * on the head). The LM is the engine's own per-language bigram
+    * count table (the zero-external-model stance of [[bigramNovelty]],
+    * upgraded from a rare-fraction flag to a real per-transition
+    * score), and the score is the integer SELF-INFORMATION of each
+    * transition: `bitlen(N_lang) − bitlen(c(w1,w2))` with `bitlen(n) =
+    * length(bin(n))` — the floor-log2 form of `−log2 P(w1,w2)`, exact
+    * integer arithmetic instead of a transcendental `log` (the
+    * lift-instead-of-PMI device of [[collocations]], applied to
+    * surprisal). The JOINT form is deliberate: the self-trained
+    * conditional MLE `−log2 c12/c1` assigns ZERO information to hapax
+    * transitions (a gibberish doc of unique word pairs would score as
+    * head — CCNet dodges that degeneracy only because its KenLM is
+    * trained on an external reference corpus with smoothing), while
+    * joint self-information is maximal exactly there. Per doc:
+    * `mbits` = milli-bits per transition = `(1000·Σ bits) div
+    * n_bigrams`; bucket = `ntile(3)` per language over (mbits asc,
+    * doc_id) — 1 = head (most typical), 3 = tail. Docs with < 2 LM
+    * tokens are unmodelable → tail by definition, NULL mbits.
+    *
+    * Scale shape: the scoring join touches per-doc bigram TYPES (not
+    * occurrences) against the aggregate-bounded per-language count
+    * table (vocab²-bounded head — AQE broadcasts when it fits, same
+    * stance as [[bigramNoveltyOf]]); the only other doc-scaled
+    * exchanges are map-combinable aggregates. The tercile window sorts
+    * ONE ROW PER DOCUMENT partitioned BY LANGUAGE — the smallest
+    * data-scaled frame in the pipeline, and exactly how CCNet shards
+    * the split in production. */
+  val pplBuckets: Op = Op(
+    "q_ppl_buckets",
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS w
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+      |  FROM t, unnest(range(1, len(w))) AS x(i)
+      |), ty AS (
+      |  SELECT lang, doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM b GROUP BY 1, 2, 3, 4
+      |), c12 AS (
+      |  SELECT lang, w1, w2, CAST(SUM(k) AS BIGINT) AS c12
+      |  FROM ty GROUP BY 1, 2, 3
+      |), nl AS (
+      |  SELECT lang, CAST(SUM(c12) AS BIGINT) AS n_lang
+      |  FROM c12 GROUP BY 1
+      |), sc AS (
+      |  SELECT ty.lang, ty.doc_id,
+      |    CAST(SUM(k) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(k * (length(bin(nl.n_lang)) - length(bin(c12.c12)))) AS BIGINT) AS bits
+      |  FROM ty JOIN c12 USING (lang, w1, w2) JOIN nl USING (lang)
+      |  GROUP BY 1, 2
+      |), bk AS (
+      |  SELECT lang, doc_id, n_bigrams,
+      |    (1000 * bits) // n_bigrams AS mbits,
+      |    CAST(ntile($PplBuckets) OVER (PARTITION BY lang
+      |      ORDER BY (1000 * bits) // n_bigrams, doc_id) AS BIGINT) AS bucket
+      |  FROM sc
+      |)
+      |SELECT d.doc_id, d.lang,
+      |  CAST(COALESCE(bk.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  bk.mbits,
+      |  CAST(COALESCE(bk.bucket, $PplBuckets) AS BIGINT) AS bucket
+      |FROM documents d LEFT JOIN bk ON bk.doc_id = d.doc_id""".stripMargin) {
+    (spark, dir) =>
+    pplBucketsOf(Tables.documents(spark, dir))
+  }
+
+  /** [[pplBuckets]] kernel over any (doc_id, lang, text) frame. */
+  def pplBucketsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val b = docs
+      .select(col("doc_id"), col("lang"), explode(bigramArray).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val types = b
+      .groupBy(col("lang"), col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    val c12 = types.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(sum(col("k")).as("c12"))
+    val nLang = c12.groupBy(col("lang"))
+      .agg(sum(col("c12")).as("n_lang"))
+    val scored = types
+      .join(c12, Seq("lang", "w1", "w2"))
+      .join(nLang, Seq("lang"))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") *
+          (length(bin(col("n_lang"))) - length(bin(col("c12"))))
+            .cast("long"))
+          .as("bits"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("mbits").asc, col("doc_id").asc)
+    val bucketed = scored
+      .withColumn("mbits", expr("(1000 * bits) div n_bigrams"))
+      .withColumn("bucket", ntile(PplBuckets).over(w).cast("long"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(bucketed.select(col("doc_id"), col("n_bigrams"),
+        col("mbits"), col("bucket")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mbits"),
+        coalesce(col("bucket"), lit(PplBuckets.toLong)).as("bucket"))
+  }
+
   /** A bigram qualifies as a collocation candidate at this corpus
     * count — the published practice (Manning & Schütze ch. 5: raw-count
     * floors kill the hapax noise that dominates PMI's top ranks). */

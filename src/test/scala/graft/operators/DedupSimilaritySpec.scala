@@ -177,6 +177,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === truth) // verified-exact output ⊆ truth; LSH recall ⊇ here
   }
 
+  test("lshRecall: truth counts match independent all-pairs ground " +
+    "truth, hits == truth at the measured recall-1.0 geometry") {
+    val truth = exactPairTruth()
+    val mod = Dedup.LshRecallMod
+    val sampled = graft.Tables.documents(spark, sf001)
+      .select($"doc_id").as[Long].collect().filter(_ % mod == 0).toSet
+    val got = Dedup.lshRecall.build(spark, sf001)
+      .select($"doc_id", $"truth", $"hits")
+      .as[(Long, Long, Long)].collect()
+    // one row per sampled doc, no more, no fewer
+    assert(got.map(_._1).toSet === sampled)
+    // truth column = partner count in the independent all-pairs set
+    val want = got.map { case (id, _, _) =>
+      id -> truth.count(p => p._1 == id || p._2 == id).toLong }.toMap
+    got.foreach { case (id, t, h) =>
+      assert(t === want(id), s"doc $id truth count drifted")
+      assert(h === t, s"doc $id: banded index missed a true pair " +
+        s"(recall < 1.0 at the 8x4 geometry — the standing alarm)")
+    }
+    // the telemetry is non-vacuous on this corpus: some sampled doc
+    // has at least one true near-dup partner
+    assert(got.exists(_._2 > 0), "sample hit no planted near-dups")
+  }
+
   test("session-cached minhash index equals fresh signature construction") {
     // minhashIndex localCheckpoints bandedSignatures + sizes once per
     // (session, dir); every LSH consumer reads through it. Pin the

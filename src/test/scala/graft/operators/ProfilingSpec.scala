@@ -214,6 +214,52 @@ class ProfilingSpec extends SparkSpec {
     assert(got.size == 6)
   }
 
+  // ---- pplBucketsOf ---------------------------------------------------
+  test("pplBuckets: bit-surprisal arithmetic is exact, buckets are " +
+    "per-language terciles, unmodelable docs fall to the tail") {
+    val docs = Seq(
+      // lang cc: hand-computable self-information (N_cc = 4 bigrams)
+      (10L, "cc", "a b a c"), // (a,b):1 + (b,a):2 + (a,c):2 -> 5000 div 3
+      (11L, "cc", "a b"),     // (a,b): bitlen(4)-bitlen(2)=1 -> 1000
+      // lang aa: 6 scored docs -> terciles of 2/2/2
+      (1L, "aa", "the cat sat on the mat"),
+      (2L, "aa", "the cat sat on the mat"),
+      (3L, "aa", "the cat sat on the mat"),
+      (4L, "aa", "the cat sat on the mat"),
+      (5L, "aa", "the cat ran to the mat"),
+      (6L, "aa", "zq xv qj pw mk lh"),   // unique gibberish -> tail
+      // unmodelable: no [a-z] bigram
+      (7L, "aa", "12345 678"),
+      (8L, "aa", "word")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextOps.pplBucketsOf(docs)
+      .select($"doc_id", $"lang", $"n_bigrams", $"mbits", $"bucket")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))))
+      .toMap
+    assert(got.size === 10)
+    // exact integer self-information: c12(a,b)=2 c12(b,a)=1 c12(a,c)=1,
+    // N_cc=4 -> doc 10 bits = (3-2)+(3-1)+(3-1) = 5, mbits = 5000 div 3
+    assert(got(10L)._3 === Some(1666L))
+    assert(got(11L)._3 === Some(1000L))
+    // unmodelable: zero bigrams, NULL mbits, tail bucket by definition
+    assert(got(7L) === (("aa", 0L, None, 3L)))
+    assert(got(8L) === (("aa", 0L, None, 3L)))
+    // per-lang terciles over the 6 scored aa docs: 2 docs per bucket
+    val aaScored = got.collect {
+      case (id, ("aa", n, Some(mb), bk)) if n > 0 => (id, mb, bk) }
+    assert(aaScored.size === 6)
+    assert(aaScored.groupBy(_._3).view.mapValues(_.size).toMap ===
+      Map(1L -> 2, 2L -> 2, 3L -> 2))
+    // buckets are monotone in mbits (ties may straddle, hence <=)
+    val byBucket = aaScored.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket(1L).max <= byBucket(2L).min)
+    assert(byBucket(2L).max <= byBucket(3L).min)
+    // the gibberish doc carries the highest surprisal -> tail
+    assert(got(6L)._4 === 3L)
+  }
+
   // ---- outlierScores ------------------------------------------------
   test("outlierScores: vector opposite its label centroid is flagged") {
     val n = Seq(
