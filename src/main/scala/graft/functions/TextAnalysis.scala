@@ -107,6 +107,32 @@ object TextAnalysis {
       lit(0L),
       (acc, x) => (acc * 31 + x) % 1000000007L)
 
+  /** ASCII casefold range of [[asciiLower]]. */
+  val UpperAscii = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  val LowerAsciiChars = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Dialect-free ASCII casefold — THE lowercase every cross-engine
+    * text law uses (the explicit-whitespace-class convention of the
+    * round-10 sweep, applied to casing). `lower()` is NOT
+    * cross-engine-stable on unicode: Java (Spark) applies Unicode FULL
+    * and context-sensitive casing — final sigma `ΙΣΟΣ → ισος`,
+    * `İ (U+0130) → i + U+0307` (two code points) — while DuckDB's
+    * utf8proc applies SIMPLE per-codepoint casing (`ισοσ`, bare `i`),
+    * so any law that lowercases raw text diverges the moment a Greek
+    * or Turkic document arrives (round-11 adversarial dimension 5:
+    * 22 ops failed on exactly this). `translate` is per-codepoint 1:1
+    * in BOTH engines, and every token law downstream keeps only
+    * `[a-z]+` runs (or hashes whole whitespace-split words), so an
+    * ASCII-only fold is both sufficient and the only form with a
+    * bit-identical cross-engine contract. */
+  def asciiLower(c: Column): Column =
+    translate(c, UpperAscii, LowerAsciiChars)
+
+  /** [[asciiLower]] as a SQL fragment — one definition for both the
+    * DuckDB oracles and embedded Spark-SQL expression strings. */
+  def asciiLowerSql(expr: String): String =
+    s"translate($expr, '$UpperAscii', '$LowerAsciiChars')"
+
   /** Word-shingle array: distinct k-word shingles of the lowercased,
     * whitespace-split text (MinHash / Jaccard input).
     *
@@ -119,7 +145,7 @@ object TextAnalysis {
     * times per ROW, and the per-element work is one struct concat.
     */
   def wordShingles(text: Column, k: Int): Column = {
-    val words = split(lower(trim(text)), "[ \\t\\n\\x0B\\f\\r]+")
+    val words = split(asciiLower(trim(text)), "[ \\t\\n\\x0B\\f\\r]+")
     val n = size(words)
     val zipped = arrays_zip(
       (0 until k).map(j => slice(words, lit(j + 1), n - (k - 1))): _*)

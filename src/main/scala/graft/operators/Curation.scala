@@ -234,9 +234,9 @@ object Curation {
       |             i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])))
       |      ELSE 0 END AS n_distinct_3grams
       |  FROM (SELECT doc_id,
-      |          string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS l
+      |          string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+') AS l
       |        FROM documents))""".stripMargin) { (spark, dir) =>
-    val nWords = size(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
+    val nWords = size(split(asciiLower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
     val total = greatest(nWords - 2, lit(0)).cast("long")
     val distinct3 = when(nWords >= 3,
       size(wordShingles(col("text"), 3)).cast("long")).otherwise(0L)
@@ -333,7 +333,7 @@ object Curation {
     "q_decontaminate",
     """WITH d AS (
       |  SELECT doc_id, doc_id % 29 = 0 AS is_bench,
-      |         string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
+      |         string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+') AS w
       |  FROM documents
       |), g AS (
       |  SELECT doc_id, is_bench,
@@ -497,7 +497,7 @@ object Curation {
        |               i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])))
        |        ELSE 0 END AS n_distinct_3grams
        |    FROM (SELECT doc_id,
-       |            string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS l
+       |            string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0B\\f\\r]+') AS l
        |          FROM documents))
        |), gset AS (
        |  SELECT doc_id, doc_id % 29 = 0 AS is_bench,
@@ -1030,7 +1030,7 @@ object Curation {
   private[graft] def pipelineDocMetrics(
       spark: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    val nWords = size(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
+    val nWords = size(split(asciiLower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
     val total3 = greatest(nWords - 2, lit(0)).cast("long")
     val distinct3 = when(nWords >= 3,
       size(wordShingles(col("text"), 3)).cast("long")).otherwise(0L)
@@ -1086,7 +1086,7 @@ object Curation {
       : org.apache.spark.sql.DataFrame =
     packHwmCache.getOrBuild(spark, dir, "documents.parquet") {
       val store = PersistedStore.ensure(spark, dir, "documents.parquet",
-        "pack_hwm", "v1") { root =>
+        "pack_hwm", "v2") { root => // v2: ascii-casefold law
         val split = packSplitId(spark, dir)
         Tables.documents(spark, dir).filter(col("doc_id") < split)
           .select(col("source"),
@@ -1327,7 +1327,7 @@ object Curation {
     "q_pack_chunks",
     s"""WITH d AS (
        |  SELECT doc_id, source,
-       |         string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
+       |         string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0B\\f\\r]+') AS w
        |  FROM documents
        |), ch AS (
        |  SELECT doc_id, source, i AS chunk_idx,
@@ -1439,7 +1439,7 @@ object Curation {
     "q_pack_chunks_fill",
     s"""WITH d AS (
        |  SELECT doc_id, source,
-       |         string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
+       |         string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0B\\f\\r]+') AS w
        |  FROM documents
        |), ch AS (
        |  SELECT doc_id, source, i AS chunk_idx,
@@ -1586,7 +1586,7 @@ object Curation {
        |               i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])))
        |        ELSE 0 END AS n_distinct_3grams
        |    FROM (SELECT doc_id,
-       |            string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS l
+       |            string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0B\\f\\r]+') AS l
        |          FROM documents))
        |), gset AS (
        |  SELECT doc_id, doc_id % $BenchSplitMod = 0 AS is_bench,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextAnalysis.wordShingles
+import graft.functions.TextAnalysis.{asciiLower, wordShingles}
 
 /** Deduplication family for training-data pipelines (north star):
   * exact, blocked n-gram Jaccard, MinHash+LSH, SimHash.
@@ -39,13 +39,13 @@ object Dedup {
   /** Exact dedup on normalized text (lower + collapse whitespace). */
   val dedupExact: Op = Op(
     "q_dedup_exact",
-    """SELECT regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm,
+    """SELECT regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm,
       |       CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
       |       COUNT(*) AS n_copies
       |FROM documents
       |GROUP BY 1""".stripMargin) { (spark, dir) =>
     Tables.documents(spark, dir)
-      .groupBy(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+", " ").as("norm"))
+      .groupBy(regexp_replace(asciiLower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+", " ").as("norm"))
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
   }
 
@@ -471,7 +471,7 @@ object Dedup {
     "q_ngram_jaccard",
     """WITH d AS (
       |  SELECT doc_id, lang, source,
-      |         string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
+      |         string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+') AS w
       |  FROM documents
       |), sh AS (
       |  SELECT doc_id, lang, source,
@@ -580,7 +580,7 @@ object Dedup {
     "q_containment",
     s"""WITH d AS (
        |  SELECT doc_id, lang, source,
-       |         string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
+       |         string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0B\\f\\r]+') AS w
        |  FROM documents
        |), sh AS (
        |  SELECT doc_id, lang, source,
@@ -700,7 +700,7 @@ object Dedup {
     * diverge between them). */
   private[operators] def shingleCtes: String =
     """d AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
+      |  SELECT doc_id, string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+') AS w
       |  FROM documents
       |), sh AS (
       |  SELECT doc_id, len(w) AS n_words,
@@ -867,7 +867,7 @@ object Dedup {
       spark: SparkSession, dir: String): DataFrame =
     lshPairCache.getOrBuild(spark, dir, "documents.parquet") {
       val store = PersistedStore.ensure(spark, dir, "documents.parquet",
-        "lsh_pair_index", "v1") { root =>
+        "lsh_pair_index", "v2") { root => // v2: ascii-casefold law
         minhashLshPairs(spark, dir, bucketCap = None)
           .write.mode("overwrite").parquet(s"$root/pairs")
       }
@@ -938,7 +938,7 @@ object Dedup {
         // consumer shares — sign once per corpus, read back across
         // sessions/processes like the PQ and canopy indexes
         val store = PersistedStore.ensure(spark, dir, "documents.parquet",
-          "minhash_index", "v1") { root =>
+          "minhash_index", "v2") { root => // v2: ascii-casefold law
           bandedSignatures(spark, dir)
             .write.mode("overwrite").parquet(s"$root/banded")
           shingleRows(spark, dir).groupBy(col("doc_id"))
@@ -1067,7 +1067,7 @@ object Dedup {
       // (incremental dedup + incremental clustering) — computed once,
       // read back by later sessions of the same corpus generation
       val store = PersistedStore.ensure(spark, dir, "documents.parquet",
-        "incr_matches", "v1") { root =>
+        "incr_matches", "v2") { root => // v2: ascii-casefold law
         verifyExact(incrementalCandidates(spark, dir),
           shingleRows(spark, dir).select(col("doc_id"), col("s")), Seq.empty)
           .write.mode("overwrite").parquet(s"$root/matches")
@@ -1165,7 +1165,7 @@ object Dedup {
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(expr(
-          s"transform(slice(split(lower(trim(text)), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), 1, $SimhashWordCap), w -> xxhash64(w))"))
+          s"transform(slice(split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), 1, $SimhashWordCap), w -> xxhash64(w))"))
           .as("h"))
 
   /** 64-bit simhash per document (lane-packed vote aggregation). */
@@ -1319,7 +1319,7 @@ object Dedup {
       spark: SparkSession, dir: String): DataFrame = {
     val wordsOk = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("n_words"))
+        size(split(asciiLower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("n_words"))
       .filter(col("n_words") <= SimhashWordCap)
       .select("doc_id")
     shingleRows(spark, dir)

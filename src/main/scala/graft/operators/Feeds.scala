@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Money.centsOf
+import graft.functions.TextAnalysis.asciiLower
 
 /** Merchant-feed export (reference scripts/feeds/exportGoogleMerchantFeed.mjs):
   * conditional compound-predicate left join (J2), the full formatting
@@ -29,7 +30,7 @@ object Feeds {
       |         CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_cents,
       |         CASE WHEN p_size > 40
       |              THEN CAST(ROUND(p_retailprice*120) AS BIGINT) END AS compare_at_cents,
-      |         lower(replace(p_name, ' ', '-')) AS slug
+      |         translate(replace(p_name, ' ', '-'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS slug
       |  FROM part
       |), imgs AS (
       |  SELECT s_suppkey, s_name AS image_url FROM supplier
@@ -66,7 +67,7 @@ object Feeds {
       centsOf(col("p_retailprice")).as("price_cents"),
       when(col("p_size") > 40, round(col("p_retailprice") * 120).cast("long"))
         .as("compare_at_cents"),
-      lower(regexp_replace(col("p_name"), " ", "-")).as("slug"))
+      asciiLower(regexp_replace(col("p_name"), " ", "-")).as("slug"))
     val imgs = Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_name").as("image_url"))
     // J2: compound-predicate conditional left join (ref feeds:271-281)

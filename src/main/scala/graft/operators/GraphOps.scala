@@ -220,7 +220,7 @@ object GraphOps {
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     standingLblCache.getOrBuild(spark, dir, "documents.parquet") {
       val store = PersistedStore.ensure(spark, dir, "documents.parquet",
-        "standing_labels", "v1") { root =>
+        "standing_labels", "v2") { root => // v2: ascii-casefold law
         val mod = Dedup.IncrementalDeltaMod
         connectedComponents(
           Dedup.lshPairIndex(spark, dir)

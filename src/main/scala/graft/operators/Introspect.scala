@@ -348,7 +348,7 @@ object Introspect {
     "q_drift_chi2",
     s"""WITH t AS (
        |  SELECT doc_id, lang,
-       |         regexp_extract_all(lower(text), '[a-z]+') AS w,
+       |         regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+') AS w,
        |         (SELECT max(doc_id) FROM documents) AS mx
        |  FROM documents
        |), b AS (

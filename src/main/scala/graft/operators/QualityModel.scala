@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextAnalysis.{bpeishTokenCount, fingerprint, wordShingles}
+import graft.functions.TextAnalysis.{asciiLower, bpeishTokenCount, fingerprint, wordShingles}
 
 /** The LEARNED quality scorer — the trained stage a production curation
   * pipeline runs next to the heuristic gates (CCNet, Wenzek et al. 2020;
@@ -79,7 +79,7 @@ object QualityModel {
     * 3-gram count and distinct-3-gram count (the repetition-gate
     * ingredients, integer so the rep feature/label replay exactly). */
   private def docStats(spark: SparkSession, dir: String): DataFrame = {
-    val nWords = size(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
+    val nWords = size(split(asciiLower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
     Tables.documents(spark, dir).select(
       col("doc_id"),
       bpeishTokenCount(col("text")).cast("long").as("n_tokens"),
@@ -110,7 +110,7 @@ object QualityModel {
       stats: DataFrame): DataFrame = {
     val hashed = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
+        explode(regexp_extract_all(asciiLower(col("text")), lit("[a-z]+"),
           lit(0))).as("tok"))
       .select(col("doc_id"), fingerprint(col("tok")).as("fp"))
       .select(col("doc_id"), (col("fp") % QualityDim).as("bucket"),
@@ -179,7 +179,7 @@ object QualityModel {
       spark: SparkSession, dir: String): DataFrame =
     modelCache.getOrBuild(spark, dir, "documents.parquet") {
       val store = PersistedStore.ensure(spark, dir, "documents.parquet",
-        "quality_model", "v1") { root =>
+        "quality_model", "v2") { root => // v2: ascii-casefold law
         trainWeights(spark, dir).write.mode("overwrite")
           .parquet(s"$root/w")
       }
@@ -224,14 +224,14 @@ object QualityModel {
         struct(col("bucket"), col("w")))).as("wm"))
     def probe(b: Column): Column =
       coalesce(element_at(col("wm"), b), lit(0L))
-    val toks = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+    val toks = regexp_extract_all(asciiLower(col("text")), lit("[a-z]+"), lit(0))
     def tokTerm(t: Column): Column = {
       val fp = fingerprint(t)
       val sign = when(pmod(shiftright(fp, 6), lit(2)) === 0, 1L)
         .otherwise(-1L)
       sign * probe(pmod(fp, lit(QualityDim)))
     }
-    val nW = size(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
+    val nW = size(split(asciiLower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
     docs.crossJoin(broadcast(wmap))
       .select(col("doc_id"),
         aggregate(transform(toks, t => tokTerm(t)), lit(0L),
@@ -278,7 +278,7 @@ object QualityModel {
       |             i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])))
       |      ELSE 0 END AS nd3
       |  FROM (SELECT doc_id, text,
-      |          string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS l
+      |          string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0B\\f\\r]+') AS l
       |        FROM documents)
       |), qm_p AS (
       |  SELECT quantile_cont(n_tokens, 0.25) AS p25 FROM qm_stats
@@ -295,7 +295,7 @@ object QualityModel {
       |        c -> CAST(ascii(c) AS BIGINT))),
       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
       |  FROM (SELECT doc_id,
-      |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      |          unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')) AS tok
       |        FROM documents)
       |), qm_hf AS (
       |  SELECT doc_id, fp % $QualityDim AS bucket,

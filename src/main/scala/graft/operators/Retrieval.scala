@@ -206,7 +206,7 @@ object Retrieval {
     "q_dsir_weights",
     s"""WITH t AS (
        |  SELECT doc_id, lang = '$DsirTargetLang' AS tgt,
-       |         regexp_extract_all(lower(text), '[a-z]+') AS w
+       |         regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+') AS w
        |  FROM documents
        |), b AS (
        |  SELECT doc_id, tgt, w[i] || ' ' || w[i+1] AS f

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextAnalysis
+import graft.functions.TextAnalysis.asciiLower
 
 /** Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) —
   * the mergeable fixed-size frequency summary that complements the
@@ -48,7 +49,7 @@ object Sketches {
   private[operators] def termCounts(docs: DataFrame): DataFrame =
     docs
       .select(explode(
-        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        regexp_extract_all(asciiLower(col("text")), lit("[a-z]+"), lit(0)))
         .as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("cnt"))
@@ -79,7 +80,7 @@ object Sketches {
   val cmsSketch: Op = Op(
     "q_cms_sketch",
     s"""WITH t AS (
-       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+       |  SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')) AS term
        |  FROM documents
        |), c AS (
        |  SELECT term, COUNT(*) AS cnt FROM t GROUP BY term

@@ -170,7 +170,7 @@ object StreamingOps {
   val streamDrift: Op = Op(
     "q_stream_drift",
     s"""WITH t AS (
-       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+       |  SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+') AS w
        |  FROM documents
        |), b AS (
        |  SELECT doc_id,
@@ -226,7 +226,7 @@ object StreamingOps {
       dir: String): org.apache.spark.sql.DataFrame =
     driftModelCache.getOrBuild(spark, dir, "documents.parquet") {
       val store = PersistedStore.ensure(spark, dir, "documents.parquet",
-        "drift_model", "v1") { root =>
+        "drift_model", "v2") { root => // v2: ascii-casefold law
         import graft.functions.TextAnalysis.fingerprint
         val mod = graft.operators.Dedup.IncrementalDeltaMod
         graft.Tables.documents(spark, dir)

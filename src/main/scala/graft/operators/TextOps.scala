@@ -86,7 +86,7 @@ object TextOps {
   val tfidfTerms: Op = Op(
     "q_tfidf_terms",
     """WITH w AS (
-      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS term
+      |  SELECT doc_id, unnest(string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+')) AS term
       |  FROM documents
       |), tf AS (
       |  SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term
@@ -106,7 +106,7 @@ object TextOps {
       |WHERE rnk <= 3""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
     val w = docs.select(col("doc_id"),
-      explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
+      explode(split(asciiLower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
     val tf = w.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -139,7 +139,7 @@ object TextOps {
     * chunking law so a chunk-construction fix cannot diverge. */
   private[operators] def chunkCtes: String =
     s"""d AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
+       |  SELECT doc_id, string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0B\\f\\r]+') AS w
        |  FROM documents
        |), chunks AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
@@ -163,7 +163,7 @@ object TextOps {
     * chunking, (doc_id, chunk_idx, n_words, chunk_fp) rows. */
   def chunksOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val words = split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
+    val words = split(asciiLower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
     val nChunks = ceil(size(words).cast("double") / ChunkWords).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1), i =>
       struct(i.cast("long").as("chunk_idx"),
@@ -185,7 +185,7 @@ object TextOps {
     * packing siblings key their prefix sums on it. */
   private[graft] def chunksWithSource(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val words = split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
+    val words = split(asciiLower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
     val nChunks = ceil(size(words).cast("double") / ChunkWords).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1), i =>
       struct(i.cast("long").as("chunk_idx"),
@@ -296,7 +296,7 @@ object TextOps {
       : org.apache.spark.sql.DataFrame =
     chunkKeepersCache.getOrBuild(spark, dir, "documents.parquet") {
       val store = graft.operators.PersistedStore.ensure(spark, dir,
-        "documents.parquet", "chunk_keepers", "v1") { root =>
+        "documents.parquet", "chunk_keepers", "v2") { root => // v2: ascii-casefold law
         chunkKeepersOf(chunksOf(Tables.documents(spark, dir)
           .filter(col("doc_id") % Dedup.IncrementalDeltaMod =!= 0)))
           .write.mode("overwrite").parquet(s"$root/keepers")
@@ -467,7 +467,7 @@ object TextOps {
   val bigramLm: Op = Op(
     "q_bigram_lm",
     """WITH t AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+      |  SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+') AS w FROM documents
       |), b AS (
       |  SELECT w[i] AS w1, w[i+1] AS w2 FROM t, unnest(range(1, len(w))) AS x(i)
       |), c AS (
@@ -497,7 +497,7 @@ object TextOps {
     * tweak applied to a single consumer would silently desynchronize
     * the rarity stats from the counts they're supposed to share). */
   def bigramArray: org.apache.spark.sql.Column = {
-    val w = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+    val w = regexp_extract_all(asciiLower(col("text")), lit("[a-z]+"), lit(0))
     zip_with(
       slice(w, lit(1), greatest(size(w) - 1, lit(0))),
       slice(w, lit(2), greatest(size(w) - 1, lit(0))),
@@ -535,7 +535,7 @@ object TextOps {
   val bigramNovelty: Op = Op(
     "q_bigram_novelty",
     s"""WITH t AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+      |  SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+') AS w FROM documents
       |), b AS (
       |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM t, unnest(range(1, len(w))) AS x(i)
       |), c AS (
@@ -627,7 +627,7 @@ object TextOps {
   val pplBuckets: Op = Op(
     "q_ppl_buckets",
     s"""WITH t AS (
-      |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS w
+      |  SELECT doc_id, lang, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+') AS w
       |  FROM documents
       |), b AS (
       |  SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
@@ -727,7 +727,7 @@ object TextOps {
   val collocations: Op = Op(
     "q_collocations",
     s"""WITH t AS (
-      |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+      |  SELECT regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+') AS w FROM documents
       |), u AS (
       |  SELECT x AS w, CAST(COUNT(*) AS BIGINT) AS n FROM (
       |    SELECT unnest(w) AS x FROM t) GROUP BY 1
@@ -753,7 +753,7 @@ object TextOps {
   /** [[collocations]] kernel over any (doc_id, text) frame. */
   def collocationsOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(explode(regexp_extract_all(lower(col("text")),
+    val toks = docs.select(explode(regexp_extract_all(asciiLower(col("text")),
       lit("[a-z]+"), lit(0))).as("w"))
     val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
     val total = uni.agg(sum(col("n")).as("tot"))
@@ -799,7 +799,7 @@ object TextOps {
   val hashEmbed: Op = Op(
     "q_hash_embed",
     s"""WITH t AS (
-       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+       |  SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')) AS tok
        |  FROM documents
        |), f AS (
        |  SELECT doc_id,
@@ -815,7 +815,7 @@ object TextOps {
     (spark, dir) =>
       Tables.documents(spark, dir)
         .select(col("doc_id"),
-          explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
+          explode(regexp_extract_all(asciiLower(col("text")), lit("[a-z]+"),
             lit(0))).as("tok"))
         .select(col("doc_id"), fingerprint(col("tok")).as("fp"))
         .select(col("doc_id"), (col("fp") % HashDim).as("bucket"),
@@ -850,7 +850,7 @@ object TextOps {
   val vocabGrowth: Op = Op(
     "q_vocab_growth",
     s"""WITH d AS (
-       |  SELECT doc_id // $VocabBatchSize AS batch, lower(text) AS lt FROM documents
+       |  SELECT doc_id // $VocabBatchSize AS batch, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS lt FROM documents
        |), t AS (
        |  SELECT batch, unnest(regexp_extract_all(lt, '[a-z]+')) AS tok FROM d
        |), bt AS (
@@ -878,7 +878,7 @@ object TextOps {
        |LEFT JOIN nn ON nn.batch = dd.batch""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
       .select(expr(s"doc_id div $VocabBatchSize").as("batch"),
-        lower(col("text")).as("lt"))
+        asciiLower(col("text")).as("lt"))
     val t = docs.select(col("batch"),
       explode(regexp_extract_all(col("lt"), lit("[a-z]+"), lit(0)))
         .as("tok"))
@@ -950,7 +950,7 @@ object TextOps {
   val bm25: Op = Op(
     "q_bm25",
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
+       |  SELECT doc_id, string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0B\\f\\r]+') AS w
        |  FROM documents
        |), words AS (
        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks
@@ -1042,10 +1042,10 @@ object TextOps {
       dir: String): org.apache.spark.sql.DataFrame =
     tfIndexCache.getOrBuild(spark, dir, "documents.parquet") {
       val store = graft.operators.PersistedStore.ensure(spark, dir,
-        "documents.parquet", "tf_index", "v1") { root =>
+        "documents.parquet", "tf_index", "v2") { root => // v2: ascii-casefold law
         val toks = Tables.documents(spark, dir)
           .select(col("doc_id"),
-            split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+").as("w"))
+            split(asciiLower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+").as("w"))
         toks.select(col("doc_id"),
             size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
           .groupBy(col("doc_id"), col("dl"), col("term"))
@@ -1061,7 +1061,7 @@ object TextOps {
   private[graft] def bm25Stats(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Long, Long) = {
     val r = Tables.documents(spark, dir)
-      .select(size(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").as("dl"))
+      .select(size(split(asciiLower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
     (r.getLong(0), r.getLong(1))
   }
@@ -1109,7 +1109,7 @@ object TextOps {
   val bm25Pruned: Op = Op(
     "q_bm25_pruned",
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
+       |  SELECT doc_id, string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0B\\f\\r]+') AS w
        |  FROM documents
        |), words AS (
        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks
@@ -1185,7 +1185,7 @@ object TextOps {
     val (nDocs, tTokens) = bm25Stats(spark, dir)
     val qterms = arrivals.select(col("doc_id").as("qid"),
       explode(array_distinct(filter(
-        split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"),
+        split(asciiLower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"),
         t => length(t) >= 7))).as("term"))
     qterms.join(broadcast(bm25RareIndex(spark, dir)), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))

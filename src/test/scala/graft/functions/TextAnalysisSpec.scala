@@ -83,6 +83,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1).getSeq[String](0).toSeq === Seq("x y"))
   }
 
+  test("asciiLower: folds exactly [A-Z], leaves every dialect-sensitive " +
+    "codepoint alone (final sigma, dotted I, sharp s)") {
+    val r = Seq("MIXED case 123",
+        "ΙΣΟΣ ΟΔΟΣ",      // Java lower() would final-sigma the last Σ
+        "İstanbul I",      // Java lower() expands İ to i + U+0307
+        "STRASSE ẞ ß Ü")
+      .toDF("text").select(TextAnalysis.asciiLower($"text"))
+      .collect().map(_.getString(0))
+    assert(r(0) === "mixed case 123")
+    // non-ASCII untouched — the whole point: both engines agree on
+    // translate, while lower() diverges (full vs simple casing)
+    assert(r(1) === "ΙΣΟΣ ΟΔΟΣ")
+    assert(r(2) === "İstanbul i")
+    assert(r(3) === "strasse ẞ ß Ü")
+    // code-point count is preserved (translate is 1:1; Java's full
+    // lowercase of İ would add a combining dot)
+    assert(r(2).codePointCount(0, r(2).length) === 10)
+  }
+
   test("punctRatio and stopwordCount") {
     val r = Seq("the end.").toDF("text").select(
       TextAnalysis.punctRatio($"text"),

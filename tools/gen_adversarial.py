@@ -23,10 +23,17 @@ Dimensions:
   3. lineitem/orders — duplicated prices/quantities within orders,
      zero quantities, midnight-truncated and duplicated dates, rounded
      totals; supplier — empty/tab/unicode names (pricing ladders,
-     rollups, join guards).
+     rollups, join guards);
+  5. documents.text, unicode-hostile (round 11) — context-sensitive
+     casing (Greek final sigma, Turkish dotted I: Java full-casing vs
+     utf8proc simple-casing), astral-plane emoji (code-point vs
+     code-unit length laws), NFD combining marks, zero-width
+     space/joiner, BOM, RTL text (every lower()/length()/tokenizer
+     law).
 
 Embeddings: every 10th vector duplicates its predecessor exactly —
-exact cosine ties through the whole vector family.
+exact cosine ties through the whole vector family (dimension 4 in the
+round-10 count, with the zero-token documents).
 """
 import shutil, os, glob, sys
 
@@ -58,7 +65,35 @@ def main(src, dst):
                WHEN 4 THEN 'Unicode 文字 ' || text
                ELSE text END END AS text,
         lang, source, n_chars
-      FROM read_parquet('{src}/documents.parquet')
+      FROM (
+        -- dimension 5: unicode-hostile prefixes, composed UNDER the
+        -- dimension-1 mutations (a doc can be both case-hostile and
+        -- whitespace-hostile)
+        SELECT doc_id,
+          CASE doc_id % 37
+            -- context-sensitive casing: Java String.toLowerCase applies
+            -- the SpecialCasing final-sigma rule, utf8proc's simple
+            -- casing does not
+            WHEN 3 THEN 'ΙΣΟΣ ΟΔΟΣ κόσμος ' || text
+            -- Turkish dotted I: full lowercase of U+0130 is i+U+0307
+            -- (two code points), simple lowercase is bare i (one)
+            WHEN 4 THEN 'İstanbul Iı DOTTED ' || text
+            -- astral plane: code-point vs code-unit length laws
+            WHEN 5 THEN 'emoji 🎉🚀 mixed 𠀀 cjkb ' || text
+            -- NFD combining acute vs precomposed NFC twin
+            WHEN 6 THEN 'cafe' || chr(769) || ' nfd café nfc ' || text
+            -- zero-width space / joiner inside words
+            WHEN 7 THEN 'zero' || chr(8203) || 'width' || chr(8205)
+                        || 'joined ' || text
+            -- BOM / zero-width no-break space leading the document
+            WHEN 8 THEN chr(65279) || 'bom lead ' || text
+            -- RTL run plus an explicit RTL-override control
+            WHEN 9 THEN 'مرحبا بالعالم ' || chr(8238) || 'rtl ' || text
+            -- sharp-s casing triangle (ß, uppercase ẞ)
+            WHEN 10 THEN 'straße STRASSE ẞharp ' || text
+            ELSE text END AS text,
+          lang, source, n_chars
+        FROM read_parquet('{src}/documents.parquet'))
     ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
 
     con.execute(f"""
