@@ -347,6 +347,154 @@ object StreamingOps {
       .agg(sum(col("n")).as("n"), sum(col("value_cents")).as("value_cents"))
   }
 
+  private val pplModelCache = SessionCache.mkFramePairs()
+
+  private[graft] def clearPplModelCache(): Unit = pplModelCache.clear()
+
+  /** The STANDING corpus' perplexity model — the per-language bigram
+    * counts PLUS the tercile cut scores, persisted
+    * ([[PersistedStore]], `ppl_model`) exactly like the drift and
+    * quality models: in the incremental contract the LM and its
+    * thresholds are yesterday's artifacts — an ingest process scoring
+    * today's arrivals reads them back, never re-scans the standing
+    * corpus. Returns (model (lang, w1, w2, c12), meta (lang, n_lang,
+    * cut1, cut2)); cutK = max mbits of standing tercile K (a language
+    * with < 3 scored standing docs leaves the missing cut NULL — the
+    * assignment CASE then falls through to tail, both engines). */
+  private[graft] def standingPplModel(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    pplModelCache.getOrBuild(spark, dir, "documents.parquet") {
+      val store = PersistedStore.ensure(spark, dir, "documents.parquet",
+        "ppl_model", "v1") { root =>
+        import org.apache.spark.sql.expressions.Window
+        val mod = graft.operators.Dedup.IncrementalDeltaMod
+        val standing = graft.Tables.documents(spark, dir)
+          .filter(col("doc_id") % mod =!= 0)
+        val (c12, nLang) = TextOps.pplModelOf(standing)
+        c12.write.mode("overwrite").parquet(s"$root/model")
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("mbits").asc, col("doc_id").asc)
+        val cuts = TextOps.pplScores(standing)
+          .withColumn("bucket", ntile(TextOps.PplBuckets).over(w))
+          .groupBy(col("lang"))
+          .agg(max(when(col("bucket") === 1, col("mbits"))).as("cut1"),
+            max(when(col("bucket") === 2, col("mbits"))).as("cut2"))
+        nLang.join(cuts, Seq("lang"), "left")
+          .write.mode("overwrite").parquet(s"$root/meta")
+      }
+      (spark.read.parquet(s"$store/model").localCheckpoint(),
+        spark.read.parquet(s"$store/meta").localCheckpoint())
+    }
+
+  /** Streaming perplexity-bucket assignment — the arrival-time leg of
+    * [[TextOps.pplBuckets]], and EXACTLY the CCNet production shape:
+    * tercile thresholds are computed ONCE on a reference corpus (the
+    * standing slice) and applied to new data at ingest, not recomputed
+    * per batch. Arriving delta docs explode their bigrams statelessly
+    * and probe the persisted standing model through a stream-static
+    * left join (unseen transitions carry c12 = 0 — `bin(0) = '0'` in
+    * both engines, so the unseen score equals the hapax score, the
+    * add-zero floor); the batch rollup folds occurrences per doc
+    * (count/sum monoids ⇒ batching-invariant), derives milli-bits, and
+    * assigns `mbits ≤ cut1 → head, ≤ cut2 → middle, else tail`.
+    * Unmodelable delta docs are tail by definition. The oracle replays
+    * the whole pipeline — standing model, standing terciles, cuts,
+    * delta scoring — in SQL. */
+  val streamPpl: Op = Op(
+    "q_stream_ppl",
+    {
+      val al = graft.functions.TextAnalysis.asciiLowerSql("text")
+      val mod = graft.operators.Dedup.IncrementalDeltaMod
+      s"""WITH t AS (
+       |  SELECT doc_id, lang, regexp_extract_all($al, '[a-z]+') AS w
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+       |  FROM t, unnest(range(1, len(w))) AS x(i)
+       |), sb AS (
+       |  SELECT * FROM b WHERE doc_id % $mod <> 0
+       |), c12 AS (
+       |  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |  FROM sb GROUP BY 1, 2, 3
+       |), nl AS (
+       |  SELECT lang, CAST(SUM(c12) AS BIGINT) AS n_lang
+       |  FROM c12 GROUP BY 1
+       |), ssc AS (
+       |  SELECT sb.lang, sb.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(length(bin(nl.n_lang)) - length(bin(c12.c12)))
+       |      AS BIGINT) AS bits
+       |  FROM sb JOIN c12 USING (lang, w1, w2) JOIN nl USING (lang)
+       |  GROUP BY 1, 2
+       |), sbk AS (
+       |  SELECT lang, (1000 * bits) // n AS mbits,
+       |    ntile(${TextOps.PplBuckets}) OVER (PARTITION BY lang
+       |      ORDER BY (1000 * bits) // n, doc_id) AS bucket
+       |  FROM ssc
+       |), cuts AS (
+       |  SELECT lang, MAX(CASE WHEN bucket = 1 THEN mbits END) AS cut1,
+       |               MAX(CASE WHEN bucket = 2 THEN mbits END) AS cut2
+       |  FROM sbk GROUP BY 1
+       |), db AS (
+       |  SELECT * FROM b WHERE doc_id % $mod = 0
+       |), dsc AS (
+       |  SELECT db.lang, db.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(length(bin(COALESCE(nl.n_lang, 0)))
+       |           - length(bin(COALESCE(c12.c12, 0)))) AS BIGINT) AS bits
+       |  FROM db LEFT JOIN c12 USING (lang, w1, w2)
+       |          LEFT JOIN nl USING (lang)
+       |  GROUP BY 1, 2
+       |), dmb AS (
+       |  SELECT lang, doc_id, n_bigrams,
+       |    (1000 * bits) // n_bigrams AS mbits
+       |  FROM dsc
+       |), asg AS (
+       |  SELECT dmb.doc_id, dmb.n_bigrams, dmb.mbits,
+       |    CAST(CASE WHEN dmb.mbits <= cuts.cut1 THEN 1
+       |              WHEN dmb.mbits <= cuts.cut2 THEN 2
+       |              ELSE 3 END AS BIGINT) AS bucket
+       |  FROM dmb LEFT JOIN cuts USING (lang)
+       |)
+       |SELECT d.doc_id, d.lang,
+       |  CAST(COALESCE(asg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  asg.mbits,
+       |  CAST(COALESCE(asg.bucket, ${TextOps.PplBuckets}) AS BIGINT)
+       |    AS bucket
+       |FROM documents d LEFT JOIN asg ON asg.doc_id = d.doc_id
+       |WHERE d.doc_id % $mod = 0""".stripMargin
+    }) { (spark, dir) =>
+    val (_, meta) = standingPplModel(spark, dir)
+    val log = spark.table(
+      EventStream.runPplToMemory(spark, dir, "q_stream_ppl_mem"))
+    val scored = log
+      .join(broadcast(meta.select(col("lang"), col("n_lang"))),
+        Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        (length(bin(coalesce(col("n_lang"), lit(0L)))) -
+          length(bin(col("c12")))).cast("long").as("bits"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("bits"))
+      .withColumn("mbits", expr("(1000 * bits) div n_bigrams"))
+    val assigned = scored
+      .join(broadcast(meta.select(col("lang"), col("cut1"), col("cut2"))),
+        Seq("lang"), "left")
+      .select(col("doc_id"), col("n_bigrams"), col("mbits"),
+        when(col("mbits") <= col("cut1"), 1L)
+          .when(col("mbits") <= col("cut2"), 2L)
+          .otherwise(3L).as("bucket"))
+    graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % graft.operators.Dedup.IncrementalDeltaMod === 0)
+      .select(col("doc_id"), col("lang"))
+      .join(assigned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mbits"),
+        coalesce(col("bucket"), lit(TextOps.PplBuckets.toLong)).as("bucket"))
+  }
+
   /** Streaming learned-quality scoring ≡ the batch scorer — the SAME
     * oracle as [[QualityModel.qualityScore]], completing the trained
     * gate's triple (batch train+score / persisted model / this

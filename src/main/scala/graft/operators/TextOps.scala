@@ -663,21 +663,34 @@ object TextOps {
     pplBucketsOf(Tables.documents(spark, dir))
   }
 
-  /** [[pplBuckets]] kernel over any (doc_id, lang, text) frame. */
-  def pplBucketsOf(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val b = docs
+  /** (lang, doc_id, w1, w2, k) bigram TYPE counts of a docs frame —
+    * the scoring join touches types, not occurrences. */
+  private def pplTypes(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), explode(bigramArray).as("bg"))
       .select(col("doc_id"), col("lang"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val types = b
       .groupBy(col("lang"), col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("k"))
-    val c12 = types.groupBy(col("lang"), col("w1"), col("w2"))
+
+  /** The per-language bigram LM of a docs frame: ((lang, w1, w2, c12),
+    * (lang, n_lang)) — the [[pplBuckets]] model, exposed so the
+    * streaming leg can train on the STANDING slice only. */
+  def pplModelOf(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val c12 = pplTypes(docs).groupBy(col("lang"), col("w1"), col("w2"))
       .agg(sum(col("k")).as("c12"))
-    val nLang = c12.groupBy(col("lang"))
-      .agg(sum(col("c12")).as("n_lang"))
-    val scored = types
+    (c12, c12.groupBy(col("lang")).agg(sum(col("c12")).as("n_lang")))
+  }
+
+  /** Per-doc LM scores of [[pplBuckets]] — (lang, doc_id, n_bigrams,
+    * mbits) for every doc with at least one LM bigram, scored against
+    * the frame's own per-language model. */
+  def pplScores(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (c12, nLang) = pplModelOf(docs)
+    pplTypes(docs)
       .join(c12, Seq("lang", "w1", "w2"))
       .join(nLang, Seq("lang"))
       .groupBy(col("lang"), col("doc_id"))
@@ -686,10 +699,16 @@ object TextOps {
           (length(bin(col("n_lang"))) - length(bin(col("c12"))))
             .cast("long"))
           .as("bits"))
+      .select(col("lang"), col("doc_id"), col("n_bigrams"),
+        expr("(1000 * bits) div n_bigrams").as("mbits"))
+  }
+
+  /** [[pplBuckets]] kernel over any (doc_id, lang, text) frame. */
+  def pplBucketsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("mbits").asc, col("doc_id").asc)
-    val bucketed = scored
-      .withColumn("mbits", expr("(1000 * bits) div n_bigrams"))
+    val bucketed = pplScores(docs)
       .withColumn("bucket", ntile(PplBuckets).over(w).cast("long"))
     docs.select(col("doc_id"), col("lang"))
       .join(bucketed.select(col("doc_id"), col("n_bigrams"),

@@ -753,6 +753,40 @@ object EventStream {
         col("standing_first"))
   }
 
+  /** Streaming perplexity-bucket scoring — the stream side of
+    * [[graft.operators.StreamingOps.streamPpl]]: arriving delta
+    * documents explode their LM bigrams statelessly and probe the
+    * PERSISTED standing model through a stream-static LEFT join
+    * (unseen transition → c12 = 0, the add-zero floor). The emitted
+    * log carries one (doc_id, lang, c12) row per bigram OCCURRENCE —
+    * count/sum monoids downstream, so the rollup is batching-
+    * invariant. No state store, no stream-side aggregation: the model
+    * and its tercile cuts are yesterday's artifacts, scoring is a
+    * map + one static-side probe per row. */
+  def runPplToMemory(
+      spark: SparkSession, dir: String, queryName: String): String =
+    runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
+      val (model, _) =
+        graft.operators.StreamingOps.standingPplModel(spark, dir)
+      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val delta = spark.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") %
+          graft.operators.Dedup.IncrementalDeltaMod === 0)
+        .select(col("doc_id"), col("lang"),
+          explode(graft.operators.TextOps.bigramArray).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      delta
+        .join(model, Seq("lang", "w1", "w2"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("c12"), lit(0L)).as("c12"))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
   /** Streaming LEARNED-quality scoring — the stream leg of the trained
     * gate ([[graft.operators.QualityModel]]): arriving documents score
     * against the PERSISTED standing model statelessly — the weights

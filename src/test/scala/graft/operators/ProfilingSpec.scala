@@ -260,6 +260,47 @@ class ProfilingSpec extends SparkSpec {
     assert(got(6L)._4 === 3L)
   }
 
+  // ---- streamPpl ------------------------------------------------------
+  test("streamPpl: arrival-time buckets follow the standing cuts law, " +
+    "one row per delta doc, zero state operators") {
+    val mod = Dedup.IncrementalDeltaMod
+    val got = StreamingOps.streamPpl.build(spark, sf001)
+      .select($"doc_id", $"lang", $"n_bigrams", $"mbits", $"bucket")
+      .collect()
+    val deltaIds = graft.Tables.documents(spark, sf001)
+      .select($"doc_id").as[Long].collect().filter(_ % mod == 0).toSet
+    assert(got.map(_.getLong(0)).toSet === deltaIds)
+    assert(got.map(_.getLong(0)).length === deltaIds.size, "dup rows")
+    // assignment law: bucket = 1 + #(cuts < mbits) under the <=-cut
+    // CASE; unmodelable docs are tail with NULL score
+    val cuts = StreamingOps.standingPplModel(spark, sf001)._2
+      .select($"lang", $"cut1", $"cut2").collect()
+      .map(r => r.getString(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    got.foreach { r =>
+      val (lang, bucket) = (r.getString(1), r.getLong(4))
+      assert(bucket >= 1 && bucket <= 3)
+      if (r.getLong(2) == 0L) {
+        assert(r.isNullAt(3) && bucket === 3L, s"unmodelable doc not tail: $r")
+      } else {
+        val mb = r.getLong(3)
+        val (c1, c2) = cuts.getOrElse(lang, (None, None))
+        val want =
+          if (c1.exists(mb <= _)) 1L
+          else if (c2.exists(mb <= _)) 2L
+          else 3L
+        assert(bucket === want, s"cut law violated for $r (cuts $c1/$c2)")
+      }
+    }
+    // stateless: the scoring stream holds no state store
+    val active = spark.streams.active.filter(_.name != null)
+      .find(_.name.startsWith("q_stream_ppl_mem"))
+    assert(active.nonEmpty, "live ppl query not found")
+    assert(active.get.lastProgress.stateOperators.isEmpty,
+      s"expected zero stateful operators: ${active.get.lastProgress.json}")
+  }
+
   // ---- outlierScores ------------------------------------------------
   test("outlierScores: vector opposite its label centroid is flagged") {
     val n = Seq(
