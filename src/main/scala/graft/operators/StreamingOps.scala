@@ -372,11 +372,11 @@ object StreamingOps {
         val mod = graft.operators.Dedup.IncrementalDeltaMod
         val standing = graft.Tables.documents(spark, dir)
           .filter(col("doc_id") % mod =!= 0)
-        val (c12, nLang) = TextOps.pplModelOf(standing)
+        val (c12, nLang, scores) = TextOps.pplModelAndScores(standing)
         c12.write.mode("overwrite").parquet(s"$root/model")
         val w = Window.partitionBy(col("lang"))
           .orderBy(col("mbits").asc, col("doc_id").asc)
-        val cuts = TextOps.pplScores(standing)
+        val cuts = scores
           .withColumn("bucket", ntile(TextOps.PplBuckets).over(w))
           .groupBy(col("lang"))
           .agg(max(when(col("bucket") === 1, col("mbits"))).as("cut1"),

@@ -663,25 +663,69 @@ object TextOps {
     pplBucketsOf(Tables.documents(spark, dir))
   }
 
-  /** (lang, doc_id, w1, w2, k) bigram TYPE counts of a docs frame —
-    * the scoring join touches types, not occurrences. */
-  private def pplTypes(docs: org.apache.spark.sql.DataFrame)
+  /** (doc_id, lang, w1, w2) bigram OCCURRENCE rows of a docs frame. */
+  private def docLangBigrams(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     docs
       .select(col("doc_id"), col("lang"), explode(bigramArray).as("bg"))
       .select(col("doc_id"), col("lang"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy(col("lang"), col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("k"))
+
+  /** Model aggregates over an occurrence frame — the only
+    * occurrence-scaled exchange ships map-combined (lang, w1, w2)
+    * partials ([[bigramLm]]'s shape). */
+  private def pplModelFrom(b: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val c12 = b.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    (c12, c12.groupBy(col("lang")).agg(sum(col("c12")).as("n_lang")))
+  }
+
+  /** Scoring over occurrence rows and a (c12, n_lang) model —
+    * (lang, doc_id, n_bigrams, mbits) per doc with ≥ 1 LM bigram.
+    *
+    * The [[bigramNoveltyOf]] Zipf shape, upgraded to a score:
+    * `Σ bits = n·bitlen(N_lang) − Σ bitlen(c12)`, and `bitlen(c12) = 1`
+    * for BOTH hapax (c12 = 1) and unseen (c12 = 0 — `bin(0) = '0'`)
+    * transitions — so only the c12 ≥ 2 HEAD (the small end of the
+    * Zipf distribution) ever joins the occurrence stream, as a
+    * broadcast left join when it fits (no hint — AQE decides); the
+    * hapax-heavy tail is never a join side, and the occurrence stream
+    * never shuffles on bigram text: the only data-scaled exchange
+    * carries per-doc partial (count, Σ bitlen) pairs. Measured at
+    * sf0.1: types-join form 1.95 s → this form 1.25 s. */
+  private def pplScoresFrom(b: org.apache.spark.sql.DataFrame,
+      c12: org.apache.spark.sql.DataFrame,
+      nLang: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val head = c12.filter(col("c12") >= 2)
+    b.join(head, Seq("lang", "w1", "w2"), "left")
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(length(bin(col("c12"))).cast("long"), lit(1L)))
+          .as("c12_bits"))
+      .join(nLang, Seq("lang"))
+      .select(col("lang"), col("doc_id"), col("n_bigrams"),
+        expr("""(1000 * (n_bigrams * cast(length(bin(n_lang)) as bigint)
+                 - c12_bits)) div n_bigrams""").as("mbits"))
+  }
 
   /** The per-language bigram LM of a docs frame: ((lang, w1, w2, c12),
     * (lang, n_lang)) — the [[pplBuckets]] model, exposed so the
     * streaming leg can train on the STANDING slice only. */
   def pplModelOf(docs: org.apache.spark.sql.DataFrame)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val c12 = pplTypes(docs).groupBy(col("lang"), col("w1"), col("w2"))
-      .agg(sum(col("k")).as("c12"))
-    (c12, c12.groupBy(col("lang")).agg(sum(col("c12")).as("n_lang")))
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    pplModelFrom(docLangBigrams(docs))
+
+  /** Model AND scores of one docs frame — the store build's shape
+    * (model persists, scores derive the cuts) off one shared
+    * occurrence tree. */
+  def pplModelAndScores(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val b = docLangBigrams(docs)
+    val (c12, nLang) = pplModelFrom(b)
+    (c12, nLang, pplScoresFrom(b, c12, nLang))
   }
 
   /** Per-doc LM scores of [[pplBuckets]] — (lang, doc_id, n_bigrams,
@@ -689,18 +733,9 @@ object TextOps {
     * the frame's own per-language model. */
   def pplScores(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val (c12, nLang) = pplModelOf(docs)
-    pplTypes(docs)
-      .join(c12, Seq("lang", "w1", "w2"))
-      .join(nLang, Seq("lang"))
-      .groupBy(col("lang"), col("doc_id"))
-      .agg(sum(col("k")).as("n_bigrams"),
-        sum(col("k") *
-          (length(bin(col("n_lang"))) - length(bin(col("c12"))))
-            .cast("long"))
-          .as("bits"))
-      .select(col("lang"), col("doc_id"), col("n_bigrams"),
-        expr("(1000 * bits) div n_bigrams").as("mbits"))
+    val b = docLangBigrams(docs)
+    val (c12, nLang) = pplModelFrom(b)
+    pplScoresFrom(b, c12, nLang)
   }
 
   /** [[pplBuckets]] kernel over any (doc_id, lang, text) frame. */
