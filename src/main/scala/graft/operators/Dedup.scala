@@ -771,10 +771,12 @@ object Dedup {
     *
     * Scale shape: the ground-truth side is bounded by the SAMPLE (the
     * q-side posting join fans out only on sampled docs' shingles — the
-    * `q_imi_recall` adjudication: the documented price of ground truth,
-    * with the mod growing at corpus scale so Q stays fixed); the probe
-    * side re-reads the persisted [[lshPairIndex]] — no new banding
-    * work. */
+    * `q_imi_recall` adjudication: the documented price of ground
+    * truth). [[LshRecallMod]] is a fixed constant here, like
+    * `Imi.RecallQueryMod`: a deployment sizes the mod to its corpus so
+    * the query count stays bounded — the knob is the contract, not
+    * auto-derived. The probe side re-reads the persisted
+    * [[lshPairIndex]] — no new banding work. */
   val lshRecall: Op = Op(
     "q_lsh_recall",
     s"""WITH $shingleCtes, pairs AS (

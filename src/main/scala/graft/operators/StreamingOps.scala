@@ -367,13 +367,19 @@ object StreamingOps {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
     pplModelCache.getOrBuild(spark, dir, "documents.parquet") {
       val store = PersistedStore.ensure(spark, dir, "documents.parquet",
-        "ppl_model", "v1") { root =>
+        "ppl_model", "v2") { root => // v2: head-only (c12 >= 2) model
         import org.apache.spark.sql.expressions.Window
         val mod = graft.operators.Dedup.IncrementalDeltaMod
         val standing = graft.Tables.documents(spark, dir)
           .filter(col("doc_id") % mod =!= 0)
         val (c12, nLang, scores) = TextOps.pplModelAndScores(standing)
-        c12.write.mode("overwrite").parquet(s"$root/model")
+        // persist only the c12 >= 2 HEAD: a hapax hit (c12 = 1) scores
+        // identically to an unseen miss (bitlen 1 either way — the
+        // batch kernel's Zipf device), so the hapax-dominated tail
+        // would only bloat the store and every stream-static probe
+        // without changing one output bit
+        c12.filter(col("c12") >= 2)
+          .write.mode("overwrite").parquet(s"$root/model")
         val w = Window.partitionBy(col("lang"))
           .orderBy(col("mbits").asc, col("doc_id").asc)
         val cuts = scores

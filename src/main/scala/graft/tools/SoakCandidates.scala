@@ -267,7 +267,7 @@ object SoakCandidates {
         val allPostings = graft.Tables.documents(spark, dir)
           .select(col("doc_id"), org.apache.spark.sql.functions.explode(
             org.apache.spark.sql.functions.split(
-              org.apache.spark.sql.functions.lower(
+              graft.functions.TextAnalysis.asciiLower(
                 org.apache.spark.sql.functions.trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
             .as("term")).distinct().count()
         val idxRows = TextOps.bm25RareIndex(spark, dir).count()

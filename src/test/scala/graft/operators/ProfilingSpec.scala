@@ -301,6 +301,28 @@ class ProfilingSpec extends SparkSpec {
       s"expected zero stateful operators: ${active.get.lastProgress.json}")
   }
 
+  test("ppl_model store: cache-evicted reread reuses the persisted " +
+    "artifact, head-only model scores identically") {
+    def run() = StreamingOps.streamPpl.build(spark, sf001)
+      .collect().map(_.toString).sorted
+    val first = run()
+    def store = PersistedStore.currentRoot(spark, sf001, "ppl_model")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/model"))
+      .map(s => s.getPath.getName -> s.getModificationTime).sortBy(_._1).toSeq
+    val before = listing
+    StreamingOps.clearPplModelCache()
+    assert(run() === first)
+    assert(listing === before,
+      "cache-evicted rerun must reuse the persisted model, not rebuild it")
+    // the persisted model is the c12 >= 2 HEAD only (hapax scores as
+    // unseen — bitlen 1 either way), so no row may carry c12 < 2
+    val minC12 = spark.read.parquet(s"$store/model")
+      .agg(min($"c12")).head().getLong(0)
+    assert(minC12 >= 2L, s"hapax tail leaked into the persisted model")
+  }
+
   // ---- outlierScores ------------------------------------------------
   test("outlierScores: vector opposite its label centroid is flagged") {
     val n = Seq(
