@@ -29,7 +29,14 @@ Dimensions:
      utf8proc simple-casing), astral-plane emoji (code-point vs
      code-unit length laws), NFD combining marks, zero-width
      space/joiner, BOM, RTL text (every lower()/length()/tokenizer
-     law).
+     law);
+  6. documents, scale-skew (round 11) — doc 17 becomes a GIANT
+     (30k-word repeated phrase appended: per-doc array laws, hot
+     bigram counts, chunk/pack/span fan-out), doc 23 moves to a
+     SINGLETON standing language 'xx' (per-language models trained on
+     one doc; tercile cut2 is NULL), doc 30 moves to a singleton DELTA
+     language 'yy' (no standing model at all — the add-zero /
+     missing-cuts fallthrough paths must agree across engines).
 
 Embeddings: every 10th vector duplicates its predecessor exactly —
 exact cosine ties through the whole vector family (dimension 4 in the
@@ -66,6 +73,17 @@ def main(src, dst):
                ELSE text END END AS text,
         lang, source, n_chars
       FROM (
+        -- dimension 6: scale skew, composed UNDER dimensions 5 and 1
+        SELECT doc_id,
+          CASE WHEN doc_id = 17
+               THEN text || ' ' ||
+                 repeat('lorem ipsum dolor sit amet consectetur ', 5000)
+               ELSE text END AS text,
+          CASE WHEN doc_id = 23 THEN 'xx'
+               WHEN doc_id = 30 THEN 'yy'
+               ELSE lang END AS lang,
+          source, n_chars
+      FROM (
         -- dimension 5: unicode-hostile prefixes, composed UNDER the
         -- dimension-1 mutations (a doc can be both case-hostile and
         -- whitespace-hostile)
@@ -93,7 +111,7 @@ def main(src, dst):
             WHEN 10 THEN 'straße STRASSE ẞharp ' || text
             ELSE text END AS text,
           lang, source, n_chars
-        FROM read_parquet('{src}/documents.parquet'))
+        FROM read_parquet('{src}/documents.parquet')))
     ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
 
     con.execute(f"""
