@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // optimizer tier: runs in the user-provided batch after pushdown
     e.injectOptimizerRule(_ => graft.plans.ThresholdLevenshtein)
+    // the declarative ASCII casefold (translate over the canonical
+    // alphabet, the round-11 dialect-free casing law) folds to the
+    // native byte-looping expression
+    e.injectOptimizerRule(_ => graft.plans.FoldAsciiTranslate)
     // planner tier: whole-operator strategy for the native as-of join
     e.injectPlannerStrategy(_ => graft.plans.GraftAsOfStrategy)
     // exact-arity builders: surplus arguments must be an analysis error,
