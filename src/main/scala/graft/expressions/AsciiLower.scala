@@ -53,8 +53,28 @@ case class AsciiLower(child: Expression) extends UnaryExpression {
 }
 
 object AsciiLower {
-  /** Byte-level [A-Z] fold; allocation-free when no byte changes. */
+  /** Byte-level [A-Z] fold; allocation-free when no byte changes.
+    *
+    * MALFORMED UTF-8 takes the slow path: `StringTranslate` evaluates
+    * through `toString`, which substitutes U+FFFD for invalid
+    * sequences — the byte loop would instead copy the garbage bytes
+    * verbatim, and an extensions-on session would then disagree with
+    * a vanilla session on e.g. `cast(binary as string)` inputs. The
+    * validity check is a single vectorizable scan; valid strings (all
+    * engine-law inputs — parquet strings are validated on read) never
+    * leave the fast path. */
   def fold(s: UTF8String): UTF8String = {
+    if (!s.isValid) {
+      val repaired = s.toString
+      val sb = new java.lang.StringBuilder(repaired.length)
+      var i = 0
+      while (i < repaired.length) {
+        val c = repaired.charAt(i)
+        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        i += 1
+      }
+      return UTF8String.fromString(sb.toString)
+    }
     val n = s.numBytes()
     var out: Array[Byte] = null
     var i = 0

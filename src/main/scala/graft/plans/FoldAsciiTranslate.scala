@@ -21,11 +21,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * Installed by [[graft.GraftExtensions]] via `injectOptimizerRule`.
   */
 object FoldAsciiTranslate extends Rule[LogicalPlan] {
-  private val Upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  // the single source of truth for the canonical alphabet — a private
+  // copy here could drift and silently stop the rewrite from firing
+  private def Upper = graft.functions.TextAnalysis.UpperAscii
+  private def Lower = graft.functions.TextAnalysis.LowerAsciiChars
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+    // the pattern's alphabet arguments are literals, so LITERAL-bearing
+    // subtrees are the only candidates — same pruned-walk stance as the
+    // sibling ThresholdLevenshtein (BINARY_COMPARISON)
+    plan.transformAllExpressionsWithPruning(
+      _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.LITERAL)) {
       case StringTranslate(x,
           Literal(m: UTF8String, StringType),
           Literal(r: UTF8String, StringType))

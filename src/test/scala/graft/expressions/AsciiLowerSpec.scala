@@ -32,6 +32,28 @@ class AsciiLowerSpec extends SparkSpec {
     assert(AsciiLower.fold(u) eq u)
   }
 
+  test("malformed UTF-8 matches StringTranslate exactly (U+FFFD " +
+    "substitution), so extensions-on == vanilla on garbage bytes") {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, StringTranslate}
+    val cases = Seq(
+      Array[Byte]('A', 0xFF.toByte, 'Z'),
+      Array[Byte](0xC3.toByte), // truncated 2-byte sequence
+      Array[Byte]('Q', 0xED.toByte, 0xA0.toByte, 0x80.toByte), // surrogate
+      Array[Byte](0x80.toByte, 'B')) // stray continuation
+    cases.foreach { bs =>
+      val s = UTF8String.fromBytes(bs)
+      val want = StringTranslate(
+        Literal(s, org.apache.spark.sql.types.StringType),
+        Literal(UTF8String.fromString(
+          graft.functions.TextAnalysis.UpperAscii)),
+        Literal(UTF8String.fromString(
+          graft.functions.TextAnalysis.LowerAsciiChars)))
+        .eval(null).asInstanceOf[UTF8String]
+      assert(AsciiLower.fold(s).toString === want.toString,
+        s"bytes ${bs.map(b => f"$b%02x").mkString(" ")}")
+    }
+  }
+
   test("optimizer rule folds the canonical translate; law results " +
     "unchanged end-to-end") {
     // non-foldable source: a literal frame constant-folds away before

@@ -73,7 +73,10 @@ def main(src, dst):
                ELSE text END END AS text,
         lang, source, n_chars
       FROM (
-        -- dimension 6: scale skew, composed UNDER dimensions 5 and 1
+        -- dimension 6: scale skew — applied OVER the dimension-5
+        -- prefixes (this subquery wraps dim 5) and UNDER dimension 1;
+        -- docs 17/23/30 hit no %37 branch, so the order is currently
+        -- immaterial, but keep the nesting honest for future dims
         SELECT doc_id,
           CASE WHEN doc_id = 17
                THEN text || ' ' ||
