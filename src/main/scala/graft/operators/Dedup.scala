@@ -818,21 +818,91 @@ object Dedup {
         Seq("d_id"))
       .filter(col("inter") * 3 >= col("n_q") + col("n_d"))
       .select(col("q_id"), col("d_id"))
-    val lsh = lshPairIndex(spark, dir)
-      .select(col("doc_id_a").as("pa"), col("doc_id_b").as("pb"))
-    val hits = truth.join(lsh,
+    recallCounts(spark, dir, truth,
+      lshPairIndex(spark, dir)
+        .select(col("doc_id_a").as("pa"), col("doc_id_b").as("pb")))
+  }
+
+  /** Shared tail of the dedup recall-telemetry ops: per sampled doc,
+    * |truth partners| and |truth ∩ probe pairs| — `truth` as
+    * (q_id, d_id) rows, `pairs` as (pa < pb) rows. */
+  private def recallCounts(spark: SparkSession, dir: String,
+      truth: DataFrame, pairs: DataFrame): DataFrame = {
+    val hits = truth.join(pairs,
         least(col("q_id"), col("d_id")) === col("pa") &&
           greatest(col("q_id"), col("d_id")) === col("pb"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
     val truthCnt = truth.groupBy(col("q_id")).agg(count(lit(1)).as("t"))
     Tables.documents(spark, dir).select(col("doc_id"))
-      .filter(col("doc_id") % mod === 0)
+      .filter(col("doc_id") % LshRecallMod === 0)
       .join(truthCnt.withColumnRenamed("q_id", "doc_id"),
         Seq("doc_id"), "left")
       .join(hits.withColumnRenamed("q_id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("t"), lit(0L)).as("truth"),
         coalesce(col("h"), lit(0L)).as("hits"))
+  }
+
+  /** RECALL TELEMETRY of the hybrid SimHash tier — [[lshRecall]]'s
+    * alarm for the OTHER banding geometry, completing the telemetry
+    * triple (IMI `q_imi_recall`, MinHash `q_lsh_recall`, SimHash
+    * here): sampled ground truth restricted to the simhash CONTRACT's
+    * scope (≥ [[SimhashMinShingles]] distinct shingles, ≤
+    * [[SimhashWordCap]] words — exactly `q_simhash`'s oracle gate) vs
+    * the hybrid tier's verified pairs. Same measured-recall-1.0
+    * contract, same failure semantics: pairs drifting out of the
+    * hybrid tiers' coverage fail this row's hash loudly. */
+  // lazy: the oracle string interpolates SimhashMinShingles /
+  // SimhashWordCap, which are declared LATER in this object — an eager
+  // val would capture their pre-init 0s into the SQL (observed: the
+  // scope gate became `n_words <= 0` and the oracle went empty)
+  lazy val simhashRecall: Op = Op(
+    "q_simhash_recall",
+    s"""WITH $shingleCtes, pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |         len(list_intersect(a.sh, b.sh)) AS i,
+       |         len(a.sh) AS na, len(b.sh) AS nb
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |    AND (a.doc_id % $LshRecallMod = 0 OR b.doc_id % $LshRecallMod = 0)
+       |    AND len(a.sh) >= $SimhashMinShingles
+       |    AND len(b.sh) >= $SimhashMinShingles
+       |    AND a.n_words <= $SimhashWordCap AND b.n_words <= $SimhashWordCap
+       |), tp AS (
+       |  SELECT da, db FROM pairs WHERE 3 * i >= na + nb
+       |), part AS (
+       |  SELECT da AS q, db AS p FROM tp WHERE da % $LshRecallMod = 0
+       |  UNION ALL
+       |  SELECT db AS q, da AS p FROM tp WHERE db % $LshRecallMod = 0
+       |), cnt AS (
+       |  SELECT q, CAST(COUNT(*) AS BIGINT) AS truth FROM part GROUP BY q
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(cnt.truth, 0) AS BIGINT) AS truth,
+       |  CAST(COALESCE(cnt.truth, 0) AS BIGINT) AS hits
+       |FROM documents d LEFT JOIN cnt ON cnt.q = d.doc_id
+       |WHERE d.doc_id % $LshRecallMod = 0""".stripMargin) { (spark, dir) =>
+    val mod = LshRecallMod
+    val scope = simhashScopeSizes(spark, dir)
+    val rows = shingleRows(spark, dir).select(col("doc_id"), col("s"))
+      .join(scope.select(col("doc_id")), Seq("doc_id"))
+    val q = rows.filter(col("doc_id") % mod === 0)
+      .select(col("doc_id").as("q_id"), col("s"))
+    val cand = q.join(rows.select(col("doc_id").as("d_id"), col("s")),
+        Seq("s"))
+      .filter(col("q_id") =!= col("d_id"))
+      .groupBy(col("q_id"), col("d_id")).agg(count(lit(1)).as("inter"))
+    val truth = cand
+      .join(scope.select(col("doc_id").as("q_id"), col("n_sh").as("n_q")),
+        Seq("q_id"))
+      .join(scope.select(col("doc_id").as("d_id"), col("n_sh").as("n_d")),
+        Seq("d_id"))
+      .filter(col("inter") * 3 >= col("n_q") + col("n_d"))
+      .select(col("q_id"), col("d_id"))
+    recallCounts(spark, dir, truth,
+      verifyExact(simhashHybridCandidates(spark, dir),
+          shingleRows(spark, dir).select(col("doc_id"), col("s")),
+          Seq.empty)
+        .select(col("doc_id_a").as("pa"), col("doc_id_b").as("pb")))
   }
 
   /** Guardrail variant: band buckets capped at `cap` members, bounding

@@ -201,6 +201,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.exists(_._2 > 0), "sample hit no planted near-dups")
   }
 
+  test("simhashRecall: scoped truth matches the independent all-pairs " +
+    "set, hits == truth at the hybrid tiers' measured recall") {
+    // sf0.001 docs are all far under SimhashWordCap, so the contract's
+    // scope reduces to the shingle floor
+    val truth = exactPairTruth(minSh = Dedup.SimhashMinShingles)
+    val got = Dedup.simhashRecall.build(spark, sf001)
+      .select($"doc_id", $"truth", $"hits")
+      .as[(Long, Long, Long)].collect()
+    val mod = Dedup.LshRecallMod
+    assert(got.map(_._1).toSet ===
+      graft.Tables.documents(spark, sf001).select($"doc_id").as[Long]
+        .collect().filter(_ % mod == 0).toSet)
+    got.foreach { case (id, t, h) =>
+      assert(t === truth.count(p => p._1 == id || p._2 == id).toLong,
+        s"doc $id scoped truth drifted")
+      assert(h === t, s"doc $id: hybrid simhash tier missed a true pair")
+    }
+    assert(got.exists(_._2 > 0), "sample hit no in-scope near-dups")
+  }
+
   test("session-cached minhash index equals fresh signature construction") {
     // minhashIndex localCheckpoints bandedSignatures + sizes once per
     // (session, dir); every LSH consumer reads through it. Pin the
