@@ -10,12 +10,12 @@ object Verify {
     * targeted harness (tools.VerifyOnly) can never drift from what the
     * driver actually runs. */
   def buildSession(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
+    val spark = EngineConf.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

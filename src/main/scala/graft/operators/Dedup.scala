@@ -820,21 +820,25 @@ object Dedup {
       .select(col("q_id"), col("d_id"))
     recallCounts(spark, dir, truth,
       lshPairIndex(spark, dir)
-        .select(col("doc_id_a").as("pa"), col("doc_id_b").as("pb")))
+        .select(col("doc_id_a").as("pa"), col("doc_id_b").as("pb")),
+      mod)
   }
 
   /** Shared tail of the dedup recall-telemetry ops: per sampled doc,
     * |truth partners| and |truth ∩ probe pairs| — `truth` as
-    * (q_id, d_id) rows, `pairs` as (pa < pb) rows. */
+    * (q_id, d_id) rows, `pairs` as (pa < pb) rows. `mod` is the
+    * caller's sampling cadence (ADVICE r11: passed explicitly so a
+    * telemetry op with a different cadence can't silently emit the
+    * wrong row universe). */
   private def recallCounts(spark: SparkSession, dir: String,
-      truth: DataFrame, pairs: DataFrame): DataFrame = {
+      truth: DataFrame, pairs: DataFrame, mod: Int): DataFrame = {
     val hits = truth.join(pairs,
         least(col("q_id"), col("d_id")) === col("pa") &&
           greatest(col("q_id"), col("d_id")) === col("pb"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
     val truthCnt = truth.groupBy(col("q_id")).agg(count(lit(1)).as("t"))
     Tables.documents(spark, dir).select(col("doc_id"))
-      .filter(col("doc_id") % LshRecallMod === 0)
+      .filter(col("doc_id") % mod === 0)
       .join(truthCnt.withColumnRenamed("q_id", "doc_id"),
         Seq("doc_id"), "left")
       .join(hits.withColumnRenamed("q_id", "doc_id"), Seq("doc_id"), "left")
@@ -852,11 +856,14 @@ object Dedup {
     * the hybrid tier's verified pairs. Same measured-recall-1.0
     * contract, same failure semantics: pairs drifting out of the
     * hybrid tiers' coverage fail this row's hash loudly. */
-  // lazy: the oracle string interpolates SimhashMinShingles /
-  // SimhashWordCap, which are declared LATER in this object — an eager
-  // val would capture their pre-init 0s into the SQL (observed: the
-  // scope gate became `n_words <= 0` and the oracle went empty)
-  lazy val simhashRecall: Op = Op(
+  // The oracle interpolates SimhashMinShingles / SimhashWordCap,
+  // declared LATER in this object. Round 11 had to mark this val lazy
+  // by hand (eager init captured their pre-init 0s: the scope gate
+  // became `n_words <= 0` and the oracle went empty); Op's oracle is
+  // now BY-NAME (rendered on access, post-init), so the eager val is
+  // safe again — and deliberately kept eager as the live proof of the
+  // structural fix (RegistryInitSpec pins the class).
+  val simhashRecall: Op = Op(
     "q_simhash_recall",
     s"""WITH $shingleCtes, pairs AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db,
@@ -902,7 +909,8 @@ object Dedup {
       verifyExact(simhashHybridCandidates(spark, dir),
           shingleRows(spark, dir).select(col("doc_id"), col("s")),
           Seq.empty)
-        .select(col("doc_id_a").as("pa"), col("doc_id_b").as("pb")))
+        .select(col("doc_id_a").as("pa"), col("doc_id_b").as("pb")),
+      mod)
   }
 
   /** Guardrail variant: band buckets capped at `cap` members, bounding

@@ -418,6 +418,24 @@ object Imi {
     * both sides. */
   val CompactRetrainFrac = 0.25
 
+  /** Measured-recall floor of the compaction control loop (r11 verdict
+    * #4): below the fraction threshold, [[compactUnion]] no longer
+    * merges blind — it builds the candidate merge, measures the
+    * standing recall gap recall(trained) − recall(merged) on the SAME
+    * sampled telemetry the `q_imi_recall`/`q_imi_recall_compact` pair
+    * publishes, and retrains anyway when the frozen codebook has
+    * drifted past this floor (expressed as a fraction of [[RecallK]] —
+    * 0.10 = half a neighbor of the top-5). Calibration: the measured
+    * frozen-codebook curve (tools/ImiRecallCurve, PERF.md) loses ≤2
+    * recall points (≤0.02) at 10–50% delta on the clustered gate
+    * corpora — comfortably under the floor, so the registered merge
+    * leg stays a merge — while the 1M random-vector soak measured ~13
+    * points (0.13) at 25% delta, which this floor correctly flips to
+    * retrain. The delta FRACTION stays as the fallback trigger: a
+    * backlog past [[CompactRetrainFrac]] retrains without paying the
+    * measurement. */
+  val CompactRecallGapFloor = 0.10
+
   private val compactCache = SessionCache.mkFrames()
 
   private[graft] def clearCompactCache(): Unit = compactCache.clear()
@@ -435,12 +453,36 @@ object Imi {
     * rebuild every index maintenance schedule carries. */
   private[graft] def compactUnion(spark: SparkSession, dir: String,
       retrainFrac: Double, deltaMod: Int = DeltaMod,
-      expectRetrain: Option[Boolean] = None): DataFrame = {
+      expectRetrain: Option[Boolean] = None,
+      gapFloor: Double = CompactRecallGapFloor): DataFrame = {
     val all = Similarity.quantizedLabeled(spark, dir)
     val delta = all.filter(col("vec_id") % deltaMod === 0)
     val nAll = all.count() // 2 scalar counts — bounded metadata
     val nDelta = delta.count()
-    val retrain = nAll > 0 && nDelta.toDouble / nAll > retrainFrac
+    val fracRetrain = nAll > 0 && nDelta.toDouble / nAll > retrainFrac
+    // below the fraction threshold the decision consults the MEASURED
+    // standing recall gap (r11 verdict #4): build the candidate merge,
+    // measure recall(trained) − recall(merged) over the sampled
+    // telemetry queries, and retrain anyway when the frozen codebook
+    // has drifted past the documented floor — the control loop the
+    // q_imi_recall / q_imi_recall_compact pair was built to close.
+    // The fraction stays as the fallback trigger: a backlog past it
+    // retrains without paying the measurement.
+    val mergedOpt =
+      if (fracRetrain) None
+      else Some {
+        val (cb, standingCells) = standingIndex(spark, dir)
+        standingCells.unionByName(
+          cellsWithCodebook(spark, delta, cb, NProbeHalf))
+      }
+    // decision-time sampling mod SCALES with the corpus so the
+    // measurement's brute-force ground truth stays Q·N ≈ GapQueries·N
+    // (linear) — the fixed telemetry mod would make it N²/mod at soak
+    // scale, the exact blow-up this family exists to avoid
+    val gapMod = math.max(RecallQueryMod.toLong,
+      nAll / GapQueries).toInt
+    val gap = mergedOpt.map(m => measuredRecallGap(spark, dir, m, gapMod))
+    val retrain = fracRetrain || gap.exists(_ > gapFloor)
     // a registered op's oracle replays exactly ONE branch of this law;
     // if a corpus ever flips the threshold the gate would go red with
     // no code change — fail loudly at build time instead (ADVICE r9)
@@ -448,19 +490,45 @@ object Imi {
       if (e != retrain) throw new IllegalStateException(
         s"imi compaction law flipped: delta fraction " +
           f"${nDelta.toDouble / math.max(nAll, 1)}%.3f vs threshold " +
-          s"$retrainFrac chose ${if (retrain) "retrain" else "merge"}, " +
+          s"$retrainFrac" +
+          gap.fold("")(g =>
+            f", measured recall gap $g%.4f vs floor $gapFloor") +
+          s" chose ${if (retrain) "retrain" else "merge"}, " +
           s"but the registered op's oracle replays the " +
           s"${if (e) "retrain" else "merge"} path — re-register the op " +
           "for this corpus shape")
     }
     if (retrain)
       cellsOf(spark, all, K1, LloydSteps, NProbeHalf)
-    else {
-      val (cb, standingCells) = standingIndex(spark, dir)
-      standingCells.unionByName(
-        cellsWithCodebook(spark, delta, cb, NProbeHalf))
-    }
+    else mergedOpt.get
   }
+
+  /** The compaction control signal: mean probed-hit gap
+    * recall(trained) − recall(merged) over the sampled telemetry
+    * queries, as a fraction of [[RecallK]] — exactly the number the
+    * standing `q_imi_recall` / `q_imi_recall_compact` pair publishes
+    * per maintenance window, recomputed here at decision time. Two
+    * bounded one-row aggregates; the sampled brute-force ground truth
+    * is the documented price (Q fixed by the sampling mod, which grows
+    * with the corpus at scale). */
+  private[graft] def measuredRecallGap(spark: SparkSession, dir: String,
+      merged: DataFrame, queryMod: Int = RecallQueryMod): Double = {
+    def meanHits(cells: DataFrame): Double =
+      recallFromCells(spark, dir, cells, queryMod)
+        .agg(coalesce(avg(col("hits")), lit(0.0))).head().getDouble(0)
+    val trained = meanHits(trainedCanopy(spark, dir))
+    val compacted = meanHits(
+      merged.select(col("cell"), col("vec_id"), col("v"), col("n2")))
+    (trained - compacted) / RecallK
+  }
+
+  /** Bounded decision-sample size for [[compactUnion]]'s gap
+    * measurement: the sampling mod grows with the corpus so roughly
+    * this many queries pay the brute-force ground truth regardless of
+    * N (1k queries × N candidates = linear; the telemetry ops keep
+    * their fixed registered mod — their Q is bounded by the GATE
+    * corpora, and at 100 TB a deployment re-registers the mod). */
+  val GapQueries = 1000L
 
   /** Standing-index COMPACTION as a registered op — completes the
     * maintenance triple ([[imiDelta]] probes without retraining,
@@ -808,8 +876,7 @@ object Imi {
     * filter inside the grouped row) ∩ brute-force top-k → hit counts.
     * Shared by both recall ops. */
   private def recallFromCells(spark: SparkSession, dir: String,
-      cellsV: DataFrame): DataFrame = {
-    val mod = RecallQueryMod
+      cellsV: DataFrame, mod: Int = RecallQueryMod): DataFrame = {
     val probed = Similarity.knnTopKFromCells(spark, cellsV, RecallK,
         srcPred = v => v % mod === 0)
       .select(col("vec_id"), col("nn_id"))

@@ -31,9 +31,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    its already-staged dirs are orphans the winner's readers can never
   *    resolve (disjoint staging tokens), collected by [[vacuum]].
   *
-  * Atomic-rename is a real property of HDFS and POSIX filesystems; on
-  * S3-class object stores the rename becomes a conditional PUT
-  * (if-none-match) — the protocol is unchanged, only the primitive.
+  * The publish primitive is abstracted behind [[AtomicPublish]]:
+  * rename-if-absent on HDFS/POSIX filesystems (default), a
+  * conditional PUT (`If-None-Match: *`) on S3-class object stores —
+  * the protocol is unchanged, only the primitive. TxCommitSpec drives
+  * the race paths through the conditional-PUT double.
   *
   * At 100 TB the manifest holds PATHS, not data: commit cost is O(1)
   * regardless of output size, and readers pay one tiny metadata read.
@@ -82,30 +84,22 @@ object TxCommit {
     * for each) as one atomic commit. Returns false if another
     * transaction won this version — the caller re-stages via a fresh
     * [[begin]] (nothing half-visible either way).
-    */
-  def commit(
-      spark: SparkSession, txn: Txn, outputs: Map[String, String]): Boolean = {
+    *
+    * The commit point is `publish.publishIfAbsent` on ONE manifest
+    * file — [[AtomicPublish.RenameIfAbsent]] on filesystems by
+    * default; an object-store deployment passes its conditional-PUT
+    * realization instead (see [[AtomicPublish]]'s store mapping). */
+  def commit(spark: SparkSession, txn: Txn, outputs: Map[String, String],
+      publish: AtomicPublish = AtomicPublish.RenameIfAbsent): Boolean = {
     require(outputs.nonEmpty, "a transaction must commit at least one output")
     val f = fs(spark, txn.root)
     f.mkdirs(commitsDir(txn.root))
     val json = outputs.toSeq.sortBy(_._1).map { case (k, v) =>
       s""""${escape(k)}":"${escape(v)}""""
     }.mkString(s"""{"version":${txn.version},"outputs":{""", ",", "}}")
-    // temp name carries a nonce: two racers must not collide pre-rename
-    val tmp = new Path(commitsDir(txn.root),
-      f".tmp-v${txn.version}%08d-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
     val dest = new Path(commitsDir(txn.root), f"v${txn.version}%08d.json")
-    // the commit point: rename-if-absent. HDFS rename natively refuses
-    // an existing destination (atomic no-overwrite); POSIX rename(2)
-    // would overwrite, so on a local FS the exists-guard narrows the
-    // race to the metadata instant — production object-store targets
-    // use a conditional PUT, same protocol, stronger primitive
-    val won = !f.exists(dest) && f.rename(tmp, dest)
-    if (!won) f.delete(tmp, false)
-    won
+    publish.publishIfAbsent(f, dest,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** The latest committed manifest's output map (empty before any
@@ -288,7 +282,8 @@ object TxCommit {
     * to cover or another compactor won the publish (its data dir is
     * removed either way — losers leave no trace readers can see). */
   def compactStream(spark: SparkSession, root: String, output: String,
-      schema: org.apache.spark.sql.types.StructType): Boolean = {
+      schema: org.apache.spark.sql.types.StructType,
+      publish: AtomicPublish = AtomicPublish.RenameIfAbsent): Boolean = {
     val vs = versions(spark, root)
     if (vs.isEmpty) return false
     val covered = vs.max
@@ -313,17 +308,12 @@ object TxCommit {
     f.mkdirs(compactionsDir(root))
     val json =
       s"""{"version":$covered,"outputs":{"${escape(output)}":"${escape(dest)}"}}"""
-    val tmp = new Path(compactionsDir(root), s".tmp-c-$token")
-    val out = f.create(tmp, false)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
     val destMf = new Path(compactionsDir(root),
       f"c$covered%08d-${sanitize(output)}.json")
-    val won = !f.exists(destMf) && f.rename(tmp, destMf)
-    if (!won) {
-      f.delete(tmp, false)
-      f.delete(new Path(dest), true)
-    }
+    val won = publish.publishIfAbsent(f, destMf,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // a losing compactor's data dir must not linger as a visible orphan
+    if (!won) f.delete(new Path(dest), true)
     won
   }
 

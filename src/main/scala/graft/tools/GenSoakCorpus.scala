@@ -32,8 +32,18 @@ object GenSoakCorpus {
     // linearly with docs (each cohort brings its own entities) instead
     // of riding the template vocabulary's saturation transient, so the
     // measured candidate exponent reflects blocking, not band fill-in.
-    val posArgs = args.drop(1).filterNot(_ == "entities")
+    // `skewlang` (r11 verdict #7): production corpora are Zipf over
+    // languages, not the uniform-ish 5-language mix — one language at
+    // 90%, a mid tail (zh/es/fr/de, ~5%), and a LONG SINGLETON tail
+    // (~5% of docs each minting a fresh language used once, modulo
+    // twin copies). This stresses the per-language machinery the
+    // uniform soak cannot: the per-lang tercile window gets one giant
+    // partition plus ~N/20 one-row partitions, and the ppl/lang-id
+    // model stores get hundreds of thousands of tiny languages.
+    val posArgs = args.drop(1)
+      .filterNot(a => a == "entities" || a == "skewlang")
     val withEntities = args.contains("entities")
+    val skewLang = args.contains("skewlang")
     val nDocsArg = posArgs.lift(0).map(_.toInt).getOrElse(50000)
     val nPartsArg = posArgs.lift(1).map(_.toInt).getOrElse(200000)
     val nVecsArg = posArgs.lift(2).map(_.toInt).getOrElse(20000)
@@ -53,10 +63,17 @@ object GenSoakCorpus {
       "page")
     val langs = Seq("en", "zh", "es", "fr", "de")
     val langCum = Seq(0.41, 0.56, 0.71, 0.86, 1.0)
-    def pickLang(): String = {
-      val x = rnd.nextDouble()
-      langs(langCum.indexWhere(x <= _))
-    }
+    var tailLangId = 0L
+    def pickLang(): String =
+      if (skewLang) {
+        val x = rnd.nextDouble()
+        if (x < 0.90) "en"
+        else if (x < 0.95) langs(1 + rnd.nextInt(4))
+        else { tailLangId += 1; s"tl$tailLangId" } // singleton language
+      } else {
+        val x = rnd.nextDouble()
+        langs(langCum.indexWhere(x <= _))
+      }
 
     val nDocs = nDocsArg
     val twinFrac = 0.051 // fraction of docs that are a planted twin

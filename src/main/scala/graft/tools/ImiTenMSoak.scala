@@ -46,19 +46,17 @@ object ImiTenMSoak {
   def main(args: Array[String]): Unit = {
     val nVecs = args.lift(0).map(_.toInt).getOrElse(10000000)
     val occ = args.lift(1).map(_.toInt).getOrElse(10)
-    val spark = SparkSession.builder()
+    // the per-(vec, half) top-nprobe heaps are tiny but NUMEROUS
+    // (~300k groups per partition at 10M): the object-hash aggregate's
+    // default sort-based fallback threshold (128 keys) would sort the
+    // whole N·k1 scored stream — the terabyte spill this soak exists
+    // to catch. Since round 12 the raised threshold is the ENGINE's
+    // standing session knob (graft.EngineConf), not a soak-only conf.
+    val spark = graft.EngineConf.tuned(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "64")
-      // the per-(vec, half) top-nprobe heaps are tiny but NUMEROUS
-      // (~300k groups per partition at 10M): the object-hash
-      // aggregate's default sort-based fallback threshold (128 keys)
-      // would sort the whole N·k1 scored stream — the terabyte spill
-      // this soak exists to catch. A cluster deployment sets this (or
-      // buckets the index) the same way.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "2000000")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.Imi

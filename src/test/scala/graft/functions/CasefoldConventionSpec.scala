@@ -13,7 +13,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * is the single point that keeps them honest.
   */
 class CasefoldConventionSpec extends AnyFunSuite {
-  private val root = java.nio.file.Paths.get("src/main/scala/graft")
+  // anchor on the source tree wherever the forked test JVM's working
+  // directory lands (ADVICE r11): walk up from user.dir to the first
+  // ancestor holding src/main/scala/graft, and fail LOUDLY when none
+  // does — a silent empty scan would pass while guarding nothing
+  private val root: java.nio.file.Path = {
+    val rel = java.nio.file.Paths.get("src", "main", "scala", "graft")
+    Iterator.iterate(java.nio.file.Paths.get(
+        sys.props("user.dir")).toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null)
+      .map(_.resolve(rel))
+      .find(java.nio.file.Files.isDirectory(_))
+      .getOrElse(throw new IllegalStateException(
+        s"src/main/scala/graft not found above ${sys.props("user.dir")} — " +
+          "the casefold convention guard cannot run"))
+  }
 
   private def sources: Seq[(String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]

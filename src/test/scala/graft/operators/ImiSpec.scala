@@ -251,6 +251,49 @@ class ImiSpec extends SparkSpec {
     assert(ex.getMessage.contains("compaction law flipped"))
   }
 
+  test("recall-gap control loop (r11 #4): below the fraction " +
+    "threshold, a measured gap past the floor FORCES the retrain " +
+    "branch — the telemetry pair is the decision signal, not prose") {
+    // fraction can never trigger (threshold 0.99 ≫ the 1/7 delta);
+    // floor −1 means ANY measured gap exceeds it → retrain
+    val got = Imi.compactUnion(spark, sf001, 0.99, gapFloor = -1.0)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().sorted
+    val want = Imi.cellsOf(spark,
+      Similarity.quantizedLabeled(spark, sf001),
+      Imi.K1, Imi.LloydSteps, Imi.NProbeHalf)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().sorted
+    assert(got.nonEmpty)
+    assert(got === want.toSeq,
+      "a gap past the floor must retrain on the union")
+  }
+
+  test("recall-gap control loop: a gap inside the floor keeps the " +
+    "merge branch, and the corpus's measured gap sits under the " +
+    "registered floor (the merge leg's standing premise)") {
+    // floor 1.1 can never be exceeded (gap ≤ 1 by construction)
+    val got = Imi.compactUnion(spark, sf001, 0.99, gapFloor = 1.1)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().sorted
+    val all = Similarity.quantizedLabeled(spark, sf001)
+    val (cb, _) = Imi.standingIndex(spark, sf001)
+    val want = Imi.cellsWithCodebook(spark, all, cb, Imi.NProbeHalf)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().sorted
+    assert(got.nonEmpty)
+    assert(got === want.toSeq,
+      "a gap inside the floor must keep the map-only merge")
+    // the registered op's premise, measured (not assumed): the gate
+    // corpus's frozen-codebook gap is under CompactRecallGapFloor —
+    // if a corpus shape ever breaks this, q_imi_compact fails LOUDLY
+    // at build (expectRetrain) instead of hash-diverging
+    val (cb2, standingCells) = Imi.standingIndex(spark, sf001)
+    val merged = standingCells.unionByName(Imi.cellsWithCodebook(spark,
+      all.filter($"vec_id" % Imi.DeltaMod === 0), cb2, Imi.NProbeHalf))
+    val gap = Imi.measuredRecallGap(spark, sf001, merged)
+    info(f"measured frozen-codebook recall gap at sf0.001: $gap%.4f " +
+      f"(floor ${Imi.CompactRecallGapFloor})")
+    assert(gap <= Imi.CompactRecallGapFloor,
+      "merge-leg premise: measured gap must sit under the floor")
+  }
+
   test("sparse/offset vec_ids (ids > CellBase): densified cent_ids " +
     "keep packed cells alias-free and membership identical to the " +
     "dense-id twin") {

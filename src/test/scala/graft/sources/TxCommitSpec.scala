@@ -175,6 +175,97 @@ class TxCommitSpec extends SparkSpec {
       .toSet === Set(1L -> "a1"))
   }
 
+  test("object-store publish (conditional-PUT double): two committers " +
+    "racing one version through the primitive itself — exactly one " +
+    "wins with NO exists-check window") {
+    val root = freshRoot("condput")
+    val put = new AtomicPublish.ConditionalPut
+    val ta = TxCommit.begin(spark, root)
+    val tb = TxCommit.begin(spark, root)
+    assert(ta.version === tb.version)
+    dfOf(1L -> "A").write.mode("overwrite").parquet(ta.stage("alpha"))
+    dfOf(1L -> "B").write.mode("overwrite").parquet(tb.stage("alpha"))
+    val wins = Seq(
+      TxCommit.commit(spark, ta, Map("alpha" -> ta.stage("alpha")), put),
+      TxCommit.commit(spark, tb, Map("alpha" -> tb.stage("alpha")), put))
+    assert(wins.count(identity) === 1, "conditional PUT admits ONE writer")
+    // the winner's manifest is readable through the normal path and
+    // resolves only the winner's staging dir
+    val live = TxCommit.latest(spark, root)("alpha")
+    val winner = if (wins.head) ta else tb
+    assert(live === winner.stage("alpha"))
+    assert(TxCommit.read(spark, root, "alpha").as[(Long, String)].collect()
+      .toSet === Set(1L -> (if (wins.head) "A" else "B")))
+  }
+
+  test("conditional-PUT double under true concurrency: N threads, one " +
+    "winner, winner's payload is what readers see") {
+    val root = freshRoot("condput-threads")
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$root/_commits"))
+    val put = new AtomicPublish.ConditionalPut
+    val dest = new Path(s"$root/_commits/v00000001.json")
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        start.await()
+        results.add(put.publishIfAbsent(fs, dest,
+          s"""{"version":1,"outputs":{"o":"/p$i"}}""".getBytes("UTF-8")))
+      })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.count(identity) === 1,
+      "exactly one concurrent publisher may win")
+    // the winning payload parses as one complete manifest
+    assert(TxCommit.versions(spark, root) === Seq(1L))
+    assert(TxCommit.latest(spark, root).keySet === Set("o"))
+  }
+
+  test("conditional-PUT double treats a pre-existing object as a " +
+    "standing claim (precondition fails regardless of author)") {
+    val root = freshRoot("condput-existing")
+    // committed through the default filesystem primitive first
+    commitPair(root, Seq(1L -> "a1"), Seq(1L -> "b1"))
+    val put = new AtomicPublish.ConditionalPut
+    val t2 = TxCommit.begin(spark, root)
+    val loser = TxCommit.Txn(root, 1L, t2.token) // tries to re-claim v1
+    dfOf(9L -> "X").write.mode("overwrite").parquet(loser.stage("alpha"))
+    assert(!TxCommit.commit(spark, loser,
+      Map("alpha" -> loser.stage("alpha")), put))
+    assert(TxCommit.read(spark, root, "alpha").as[(Long, String)].collect()
+      .toSet === Set(1L -> "a1"))
+  }
+
+  test("a losing stream compactor leaves no visible compacted data " +
+    "dir (publish refused by the store precondition)") {
+    val root = freshRoot("condput-compact")
+    val t = TxCommit.begin(spark, root)
+    dfOf(1L -> "r1").write.mode("overwrite").parquet(t.stage("rollup"))
+    assert(TxCommit.commit(spark, t, Map("rollup" -> t.stage("rollup"))))
+    val schema = dfOf(1L -> "r1").schema
+    // a faster compactor won between our listing and our publish: the
+    // conditional PUT's precondition fails for us
+    val alwaysLose = new AtomicPublish {
+      def publishIfAbsent(f: org.apache.hadoop.fs.FileSystem, d: Path,
+          p: Array[Byte]): Boolean = false
+    }
+    assert(!TxCommit.compactStream(spark, root, "rollup", schema, alwaysLose))
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val compactData = new Path(s"$root/_compactdata")
+    assert(!fs.exists(compactData) ||
+      fs.listStatus(compactData).isEmpty,
+      "losing compactor's data dir must be removed")
+    // and the append-mode read still resolves the per-version dirs
+    assert(TxCommit.readAll(spark, root, "rollup", schema)
+      .as[(Long, String)].collect().toSet === Set(1L -> "r1"))
+  }
+
   test("manifest escaping round-trips hostile names and paths") {
     val hostile = Map(
       "out\"quoted" -> "/p/a\\th\"x",

@@ -1,10 +1,10 @@
 #!/bin/bash
 # The standing round-close gate — ONE chain, fail-fast, serialized on
 # the sbt project lock. Runs the full correctness surface on the driver
-# corpus AND the regenerated four-dimension adversarial twin (the
-# round-10 sweep that caught the \s dialect gap and both CSV/TSV
-# escaping bugs is now a gate step, not a hand-run), then the bench and
-# the ScalaTest suite.
+# corpus AND the regenerated six-dimension adversarial twin (the
+# sweep that caught the \s dialect gap, both CSV/TSV escaping bugs,
+# and the round-11 unicode-casing divergence is now a gate step, not a
+# hand-run), then the bench and the ScalaTest suite.
 #
 #   bash tools/gate.sh          # full gate (~15 min)
 #   bash tools/gate.sh fast     # skip bench + sbt test (correctness only)
@@ -18,6 +18,14 @@ MODE="${1:-full}"
 echo "== gate: Verify @ sf0.01 =="
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
 python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+
+echo "== gate: oracle-strength audit (no vacuous greens) =="
+# proves every green row above is a MEANINGFUL agreement: per op the
+# output is non-empty and the gate's own comparator catches a dropped
+# row AND a single mutated cell (r11 verdict #8 — the q_simhash_recall
+# eager-val bug produced an empty-vs-empty green this step now forbids)
+python3 tools/oracle_strength.py /root/testdata/sf0.01 /tmp/verify_out \
+  --report /tmp/oracle_strength.txt
 
 echo "== gate: adversarial twin (regenerate + full registry) =="
 python3 tools/gen_adversarial.py /root/testdata/sf0.001 /tmp/graft_adversarial
@@ -36,6 +44,12 @@ if [ "$MODE" != "fast" ]; then
   echo "$BENCH_LINE"
   echo "$BENCH_LINE" | grep -q '"failed":\[\]' \
     || { echo "== gate: BENCH HAD FAILED QUERIES =="; exit 1; }
+  # suspects are SELF-adjudicating since round 12 (each flagged query
+  # re-runs solo inside Bench; solo-cleared ones leave the list) — a
+  # name still here exceeded the threshold even solo: treat as a real
+  # regression and fail the gate
+  echo "$BENCH_LINE" | grep -q '"suspect":\[\]' \
+    || { echo "== gate: BENCH HAD UNADJUDICATED SUSPECTS =="; exit 1; }
   echo "== gate: sbt test =="
   sbt -batch test
 fi

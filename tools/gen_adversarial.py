@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
 """Build the ADVERSARIAL corpus twin (dev tooling, not part of the
-library): copy a scale-factor dir and mutate it along the four
+library): copy a scale-factor dir and mutate it along the six
 dimensions that hunt cross-engine (Spark/DuckDB) divergence the driver
-fixtures never exercise. Round-10 record: dimension 1 surfaced the
+fixtures never exercise. Record so far: dimension 1 surfaced the
 `\\s+` split-law dialect gap (Java vs RE2 on U+000B) across 7 ops;
 dimension 2 surfaced the TSV newline-sanitize and CSV escape/multiLine
-bugs; dimensions 3 (relational ties/boundaries) and 4 (zero-token docs)
-were green on the first pass. Re-run every round:
+bugs; dimensions 3 (relational ties/boundaries) and 4 (zero-token docs,
+vector cosine ties) were green on the first pass; dimension 5
+(unicode-hostile casing, round 11) surfaced the Java-full-casing vs
+utf8proc divergence across 22 text ops and forced the dialect-free
+ASCII casefold law; dimension 6 (scale skew: giant doc, singleton
+languages, round 11) was green on the first pass. Re-run every round:
 
     python3 tools/gen_adversarial.py [srcDir] [dstDir]
     sbt -batch "runMain graft.Verify <dstDir> /tmp/adv_out"
