@@ -548,9 +548,12 @@ object Imi {
   private[graft] def compactCells(
       spark: SparkSession, dir: String): DataFrame =
     compactCache.getOrBuild(spark, dir, "embeddings.parquet") {
+      // v3: the build consults the measured recall gap (r12) — same
+      // merge artifact, but the store generation records the new law
       val store = PersistedStore.ensure(spark, dir, "embeddings.parquet",
-        "imi_compact", s"v2:k$K1:s$LloydSteps:p$NProbeHalf:d$DeltaMod" +
-          s":f${(CompactRetrainFrac * 100).toInt}") { root =>
+        "imi_compact", s"v3:k$K1:s$LloydSteps:p$NProbeHalf:d$DeltaMod" +
+          s":f${(CompactRetrainFrac * 100).toInt}" +
+          s":g${(CompactRecallGapFloor * 100).toInt}") { root =>
         compactUnion(spark, dir, CompactRetrainFrac,
           expectRetrain = Some(false))
           .write.mode("overwrite").parquet(s"$root/cells")

@@ -454,6 +454,61 @@ object TextOps {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
   }
 
+  /** DATA CARD — the dataset-datasheet stage every training-data
+    * pipeline publishes with a corpus (per (lang, source): document /
+    * token / char volumes, distinct-content count, quality-pass
+    * count). Composes the engine's standing text laws — the
+    * dialect-free whitespace token count, the integer rolling-hash
+    * content fingerprint (distinct CONTENT, not distinct doc_id), and
+    * `q_text_quality`'s exact gate — into one map-side-combinable
+    * aggregate.
+    *
+    * Scale shape: everything per-doc computes inside the scan stage
+    * (codegen, no UDFs); the only shuffles are the (lang, source, fp)
+    * partial aggregate feeding the exact distinct-content count (rows
+    * bounded by distinct corpus content per group — the approx sibling
+    * at 100 TB is `q_approx_distinct`'s HLL) and the final tiny
+    * (lang, source) rollup. A Zipf language mix skews one group large,
+    * but each group's row is one aggregate — no per-group iteration,
+    * no window. */
+  val dataCard: Op = Op(
+    "q_data_card",
+    """WITH d AS (
+      |  SELECT lang, source,
+      |    len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS n_tok,
+      |    length(text) AS n_ch,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp,
+      |    (len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) >= 5
+      |      AND CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+      |          / CAST(greatest(length(text), 1) AS DOUBLE) < 0.2) AS pass
+      |  FROM documents
+      |)
+      |SELECT lang, source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_ch) AS BIGINT) AS n_chars,
+      |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+      |  CAST(COUNT(CASE WHEN pass THEN 1 END) AS BIGINT) AS n_quality_pass
+      |FROM d GROUP BY lang, source""".stripMargin) { (spark, dir) =>
+    val nWs = wsTokenCount(col("text"))
+    val pr = punctRatio(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        nWs.cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_ch"),
+        fingerprint(col("text")).as("fp"),
+        (nWs >= 5 && pr < 0.2).as("pass"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_ch")).as("n_chars"),
+        countDistinct(col("fp")).as("n_distinct"),
+        count(when(col("pass"), lit(1))).as("n_quality_pass"))
+  }
+
   /** Bigram language-model counts: top-3 next words per head word by
     * corpus frequency — the n-gram statistics pass behind perplexity
     * filters and repetition diagnostics in a training-data pipeline.
