@@ -14,6 +14,22 @@ class PlanQualitySpec extends SparkSpec {
   private def plan(op: Op): String =
     op.build(spark, sf001).queryExecution.executedPlan.toString()
 
+  test("data card: pure aggregation chain — per-doc laws in the scan " +
+    "stage, no window, no join, bounded exchanges") {
+    val p = plan(TextOps.dataCard)
+    assert(!p.contains("Window"), s"no window belongs in a rollup:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a rollup:\n$p")
+    // two-phase distinct + final rollup: partial on (lang, source, fp),
+    // exchange, distinct-fold, exchange on (lang, source) — anything
+    // beyond that means a per-doc law fell out of the scan stage
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"expected the two aggregation exchanges at most, got $exchanges:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("doc_id"),
+      s"doc_id is not needed — column pruning regressed:\n$read")
+  }
+
   test("date-window filter pushes down to the parquet scan") {
     val p = plan(Rollup.dateWindowAgg)
     assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
