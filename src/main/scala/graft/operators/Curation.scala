@@ -152,14 +152,18 @@ object Curation {
     """SELECT doc_id, source,
       |  CASE WHEN list_reduce(
       |    list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(string_split(source, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      list_transform(string_split(coalesce(source, ''), ''), c -> CAST(ascii(c) AS BIGINT))),
       |    (acc, x) -> (acc * 31 + x) % 1000000007) % 10 = 0
       |  THEN 'test' ELSE 'train' END AS split
       |FROM documents""".stripMargin) { (spark, dir) =>
+    // NULL source splits as the empty string — spelled with coalesce
+    // on BOTH sides (Spark's fingerprint(NULL) is NULL → 'train' while
+    // DuckDB's list_prepend over a NULL list folds to 0 → 'test';
+    // adversarial dim 7 caught the divergence, r12)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        when(fingerprint(col("source")) % 10 === 0, "test")
-          .otherwise("train").as("split"))
+        when(fingerprint(coalesce(col("source"), lit(""))) % 10 === 0,
+          "test").otherwise("train").as("split"))
   }
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -809,10 +813,18 @@ object Curation {
       .select(col("source"), col("bucket"), col("off"))
     val wLocal = Window.partitionBy(col("source"), col("bucket"))
       .orderBy(col(ord)).rowsBetween(Window.unboundedPreceding, 0)
-    keyed.join(broadcast(offsets), Seq("source", "bucket"))
+    // null-safe source equality: a USING-columns join would silently
+    // DROP null-source rows (NULL = NULL is never true) while the
+    // oracle's PARTITION BY keeps them as one group — dimension 7 of
+    // the adversarial sweep caught exactly this across the whole
+    // packing family (r12)
+    val o = offsets.withColumnRenamed("source", "src_o")
+      .withColumnRenamed("bucket", "bucket_o")
+    keyed.join(broadcast(o),
+        col("source") <=> col("src_o") && col("bucket") === col("bucket_o"))
       .withColumn("preceding_tokens",
         col("off") + sum(col("n_tokens")).over(wLocal) - col("n_tokens"))
-      .drop("bucket", "off")
+      .drop("bucket", "off", "src_o", "bucket_o")
   }
 
   /** Epochs materialized by [[epochShuffle]] (fixed so the oracle can
@@ -918,7 +930,7 @@ object Curation {
        |), f AS (
        |  SELECT *,
        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |       list_transform(string_split(source, ''),
+       |       list_transform(string_split(coalesce(source, ''), ''),
        |         ch -> CAST(ascii(ch) AS BIGINT))),
        |       (acc, x) -> (acc * 31 + x) % 1000000007)
        |     + pack_id * 1103515245 + 12345) % 2147483648 AS h1
@@ -949,7 +961,9 @@ object Curation {
   def shardManifestOf(packs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import graft.functions.TextAnalysis.fingerprint
-    val h1 = (fingerprint(col("source")) +
+    // NULL source fingerprints as the empty string — the same
+    // coalesce is spelled in every shard oracle (adversarial dim 7)
+    val h1 = (fingerprint(coalesce(col("source"), lit(""))) +
       col("pack_id") * 1103515245L + 12345L) % 2147483648L
     val h2 = h1.bitwiseXOR(shiftright(h1, 13))
     val shard = (shiftright((h2 * 1274126177L) % 2147483648L, 16)
@@ -1133,9 +1147,14 @@ object Curation {
   def packContinuing(delta: org.apache.spark.sql.DataFrame,
       hwm: org.apache.spark.sql.DataFrame, budget: Long = PackBudget)
       : org.apache.spark.sql.DataFrame =
+    // null-safe source equality: a USING-columns left join would leave
+    // a NULL-source delta packing from offset 0 while its standing
+    // high-water row sits unmatched — the batch law (PARTITION BY
+    // keeps NULL as one group) disagrees (adversarial dim 7, r12)
     precedingBySource(delta, "doc_id")
-      .join(broadcast(hwm.select(col("source"), col("standing_tokens"))),
-        Seq("source"), "left")
+      .join(broadcast(hwm.select(col("source").as("src_h"),
+          col("standing_tokens"))),
+        col("source") <=> col("src_h"), "left")
       .select(col("doc_id"), col("source"), col("n_tokens"),
         expr(s"(coalesce(standing_tokens, 0L) + preceding_tokens) " +
           s"div $budget").as("pack_id"))
@@ -1146,11 +1165,18 @@ object Curation {
   def advancePackHwm(hwm: org.apache.spark.sql.DataFrame,
       packedBatch: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
+    // null-safe merge: a USING-columns full outer splits the NULL
+    // source into TWO rows (standing + batch), corrupting every
+    // source-count-dependent consumer (adversarial dim 7, r12)
     hwm.select(col("source"), col("standing_tokens"))
-      .join(packedBatch.groupBy(col("source"))
-        .agg(sum(col("n_tokens")).as("batch_tokens")),
-        Seq("source"), "full_outer")
-      .select(col("source"),
+      .join(packedBatch.groupBy(col("source")).agg(
+          sum(col("n_tokens")).as("batch_tokens"))
+          .withColumnRenamed("source", "src_b"),
+        col("source") <=> col("src_b"), "full_outer")
+      .select(
+        // a NULL<=>NULL match leaves both sides NULL → coalesce yields
+        // the correct NULL source for the merged row
+        coalesce(col("source"), col("src_b")).as("source"),
         (coalesce(col("standing_tokens"), lit(0L)) +
           coalesce(col("batch_tokens"), lit(0L))).as("standing_tokens"))
 
@@ -1224,10 +1250,14 @@ object Curation {
           bpeishTokenCount(col("text")).as("n_tokens"))
       val deltaSums = delta.groupBy(col("source"))
         .agg(sum(col("n_tokens")).cast("long").as("delta_tokens"))
+      // null-safe merge (adversarial dim 7, r12): USING-columns full
+      // outer splits the NULL source into two rows and every factor
+      // shifts through the COUNT(*) OVER () mean
       val full = standingPackHwm(spark, dir)
         .select(col("source"), col("standing_tokens"))
-        .join(deltaSums, Seq("source"), "full_outer")
-        .select(col("source"),
+        .join(deltaSums.withColumnRenamed("source", "src_d"),
+          col("source") <=> col("src_d"), "full_outer")
+        .select(coalesce(col("source"), col("src_d")).as("source"),
           (coalesce(col("standing_tokens"), lit(0L)) +
             coalesce(col("delta_tokens"), lit(0L))).as("src_tokens"))
       val wAll = org.apache.spark.sql.expressions.Window
@@ -1276,7 +1306,7 @@ object Curation {
        |), f AS (
        |  SELECT *,
        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |       list_transform(string_split(source, ''),
+       |       list_transform(string_split(coalesce(source, ''), ''),
        |         ch -> CAST(ascii(ch) AS BIGINT))),
        |       (acc, x) -> (acc * 31 + x) % 1000000007)
        |     + pack_id * 1103515245 + 12345) % 2147483648 AS h1
@@ -1472,7 +1502,7 @@ object Curation {
        |  FROM c
        |), pool AS (
        |  SELECT doc_id, chunk_idx, n_words, chunk_fp,
-       |         CAST(SUM(n_words) OVER (ORDER BY source, doc_id, chunk_idx
+       |         CAST(SUM(n_words) OVER (ORDER BY source NULLS LAST, doc_id, chunk_idx
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |           - n_words AS prec2
        |  FROM p WHERE pid = tail_id
@@ -1527,10 +1557,13 @@ object Curation {
           col("k"), col("chunk_fp"), col("n_words"))
       // the tail pool is ≤ 2 packs of chunks per (source), ∝ sources —
       // a single-partition window over metadata, never the corpus
+      // NULL ordering spelled explicitly on BOTH sides: Spark's asc
+      // default is NULLS FIRST, DuckDB's is NULLS LAST — a nullable
+      // sort key silently reorders the pool prefix sum (dim 7, r12)
       val pool = assigned.filter(col("pack_id") === col("tail_id"))
         .withColumn("prec2",
           coalesce(sum(col("n_words")).over(
-            W.orderBy(col("source"), col("k"))
+            W.orderBy(col("source").asc_nulls_last, col("k"))
               .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
         .select(lit(PoolSource).as("source"),
           lit(2L).as("pack_class"),
@@ -1639,7 +1672,7 @@ object Curation {
        |), ph AS (
        |  SELECT *,
        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |       list_transform(string_split(source, ''),
+       |       list_transform(string_split(coalesce(source, ''), ''),
        |         ch -> CAST(ascii(ch) AS BIGINT))),
        |       (acc, x) -> (acc * 31 + x) % 1000000007)
        |     + pack_id * 1103515245 + 12345) % 2147483648 AS h1

@@ -416,6 +416,42 @@ class CurationSpec extends SparkSpec {
     assert(folded === single)
   }
 
+  test("NULL group keys survive the packing kernels (dim 7, r12): a " +
+    "NULL source packs as ONE group, is never dropped, and the hwm " +
+    "merge keeps it a single row") {
+    import spark.implicits._
+    // docs across three sources incl. NULL; n_tokens 300 each so the
+    // 512 budget splits every source at the second doc
+    val d = Seq(
+      (1L, Some("a"), 300L), (2L, Some("a"), 300L),
+      (3L, None, 300L), (4L, None, 300L), (5L, None, 300L),
+      (6L, Some("b"), 300L))
+      .toDF("doc_id", "source", "n_tokens")
+      .select($"doc_id", $"source", $"n_tokens")
+    val packed = Curation.packByPrefixSum(d, 512L)
+      .as[(Long, Option[String], Long, Long)].collect().sortBy(_._1)
+    assert(packed.length === 6, "no row may drop on a NULL key")
+    // NULL source is one group: prefix sum 0,300,600 → packs 0,0,1
+    val nulls = packed.filter(_._2.isEmpty).map(r => r._1 -> r._4)
+    assert(nulls.toSeq === Seq(3L -> 0L, 4L -> 0L, 5L -> 1L))
+    // hwm merge: NULL rows from both sides fold to ONE row
+    val hwm = Seq((Option.empty[String], 1000L), (Some("a"), 10L))
+      .toDF("source", "standing_tokens")
+    val advanced = Curation.advancePackHwm(hwm,
+      d.select($"doc_id", $"source", $"n_tokens"))
+      .as[(Option[String], Long)].collect().toMap
+    assert(advanced(None) === 1900L, "standing 1000 + batch 900, ONE row")
+    assert(advanced(Some("a")) === 610L)
+    assert(advanced(Some("b")) === 300L)
+    assert(advanced.size === 3)
+    // continuation: NULL delta rows pick up the NULL standing offset
+    val cont = Curation.packContinuing(
+      d.filter($"source".isNull), hwm, 512L)
+      .as[(Long, Option[String], Long, Long)].collect().sortBy(_._1)
+    // offsets 1000,1300,1600 → packs 1,2,3
+    assert(cont.map(_._4).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("streaming pack (foreachBatch + hwm store) == the incremental " +
     "batch law, row for row") {
     import spark.implicits._

@@ -40,7 +40,13 @@ Dimensions:
      SINGLETON standing language 'xx' (per-language models trained on
      one doc; tercile cut2 is NULL), doc 30 moves to a singleton DELTA
      language 'yy' (no standing model at all — the add-zero /
-     missing-cuts fallthrough paths must agree across engines).
+     missing-cuts fallthrough paths must agree across engines);
+  7. documents lang/source, hostile GROUP KEYS (round 12) — NULL
+     (one group, JOINs never match), empty string (distinct from
+     NULL), quote+tab bytes inside a key, fullwidth 'ＥＮ' (the
+     ASCII-only casefold must NOT unify it) — every per-language /
+     per-source law: ppl model probe + terciles, lang-id, data card,
+     samplers, manifests, streaming legs.
 
 Embeddings: every 10th vector duplicates its predecessor exactly —
 exact cosine ties through the whole vector family (dimension 4 in the
@@ -64,6 +70,26 @@ def main(src, dst):
 
     con.execute(f"""
     COPY (
+      -- dimension 7 (round 12): HOSTILE GROUP KEYS — every per-language
+      -- / per-source law (ppl terciles + model probe joins, lang-id,
+      -- data card, stratified samplers, shard manifests, stream legs)
+      -- must agree across engines when the key is NULL (groups as one
+      -- partition, JOINs never match), EMPTY (distinct from NULL),
+      -- carries hostile bytes (quote + tab in a key that rides dump/
+      -- compare plumbing), or a non-ASCII case variant the dialect-free
+      -- casefold intentionally does NOT fold. %41 avoids the dim-6 docs
+      -- (17, 23, 30) and composes freely with the text dimensions.
+      SELECT doc_id, text,
+        CASE WHEN doc_id % 41 = 11 THEN NULL
+             WHEN doc_id % 41 = 12 THEN ''
+             WHEN doc_id % 41 = 16 THEN 'ＥＮ'
+             ELSE lang END AS lang,
+        CASE WHEN doc_id % 41 = 13 THEN NULL
+             WHEN doc_id % 41 = 14 THEN ''
+             WHEN doc_id % 41 = 15 THEN 'src "q"' || chr(9) || 'tab'
+             ELSE source END AS source,
+        n_chars
+      FROM (
       SELECT doc_id,
         CASE WHEN doc_id % 31 = 5 THEN ''
              WHEN doc_id % 31 = 6 THEN '   '
@@ -119,7 +145,7 @@ def main(src, dst):
             ELSE text END AS text,
           lang, source, n_chars
         FROM read_parquet('{src}/documents.parquet')))
-    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    )) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
 
     con.execute(f"""
     COPY (
