@@ -245,8 +245,17 @@ object Dedup {
     * [[entityResolve]], which clusters over these edges. */
   private[graft] def fuzzyBestFrame(
       spark: SparkSession, dir: String): DataFrame = {
-    val parts = Tables.part(spark, dir).select(col("p_brand").as("brand"),
-      col("p_partkey").as("key"), col("p_name").as("name"))
+    // explicit null gate (adversarial dim 8, r12): the oracle's join +
+    // levenshtein SQL semantics silently exclude NULL names/brands
+    // (NULL = NULL is not a match, levenshtein(NULL, x) <= k is never
+    // true), but the exact tier's WINDOW PARTITION treats NULLs as
+    // EQUAL — without this filter a pair of null-name parts "exactly
+    // matched" at dist 0 and leaked phantom entities downstream
+    // (q_entity_resolve). A record with no name has nothing to match.
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand").isNotNull && col("p_name").isNotNull)
+      .select(col("p_brand").as("brand"),
+        col("p_partkey").as("key"), col("p_name").as("name"))
     // exact tier: two window passes on ONE (brand, name) shuffle — the
     // second min must see the first (m2 = smallest key ≠ m1), hence the
     // two selects over the same window partitioning
@@ -348,7 +357,7 @@ object Dedup {
       spark: SparkSession, dir: String): DataFrame =
     sparseEntityCache.getOrBuild(spark, dir, "part.parquet") {
       val store = PersistedStore.ensure(spark, dir, "part.parquet",
-        "sparse_entity_labels", "v1") { root =>
+        "sparse_entity_labels", "v2") { root => // v2: null-name gate (dim 8)
         val edges = fuzzyBestFrame(spark, dir)
           .select(col("key"), col("best_key"))
         GraphOps.connectedComponents(edges, "key", "best_key")

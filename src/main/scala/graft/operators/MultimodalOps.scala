@@ -33,6 +33,7 @@ object MultimodalOps {
       |         p_partkey % 5000 AS d,
       |         sha256(p_name) AS sha
       |  FROM part
+      |  WHERE p_name IS NOT NULL
       |), per AS (
       |  SELECT kind,
       |         LEAST(w, GREATEST(1, CAST(TRUNC(w * 512.0 / GREATEST(w, h)) AS INTEGER))) AS rw,
@@ -46,7 +47,15 @@ object MultimodalOps {
       |       AVG(f0) AS mean_f0,
       |       MAX(rw) AS max_width
       |FROM per GROUP BY kind""".stripMargin) { (spark, dir) =>
-    val assets = Tables.part(spark, dir).select(
+    // explicit null gate (adversarial dim 8, r12): a NULL-name part
+    // synthesizes NULL content — no blob, no features. Without the
+    // gate the oracle's CASE mapped NULL hex digits to 0-features
+    // (ELSE branch) and pulled every per-kind mean while Spark's avg
+    // skipped the NULL feature rows. A real pipeline cannot featurize
+    // a missing blob; both sides now exclude it.
+    val assets = Tables.part(spark, dir)
+      .filter(col("p_name").isNotNull)
+      .select(
       col("p_partkey").as("asset_id"),
       unhex(sha2(col("p_name"), 256)).as("content"),
       struct(

@@ -95,7 +95,13 @@ object Rollup {
       |       sales_count, last_sale_date, last_sale_cents,
       |       CASE WHEN sales_count >= 10 THEN 'A' WHEN sales_count >= 5 THEN 'B'
       |            WHEN sales_count >= 2 THEN 'C' ELSE 'D' END AS confidence
-      |FROM agg JOIN last USING (card_key, grade)""".stripMargin)(
+      |FROM agg JOIN last
+      |  ON agg.card_key IS NOT DISTINCT FROM last.card_key
+      | AND agg.grade IS NOT DISTINCT FROM last.grade""".stripMargin)(
+    // the oracle's decomposed agg⋈last twin must join NULL-SAFELY: the
+    // engine's single decorrelated aggregate keeps NULL (card_key,
+    // grade) groups — a USING join in the twin silently dropped them
+    // (adversarial dim 8, r12: events with NULL user/type/value)
     salesRollup(14))
 
   /** P3/P4/F6-F9: dynamic date-range predicate + interval arithmetic

@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Build the ADVERSARIAL corpus twin (dev tooling, not part of the
-library): copy a scale-factor dir and mutate it along the six
+library): copy a scale-factor dir and mutate it along the seven
 dimensions that hunt cross-engine (Spark/DuckDB) divergence the driver
 fixtures never exercise. Record so far: dimension 1 surfaced the
 `\\s+` split-law dialect gap (Java vs RE2 on U+000B) across 7 ops;
@@ -10,7 +10,11 @@ vector cosine ties) were green on the first pass; dimension 5
 (unicode-hostile casing, round 11) surfaced the Java-full-casing vs
 utf8proc divergence across 22 text ops and forced the dialect-free
 ASCII casefold law; dimension 6 (scale skew: giant doc, singleton
-languages, round 11) was green on the first pass. Re-run every round:
+languages, round 11) was green on the first pass; dimension 7
+(hostile group keys, round 12) surfaced 10 red ops in the packing/
+mix/shard family — null-dropping USING joins, null-splitting full
+outers, the Spark-NULLS-FIRST vs DuckDB-NULLS-LAST ordering gap, and
+fingerprint(NULL) divergence, all fixed. Re-run every round:
 
     python3 tools/gen_adversarial.py [srcDir] [dstDir]
     sbt -batch "runMain graft.Verify <dstDir> /tmp/adv_out"
@@ -46,7 +50,13 @@ Dimensions:
      NULL), quote+tab bytes inside a key, fullwidth 'ＥＮ' (the
      ASCII-only casefold must NOT unify it) — every per-language /
      per-source law: ppl model probe + terciles, lang-id, data card,
-     samplers, manifests, streaming legs.
+     samplers, manifests, streaming legs;
+  8. relational NULLs (round 12) — events with NULL user_id /
+     event_type / value (sessionize/funnel/window/streaming state
+     keys: primitive encoders must not silently coerce, laws declare
+     explicit null gates spelled in both engines), part with NULL
+     p_name / p_brand (fuzzy blocking, pricing ladders), customer
+     with NULL c_name (feed export COALESCE chains).
 
 Embeddings: every 10th vector duplicates its predecessor exactly —
 exact cosine ties through the whole vector family (dimension 4 in the
@@ -159,6 +169,17 @@ def main(src, dst):
 
     con.execute(f"""
     COPY (
+      -- dimension 8 (round 12): relational NULLs — a production event
+      -- stream HAS null users/values/types; every consumer must either
+      -- declare an explicit null gate (spelled in BOTH engines) or
+      -- aggregate with SQL null semantics. %47 composes with the
+      -- dim-2 tie mutations below.
+      SELECT event_id, ts,
+        CASE WHEN event_id % 47 = 21 THEN NULL ELSE user_id END AS user_id,
+        CASE WHEN event_id % 47 = 23 THEN NULL ELSE event_type END AS event_type,
+        CASE WHEN event_id % 47 = 22 THEN NULL ELSE value END AS value,
+        props
+      FROM (
       SELECT event_id,
         CASE WHEN event_id % 5 = 0 AND lag(ts) OVER w IS NOT NULL
              THEN lag(ts) OVER w ELSE ts END AS ts,
@@ -167,20 +188,23 @@ def main(src, dst):
              THEN lag(value) OVER w ELSE value END AS value,
         props
       FROM read_parquet('{src}/events.parquet')
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
     ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
 
     con.execute(f"""
     COPY (
       SELECT p_partkey,
-        CASE p_partkey % 11
+        CASE WHEN p_partkey % 23 = 8 THEN NULL -- dim 8: null name
+        ELSE CASE p_partkey % 11
           WHEN 0 THEN p_name || ', "quoted, comma"'
           WHEN 1 THEN p_name || chr(10) || 'second line'
           WHEN 2 THEN 'Ünïcødé ' || p_name
           WHEN 3 THEN p_name || chr(9) || 'tabbed'
           WHEN 4 THEN ''
-          ELSE p_name END AS p_name,
-        p_brand, p_type, p_size, p_retailprice
+          ELSE p_name END END AS p_name,
+        CASE WHEN p_partkey % 23 = 7 THEN NULL -- dim 8: null brand
+             ELSE p_brand END AS p_brand,
+        p_type, p_size, p_retailprice
       FROM read_parquet('{src}/part.parquet')
     ) TO '{dst}/part.parquet' (FORMAT PARQUET)""")
 
@@ -190,6 +214,7 @@ def main(src, dst):
         CASE c_custkey % 13
           WHEN 0 THEN ''
           WHEN 1 THEN 'Müller' || chr(13) || chr(10) || 'GmbH'
+          WHEN 2 THEN NULL -- dim 8: null customer name
           ELSE c_name END AS c_name,
         c_nationkey, c_acctbal, c_mktsegment
       FROM read_parquet('{src}/customer.parquet')
