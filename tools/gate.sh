@@ -1,7 +1,7 @@
 #!/bin/bash
 # The standing round-close gate — ONE chain, fail-fast, serialized on
 # the sbt project lock. Runs the full correctness surface on the driver
-# corpus AND the regenerated seven-dimension adversarial twin (the
+# corpus AND the regenerated eight-dimension adversarial twin (the
 # sweep that caught the \s dialect gap, both CSV/TSV escaping bugs,
 # and the round-11 unicode-casing divergence is now a gate step, not a
 # hand-run), then the bench and the ScalaTest suite.

@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Build the ADVERSARIAL corpus twin (dev tooling, not part of the
-library): copy a scale-factor dir and mutate it along the seven
+library): copy a scale-factor dir and mutate it along the eight
 dimensions that hunt cross-engine (Spark/DuckDB) divergence the driver
 fixtures never exercise. Record so far: dimension 1 surfaced the
 `\\s+` split-law dialect gap (Java vs RE2 on U+000B) across 7 ops;
