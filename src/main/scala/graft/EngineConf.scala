@@ -28,6 +28,37 @@ object EngineConf {
     */
   val ObjectHashFallbackThreshold = 2000000
 
+  /** Session knob for the quadratic-contract guard (r12 verdict #5):
+    * the three contract ops whose OUTPUT is itself quadratic on
+    * adversarial data (`q_fuzzy_match`, `q_embed_neardup`,
+    * `q_entity_cluster`, API.md "Contract ops vs scale paths") count
+    * their candidate volume FIRST — one metadata aggregate over the
+    * blocking histogram — and abort with a pointer to the scale-safe
+    * sibling when the estimate exceeds this budget. */
+  val CandidateBudgetKey = "spark.graft.quadratic.candidateBudget"
+
+  /** Default candidate budget: 2×10⁸ pairs ≈ minutes of single-node
+    * verify work and tens of GB of pair shuffle — past it the caller
+    * almost certainly wanted the sibling, and an explicit conf
+    * override is the documented escape hatch. */
+  val CandidateBudgetDefault = 200000000L
+
+  def candidateBudget(spark: SparkSession): Long =
+    spark.conf.getOption(CandidateBudgetKey)
+      .map(_.toLong).getOrElse(CandidateBudgetDefault)
+
+  /** The guard itself: loud, actionable, BEFORE any corpus-scaled
+    * work is launched. */
+  def requireCandidateBudget(op: String, sibling: String,
+      estimate: Long, budget: Long): Unit =
+    if (estimate > budget) throw new IllegalStateException(
+      s"$op: estimated candidate volume $estimate exceeds the " +
+        s"quadratic-contract budget $budget on this corpus shape. " +
+        s"This op's output contract is itself quadratic (every " +
+        s"qualifying pair); at this volume you almost certainly want " +
+        s"the scale-safe sibling $sibling. To run the exhaustive " +
+        s"contract anyway, raise $CandidateBudgetKey.")
+
   /** Apply the engine's session knobs to a builder. */
   def tuned(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{LongArrayDot, PackedBagDistance, PackedLetterBag, RandProjExpr, StringRollingHash, TopKAgg}
+import graft.expressions.{LongArrayDot, PackedBagDistance, PackedLetterBag, RandProjExpr, StringRollingHash, TopKAgg, UriEncode}
 
 /** Engine extension point, installed the documented production way:
   *
@@ -79,6 +79,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("graft_fingerprint", 1, children)
         StringRollingHash(children.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_uri_encode"),
+      new ExpressionInfo(classOf[UriEncode].getName, "graft_uri_encode"),
+      (children: Seq[Expression]) => {
+        arity("graft_uri_encode", 1, children)
+        UriEncode(children.head)
       }))
     e.injectFunction((
       FunctionIdentifier("graft_randproj"),

@@ -71,7 +71,47 @@ object Dedup {
        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
        |WHERE abs(len(a.p_name) - len(b.p_name)) <= $FuzzyMaxDist
        |  AND levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist""".stripMargin) { (spark, dir) =>
+    graft.EngineConf.requireCandidateBudget("q_fuzzy_match", "q_fuzzy_best",
+      fuzzyCandidateEstimate(spark, dir),
+      graft.EngineConf.candidateBudget(spark))
     fuzzyPairs(spark, dir)
+  }
+
+  /** Upper bound on the fused block join's candidate volume, computed
+    * from the (brand, name-length) histogram BEFORE any pair is
+    * generated (r12 verdict #5): same-length cells contribute C(n,2),
+    * cross-length cells inside the lossless ±[[FuzzyMaxDist]] band
+    * contribute nᵃ·nᵇ. The histogram is |brands × lengths| rows — a
+    * metadata aggregate — so the guard costs one tiny job, never a
+    * pair shuffle. NULL brands/names can never match (SQL equi-join
+    * semantics), so they leave the histogram. */
+  private val fuzzyEstimateCache = SessionCache.mkScalars()
+
+  private[graft] def fuzzyCandidateEstimate(
+      spark: SparkSession, dir: String): Long =
+    // session-cached like the pair index itself: the guard re-checks
+    // per call, but the histogram job runs once per (session, corpus)
+    fuzzyEstimateCache.getOrBuild(spark, dir, "part.parquet") {
+      fuzzyCandidateEstimateFresh(spark, dir)
+    }
+
+  private def fuzzyCandidateEstimateFresh(
+      spark: SparkSession, dir: String): Long = {
+    val h = Tables.part(spark, dir)
+      .filter(col("p_brand").isNotNull && col("p_name").isNotNull)
+      .groupBy(col("p_brand").as("brand"),
+        length(col("p_name")).as("len"))
+      .agg(count(lit(1)).as("n"))
+    val a = h.select(col("brand"), col("len").as("la"), col("n").as("na"))
+    val b = h.select(col("brand"), col("len").as("lb"), col("n").as("nb"))
+    val est = a.join(b, Seq("brand"))
+      .filter(col("lb") >= col("la") &&
+        col("lb") - col("la") <= FuzzyMaxDist)
+      .select(when(col("la") === col("lb"),
+        expr("na * (na - 1) div 2")) // integer div: Column./ is double
+        .otherwise(col("na") * col("nb")).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("s"))
+    est.head().getLong(0) // 1-row scalar — bounded metadata collect
   }
 
   private val fuzzyPairCache = SessionCache.mkFrames()
@@ -139,6 +179,11 @@ object Dedup {
        |       COUNT(*) OVER (PARTITION BY entity_id) AS entity_size,
        |       key = entity_id AS is_canonical
        |FROM lab""".stripMargin) { (spark, dir) =>
+    // the dense pair graph this op clusters is q_fuzzy_match's — the
+    // same candidate budget guards it (r12 verdict #5)
+    graft.EngineConf.requireCandidateBudget("q_entity_cluster",
+      "q_entity_resolve", fuzzyCandidateEstimate(spark, dir),
+      graft.EngineConf.candidateBudget(spark))
     // assembled the production way (round-7): yesterday's PERSISTED
     // standing entity labels + the delta fold through the quotient CC —
     // the oracle stays the full-recompute CTE, so green proves the

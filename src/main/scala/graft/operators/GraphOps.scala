@@ -466,19 +466,97 @@ object GraphOps {
       KcoreK, KcoreRounds)
   }
 
+  /** One peel round: keep edges whose BOTH endpoints currently hold
+    * degree ≥ k (one map-combinable degree aggregate + two semi-joins). */
+  private def kcorePeel(ed: DataFrame, k: Int): DataFrame = {
+    val alive = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .select(col("src"))
+    ed.join(alive, Seq("src"), "left_semi")
+      .join(alive.select(col("src").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+  }
+
   /** [[kcore]] kernel over a SYMMETRIC (src, dst) edge frame. */
   def kcoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var ed = edges
-    for (_ <- 1 to rounds) {
-      val alive = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("src"))
-      ed = ed
-        .join(alive, Seq("src"), "left_semi")
-        .join(alive.select(col("src").as("dst")), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-    }
+    for (_ <- 1 to rounds) ed = kcorePeel(ed, k)
     ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** CONVERGENCE TELEMETRY kernel of the bounded peel (r12 verdict #2):
+    * alive-node counts at the round budget and after ONE extra round.
+    * `removed_next = 0` iff the peel reached its fixpoint inside the
+    * budget — a larger-diameter graph that would silently truncate
+    * under the fixed budget instead publishes a nonzero removal count
+    * here (the `q_imi_recall` device applied to the graph family).
+    * Cost: one extra peel round over the already-peeled (small) edge
+    * frame; the budget-round frame is localCheckpointed because both
+    * counts and the extra round read it. */
+  def kcoreConvergence(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var ed = edges
+    for (_ <- 1 to rounds) ed = kcorePeel(ed, k)
+    val edB = ed.localCheckpoint()
+    val edN = kcorePeel(edB, k)
+    val aliveB = edB.select(col("src")).distinct()
+      .agg(count(lit(1)).as("alive_at_budget"))
+    val aliveN = edN.select(col("src")).distinct()
+      .agg(count(lit(1)).as("alive_next"))
+    // two 1-row scalar aggregates — bounded metadata crossJoin
+    aliveB.crossJoin(aliveN).select(
+      col("alive_at_budget"), col("alive_next"),
+      (col("alive_at_budget") - col("alive_next")).as("removed_next"))
+  }
+
+  /** Registered convergence telemetry for [[kcore]] — the alarm that
+    * makes a truncated fixpoint LOUD (r12 verdict #2: the spec proves
+    * convergence on the gate corpus only; a 100× graph with larger
+    * peel depth would silently stop early). The oracle replays the
+    * same law (unrolls the extra round in SQL), so the row is green
+    * on any corpus while `removed_next` publishes whether the budget
+    * sufficed; a monitoring pipeline thresholds on it. */
+  val kcoreConverged: Op = Op(
+    "q_kcore_converged",
+    s"""WITH p AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), e0 AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM p a JOIN p b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |), ed0 AS (
+       |  SELECT a AS src, b AS dst FROM e0
+       |  UNION ALL SELECT b, a FROM e0
+       |), a1 AS (
+       |  SELECT src FROM ed0 GROUP BY src HAVING COUNT(*) >= $KcoreK
+       |), ed1 AS (
+       |  SELECT src, dst FROM ed0
+       |  WHERE src IN (SELECT src FROM a1) AND dst IN (SELECT src FROM a1)
+       |), a2 AS (
+       |  SELECT src FROM ed1 GROUP BY src HAVING COUNT(*) >= $KcoreK
+       |), ed2 AS (
+       |  SELECT src, dst FROM ed1
+       |  WHERE src IN (SELECT src FROM a2) AND dst IN (SELECT src FROM a2)
+       |), a3 AS (
+       |  SELECT src FROM ed2 GROUP BY src HAVING COUNT(*) >= $KcoreK
+       |), ed3 AS (
+       |  SELECT src, dst FROM ed2
+       |  WHERE src IN (SELECT src FROM a3) AND dst IN (SELECT src FROM a3)
+       |), a4 AS (
+       |  SELECT src FROM ed3 GROUP BY src HAVING COUNT(*) >= $KcoreK
+       |), ed4 AS (
+       |  SELECT src, dst FROM ed3
+       |  WHERE src IN (SELECT src FROM a4) AND dst IN (SELECT src FROM a4)
+       |)
+       |SELECT (SELECT COUNT(DISTINCT src) FROM ed3) AS alive_at_budget,
+       |       (SELECT COUNT(DISTINCT src) FROM ed4) AS alive_next,
+       |       (SELECT COUNT(DISTINCT src) FROM ed3)
+       |         - (SELECT COUNT(DISTINCT src) FROM ed4) AS removed_next""".stripMargin) {
+    (spark, dir) =>
+    val und = copurchaseEdges(spark, dir)
+    kcoreConvergence(und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst"))),
+      KcoreK, KcoreRounds)
   }
 
   /** Session cache of the co-purchase edge list per corpus dir: four
@@ -597,23 +675,99 @@ object GraphOps {
        |SELECT node, CAST(r AS BIGINT) AS rank FROM r3""".stripMargin) {
     (spark, dir) =>
     val und = copurchaseEdges(spark, dir)
+    val (withDeg, r0) = pagerankStatic(und)
+    var r = r0
+    for (_ <- 1 to PagerankIters) r = pagerankRound(withDeg, r)
+    r.select(col("node"), col("r").as("rank"))
+  }
+
+  /** The static side of every PageRank iteration: the
+    * localCheckpointed (src, dst, outdeg) frame and the uniform r₀. */
+  private def pagerankStatic(und: DataFrame): (DataFrame, DataFrame) = {
     val ed = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) built once — the static side of every iteration
     val withDeg = ed.join(deg, Seq("src")).localCheckpoint()
-    val base = 3 * PagerankScale / 20
-    var r = deg.select(col("src").as("node"),
-      lit(PagerankScale).as("r"))
-    for (_ <- 1 to PagerankIters) {
-      r = withDeg.join(r, withDeg("src") === r("node"))
-        .select(col("dst"), expr("r div outdeg").as("c"))
-        .groupBy(col("dst"))
-        .agg(sum(col("c")).as("s"))
-        .select(col("dst").as("node"),
-          (lit(base) + expr("(17 * s) div 20")).as("r"))
-    }
-    r.select(col("node"), col("r").as("rank"))
+    val r0 = deg.select(col("src").as("node"), lit(PagerankScale).as("r"))
+    (withDeg, r0)
+  }
+
+  /** One integer power-iteration round (the exact contract of
+    * [[pagerank]]'s recurrence, floors everywhere). */
+  private def pagerankRound(withDeg: DataFrame, r: DataFrame): DataFrame =
+    withDeg.join(r, withDeg("src") === r("node"))
+      .select(col("dst"), expr("r div outdeg").as("c"))
+      .groupBy(col("dst"))
+      .agg(sum(col("c")).as("s"))
+      .select(col("dst").as("node"),
+        (lit(3 * PagerankScale / 20) + expr("(17 * s) div 20")).as("r"))
+
+  /** CONVERGENCE TELEMETRY kernel for [[pagerank]] (r12 verdict #2):
+    * the L1 and max residual between the budget iterate and ONE more
+    * round, in integer rank units — the standard power-iteration
+    * stopping signal. A graph whose ranking is still moving at the
+    * fixed budget publishes a large residual instead of silently
+    * shipping an unconverged ranking; the residual contracts by ~the
+    * damping factor per round, so thresholds are portable. */
+  def pagerankResidualOf(und: DataFrame, iters: Int): DataFrame = {
+    val (withDeg, r0) = pagerankStatic(und)
+    var r = r0
+    for (_ <- 1 to iters) r = pagerankRound(withDeg, r)
+    val rB = r.localCheckpoint()
+    val rN = pagerankRound(withDeg, rB).withColumnRenamed("r", "r_next")
+    rB.join(rN, Seq("node"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(abs(col("r_next") - col("r"))).as("residual_l1"),
+        max(abs(col("r_next") - col("r"))).as("residual_max"))
+  }
+
+  /** Registered residual telemetry for [[pagerank]] — integer-exact
+    * like the op itself, so the oracle's unrolled extra round hash-
+    * matches bit for bit. */
+  val pagerankResidual: Op = Op(
+    "q_pagerank_residual",
+    s"""WITH p AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), e0 AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM p a JOIN p b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |), ed AS (
+       |  SELECT a AS src, b AS dst FROM e0
+       |  UNION ALL SELECT b, a FROM e0
+       |), deg AS (
+       |  SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY 1
+       |), r0 AS (
+       |  SELECT src AS node, CAST($PagerankScale AS BIGINT) AS r FROM deg
+       |), r1 AS (
+       |  SELECT ed.dst AS node,
+       |         ${3 * PagerankScale / 20} + (17 * SUM(r0.r // deg.outdeg)) // 20 AS r
+       |  FROM ed JOIN r0 ON r0.node = ed.src JOIN deg ON deg.src = ed.src
+       |  GROUP BY 1
+       |), r2 AS (
+       |  SELECT ed.dst AS node,
+       |         ${3 * PagerankScale / 20} + (17 * SUM(r1.r // deg.outdeg)) // 20 AS r
+       |  FROM ed JOIN r1 ON r1.node = ed.src JOIN deg ON deg.src = ed.src
+       |  GROUP BY 1
+       |), r3 AS (
+       |  SELECT ed.dst AS node,
+       |         ${3 * PagerankScale / 20} + (17 * SUM(r2.r // deg.outdeg)) // 20 AS r
+       |  FROM ed JOIN r2 ON r2.node = ed.src JOIN deg ON deg.src = ed.src
+       |  GROUP BY 1
+       |), r4 AS (
+       |  SELECT ed.dst AS node,
+       |         ${3 * PagerankScale / 20} + (17 * SUM(r3.r // deg.outdeg)) // 20 AS r
+       |  FROM ed JOIN r3 ON r3.node = ed.src JOIN deg ON deg.src = ed.src
+       |  GROUP BY 1
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |       CAST(SUM(ABS(r4.r - r3.r)) AS BIGINT) AS residual_l1,
+       |       CAST(MAX(ABS(r4.r - r3.r)) AS BIGINT) AS residual_max
+       |FROM r3 JOIN r4 ON r3.node = r4.node""".stripMargin) {
+    (spark, dir) =>
+    pagerankResidualOf(copurchaseEdges(spark, dir), PagerankIters)
   }
 
   /** Label-propagation rounds for [[communities]]: few and fixed, the
@@ -687,21 +841,99 @@ object GraphOps {
     * (a, b): labels start as node ids, each round every node adopts
     * its neighbors' mode label (ties → smallest). Exposed for crafted-
     * graph specs; the registered op runs it on the co-purchase frame. */
+  /** One synchronous LPA round: every node adopts its neighbors' mode
+    * label, ties broken by the smallest label (min over
+    * struct(-count, label) — a total order, no RNG). */
+  private def lpaRound(ed: DataFrame, l: DataFrame): DataFrame =
+    ed.join(l, ed("src") === l("node"))
+      .groupBy(col("dst"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("dst"))
+      .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("b"))
+      .select(col("dst").as("node"), col("b.lbl").as("lbl"))
+
   def lpaOf(und: DataFrame, iters: Int): DataFrame = {
     val ed = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
     var l = ed.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to iters) {
-      l = ed.join(l, ed("src") === l("node"))
-        .groupBy(col("dst"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("dst"))
-        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("b"))
-        .select(col("dst").as("node"), col("b.lbl").as("lbl"))
-    }
+    for (_ <- 1 to iters) l = lpaRound(ed, l)
     l.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** CONVERGENCE TELEMETRY kernel for [[communities]] (r12 verdict
+    * #2): label-change count between the budget round and ONE extra
+    * round. `changed_next = 0` iff synchronous LPA reached a fixpoint
+    * inside [[LpaIters]]; a graph still propagating (or 2-cycling —
+    * synchronous LPA's known oscillation mode) publishes a nonzero
+    * count instead of silently shipping half-converged communities. */
+  def lpaConvergence(und: DataFrame, iters: Int): DataFrame = {
+    val ed = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var l = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) l = lpaRound(ed, l)
+    val lB = l.localCheckpoint()
+    val lN = lpaRound(ed, lB).withColumnRenamed("lbl", "lbl_next")
+    lB.join(lN, Seq("node"))
+      .agg(count(lit(1)).as("n_nodes"),
+        count(when(col("lbl") =!= col("lbl_next"), 1)).as("changed_next"))
+  }
+
+  /** Registered convergence telemetry for [[communities]] — same
+    * alarm shape as [[kcoreConverged]]: oracle replays the extra
+    * round, the published `changed_next` is what a deployment
+    * thresholds on before trusting the community table. */
+  val lpaConverged: Op = Op(
+    "q_lpa_converged",
+    s"""WITH p AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), e0 AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM p a JOIN p b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |), ed AS (
+       |  SELECT a AS src, b AS dst FROM e0
+       |  UNION ALL SELECT b, a FROM e0
+       |), l0 AS (
+       |  SELECT DISTINCT src AS node, src AS lbl FROM ed
+       |), l1 AS (
+       |  SELECT dst AS node, lbl FROM (
+       |    SELECT ed.dst, l0.lbl, COUNT(*) AS c,
+       |           ROW_NUMBER() OVER (PARTITION BY ed.dst
+       |             ORDER BY COUNT(*) DESC, l0.lbl) AS rn
+       |    FROM ed JOIN l0 ON l0.node = ed.src
+       |    GROUP BY ed.dst, l0.lbl) WHERE rn = 1
+       |), l2 AS (
+       |  SELECT dst AS node, lbl FROM (
+       |    SELECT ed.dst, l1.lbl, COUNT(*) AS c,
+       |           ROW_NUMBER() OVER (PARTITION BY ed.dst
+       |             ORDER BY COUNT(*) DESC, l1.lbl) AS rn
+       |    FROM ed JOIN l1 ON l1.node = ed.src
+       |    GROUP BY ed.dst, l1.lbl) WHERE rn = 1
+       |), l3 AS (
+       |  SELECT dst AS node, lbl FROM (
+       |    SELECT ed.dst, l2.lbl, COUNT(*) AS c,
+       |           ROW_NUMBER() OVER (PARTITION BY ed.dst
+       |             ORDER BY COUNT(*) DESC, l2.lbl) AS rn
+       |    FROM ed JOIN l2 ON l2.node = ed.src
+       |    GROUP BY ed.dst, l2.lbl) WHERE rn = 1
+       |), l4 AS (
+       |  SELECT dst AS node, lbl FROM (
+       |    SELECT ed.dst, l3.lbl, COUNT(*) AS c,
+       |           ROW_NUMBER() OVER (PARTITION BY ed.dst
+       |             ORDER BY COUNT(*) DESC, l3.lbl) AS rn
+       |    FROM ed JOIN l3 ON l3.node = ed.src
+       |    GROUP BY ed.dst, l3.lbl) WHERE rn = 1
+       |)
+       |SELECT (SELECT COUNT(*) FROM l3) AS n_nodes,
+       |       (SELECT COUNT(*) FROM l3 JOIN l4
+       |          ON l3.node = l4.node AND l3.lbl <> l4.lbl) AS changed_next""".stripMargin) {
+    (spark, dir) =>
+    lpaConvergence(copurchaseEdges(spark, dir), LpaIters)
   }
 
   /** One row per triangle of the undirected edge frame (a, b) — corners

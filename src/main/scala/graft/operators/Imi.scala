@@ -479,8 +479,7 @@ object Imi {
     // measurement's brute-force ground truth stays Q·N ≈ GapQueries·N
     // (linear) — the fixed telemetry mod would make it N²/mod at soak
     // scale, the exact blow-up this family exists to avoid
-    val gapMod = math.max(RecallQueryMod.toLong,
-      nAll / GapQueries).toInt
+    val gapMod = decisionGapMod(nAll)
     val gap = mergedOpt.map(m => measuredRecallGap(spark, dir, m, gapMod))
     val retrain = fracRetrain || gap.exists(_ > gapFloor)
     // a registered op's oracle replays exactly ONE branch of this law;
@@ -529,6 +528,16 @@ object Imi {
     * their fixed registered mod — their Q is bounded by the GATE
     * corpora, and at 100 TB a deployment re-registers the mod). */
   val GapQueries = 1000L
+
+  /** Decision-time sampling mod: every `gapMod`-th vector queries the
+    * gap measurement, so Q ≈ nAll / gapMod ≈ [[GapQueries]] and the
+    * brute-force ground truth stays linear in N. Clamped to
+    * Int.MaxValue (ADVICE r12: the raw `.toInt` silently TRUNCATES
+    * past ~2^31·GapQueries vectors — a wrapped-negative mod would make
+    * `vec_id % gapMod = 0` sample almost nothing or throw). */
+  private[graft] def decisionGapMod(nAll: Long): Int =
+    math.min(Int.MaxValue.toLong,
+      math.max(RecallQueryMod.toLong, nAll / GapQueries)).toInt
 
   /** Standing-index COMPACTION as a registered op — completes the
     * maintenance triple ([[imiDelta]] probes without retraining,

@@ -101,6 +101,10 @@ private[graft] object SessionCache {
     * but never cache, hence the explicit factory form). */
   def mkFrames(): Cache[DataFrame] = new Cache[DataFrame](releaseFrame)
 
+  /** Cache of driver-side scalars (e.g. the quadratic-guard candidate
+    * estimates) — nothing to release. */
+  def mkScalars(): Cache[Long] = new Cache[Long](_ => ())
+
   /** NEW cache of frame PAIRS (e.g. the minhash (banded, sizes) index) —
     * factory form for the same reason as [[mkFrames]]. */
   def mkFramePairs(): Cache[(DataFrame, DataFrame)] =

@@ -204,8 +204,27 @@ object Similarity {
        |  WHERE a.n2 > 0 AND b.n2 > 0
        |)
        |SELECT label, id_a, id_b, cos FROM pairs WHERE cos >= 0.35""".stripMargin) { (spark, dir) =>
+    graft.EngineConf.requireCandidateBudget("q_embed_neardup",
+      "q_embed_neardup_ann", embedPairEstimate(spark, dir),
+      graft.EngineConf.candidateBudget(spark))
     embedNearDupVia(spark, dir, allPairs = true)
   }
+
+  /** Candidate-volume estimate for [[embedNearDup]]'s label-blocked
+    * all-pairs join: Σ_label C(n,2) from the label histogram — one
+    * metadata aggregate, computed BEFORE any pair exists (r12 verdict
+    * #5 guard). */
+  private val embedEstimateCache = SessionCache.mkScalars()
+
+  private[graft] def embedPairEstimate(
+      spark: SparkSession, dir: String): Long =
+    // session-cached: the histogram job runs once per (session, corpus)
+    embedEstimateCache.getOrBuild(spark, dir, "embeddings.parquet") {
+      Tables.embeddings(spark, dir)
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)))
+        .head().getLong(0) // 1-row scalar — bounded metadata collect
+    }
 
   /** Cell-canopy ANN variant of [[embedNearDup]]: candidates from
     * IVF-cell co-assignment (top-nprobe cells per vector), exactly

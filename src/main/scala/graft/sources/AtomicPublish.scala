@@ -71,9 +71,20 @@ object AtomicPublish {
       // precondition fails regardless of who created the object)
       if (f.exists(dest)) { claimed.add(key); return false }
       if (!claimed.add(key)) return false
-      val out = f.create(dest, false)
-      try out.write(payload) finally out.close()
-      true
+      // ADVICE r12: dest can appear BETWEEN the exists check and the
+      // create (a racer through a different ConditionalPut instance,
+      // RenameIfAbsent, or another process) — the store's precondition
+      // failing there must read as "lost the race", never as a thrown
+      // exception, or the trait's "returns true iff THIS call won"
+      // contract breaks
+      try {
+        val out = f.create(dest, false)
+        try out.write(payload) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if f.exists(dest) => false
+      }
     }
   }
 }

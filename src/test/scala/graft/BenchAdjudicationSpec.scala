@@ -47,6 +47,17 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(adjudicated.isEmpty && still.isEmpty)
   }
 
+  test("a failed solo pass (recorded as Double.MaxValue by the " +
+    "failed-query guard, ADVICE r12) can never clear the flag or win " +
+    "a math.min against the loop time") {
+    val (adjudicated, still) = Bench.adjudicate(List("q_died"),
+      Map("q_died" -> (1.0, 1.0)), _ => Double.MaxValue)
+    assert(still === List("q_died"))
+    // main() drops MaxValue entries from the artifact's adjudicated
+    // map, so the corrupted time never replaces the recorded one
+    assert(adjudicated("q_died") === Double.MaxValue)
+  }
+
   test("a suspect with no prior cannot stay suspect (nothing to " +
     "compare against), but its solo time is still recorded") {
     val (adjudicated, still) =

@@ -373,4 +373,93 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.count() > 0, "corpus 3-core must be non-empty")
     got.unpersist()
   }
+
+  // ---- convergence telemetry (r12 verdict #2): a truncated fixpoint
+  // must be LOUD, not a silently half-peeled/half-propagated result
+
+  private def kcoreTelemetry(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): (Long, Long, Long) = {
+    import spark.implicits._
+    val df = edges.toDF("a", "b")
+    val both = df.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(df.select(col("b").as("src"), col("a").as("dst")))
+    GraphOps.kcoreConvergence(both, k, rounds)
+      .as[(Long, Long, Long)].head()
+  }
+
+  test("kcore telemetry: a peel chain DEEPER than the budget reports " +
+    "nonzero removed_next; a converged graph reports zero") {
+    // path 0-1-…-9 under k=2: every round peels only the two current
+    // endpoints, so the fixpoint (empty) needs 5 rounds — at budget 3
+    // the telemetry must say the peel was still moving
+    val path = (0L until 9L).map(i => (i, i + 1))
+    val (alive, aliveNext, removed) = kcoreTelemetry(path, 2, 3)
+    assert(alive === 4L, "after 3 peels nodes {3,4,5,6} remain")
+    assert(aliveNext === 2L && removed === 2L,
+      "round 4 still removes nodes — the telemetry must catch it")
+    // a 4-clique under k=3 is its own 3-core: nothing to remove
+    val clique = Seq((0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 2L), (1L, 3L), (2L, 3L))
+    assert(kcoreTelemetry(clique, 3, 3) === ((4L, 4L, 0L)))
+  }
+
+  test("kcore telemetry on the co-purchase corpus: removed_next = 0 " +
+    "(the registered round budget reaches the true fixpoint here)") {
+    import spark.implicits._
+    val (alive, aliveNext, removed) = GraphOps.kcoreConverged
+      .build(spark, sf001).as[(Long, Long, Long)].head()
+    assert(removed === 0L && alive === aliveNext)
+    assert(alive > 0L)
+  }
+
+  test("lpa telemetry: a 2-node label swap oscillates forever " +
+    "(synchronous LPA's 2-cycle) — changed_next is the full node " +
+    "count; a triangle converges inside the budget") {
+    import spark.implicits._
+    // nodes 1,2 joined only to each other: each round they exchange
+    // labels, so NO budget converges — the telemetry must say so
+    val pair = Seq((1L, 2L)).toDF("a", "b")
+    assert(GraphOps.lpaConvergence(pair, GraphOps.LpaIters)
+      .as[(Long, Long)].head() === ((2L, 2L)))
+    // triangle: round 2 reaches all-min and round 3 confirms it
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(GraphOps.lpaConvergence(tri, GraphOps.LpaIters)
+      .as[(Long, Long)].head() === ((3L, 0L)))
+  }
+
+  test("pagerank residual telemetry: zero at a true fixed point, and " +
+    "equal to the driver-side recomputation elsewhere") {
+    import spark.implicits._
+    // mutually-linked pair: every iterate is exactly S (the pinned
+    // arithmetic above) — residual must be exactly 0
+    val pair = Seq((1L, 2L)).toDF("a", "b")
+    assert(GraphOps.pagerankResidualOf(pair, GraphOps.PagerankIters)
+      .as[(Long, Long, Long)].head() === ((2L, 0L, 0L)))
+    // star 0-{1,2,3}: ranks still moving at the budget; recompute the
+    // integer recurrence driver-side for iters and iters+1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val adj = (star ++ star.map { case (a, b) => (b, a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val s = GraphOps.PagerankScale
+    val base = 3 * s / 20
+    def iterate(n: Int): Map[Long, Long] = {
+      var r = adj.keys.map(_ -> s).toMap
+      for (_ <- 1 to n) {
+        val contrib = scala.collection.mutable.Map
+          .empty[Long, Long].withDefaultValue(0L)
+        for ((u, vs) <- adj; c = r(u) / vs.length; v <- vs) contrib(v) += c
+        r = adj.keys.map(v => v -> (base + 17 * contrib(v) / 20)).toMap
+      }
+      r
+    }
+    val rB = iterate(GraphOps.PagerankIters)
+    val rN = iterate(GraphOps.PagerankIters + 1)
+    // keys is set-backed: map BEFORE dedup would collapse the three
+    // identical leaf deltas to one — force a Seq first
+    val deltas = adj.keys.toSeq.map(v => math.abs(rN(v) - rB(v)))
+    val got = GraphOps.pagerankResidualOf(star.toDF("a", "b"),
+      GraphOps.PagerankIters).as[(Long, Long, Long)].head()
+    assert(got === ((4L, deltas.sum, deltas.max)))
+    assert(deltas.sum > 0L, "the star must not be converged at the budget")
+  }
 }

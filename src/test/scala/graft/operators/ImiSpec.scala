@@ -292,6 +292,30 @@ class ImiSpec extends SparkSpec {
       f"(floor ${Imi.CompactRecallGapFloor})")
     assert(gap <= Imi.CompactRecallGapFloor,
       "merge-leg premise: measured gap must sit under the floor")
+    // ADVICE r12: the premise above was only checked at the FIXED
+    // telemetry mod — at soak scale compactUnion decides at the
+    // SCALED mod (nAll/GapQueries). Exercise a mod strictly above
+    // RecallQueryMod: fewer sampled queries, same under-floor law
+    val scaledMod = Imi.RecallQueryMod * 3
+    val gapScaled = Imi.measuredRecallGap(spark, sf001, merged, scaledMod)
+    info(f"measured gap at scaled mod $scaledMod: $gapScaled%.4f")
+    assert(gapScaled <= Imi.CompactRecallGapFloor,
+      "merge-leg premise must hold at the scaled decision mod too")
+  }
+
+  test("decisionGapMod: floors at the telemetry mod, scales as " +
+    "nAll/GapQueries, and CLAMPS instead of wrapping past Int range " +
+    "(ADVICE r12: raw .toInt truncation)") {
+    assert(Imi.decisionGapMod(0L) === Imi.RecallQueryMod)
+    assert(Imi.decisionGapMod(Imi.GapQueries * Imi.RecallQueryMod)
+      === Imi.RecallQueryMod)
+    assert(Imi.decisionGapMod(5_000_000L)
+      === (5_000_000L / Imi.GapQueries).toInt)
+    // the overflow shape: nAll past 2^31·GapQueries must clamp, not
+    // wrap negative/small
+    assert(Imi.decisionGapMod(Long.MaxValue) === Int.MaxValue)
+    assert(Imi.decisionGapMod(Int.MaxValue.toLong * Imi.GapQueries + 1)
+      === Int.MaxValue)
   }
 
   test("sparse/offset vec_ids (ids > CellBase): densified cent_ids " +

@@ -241,6 +241,37 @@ class TxCommitSpec extends SparkSpec {
       .toSet === Set(1L -> "a1"))
   }
 
+  test("conditional PUT racing a cross-instance winner inside the " +
+    "exists-check window returns false, never throws (ADVICE r12)") {
+    val root = freshRoot("condput-window")
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$root/_commits"))
+    val dest = new Path(s"$root/_commits/v00000001.json")
+    // the racer publishes through a DIFFERENT instance, so the loser's
+    // in-memory claim set cannot know about it
+    assert(new AtomicPublish.ConditionalPut()
+      .publishIfAbsent(fs, dest, "winner".getBytes("UTF-8")))
+    // an eventually-consistent store may answer the exists probe with
+    // a stale NO after the racer's PUT — simulate with a filesystem
+    // whose first probe lies, landing the loser exactly in the window
+    // where create(dest, false) raises FileAlreadyExistsException
+    val stale = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      private var lied = false
+      override def exists(p: Path): Boolean =
+        if (!lied && p == dest) { lied = true; false }
+        else super.exists(p)
+    }
+    val loser = new AtomicPublish.ConditionalPut
+    assert(!loser.publishIfAbsent(stale, dest, "loser".getBytes("UTF-8")),
+      "the precondition failing mid-window is a lost race, not a throw")
+    // the winner's payload is untouched
+    val in = fs.open(dest)
+    val buf = new Array[Byte](64)
+    val n = in.read(buf); in.close()
+    assert(new String(buf, 0, n, "UTF-8") === "winner")
+  }
+
   test("a losing stream compactor leaves no visible compacted data " +
     "dir (publish refused by the store precondition)") {
     val root = freshRoot("condput-compact")

@@ -4,7 +4,9 @@
 # corpus AND the regenerated eight-dimension adversarial twin (the
 # sweep that caught the \s dialect gap, both CSV/TSV escaping bugs,
 # and the round-11 unicode-casing divergence is now a gate step, not a
-# hand-run), then the bench and the ScalaTest suite.
+# hand-run), then the bench and the ScalaTest suite. Order (r12
+# verdict #8): bench runs straight after the sf0.01 verify, BEFORE the
+# twin, so it never inherits the twin's cache/CPU churn.
 #
 #   bash tools/gate.sh          # full gate (~15 min)
 #   bash tools/gate.sh fast     # skip bench + sbt test (correctness only)
@@ -27,12 +29,10 @@ echo "== gate: oracle-strength audit (no vacuous greens) =="
 python3 tools/oracle_strength.py /root/testdata/sf0.01 /tmp/verify_out \
   --report /tmp/oracle_strength.txt
 
-echo "== gate: adversarial twin (regenerate + full registry) =="
-python3 tools/gen_adversarial.py /root/testdata/sf0.001 /tmp/graft_adversarial
-sbt -batch "runMain graft.Verify /tmp/graft_adversarial /tmp/adv_out"
-python3 tools/check.py /tmp/graft_adversarial /tmp/adv_out
-
 if [ "$MODE" != "fast" ]; then
+  # bench runs BEFORE the adversarial twin (r12 verdict #8): the twin
+  # verify's 200+ s of page-cache/CPU churn pushed 26 queries into
+  # (correctly adjudicated) suspect territory when bench inherited it
   echo "== gate: bench @ sf0.1 =="
   # NOTE: no `tee /dev/stderr` here — when the gate's stderr is a
   # redirected log file, tee RE-OPENS it with O_TRUNC and wipes
@@ -50,6 +50,14 @@ if [ "$MODE" != "fast" ]; then
   # regression and fail the gate
   echo "$BENCH_LINE" | grep -q '"suspect":\[\]' \
     || { echo "== gate: BENCH HAD UNADJUDICATED SUSPECTS =="; exit 1; }
+fi
+
+echo "== gate: adversarial twin (regenerate + full registry) =="
+python3 tools/gen_adversarial.py /root/testdata/sf0.001 /tmp/graft_adversarial
+sbt -batch "runMain graft.Verify /tmp/graft_adversarial /tmp/adv_out"
+python3 tools/check.py /tmp/graft_adversarial /tmp/adv_out
+
+if [ "$MODE" != "fast" ]; then
   echo "== gate: sbt test =="
   sbt -batch test
 fi

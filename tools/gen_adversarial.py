@@ -89,14 +89,20 @@ def main(src, dst):
       -- compare plumbing), or a non-ASCII case variant the dialect-free
       -- casefold intentionally does NOT fold. %41 avoids the dim-6 docs
       -- (17, 23, 30) and composes freely with the text dimensions.
+      -- residue 18 NULLs BOTH keys on the SAME row (ADVICE r12: the
+      -- 11-16 residues are pairwise disjoint, so compound-NULL group
+      -- keys — the shape where a null-safe join on one key but not
+      -- the other slips through — were untested)
       SELECT doc_id, text,
         CASE WHEN doc_id % 41 = 11 THEN NULL
              WHEN doc_id % 41 = 12 THEN ''
              WHEN doc_id % 41 = 16 THEN 'ＥＮ'
+             WHEN doc_id % 41 = 18 THEN NULL
              ELSE lang END AS lang,
         CASE WHEN doc_id % 41 = 13 THEN NULL
              WHEN doc_id % 41 = 14 THEN ''
              WHEN doc_id % 41 = 15 THEN 'src "q"' || chr(9) || 'tab'
+             WHEN doc_id % 41 = 18 THEN NULL
              ELSE source END AS source,
         n_chars
       FROM (
@@ -174,10 +180,12 @@ def main(src, dst):
       -- declare an explicit null gate (spelled in BOTH engines) or
       -- aggregate with SQL null semantics. %47 composes with the
       -- dim-2 tie mutations below.
+      -- residue 24 NULLs user_id AND event_type AND value on the SAME
+      -- row (compound-NULL keys, ADVICE r12)
       SELECT event_id, ts,
-        CASE WHEN event_id % 47 = 21 THEN NULL ELSE user_id END AS user_id,
-        CASE WHEN event_id % 47 = 23 THEN NULL ELSE event_type END AS event_type,
-        CASE WHEN event_id % 47 = 22 THEN NULL ELSE value END AS value,
+        CASE WHEN event_id % 47 IN (21, 24) THEN NULL ELSE user_id END AS user_id,
+        CASE WHEN event_id % 47 IN (23, 24) THEN NULL ELSE event_type END AS event_type,
+        CASE WHEN event_id % 47 IN (22, 24) THEN NULL ELSE value END AS value,
         props
       FROM (
       SELECT event_id,
@@ -194,7 +202,8 @@ def main(src, dst):
     con.execute(f"""
     COPY (
       SELECT p_partkey,
-        CASE WHEN p_partkey % 23 = 8 THEN NULL -- dim 8: null name
+        -- %23=9 NULLs name AND brand on the SAME row (compound, ADVICE r12)
+        CASE WHEN p_partkey % 23 IN (8, 9) THEN NULL -- dim 8: null name
         ELSE CASE p_partkey % 11
           WHEN 0 THEN p_name || ', "quoted, comma"'
           WHEN 1 THEN p_name || chr(10) || 'second line'
@@ -202,7 +211,7 @@ def main(src, dst):
           WHEN 3 THEN p_name || chr(9) || 'tabbed'
           WHEN 4 THEN ''
           ELSE p_name END END AS p_name,
-        CASE WHEN p_partkey % 23 = 7 THEN NULL -- dim 8: null brand
+        CASE WHEN p_partkey % 23 IN (7, 9) THEN NULL -- dim 8: null brand
              ELSE p_brand END AS p_brand,
         p_type, p_size, p_retailprice
       FROM read_parquet('{src}/part.parquet')

@@ -108,6 +108,18 @@ def main(argv):
             fail += 1
             continue
         want_sig = frame_sig(want)
+        # 1b. the perturbation logic below assumes got ALREADY equals
+        # want — run standalone on a diverging output, every
+        # perturbation is "caught" trivially and a broken op would be
+        # reported sensitive (ADVICE r12). Safe inside gate.sh only by
+        # step ordering; assert it here so the audit is self-contained.
+        if (list(got.columns) != list(want.columns)
+                or len(got) != len(want)
+                or frame_sig(got) != want_sig):
+            print(f"[MISMATCH] {name}: spark output != oracle at audit "
+                  "SF — run check.py first; sensitivity unmeasurable")
+            fail += 1
+            continue
         # 2. drop one row -> compare must fail
         dropped = canon(got.iloc[1:].reset_index(drop=True))
         drop_caught = (len(dropped) != len(want)
