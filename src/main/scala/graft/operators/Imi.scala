@@ -39,16 +39,49 @@ import graft.operators.Similarity.{cosine, idot, inorm2}
   */
 object Imi {
 
-  /** Registered geometry: 16 centroids per half → 256 effective cells,
+  /** Geometry: `lawK1` centroids per half → k1² effective cells,
     * 4 probes per half → 16 probed cells per vector (2 probes/half
     * multiplied per-half misses: measured rank-1 recall 0.288 vs
     * 0.872 at 4 — the product-probe needs the wider per-half slice).
-    * At 100 TB the same code runs with k1 sized to the corpus
-    * (k1 ≈ √(N/occ), e.g. 2×4096 for 16M cells at occupancy 10 over
-    * 170M vectors) — the assignment stays O(N·2·k1) regardless. */
-  val K1 = 16
+    *
+    * k1 is sized to the corpus by the OCCUPANCY LAW k1 = √(N/occ) —
+    * per-cell occupancy stays ≈ [[OccTarget]] as N grows, which keeps
+    * the co-cell candidate volume (the cost of every trained-canopy
+    * consumer) LINEAR in N. Before round 13 the registered ops pinned
+    * k1 = 16 — exactly the law's value at the gate corpora (500 and
+    * 2000 qualifying vectors both derive 16, so results and oracles
+    * are bit-identical there) — but the whole-registry decade soak
+    * measured the frozen-geometry consequence on the 20k-vector sf1
+    * twin: occupancy 10×, candidates ~100×, exponents 1.45-1.76 on
+    * the trained quartet. With the law the twin trains 50 centroids
+    * per half and the quartet re-measures ≈ linear. The oracles
+    * derive the SAME k1 in SQL (a COUNT(*) scalar subquery over the
+    * identical qualifying population), so training replays
+    * bit-for-bit at any scale. Floor 16 = the measured-recall gate
+    * geometry; at 170M vectors the law gives 2×4612 ≈ 21M cells and
+    * the assignment stays O(N·2·k1). */
+  val K1Floor = 16
+  val OccTarget = 8
   val NProbeHalf = 4
   val LloydSteps = 1
+
+  /** Occupancy-law k1 from a qualifying-vector count. */
+  def lawK1(n: Long): Int =
+    math.max(K1Floor,
+      math.ceil(math.sqrt(n / OccTarget.toDouble)).toInt)
+
+  /** [[lawK1]] over a quantized frame (counts n2 > 0 rows — the same
+    * `nn` population the oracle's scalar subquery counts; frames from
+    * [[Similarity.quantizedLabeled]]/[[Similarity.quantized]] are
+    * already filtered, the guard keeps ad-hoc frames honest). */
+  def lawK1Of(e: DataFrame): Int = lawK1(e.filter(col("n2") > 0).count())
+
+  /** The law in DuckDB: k1 as a scalar subquery over the counted
+    * population (`from` = a CTE/predicate naming the same qualifying
+    * vectors the engine counts). */
+  private def k1Sql(from: String): String =
+    s"(SELECT GREATEST($K1Floor, CAST(ceil(sqrt(COUNT(*) / " +
+      s"$OccTarget.0)) AS BIGINT)) FROM $from)"
 
   /** Cell id packing: cell = c0·2²¹ + c1. Centroid ids are seed vector
     * ids, bounded by the corpus; 2²¹ (2.1M) leaves the packed id far
@@ -178,10 +211,15 @@ object Imi {
     * signature, and later sessions read it back. */
   def trainedCanopy(spark: SparkSession, dir: String): DataFrame =
     imiCache.getOrBuild(spark, dir, "embeddings.parquet") {
+      // occupancy-law geometry: the derived k1 lands in the store
+      // version, so a corpus growing past a law step retrains instead
+      // of silently reusing the stale geometry (at the gate corpora
+      // the law derives the historical 16 — stores carry over as-is)
+      val e = Similarity.quantizedLabeled(spark, dir)
+      val k1 = lawK1Of(e)
       val store = PersistedStore.ensure(spark, dir, "embeddings.parquet",
-        "imi_canopy", s"v2:k$K1:s$LloydSteps:p$NProbeHalf") { root =>
-        cellsOf(spark, Similarity.quantizedLabeled(spark, dir),
-          K1, LloydSteps, NProbeHalf)
+        "imi_canopy", s"v2:k$k1:s$LloydSteps:p$NProbeHalf") { root =>
+        cellsOf(spark, e, k1, LloydSteps, NProbeHalf)
           .write.mode("overwrite").parquet(s"$root/cells")
       }
       spark.read.parquet(s"$store/cells")
@@ -222,13 +260,17 @@ object Imi {
   private[graft] def standingIndex(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     standingCache.getOrBuild(spark, dir, "embeddings.parquet") {
+      // law k1 over the STANDING slice — the population the codebook
+      // trains on (and the one the oracle's scalar subquery counts)
+      val standing0 = Similarity.quantizedLabeled(spark, dir)
+        .filter(col("vec_id") % DeltaMod =!= 0)
+      val k1 = lawK1Of(standing0)
       val store = PersistedStore.ensure(spark, dir, "embeddings.parquet",
-        "imi_standing", s"v2:k$K1:s$LloydSteps:p$NProbeHalf:d$DeltaMod") {
+        "imi_standing", s"v2:k$k1:s$LloydSteps:p$NProbeHalf:d$DeltaMod") {
         root =>
-          val standing = Similarity.quantizedLabeled(spark, dir)
-            .filter(col("vec_id") % DeltaMod =!= 0)
+          val standing = standing0
           val h = halves(spark, standing)
-          val cb = codebook(spark, h, K1, LloydSteps)
+          val cb = codebook(spark, h, k1, LloydSteps)
           cb.write.mode("overwrite").parquet(s"$root/codebook")
           cellsWithCodebook(spark, standing,
             spark.read.parquet(s"$root/codebook"), NProbeHalf)
@@ -309,7 +351,7 @@ object Imi {
     * assignments + the probe in one statement. */
   val imiDelta: Op = Op(
     "q_imi_delta",
-    imiDeltaSql(K1, NProbeHalf, DeltaMod)) { (spark, dir) =>
+    imiDeltaSql(NProbeHalf, DeltaMod)) { (spark, dir) =>
     val (cb, standingCells) = standingIndex(spark, dir)
     val delta = Similarity.quantizedLabeled(spark, dir)
       .filter(col("vec_id") % DeltaMod === 0)
@@ -498,7 +540,7 @@ object Imi {
           "for this corpus shape")
     }
     if (retrain)
-      cellsOf(spark, all, K1, LloydSteps, NProbeHalf)
+      cellsOf(spark, all, lawK1(nAll), LloydSteps, NProbeHalf)
     else mergedOpt.get
   }
 
@@ -560,7 +602,7 @@ object Imi {
       // v3: the build consults the measured recall gap (r12) — same
       // merge artifact, but the store generation records the new law
       val store = PersistedStore.ensure(spark, dir, "embeddings.parquet",
-        "imi_compact", s"v3:k$K1:s$LloydSteps:p$NProbeHalf:d$DeltaMod" +
+        "imi_compact", s"v3:kl$K1Floor-$OccTarget:s$LloydSteps:p$NProbeHalf:d$DeltaMod" +
           s":f${(CompactRetrainFrac * 100).toInt}" +
           s":g${(CompactRecallGapFloor * 100).toInt}") { root =>
         compactUnion(spark, dir, CompactRetrainFrac,
@@ -572,7 +614,7 @@ object Imi {
 
   val imiCompact: Op = Op(
     "q_imi_compact",
-    imiStandingCellsSql(K1, NProbeHalf, DeltaMod) +
+    imiStandingCellsSql(NProbeHalf, DeltaMod) +
       s"""
          |SELECT vec_id, cell,
          |  CAST(CASE WHEN vec_id % $DeltaMod = 0 THEN 1 ELSE 0 END
@@ -606,7 +648,7 @@ object Imi {
     * loudly instead of silently diverging from its oracle. */
   val imiRetrain: Op = Op(
     "q_imi_retrain",
-    imiCellsSql(K1, NProbeHalf) +
+    imiCellsSql(NProbeHalf) +
       s"""
          |SELECT vec_id, cell,
          |  CAST(CASE WHEN vec_id % $RetrainDeltaMod = 0 THEN 1 ELSE 0 END
@@ -614,7 +656,7 @@ object Imi {
          |FROM cells""".stripMargin) { (spark, dir) =>
     retrainCache.getOrBuild(spark, dir, "embeddings.parquet") {
       val store = PersistedStore.ensure(spark, dir, "embeddings.parquet",
-        "imi_retrain", s"v1:k$K1:s$LloydSteps:p$NProbeHalf" +
+        "imi_retrain", s"v1:kl$K1Floor-$OccTarget:s$LloydSteps:p$NProbeHalf" +
           s":d$RetrainDeltaMod:f${(CompactRetrainFrac * 100).toInt}") {
         root =>
           compactUnion(spark, dir, CompactRetrainFrac,
@@ -630,8 +672,8 @@ object Imi {
   /** Oracle for [[imiDelta]]: train on the standing slice, assign
     * BOTH slices against the trained codebook, probe delta×standing
     * on shared cells, exact top-5 per delta vector. */
-  private def imiDeltaSql(k1: Int, nprobe: Int, deltaMod: Int): String =
-    imiStandingCellsSql(k1, nprobe, deltaMod) +
+  private def imiDeltaSql(nprobe: Int, deltaMod: Int): String =
+    imiStandingCellsSql(nprobe, deltaMod) +
     s""", cand AS (
        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
        |  FROM cells a JOIN cells b ON a.cell = b.cell
@@ -654,7 +696,7 @@ object Imi {
     * slices against that stored codebook, emit the probed `cells`
     * frame (vec_id, cell) — CTE for CTE against
     * [[standingIndex]] + [[cellsWithCodebook]]. */
-  private def imiStandingCellsSql(k1: Int, nprobe: Int, deltaMod: Int)
+  private def imiStandingCellsSql(nprobe: Int, deltaMod: Int)
       : String =
     s"""WITH e AS (
        |  SELECT vec_id, label, ${Similarity.QuantSql} AS v FROM embeddings
@@ -676,7 +718,7 @@ object Imi {
        |), seed AS (
        |  SELECT half, vec_id AS cent_id, h AS cv, hn2 AS cn FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY half ORDER BY vec_id) AS rn
-       |    FROM hs) WHERE rn <= $k1
+       |    FROM hs) WHERE rn <= ${k1Sql(s"nn WHERE vec_id % $deltaMod <> 0")}
        |), sc0 AS (
        |  SELECT a.vec_id, a.half, a.h, c.cent_id,
        |         CAST(list_sum(list_transform(range(1, 33), i -> a.h[i]*c.cv[i])) AS DOUBLE)
@@ -725,7 +767,7 @@ object Imi {
   // → trained scoring → per-half top-nprobe → probed cells, CTE for
   // CTE against the Spark chain above
   // ---------------------------------------------------------------
-  private def imiCellsSql(k1: Int, nprobe: Int): String =
+  private def imiCellsSql(nprobe: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, label, ${Similarity.QuantSql} AS v FROM embeddings
        |), n AS (
@@ -744,7 +786,7 @@ object Imi {
        |), seed AS (
        |  SELECT half, vec_id AS cent_id, h AS cv, hn2 AS cn FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY half ORDER BY vec_id) AS rn
-       |    FROM hq) WHERE rn <= $k1
+       |    FROM hq) WHERE rn <= ${k1Sql("nn")}
        |), sc0 AS (
        |  SELECT a.vec_id, a.half, a.h, c.cent_id,
        |         CAST(list_sum(list_transform(range(1, 33), i -> a.h[i]*c.cv[i])) AS DOUBLE)
@@ -799,7 +841,7 @@ object Imi {
     * Recall floor vs the exact top-1 pinned in ImiSpec. */
   val knnGraphTrained: Op = Op(
     "q_knn_graph_trained",
-    imiCellsSql(K1, NProbeHalf) +
+    imiCellsSql(NProbeHalf) +
     s""", cand AS (
        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
@@ -915,7 +957,7 @@ object Imi {
 
   val imiRecall: Op = Op(
     "q_imi_recall",
-    imiCellsSql(K1, NProbeHalf) + recallTailSql) { (spark, dir) =>
+    imiCellsSql(NProbeHalf) + recallTailSql) { (spark, dir) =>
     recallFromCells(spark, dir, trainedCanopy(spark, dir))
   }
 
@@ -930,7 +972,7 @@ object Imi {
     * differs. */
   val imiRecallCompact: Op = Op(
     "q_imi_recall_compact",
-    imiStandingCellsSql(K1, NProbeHalf, DeltaMod) + recallTailSql) {
+    imiStandingCellsSql(NProbeHalf, DeltaMod) + recallTailSql) {
     (spark, dir) =>
     recallFromCells(spark, dir,
       compactCells(spark, dir)
@@ -944,7 +986,7 @@ object Imi {
     * [[Similarity.semdedup]]. */
   val semdedupTrained: Op = Op(
     "q_semdedup_trained",
-    imiCellsSql(K1, NProbeHalf) +
+    imiCellsSql(NProbeHalf) +
     s""", asg AS (
        |  SELECT vec_id, label, cell,
        |         CAST(dot0 + dot1 AS DOUBLE)
@@ -978,7 +1020,7 @@ object Imi {
     * [[Similarity.hardNegTopKFromCells]]). */
   val hardNegativesTrained: Op = Op(
     "q_hard_negatives_trained",
-    imiCellsSql(K1, NProbeHalf) +
+    imiCellsSql(NProbeHalf) +
     s""", cand AS (
        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
        |  FROM cells a JOIN cells b
@@ -1008,7 +1050,7 @@ object Imi {
     * a deterministic function of the pair. */
   val embedNearDupAnnTrained: Op = Op(
     "q_embed_neardup_ann_trained",
-    imiCellsSql(K1, NProbeHalf) +
+    imiCellsSql(NProbeHalf) +
     s""", cand AS (
        |  SELECT DISTINCT a.label, a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM cells a JOIN cells b

@@ -36,7 +36,19 @@ object RunLog {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val filter = new org.apache.hadoop.fs.GlobFilter(glob)
     fs.listStatus(p)
-      .filter(st => st.isFile && filter.accept(st.getPath))
+      .filter(st => filter.accept(st.getPath))
+      .flatMap { st =>
+        if (st.isFile) Array(st)
+        // a table stored as a DIRECTORY of part files (any Spark-written
+        // corpus) signs its data files; an isFile-only listing signed ""
+        // and a stale store could never be detected (r13 soak catch).
+        // Hidden/_-prefixed entries (_SUCCESS, .crc) stay out so a
+        // re-run that only touches markers doesn't churn the signature.
+        else fs.listStatus(st.getPath).filter { c =>
+          val n = c.getPath.getName
+          c.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+      }
       .map(st => s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}")
       .sorted.mkString(",")
   }

@@ -417,14 +417,10 @@ object EventStream {
     val meta = spark.read.parquet(bodMetaPath(basePath))
     val splitDay = meta.agg(max(col("split_day"))).head().getDate(0)
     val bootFiles = meta.select(col("file_name"))
-    val schema = spark.read
-      .option("pathGlobFilter", glob).parquet(srcDir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", glob)
-      .option("maxFilesPerTrigger", 1) // one file per micro-batch: the
-        // multi-batch merge path actually executes when the source has
-        // several files (EventStreamSpec feeds two overlapping halves)
-      .parquet(srcDir)
+    // one file per micro-batch: the multi-batch merge path actually
+    // executes when the source has several files (EventStreamSpec
+    // feeds two overlapping halves)
+    val stream = tableStream(spark, srcDir, glob, maxFilesPerTrigger = 1)
     val qName = "stream_bod_" + java.lang.Integer.toHexString(
       hotPath.hashCode & 0x7fffffff)
     // a query leaked ACTIVE by an earlier failed drain would make this
@@ -482,7 +478,10 @@ object EventStream {
   def bootstrapBestOfDay(
       spark: SparkSession, srcDir: String, glob: String,
       basePath: String): Unit = {
-    val src = spark.read.option("pathGlobFilter", glob).parquet(srcDir)
+    // explicit-path read works on BOTH layouts (single file or part-file
+    // directory); the glob-filtered dir read returned EMPTY on directory
+    // tables, which bootstrapped an empty base (r13 soak catch)
+    val src = spark.read.parquet(s"$srcDir/$glob")
     val snaps = graft.operators.Pricing.snapsOf(src)
     val maxDay = snaps.agg(max(col("as_of_date"))).head().getDate(0)
     val splitDay = java.sql.Date.valueOf(
@@ -549,6 +548,40 @@ object EventStream {
       .toDays + 2
   }
 
+  /** Resolve a file-backed table under `dir` for streaming reads. The
+    * driver corpus stores table t as a single FILE `dir/t.parquet` —
+    * FileStreamSource needs a directory source, so that layout streams
+    * from `dir` with a leaf-name pathGlobFilter. A Spark-written /
+    * production corpus stores `t.parquet` as a DIRECTORY of part
+    * files, where the leaf glob matches NOTHING and the stream is
+    * silently EMPTY — the r13 whole-registry decade soak caught every
+    * streaming op returning zero rows on the sf1 twin exactly this
+    * way (negative scaling exponents = zero files matched). Directory
+    * tables stream from the directory itself, no filter. A `table`
+    * argument containing real glob wildcards never names an existing
+    * path, so it falls through to the historical filtered-dir shape. */
+  private def resolveTable(
+      spark: SparkSession, dir: String, table: String)
+      : (String, Option[String]) = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) (p.toString, None)
+    else (dir, Some(table))
+  }
+
+  /** Streaming source for `dir/table`, correct on BOTH layouts. */
+  private[graft] def tableStream(
+      spark: SparkSession, dir: String, table: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$table").schema
+    val (path, filt) = resolveTable(spark, dir, table)
+    val r0 = spark.readStream.schema(schema)
+    val r1 = filt.fold(r0)(g => r0.option("pathGlobFilter", g))
+    val r2 = if (maxFilesPerTrigger > 0)
+      r1.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else r1
+    r2.parquet(path)
+  }
+
   /** Parquet-backed stream of the events table — the one source shape
     * shared by every streaming entry point below. `ts` is normalized to
     * a session-TZ TIMESTAMP whichever way the file stores it (ns-as-long
@@ -557,10 +590,7 @@ object EventStream {
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    // FileStreamSource requires a directory source; glob-filter the table
-    val raw = spark.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val raw = tableStream(spark, dir, "events.parquet")
     fileSchema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -633,9 +663,7 @@ object EventStream {
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
       import graft.operators.Dedup
       val mod = Dedup.IncrementalDeltaMod
-      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
-      val delta = spark.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val delta = tableStream(spark, dir, "documents.parquet")
         .filter(col("doc_id") % mod === 0)
       incrDedupMatchLog(spark, dir, delta)
         .writeStream.outputMode(OutputMode.Append)
@@ -724,9 +752,7 @@ object EventStream {
       spark: SparkSession, dir: String, queryName: String): String =
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
       val mod = graft.operators.Dedup.IncrementalDeltaMod
-      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
-      val delta = spark.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val delta = tableStream(spark, dir, "documents.parquet")
         .filter(col("doc_id") % mod === 0)
       chunkProbeLog(spark, dir, delta)
         .writeStream.outputMode(OutputMode.Append)
@@ -768,9 +794,7 @@ object EventStream {
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
       val (model, _) =
         graft.operators.StreamingOps.standingPplModel(spark, dir)
-      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
-      val delta = spark.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val delta = tableStream(spark, dir, "documents.parquet")
         .filter(col("doc_id") %
           graft.operators.Dedup.IncrementalDeltaMod === 0)
         .select(col("doc_id"), col("lang"),
@@ -800,9 +824,7 @@ object EventStream {
   def runQualityScoreToMemory(
       spark: SparkSession, dir: String, queryName: String): String =
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
-      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
-      val docs = spark.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val docs = tableStream(spark, dir, "documents.parquet")
         .select(col("doc_id"), col("text"))
       graft.operators.QualityModel.scoreRowLocal(spark, dir, docs)
         .writeStream.outputMode(OutputMode.Append)
@@ -845,10 +867,7 @@ object EventStream {
             .select(col("source"), col("standing_tokens"))
             .write.mode("overwrite").parquet(s"$root/hwm-seed")
           val split = graft.operators.Curation.packSplitId(spark, dir)
-          val docsSchema =
-            spark.read.parquet(s"$dir/documents.parquet").schema
-          val delta = spark.readStream.schema(docsSchema)
-            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          val delta = tableStream(spark, dir, "documents.parquet")
             .filter(col("doc_id") >= split)
             .select(col("doc_id"), col("source"),
               graft.functions.TextAnalysis.bpeishTokenCount(col("text"))
@@ -1034,9 +1053,7 @@ object EventStream {
         case None =>
           incrCcStates(key) = incrCcInit(spark, dir)
           val mod = graft.operators.Dedup.IncrementalDeltaMod
-          val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
-          val arriving = spark.readStream.schema(docsSchema)
-            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          val arriving = tableStream(spark, dir, "documents.parquet")
             .filter(col("doc_id") % mod === 0)
           val q = arriving.writeStream
             .queryName(liveTable(queryName, dir))
@@ -1068,9 +1085,7 @@ object EventStream {
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
       import graft.operators.{Dedup, Retrieval, TextOps}
       val mod = Dedup.IncrementalDeltaMod
-      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
-      spark.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      tableStream(spark, dir, "documents.parquet")
         .filter(col("doc_id") % mod === 0)
         .select(col("doc_id"),
           explode(TextOps.bigramArray).as("bg"))
@@ -1113,9 +1128,7 @@ object EventStream {
       spark: SparkSession, dir: String, queryName: String): String =
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
       import graft.operators.Similarity
-      val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
-      val arrivals = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      val arrivals = tableStream(spark, dir, "embeddings.parquet")
         .filter(col("vec_id") % Similarity.StreamAnnMod === 0)
       Similarity.annProbeRows(spark, dir, arrivals)
         .writeStream.outputMode(OutputMode.Append)
@@ -1135,9 +1148,7 @@ object EventStream {
       spark: SparkSession, dir: String, queryName: String): String =
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
       import graft.operators.Imi
-      val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
-      val arrivals = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      val arrivals = tableStream(spark, dir, "embeddings.parquet")
         .filter(col("vec_id") % Imi.DeltaMod === 0)
       Imi.probeRows(spark, dir, arrivals)
         .writeStream.outputMode(OutputMode.Append)
@@ -1157,9 +1168,7 @@ object EventStream {
       spark: SparkSession, dir: String, queryName: String): String =
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
       import graft.operators.TextOps
-      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
-      val arrivals = spark.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val arrivals = tableStream(spark, dir, "documents.parquet")
         .filter(col("doc_id") % TextOps.Bm25QueryMod === 0)
       TextOps.bm25ProbeRows(spark, dir, arrivals)
         .writeStream.outputMode(OutputMode.Append)
@@ -1175,9 +1184,7 @@ object EventStream {
       val bench = broadcast(graft.operators.Curation.gramRows8(spark, dir)
         .filter(col("is_bench"))
         .select(col("doc_id").as("bench_doc_id"), col("g8")))
-      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
-      val train = spark.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val train = tableStream(spark, dir, "documents.parquet")
         .filter(col("doc_id") % mod =!= 0)
         .select(col("doc_id"),
           explode(graft.functions.TextAnalysis.wordShingles(col("text"), 8))
@@ -1211,14 +1218,12 @@ object EventStream {
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
       import graft.operators.{Bpe, Dedup}
       val mrank = Bpe.mergeRankMapBucketed(Bpe.standingMerges(spark, dir))
-      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
       val words = regexp_extract_all(col("text"),
         lit(Bpe.TokenRe), lit(0))
       def tokCount(w: org.apache.spark.sql.Column) =
         size(Bpe.encodeFixpointBucketed(Bpe.initSyms(w), col("mrank")))
           .cast("long")
-      spark.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      tableStream(spark, dir, "documents.parquet")
         .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0)
         .filter(size(words) > 0)
         .crossJoin(broadcast(mrank))
@@ -1258,13 +1263,11 @@ object EventStream {
       import graft.operators.{Bpe, Dedup}
       val mrank = Bpe.mergeRankMapBucketed(Bpe.standingMerges(spark, dir))
       val imap = Bpe.inventoryMapBucketed(Bpe.inventoryIds(spark, dir))
-      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
       val words = regexp_extract_all(col("text"),
         lit(Bpe.TokenRe), lit(0))
       def symsOf(w: org.apache.spark.sql.Column) =
         Bpe.encodeFixpointBucketed(Bpe.initSyms(w), col("mrank"))
-      spark.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      tableStream(spark, dir, "documents.parquet")
         .filter(col("doc_id") % Dedup.IncrementalDeltaMod === 0)
         .filter(size(words) > 0)
         .crossJoin(broadcast(mrank))
@@ -1308,9 +1311,7 @@ object EventStream {
       val thr = Retrieval.dsirScores(dc, ratio)
         .agg(expr(s"percentile(dsir_score, ${Retrieval.DsirQuantile})")
           .as("p75"))
-      val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
-      val arriving = spark.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val arriving = tableStream(spark, dir, "documents.parquet")
       val buckets = transform(TextOps.bigramArray, bg =>
         graft.functions.TextAnalysis.fingerprint(
           concat_ws(" ", bg.getField("w1"), bg.getField("w2")),

@@ -59,10 +59,10 @@ object ImiRecallCurve {
     for (dm <- Seq(10, 4, 3, 2)) {
       val standing = e.filter(col("vec_id") % dm =!= 0)
       val cbS = Imi.codebook(spark, Imi.halves(spark, standing),
-        Imi.K1, Imi.LloydSteps)
+        Imi.lawK1Of(standing), Imi.LloydSteps)
       val merged = Imi.cellsWithCodebook(spark, e, cbS, Imi.NProbeHalf)
         .localCheckpoint()
-      val retrained = Imi.cellsOf(spark, e, Imi.K1, Imi.LloydSteps,
+      val retrained = Imi.cellsOf(spark, e, Imi.lawK1Of(e), Imi.LloydSteps,
         Imi.NProbeHalf).localCheckpoint()
       val frac = 1.0 / dm
       println(f"$dm%8d $frac%9.3f ${recallOf(merged)}%12.3f " +

@@ -14,6 +14,9 @@ class ImiSpec extends SparkSpec {
 
   private lazy val e = Similarity.quantizedLabeled(spark, sf001).cache()
   private lazy val canopy = Imi.trainedCanopy(spark, sf001).cache()
+  // occupancy-law geometry of THIS corpus (== the historical 16 at
+  // every gate SF; the law only grows k1 past ~2k qualifying vectors)
+  private lazy val k1 = Imi.lawK1Of(e)
 
   test("canopy geometry: <= nprobe^2 cells per vector, ranks in range, " +
     "cells decompose into per-half centroid ids") {
@@ -22,18 +25,18 @@ class ImiSpec extends SparkSpec {
     assert(canopy.filter($"r0" < 1 || $"r0" > Imi.NProbeHalf ||
       $"r1" < 1 || $"r1" > Imi.NProbeHalf).count() === 0)
     // distinct leaf cells bounded by k1^2; both packed halves nonneg
-    assert(canopy.select($"cell").distinct().count() <= Imi.K1.toLong * Imi.K1)
+    assert(canopy.select($"cell").distinct().count() <= k1.toLong * k1)
     assert(canopy.filter($"cell" < 0).count() === 0)
   }
 
   test("assignment cost law: the scored frame is |halves| x (<= 2*k1) " +
     "rows — fixed per-vector work, independent of corpus size") {
     val h = Imi.halves(spark, e)
-    val cb = Imi.codebook(spark, h, Imi.K1, Imi.LloydSteps).cache()
+    val cb = Imi.codebook(spark, h, k1, Imi.LloydSteps).cache()
     // the trained codebook never exceeds 2*k1 centroids (k1 per half)
     val perHalf = cb.groupBy($"half").agg(count(lit(1)).as("n"))
-    assert(perHalf.filter($"n" > Imi.K1).count() === 0)
-    assert(cb.count() <= 2L * Imi.K1)
+    assert(perHalf.filter($"n" > k1).count() === 0)
+    assert(cb.count() <= 2L * k1)
     cb.unpersist()
   }
 
@@ -104,7 +107,7 @@ class ImiSpec extends SparkSpec {
       "evicted reread diverged")
     assert(listing === before, "store was rebuilt on a cache miss")
     // fresh (non-persisted) construction agrees with the committed store
-    val fresh = Imi.cellsOf(spark, e, Imi.K1, Imi.LloydSteps, Imi.NProbeHalf)
+    val fresh = Imi.cellsOf(spark, e, k1, Imi.LloydSteps, Imi.NProbeHalf)
     assert(rows(fresh) === first, "persisted canopy drifted from fresh")
   }
 
@@ -224,7 +227,7 @@ class ImiSpec extends SparkSpec {
       .select($"vec_id", $"cell").as[(Long, Long)].collect().sorted
     val want = Imi.cellsOf(spark,
       Similarity.quantizedLabeled(spark, sf001),
-      Imi.K1, Imi.LloydSteps, Imi.NProbeHalf)
+      Imi.lawK1Of(e), Imi.LloydSteps, Imi.NProbeHalf)
       .select($"vec_id", $"cell").as[(Long, Long)].collect().sorted
     assert(got.nonEmpty)
     assert(got === want.toSeq)
@@ -237,7 +240,7 @@ class ImiSpec extends SparkSpec {
       .select($"vec_id", $"cell").as[(Long, Long)].collect().sorted
     val want = Imi.cellsOf(spark,
       Similarity.quantizedLabeled(spark, sf001),
-      Imi.K1, Imi.LloydSteps, Imi.NProbeHalf)
+      Imi.lawK1Of(e), Imi.LloydSteps, Imi.NProbeHalf)
       .select($"vec_id", $"cell").as[(Long, Long)].collect().sorted
     assert(got.nonEmpty)
     assert(got === want.toSeq,
@@ -260,7 +263,7 @@ class ImiSpec extends SparkSpec {
       .select($"vec_id", $"cell").as[(Long, Long)].collect().sorted
     val want = Imi.cellsOf(spark,
       Similarity.quantizedLabeled(spark, sf001),
-      Imi.K1, Imi.LloydSteps, Imi.NProbeHalf)
+      Imi.lawK1Of(e), Imi.LloydSteps, Imi.NProbeHalf)
       .select($"vec_id", $"cell").as[(Long, Long)].collect().sorted
     assert(got.nonEmpty)
     assert(got === want.toSeq,

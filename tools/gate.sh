@@ -52,6 +52,17 @@ if [ "$MODE" != "fast" ]; then
     || { echo "== gate: BENCH HAD UNADJUDICATED SUSPECTS =="; exit 1; }
 fi
 
+if [ "$MODE" != "fast" ]; then
+  # second-SF oracle cross-check (r12 verdict #3): the sf0.01 gate
+  # cannot see a law that only populates at scale (the containment
+  # df-band effect showed sf dependence is real), so the full registry
+  # is re-verified against DuckDB at sf0.1 once per round-close. Runs
+  # after bench so the bench timings never inherit this step's churn.
+  echo "== gate: Verify @ sf0.1 (second-SF oracle cross-check) =="
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/verify_sf01"
+  python3 tools/check.py /root/testdata/sf0.1 /tmp/verify_sf01
+fi
+
 echo "== gate: adversarial twin (regenerate + full registry) =="
 python3 tools/gen_adversarial.py /root/testdata/sf0.001 /tmp/graft_adversarial
 sbt -batch "runMain graft.Verify /tmp/graft_adversarial /tmp/adv_out"
