@@ -541,19 +541,20 @@ object StreamingOps {
   }
 
   /** Streaming BM25 probe ≡ the batch retrieval op — the SAME oracle as
-    * [[TextOps.bm25]]: every query doc arrives on the stream, probes the
-    * standing rare-term index statelessly, and the batch rollup
-    * aggregates scores and ranks. */
+    * [[TextOps.bm25]]: every query doc arrives on the stream, probes
+    * the standing rare-term index statelessly, and the per-query score
+    * sum + top-k reduce BATCH-LOCALLY inside the stream (exact: a
+    * query's partials are all in its arrival's micro-batch — r13 soak
+    * note on [[EventStream.runBm25Probe]]), so the at-rest result is k
+    * rows per query, never the pair-scaled partial log. */
   val streamBm25: Op = Op(
     "q_stream_bm25",
     TextOps.bm25.oracle.get) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    spark.table(EventStream.runBm25ToMemory(spark, dir, "q_stream_bm25_mem"))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("part")).as("score"))
-      .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
-      .filter(col("rnk") <= TextOps.Bm25K)
+    // session-scoped root, same discipline as q_stream_pack above
+    val root = SinkOps.stagingDir(dir,
+      s"stream_bm25_${SessionCache.sessionId(spark).take(8)}")
+    EventStream.runBm25Probe(spark, dir, root)
+    spark.read.parquet(s"$root/topk-*")
       .select("qid", "doc_id", "score", "rnk")
   }
 

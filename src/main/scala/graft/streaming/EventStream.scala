@@ -1159,22 +1159,67 @@ object EventStream {
 
   /** Stateless streaming BM25 probe — retrieval at ingest: arriving
     * query docs (doc_id % Bm25QueryMod = 0, the registered contract's
-    * query set) probe the standing rare-term postings index and emit
-    * the per-term match log. Zero state operators; parity with the
-    * batch op is exact because the probe's index, stats, and part
-    * expression are the batch op's own (shared code, not twins).
-    */
-  def runBm25ToMemory(
-      spark: SparkSession, dir: String, queryName: String): String =
-    runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
-      import graft.operators.TextOps
-      val arrivals = tableStream(spark, dir, "documents.parquet")
-        .filter(col("doc_id") % TextOps.Bm25QueryMod === 0)
-      TextOps.bm25ProbeRows(spark, dir, arrivals)
-        .writeStream.outputMode(OutputMode.Append)
-        .format("memory").queryName(table)
-        .option("checkpointLocation", ckpt)
-        .start()
+    * query set) probe the standing rare-term postings index. Parity
+    * with the batch op is exact because the probe's index, stats, and
+    * part expression are the batch op's own (shared code, not twins).
+    *
+    * Reduction is BATCH-LOCAL (r13 decade soak): the previous shape
+    * sank one row per (query, term, match) PARTIAL into the memory
+    * sink and summed on read — a pair-scaled sink (sampled queries AND
+    * per-term postings both grow with the corpus), measured exp 1.93 /
+    * 63 s / driver-heap pressure on the sf1 twin. An arriving query's
+    * partials all live in the SAME micro-batch (per-row term
+    * expansions of that one arrival row, and doc_id is unique in the
+    * corpus), so the per-(qid, doc) score sum and the per-qid top-k
+    * are batch-COMPLETE: foreachBatch reduces them exactly — same sum,
+    * same (score DESC, doc_id) tie-break the read side used — and
+    * lands k rows per query in the at-rest store. Sink volume is
+    * arrivals×k with the index size out of the equation; per batch the
+    * write is idempotent (_SUCCESS guard), same fresh-per-session root
+    * discipline as [[runStreamPack]]. */
+  def runBm25Probe(
+      spark: SparkSession, dir: String, root: String): String =
+    withStreamShuffle(spark) {
+      val key = liveKey(spark, s"bm25probe:$root", dir)
+      liveQueries.get(key).filter(_.isActive) match {
+        case Some(q) => q.processAllAvailable()
+        case None =>
+          import graft.operators.TextOps
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // fresh run per session: a resumed checkpoint from a dead
+          // session's query would replay zero files into empty output
+          fs.delete(new org.apache.hadoop.fs.Path(root), true)
+          val arrivals = tableStream(spark, dir, "documents.parquet")
+            .filter(col("doc_id") % TextOps.Bm25QueryMod === 0)
+          val qName = "q_stream_bm25_" + java.lang.Integer.toHexString(
+            root.hashCode & 0x7fffffff)
+          spark.streams.active
+            .filter(q => q.name != null && q.name == qName)
+            .foreach(_.stop())
+          val q = TextOps.bm25ProbeRows(spark, dir, arrivals)
+            .writeStream
+            .queryName(qName)
+            .foreachBatch { (batch: DataFrame, b: Long) =>
+              val committed = new org.apache.hadoop.fs.Path(
+                s"$root/topk-$b/_SUCCESS")
+              if (!fs.exists(committed)) {
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("qid"))
+                  .orderBy(col("score").desc, col("doc_id").asc)
+                batch.groupBy(col("qid"), col("doc_id"))
+                  .agg(sum(col("part")).as("score"))
+                  .withColumn("rnk", row_number().over(w).cast("long"))
+                  .filter(col("rnk") <= TextOps.Bm25K)
+                  .write.mode("overwrite").parquet(s"$root/topk-$b")
+              }
+            }
+            .option("checkpointLocation", s"$root/checkpoint")
+            .start()
+          q.processAllAvailable()
+          liveQueries(key) = q
+      }
+      root
     }
 
   def runDecontaminateToMemory(

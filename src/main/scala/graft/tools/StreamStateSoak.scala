@@ -121,12 +121,13 @@ object StreamStateSoak {
     val report = new StringBuilder
     var failures = List.empty[String]
 
-    /** Drive one shape to a noop sink, return per-batch state metrics. */
-    def runCase(name: String)(build: DataFrame => DataFrame)
-        : Seq[BatchState] = {
+    /** Drive one shape to a noop sink, return per-batch state metrics.
+      * mapGroupsWithState demands Update mode; the rest run Append. */
+    def runCase(name: String, mode: String = "append")(
+        build: DataFrame => DataFrame): Seq[BatchState] = {
       val ckpt = s"$root/ckpt-$name"
       val q = build(stream())
-        .writeStream.format("noop")
+        .writeStream.format("noop").outputMode(mode)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
@@ -188,7 +189,7 @@ object StreamStateSoak {
     assertPlateau("ss_join", ssj)
 
     // 3. mapGroupsWithState sessionizer: key-cardinality-bounded
-    val mgws = runCase("mgws") { s =>
+    val mgws = runCase("mgws", mode = "update") { s =>
       graft.streaming.EventStream.sessionize(
         s.select(col("user_id"), col("ts"), col("value"))
           .as[graft.streaming.EventStream.Event],

@@ -492,7 +492,7 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty, "expected retrieval hits in testdata")
     assert(got === batch)
     val active = spark.streams.active.find(
-      q => q.name != null && q.name.startsWith("q_stream_bm25_mem"))
+      q => q.name != null && q.name.startsWith("q_stream_bm25_"))
     assert(active.nonEmpty)
     assert(active.get.lastProgress.stateOperators.isEmpty,
       s"expected zero stateful operators: ${active.get.lastProgress.json}")

@@ -4,9 +4,19 @@ part of the library): run graft.Verify output dir against DuckDB on the
 same sf dir, compare per query: row count, sorted-by-name columns,
 value hash (rows sorted by all columns).
 
-Usage: tools/check.py <sfDir> <verifyOutDir>
+Usage: tools/check.py <sfDir> <verifyOutDir> [--oracle-budget-s N]
+
+--oracle-budget-s: wall budget per ORACLE query (DuckDB side). The
+second-SF gate step (sf0.1) uses this: a handful of oracles are
+EXACT-quadratic by design (all-pairs Jaccard, brute-force recall
+ground truth — the engine sides are the sub-quadratic ones), and at
+10x data they grind for hours. A busted budget interrupts the query
+and reports [SLOW] — counted separately from failures, printed by
+name so drift is visible. Every oracle that completes must still
+match exactly; the slow ones keep their cross-engine law pinned at
+sf0.01 + the adversarial twin.
 """
-import json, sys, glob, math
+import json, sys, glob, math, threading
 
 import duckdb
 
@@ -34,7 +44,7 @@ def frame_sig(df):
     return [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False)]
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, budget_s=None):
     con = duckdb.connect()
     for t in TABLES:
         for p in glob.glob(f"{sf_dir}/{t}.parquet"):
@@ -60,20 +70,35 @@ def main(sf_dir, out_dir):
         else:
             print(f"[ OK ] {name}: {n} rows (no-oracle, rows-only)")
             ok += 1
+    slow = []
     for name, sql in sorted(oracle.items()):
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             print(f"[MISS] {name}: no spark output")
             fail += 1
             continue
+        timer = None
+        timed_out = []
+        if budget_s is not None:
+            timer = threading.Timer(
+                budget_s, lambda: (timed_out.append(1), con.interrupt()))
+            timer.start()
         try:
             got = canon(con.execute(
                 f"SELECT * FROM read_parquet({spark_files!r})").df())
             want = canon(con.execute(sql).df())
         except Exception as e:
-            print(f"[ERR ] {name}: {e}")
-            fail += 1
+            if timed_out:
+                print(f"[SLOW] {name}: oracle exceeded {budget_s}s budget "
+                      f"(law pinned at sf0.01 + adversarial twin)")
+                slow.append(name)
+            else:
+                print(f"[ERR ] {name}: {e}")
+                fail += 1
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         if list(got.columns) != list(want.columns):
             print(f"[COLS] {name}: spark={list(got.columns)} oracle={list(want.columns)}")
             fail += 1
@@ -93,9 +118,18 @@ def main(sf_dir, out_dir):
             continue
         print(f"[ OK ] {name}: {len(got)} rows")
         ok += 1
-    print(f"== {ok} ok, {fail} fail ==")
+    extra = f", {len(slow)} slow-oracle skipped" if slow else ""
+    print(f"== {ok} ok, {fail} fail{extra} ==")
+    if slow:
+        print("   slow oracles:", " ".join(sorted(slow)))
     return 1 if fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    budget = None
+    args = sys.argv[1:]
+    if "--oracle-budget-s" in args:
+        i = args.index("--oracle-budget-s")
+        budget = float(args[i + 1])
+        del args[i:i + 2]
+    sys.exit(main(args[0], args[1], budget))
