@@ -81,10 +81,13 @@ object GenScaleTwin {
     write(read("region"), "region")
     spark.stop()
 
-    // fresh text/vector corpora at 10× the sf0.1 counts (GenSoakCorpus
-    // owns its own session; it also emits a part.parquet we discard)
+    // fresh text/vector corpora at `copies`× the sf0.1 counts (5k docs
+    // / 2k vectors per copy — GenSoakCorpus owns its own session; it
+    // also emits a part.parquet we discard). Scaling with `copies`
+    // keeps the twin self-consistent at the 100× third-decade step.
     val tmp = s"$out-textgen"
-    GenSoakCorpus.main(Array(tmp, "50000", "1000", "20000", "entities"))
+    GenSoakCorpus.main(Array(tmp, (5000 * copies).toString, "1000",
+      (2000 * copies).toString, "entities"))
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       new org.apache.hadoop.conf.Configuration())
     for (t <- Seq("documents", "embeddings")) {
