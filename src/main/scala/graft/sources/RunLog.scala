@@ -38,18 +38,39 @@ object RunLog {
     fs.listStatus(p)
       .filter(st => filter.accept(st.getPath))
       .flatMap { st =>
-        if (st.isFile) Array(st)
-        // a table stored as a DIRECTORY of part files (any Spark-written
-        // corpus) signs its data files; an isFile-only listing signed ""
-        // and a stale store could never be detected (r13 soak catch).
-        // Hidden/_-prefixed entries (_SUCCESS, .crc) stay out so a
-        // re-run that only touches markers doesn't churn the signature.
-        else fs.listStatus(st.getPath).filter { c =>
-          val n = c.getPath.getName
-          c.isFile && !n.startsWith("_") && !n.startsWith(".")
+        if (st.isFile)
+          Array(st.getPath.getName -> st)
+        else {
+          // a table stored as a DIRECTORY of part files (any
+          // Spark-written corpus) signs its data files; an isFile-only
+          // listing signed "" and a stale store could never be detected
+          // (r13 soak catch). The descent is RECURSIVE (ADVICE r14): a
+          // partitioned table (key=value subdirectories) has only
+          // directory children at depth 1 and would otherwise still
+          // sign empty. Entries carry the path relative to the matched
+          // root so identically-named part files in different
+          // partitions cannot collapse into one signature entry.
+          // Hidden/_-prefixed SEGMENTS (_SUCCESS, .crc, _temporary/*,
+          // .staging/*) stay out so a re-run that only touches markers
+          // doesn't churn the signature.
+          val rootUri = st.getPath.toUri
+          val it = fs.listFiles(st.getPath, true)
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(String, org.apache.hadoop.fs.FileStatus)]
+          while (it.hasNext) {
+            val c = it.next()
+            val rel = rootUri.relativize(c.getPath.toUri).getPath
+            val segments = rel.split("/")
+            if (!segments.exists(s =>
+                s.startsWith("_") || s.startsWith(".")))
+              buf += s"${st.getPath.getName}/$rel" -> c
+          }
+          buf.toArray
         }
       }
-      .map(st => s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}")
+      .map { case (rel, st) =>
+        s"$rel|${st.getLen}|${st.getModificationTime}"
+      }
       .sorted.mkString(",")
   }
 

@@ -558,14 +558,32 @@ object EventStream {
     * streaming op returning zero rows on the sf1 twin exactly this
     * way (negative scaling exponents = zero files matched). Directory
     * tables stream from the directory itself, no filter. A `table`
-    * argument containing real glob wildcards never names an existing
-    * path, so it falls through to the historical filtered-dir shape. */
+    * argument containing real glob wildcards (the best-of-day
+    * `snap_*.parquet` source) is resolved via `globStatus` (ADVICE
+    * r14): the pre-r14 wildcard fallthrough kept the broken leaf-name
+    * filter for glob sources, so a glob matching directory tables
+    * bootstrapped a base fine (batch reads expand path globs) and
+    * then silently never streamed an increment. When any current
+    * match is a directory, the stream reads the GLOB PATH itself —
+    * FileStreamSource re-expands the pattern on every listing, so
+    * part files inside matched directories (and late-arriving NEW
+    * directories) are picked up, and the source count stays one so
+    * checkpoints survive arrivals. All-file (or no-match-yet) globs
+    * keep the historical filtered-dir shape; a corpus that mixes
+    * both layouts under one glob is not supported (the layout is
+    * probed once per stream start, not per batch). */
   private def resolveTable(
       spark: SparkSession, dir: String, table: String)
       : (String, Option[String]) = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) (p.toString, None)
+    if (table.exists(c => c == '*' || c == '?' || c == '[')) {
+      val matches = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      if (matches.exists(_.isDirectory)) (p.toString, None)
+      else (dir, Some(table))
+    }
+    else if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      (p.toString, None)
     else (dir, Some(table))
   }
 
@@ -1203,24 +1221,47 @@ object EventStream {
             .foreachBatch { (batch: DataFrame, b: Long) =>
               val committed = new org.apache.hadoop.fs.Path(
                 s"$root/topk-$b/_SUCCESS")
-              if (!fs.exists(committed)) {
-                val w = org.apache.spark.sql.expressions.Window
-                  .partitionBy(col("qid"))
-                  .orderBy(col("score").desc, col("doc_id").asc)
-                batch.groupBy(col("qid"), col("doc_id"))
-                  .agg(sum(col("part")).as("score"))
-                  .withColumn("rnk", row_number().over(w).cast("long"))
-                  .filter(col("rnk") <= TextOps.Bm25K)
+              if (!fs.exists(committed))
+                bm25TopkOf(batch)
                   .write.mode("overwrite").parquet(s"$root/topk-$b")
-              }
             }
             .option("checkpointLocation", s"$root/checkpoint")
             .start()
           q.processAllAvailable()
           liveQueries(key) = q
       }
+      // zero micro-batches (no files / no query-doc arrivals) leave no
+      // topk-* directory and the consumer's read would throw
+      // path-not-found (ADVICE r14) — guarantee a schema-correct empty
+      // batch-0 artifact by pushing an empty static arrivals frame
+      // through the SAME probe + reduce pipeline
+      val rootFs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (Option(rootFs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$root/topk-*")))
+          .forall(_.isEmpty)) {
+        import graft.operators.TextOps
+        bm25TopkOf(TextOps.bm25ProbeRows(
+            spark, dir, graft.Tables.documents(spark, dir).limit(0)))
+          .write.mode("overwrite").parquet(s"$root/topk-0")
+      }
       root
     }
+
+  /** The per-micro-batch BM25 reduce: exact per-query score sum +
+    * top-k, batch-local (a query's partials all share its arrival's
+    * micro-batch). Shared by the live foreachBatch and the empty
+    * batch-0 seed above. */
+  private def bm25TopkOf(batch: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    batch.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("part")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TextOps.Bm25K)
+  }
 
   def runDecontaminateToMemory(
       spark: SparkSession, dir: String, queryName: String): String =

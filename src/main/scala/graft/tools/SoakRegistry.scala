@@ -22,10 +22,36 @@ import org.apache.spark.sql.SparkSession
   * recorded as `GUARD` and counts as the op's documented scale answer,
   * with the scale-safe sibling's measured exponent standing in.
   *
+  * STANDING GATE MODE (r13 verdict #1): pass `bound=<e>` and the soak
+  * ENFORCES a per-op exponent ceiling instead of just reporting —
+  * every measured op (small-side time ≥ 150 ms, no guard abort) must
+  * read ≤ its bound or the run exits 1. Session churn can make a
+  * single op read hot spuriously (r13: q_communities 1.38 in the
+  * 194-op run, 0.11 solo), so a hot op is ADJUDICATED the same way
+  * bench suspects are: a back-to-back solo re-time after the loop;
+  * only an op hot on BOTH passes fails the gate. Documented
+  * exceptions ([[BoundExceptions]]) carry their own ceiling with the
+  * reason in code. A TSV artifact (`tsv=<path>`) records every op's
+  * times/exponent/status for the PERF.md round history
+  * (tools/soak_perf_append.py).
+  *
   * `runMain graft.tools.SoakRegistry <smallDir> <bigDir> [ratio]
-  *    [only=a,b,c]`
+  *    [only=a,b,c] [bound=1.2] [tsv=/tmp/soak_registry.tsv]`
   */
 object SoakRegistry {
+
+  /** Per-op exponent ceilings above the default bound, each with its
+    * standing rationale (the judge's "documented exceptions"):
+    *  - q_semdedup: the documented stride-canopy QUADRATIC-ASSIGNMENT
+    *    sibling (PERF.md r13: measured 1.10 at the decade step) — its
+    *    contract pairs cluster members within canopies; the registered
+    *    scale path is q_semdedup_trained (0.50). Ceiling 1.6 keeps the
+    *    gate loud if it ever goes fully quadratic (~2.0) without
+    *    flagging its known super-linear-but-bounded shape.
+    */
+  val BoundExceptions: Map[String, Double] = Map(
+    "q_semdedup" -> 1.6)
+
   def main(args: Array[String]): Unit = {
     val small = args(0)
     val big = args(1)
@@ -33,6 +59,10 @@ object SoakRegistry {
       .getOrElse(10.0)
     val only: Option[Set[String]] = args.find(_.startsWith("only="))
       .map(_.stripPrefix("only=").split(",").toSet)
+    val bound: Option[Double] = args.find(_.startsWith("bound="))
+      .map(_.stripPrefix("bound=").toDouble)
+    val tsvPath = args.find(_.startsWith("tsv="))
+      .map(_.stripPrefix("tsv="))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.EngineConf.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -86,35 +116,90 @@ object SoakRegistry {
       }
     }
 
-    val sb = new StringBuilder
-    var failures = 0
-    qs.foreach { case (name, _) =>
-      val ts = best2(name, small)
-      val tb = best2(name, big)
-      val line = (ts, tb) match {
-        case (Timed(a), Timed(b)) =>
-          val exp = math.log(b / a) / math.log(ratio)
-          val flag =
-            if (a < 0.15) "overhead"
-            else if (exp > 1.2) "HOT"
-            else ""
-          f"$name%-28s ${a}%8.3f ${b}%8.3f  exp=${exp}%5.2f  $flag"
-        case (Timed(a), Guard) =>
-          f"$name%-28s ${a}%8.3f    GUARD  (candidate budget fired at big SF)"
-        case (_, Failed(m)) =>
-          failures += 1; f"$name%-28s  BIG-FAILED: $m"
-        case (Failed(m), _) =>
-          failures += 1; f"$name%-28s  SMALL-FAILED: $m"
-        case (Guard, _) =>
-          failures += 1; f"$name%-28s  GUARD AT SMALL SF (unexpected)"
-      }
-      println(s"[soak] $line")
-      sb.append(line).append('\n')
+    /** One op's soak row: status ∈ ok | overhead | guard | hot |
+      * adjudicated (hot in the loop, cleared solo) | failed. */
+    final case class Row(name: String, tSmall: Double, tBig: Double,
+      exp: Double, status: String, detail: String = "")
+
+    def measure(name: String): Row = (best2(name, small), best2(name, big)) match {
+      case (Timed(a), Timed(b)) =>
+        val exp = math.log(b / a) / math.log(ratio)
+        val opBound = BoundExceptions.getOrElse(name, bound.getOrElse(1.2))
+        val status =
+          if (a < 0.15) "overhead"
+          else if (exp > opBound) "hot"
+          else "ok"
+        Row(name, a, b, exp, status)
+      case (Timed(a), Guard) =>
+        Row(name, a, Double.NaN, Double.NaN, "guard",
+          "candidate budget fired at big SF (documented contract)")
+      case (_, Failed(m)) => Row(name, Double.NaN, Double.NaN,
+        Double.NaN, "failed", s"BIG: $m")
+      case (Failed(m), _) => Row(name, Double.NaN, Double.NaN,
+        Double.NaN, "failed", s"SMALL: $m")
+      case (Guard, _) => Row(name, Double.NaN, Double.NaN,
+        Double.NaN, "failed", "GUARD AT SMALL SF (unexpected)")
     }
+
+    def fmt(r: Row): String = r.status match {
+      case "guard" => f"${r.name}%-28s ${r.tSmall}%8.3f    GUARD  (${r.detail})"
+      case "failed" => f"${r.name}%-28s  FAILED: ${r.detail}"
+      case s =>
+        val flag = if (s == "ok") "" else s.toUpperCase
+        f"${r.name}%-28s ${r.tSmall}%8.3f ${r.tBig}%8.3f  exp=${r.exp}%5.2f  $flag"
+    }
+
+    val firstPass = qs.map { case (name, _) =>
+      val r = measure(name)
+      println(s"[soak] ${fmt(r)}")
+      r
+    }
+
+    // adjudication sweep (bound mode): a hot reading in the 194-op
+    // loop can be session churn (r13: q_communities 1.38 looped, 0.11
+    // solo) — each hot op re-times SOLO back-to-back after the loop;
+    // an op hot on BOTH passes is a real exponent regression
+    val rows =
+      if (bound.isEmpty) firstPass
+      else firstPass.map { r =>
+        if (r.status != "hot") r
+        else {
+          val solo = measure(r.name)
+          val out =
+            if (solo.status == "hot")
+              solo.copy(detail = f"hot both passes (loop exp=${r.exp}%.2f)")
+            else solo.copy(status =
+              if (solo.status == "ok" || solo.status == "overhead")
+                "adjudicated" else solo.status,
+              detail = f"loop exp=${r.exp}%.2f cleared solo")
+          println(s"[soak] ADJUDICATE ${fmt(out)}  ${out.detail}")
+          out
+        }
+      }
+
     // persist: stdout tails get truncated on long runs
     val w = new java.io.PrintWriter("/tmp/soak_registry.txt")
-    try w.print(sb.toString) finally w.close()
+    try w.print(rows.map(fmt).mkString("", "\n", "\n")) finally w.close()
+    tsvPath.foreach { p =>
+      val tw = new java.io.PrintWriter(p)
+      try {
+        tw.println("name\tt_small\tt_big\texp\tstatus\tdetail")
+        rows.foreach { r =>
+          tw.println(f"${r.name}\t${r.tSmall}%.3f\t${r.tBig}%.3f\t" +
+            f"${r.exp}%.3f\t${r.status}\t${r.detail}")
+        }
+      } finally tw.close()
+    }
+    val failed = rows.filter(_.status == "failed")
+    val hot = rows.filter(_.status == "hot")
     spark.stop()
-    if (failures > 0) sys.exit(1)
+    if (failed.nonEmpty || hot.nonEmpty) {
+      println(s"[soak] GATE FAIL: ${failed.size} failed, " +
+        s"${hot.size} exponent regressions " +
+        s"(${(failed ++ hot).map(_.name).mkString(", ")})")
+      sys.exit(1)
+    } else println(s"[soak] PASS: ${rows.size} ops, " +
+      s"${rows.count(_.status == "guard")} guard, " +
+      s"${rows.count(_.status == "adjudicated")} adjudicated")
   }
 }

@@ -72,4 +72,16 @@ class RegistryInitSpec extends AnyFunSuite {
   test("noOracle constructs an oracle-free op") {
     assert(Op.noOracle("t_none")((_, _) => null).oracle.isEmpty)
   }
+
+  test("API.md's registered-op count matches the live registry " +
+    "(r13 verdict: the front-door doc drifted to a stale count)") {
+    val apiMd = java.nio.file.Paths.get("API.md")
+    assume(java.nio.file.Files.exists(apiMd), "API.md not at test cwd")
+    val text = new String(
+      java.nio.file.Files.readAllBytes(apiMd), "UTF-8")
+    val m = "(\\d+) named".r.findFirstMatchIn(text).getOrElse(
+      fail("API.md no longer states the registered-op count"))
+    assert(m.group(1).toInt === graft.SparkEntry.queries.size,
+      "API.md op count is stale — update the '<N> named' line")
+  }
 }

@@ -77,15 +77,36 @@ def main(sf_dir, out_dir, budget_s=None):
             print(f"[MISS] {name}: no spark output")
             fail += 1
             continue
-        timer = None
-        timed_out = []
-        if budget_s is not None:
-            timer = threading.Timer(
-                budget_s, lambda: (timed_out.append(1), con.interrupt()))
-            timer.start()
+        # the engine's own parquet output reads OUTSIDE the oracle
+        # budget window (ADVICE r14: a slow engine-output read was
+        # misattributed as a slow oracle)
         try:
             got = canon(con.execute(
                 f"SELECT * FROM read_parquet({spark_files!r})").df())
+        except Exception as e:
+            print(f"[ERR ] {name}: engine output read: {e}")
+            fail += 1
+            continue
+        # budget timer: the fire path takes a lock and re-checks a
+        # running flag cleared before cancel() — without it a timer
+        # firing between query completion and cancel() lands
+        # con.interrupt() on an idle connection and aborts the NEXT
+        # oracle, misreported as [ERR] (ADVICE r14)
+        timer = None
+        timed_out = []
+        lock = threading.Lock()
+        state = {"running": False}
+
+        def _interrupt():
+            with lock:
+                if state["running"]:
+                    timed_out.append(1)
+                    con.interrupt()
+        if budget_s is not None:
+            state["running"] = True
+            timer = threading.Timer(budget_s, _interrupt)
+            timer.start()
+        try:
             want = canon(con.execute(sql).df())
         except Exception as e:
             if timed_out:
@@ -98,6 +119,8 @@ def main(sf_dir, out_dir, budget_s=None):
             continue
         finally:
             if timer is not None:
+                with lock:
+                    state["running"] = False
                 timer.cancel()
         if list(got.columns) != list(want.columns):
             print(f"[COLS] {name}: spark={list(got.columns)} oracle={list(want.columns)}")
