@@ -58,12 +58,14 @@ if [ "$MODE" != "fast" ]; then
   # df-band effect showed sf dependence is real), so the full registry
   # is re-verified against DuckDB at sf0.1 once per round-close. Runs
   # after bench so the bench timings never inherit this step's churn.
-  # Per-oracle wall budget: a handful of oracles are EXACT-quadratic by
-  # design (all-pairs Jaccard, brute recall ground truth) and grind for
-  # hours at sf0.1 — the first run measured q_clean_corpus's all-pairs
-  # shingle join alone at 40+ min. Busted budgets report [SLOW] by name
-  # (law stays pinned at sf0.01 + the twin); completed oracles must
-  # match exactly, and any HASH/ROWS/COLS red still fails the gate.
+  # Per-oracle wall budget: a standing guard against an oracle whose
+  # cost regresses past usability at sf0.1. As of round 14 the list is
+  # expected EMPTY — the all-pairs Jaccard ground truth (r13's 40+ min
+  # q_clean_corpus [SLOW] skip) was rewritten as a lossless postings
+  # join (Dedup.jaccardPairCtes scaladoc; 5.7 s at sf0.1), so every
+  # law now pins at BOTH SFs. Busted budgets still report [SLOW] by
+  # name; completed oracles must match exactly, and any
+  # HASH/ROWS/COLS red still fails the gate.
   echo "== gate: Verify @ sf0.1 (second-SF oracle cross-check) =="
   sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/verify_sf01"
   python3 tools/check.py /root/testdata/sf0.1 /tmp/verify_sf01 \
@@ -78,5 +80,25 @@ python3 tools/check.py /tmp/graft_adversarial /tmp/adv_out
 if [ "$MODE" != "fast" ]; then
   echo "== gate: sbt test =="
   sbt -batch test
+fi
+
+if [ "$MODE" != "fast" ]; then
+  # standing decade soak (r13 verdict #1): the whole-registry exponent
+  # probe found three real scale defects the round it first ran — it
+  # must not decay into a one-time event. Runs LAST: ~25 min of churn
+  # that must never contaminate bench or the oracle timings. The sf1
+  # twin is generated once and reused (regenerate by deleting it);
+  # SoakRegistry enforces exp <= 1.2 per op (documented exceptions in
+  # SoakRegistry.BoundExceptions), solo-adjudicates loop-hot readings,
+  # and exits 1 on a real exponent regression. The per-family table is
+  # appended to PERF.md as the round-over-round history.
+  echo "== gate: decade soak (sf0.1 -> sf1 twin, bound-enforced) =="
+  [ -d /tmp/graft_sf1/lineitem.parquet ] || \
+    sbt -batch "runMain graft.tools.GenScaleTwin"
+  SPARK_GRAFT_CPUS=32 sbt -batch \
+    "runMain graft.tools.SoakRegistry /root/testdata/sf0.1 /tmp/graft_sf1 10 bound=1.2 tsv=/tmp/soak_registry.tsv" \
+    2>&1 | grep -E '\[soak\]' || { echo "== gate: SOAK FAILED =="; exit 1; }
+  python3 tools/soak_perf_append.py /tmp/soak_registry.tsv PERF.md \
+    --label "${GRAFT_ROUND:-$(date -u +%Y-%m-%d)}"
 fi
 echo "== gate: PASS =="

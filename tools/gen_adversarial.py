@@ -270,6 +270,26 @@ def main(src, dst):
       FROM read_parquet('{src}/supplier.parquet')
     ) TO '{dst}/supplier.parquet' (FORMAT PARQUET)""")
 
+    # self-check (r13 verdict #5 done-condition): the twin must carry
+    # COMPOUND-NULL rows — >=2 NULL key columns on the SAME row — in
+    # every table that has a compound residue; a residue arithmetic
+    # change (mod shifted, id range too small) would otherwise silently
+    # drop the exact shape the dimension exists to test
+    checks = {
+        "documents": "lang IS NULL AND source IS NULL",
+        "events": "user_id IS NULL AND event_type IS NULL "
+                  "AND value IS NULL",
+        "part": "p_name IS NULL AND p_brand IS NULL",
+    }
+    for table, pred in checks.items():
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{dst}/{table}.parquet') "
+            f"WHERE {pred}").fetchone()[0]
+        if n == 0:
+            raise SystemExit(
+                f"[adversarial] {table}: zero compound-NULL rows "
+                f"({pred}) — residue arithmetic regressed")
+        print(f"[adversarial] {table}: {n} compound-NULL rows")
     print(f"[adversarial] wrote mutated twin of {src} at {dst}")
 
 
