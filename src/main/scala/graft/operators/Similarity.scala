@@ -59,11 +59,33 @@ object Similarity {
       .withColumn("n2", inorm2(spark, col("v")))
       .filter(col("n2") > 0)
 
-  /** Seed coarse-quantizer codebook: every 50th vector, so k grows as
-    * N/50 with the data. (cent_id, cv, cn). */
-  def ivfSeedCodebook(n: DataFrame, stride: Int = 50): DataFrame =
+  /** Seed coarse-quantizer codebook: every `stride`-th vector.
+    * (cent_id, cv, cn). The fixed default keeps the small-corpus
+    * canopy/recall-reference ops on their historical geometry; the
+    * Lloyd-trained IVF path derives its stride from the corpus via
+    * [[ivfLawStride]] instead (the r14 second-decade soak catch). */
+  def ivfSeedCodebook(n: DataFrame, stride: Long = 50): DataFrame =
     n.filter(col("vec_id") % stride === 0).select(
       col("vec_id").as("cent_id"), col("v").as("cv"), col("n2").as("cn"))
+
+  /** Centroid-count law of the Lloyd-trained coarse quantizer (r14
+    * second-decade soak catch — the q_ann_ivf analog of the r13 IMI
+    * occupancy law): a FIXED stride makes K = N/stride grow linearly,
+    * so the broadcast assignment scores N·K = N²/stride pairs —
+    * measured exponent 1.86 at the sf1→sf10 step (629 s at 200k
+    * vectors). `stride = max(50, ⌈√(1.25·N)⌉)` puts both K and the
+    * per-cell occupancy on √N (the classic balanced-IVF sizing), so
+    * assignment is Θ(N^1.5) and probe cost per query Θ(√N). The 1.25
+    * constant is calibrated so every gate corpus stays BIT-IDENTICAL:
+    * √(1.25·2000) = 50 exactly at sf0.1's 2000 qualifying vectors,
+    * and the max(50, ·) floor holds everything at or below that at
+    * the historical stride 50. N is the qualifying population
+    * (n2 > 0 — the exact frame the codebook trains on); the oracle
+    * derives the same law from the same COUNT, so training replays
+    * bit-for-bit at any scale. Both sides compute ⌈√(1.25N)⌉ in IEEE
+    * double — exact for N far below 2^50. */
+  def ivfLawStride(nQualifying: Long): Long =
+    math.max(50L, math.ceil(math.sqrt(1.25 * nQualifying)).toLong)
 
   /** Nearest-centroid assignment: (cell, v, cos) per vector, centroid
     * broadcast, argmax collapsed map-side via the min(struct) trick. */
@@ -96,9 +118,12 @@ object Similarity {
 
   /** Seed codebook refined by ONE Lloyd iteration — the deterministic
     * iteration count the q_ann_ivf oracle replays; more rounds are the
-    * same linear job repeated ([[ivfLloydTrain]]). */
+    * same job repeated ([[ivfLloydTrain]]). Seeded at [[ivfLawStride]]
+    * (one scalar count of the qualifying population — bounded
+    * metadata, the IMI-law pattern). */
   def ivfLloydCodebook(spark: SparkSession, n: DataFrame): DataFrame =
-    ivfUpdate(spark, ivfAssign(spark, n, ivfSeedCodebook(n)))
+    ivfUpdate(spark, ivfAssign(spark, n,
+      ivfSeedCodebook(n, ivfLawStride(n.count()))))
 
   /** Spherical-k-means objective under a codebook: Σ best-cos (higher
     * is better). One scalar to the driver — metadata-sized. */
@@ -118,13 +143,14 @@ object Similarity {
   def ivfLloydTrain(
       spark: SparkSession, n: DataFrame, maxIters: Int,
       tol: Double = 1e-4): (DataFrame, Seq[Double]) = {
-    var cents = ivfSeedCodebook(n).localCheckpoint()
+    var cents = ivfSeedCodebook(n, ivfLawStride(n.count())).localCheckpoint()
     val trace = scala.collection.mutable.ArrayBuffer(
       ivfObjective(spark, n, cents))
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      // codebooks are tiny (≤ N/50 rows) — checkpoint truncates the
+      // codebooks are tiny (≈ √N rows under the law stride) —
+      // checkpoint truncates the
       // per-round lineage growth that would otherwise replan k rounds deep
       val next = ivfUpdate(spark, ivfAssign(spark, n, cents)).localCheckpoint()
       val obj = ivfObjective(spark, n, next)
@@ -385,10 +411,14 @@ object Similarity {
   }
 
   /** IVF-style ANN (inverted-file coarse quantizer, the other classic
-    * scale path next to LSH): a deterministic seed codebook (every 50th
-    * vector) refined by ONE Lloyd iteration, every vector assigned to
-    * its nearest refined centroid (its CELL), each query probing only
-    * the nprobe=2 nearest cells.
+    * scale path next to LSH): a deterministic seed codebook (every
+    * [[ivfLawStride]]-th vector — K and occupancy both ≈ √N, the
+    * balanced-IVF sizing; the fixed stride 50 it replaces measured
+    * exponent 1.86 at the r14 sf1→sf10 soak step, the same
+    * linear-K-quadratic-assignment defect class as the r13 IMI
+    * occupancy law) refined by ONE Lloyd iteration, every vector
+    * assigned to its nearest refined centroid (its CELL), each query
+    * probing only the nprobe=2 nearest cells.
     *
     * The Lloyd step stays DuckDB-oracle-able through two observations:
     * (a) cosine is scale-invariant, so the refined centroid can be the
@@ -415,9 +445,12 @@ object Similarity {
        |  SELECT vec_id, $QuantSql AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM e
+       |), law AS (
+       |  SELECT GREATEST(50, CAST(CEIL(SQRT(1.25 * COUNT(*))) AS BIGINT)) AS stride
+       |  FROM n WHERE n2 > 0
        |), c0 AS (
        |  SELECT vec_id AS cent_id, v AS cv, n2 AS cn
-       |  FROM n WHERE vec_id % 50 = 0 AND n2 > 0
+       |  FROM n WHERE vec_id % (SELECT stride FROM law) = 0 AND n2 > 0
        |), scored0 AS (
        |  SELECT a.vec_id, a.v, c0.cent_id,
        |         CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c0.cv[i])) AS DOUBLE)

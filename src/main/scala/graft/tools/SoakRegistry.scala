@@ -50,7 +50,15 @@ object SoakRegistry {
     *    flagging its known super-linear-but-bounded shape.
     */
   val BoundExceptions: Map[String, Double] = Map(
-    "q_semdedup" -> 1.6)
+    "q_semdedup" -> 1.6,
+    // Classic balanced IVF is Θ(N·√N) BY CONTRACT: K ≈ √N centroids
+    // (Similarity.ivfLawStride — the r14 law that replaced the fixed
+    // stride whose K ∝ N measured exponent 1.86) means training +
+    // assignment score N·K ≈ N^1.5 pairs; measured 1.24 at the
+    // sf1→sf10 step. The bounded-occupancy scale path is the trained
+    // IMI quartet (q_*_trained, exponents 0.5-0.9). Ceiling 1.6 keeps
+    // the gate loud if the linear-K defect class ever returns (~2.0).
+    "q_ann_ivf" -> 1.6)
 
   def main(args: Array[String]): Unit = {
     val small = args(0)

@@ -46,8 +46,13 @@ def frame_sig(df):
 
 def main(sf_dir, out_dir, budget_s=None):
     con = duckdb.connect()
+    import os as _os
     for t in TABLES:
         for p in glob.glob(f"{sf_dir}/{t}.parquet"):
+            # directory-layout tables (any Spark-written corpus, e.g.
+            # the scale twins) are part-file directories
+            if _os.path.isdir(p):
+                p = f"{p}/*.parquet"
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
