@@ -12,15 +12,18 @@ import graft.streaming.EventStream
 object StreamingOps {
 
   /** Streaming content-key dedup ≡ batch DISTINCT (see
-    * [[EventStream.runDedupToMemory]] for why the watermark makes the
-    * parity exact here). */
+    * [[EventStream.runDedupToParquet]] for why the watermark makes the
+    * parity exact here, and why the sink is an at-rest parquet file
+    * sink rather than driver memory — the r14 second-decade catch). */
   val streamDedup: Op = Op(
     "q_stream_dedup",
     """SELECT DISTINCT user_id, event_type,
       |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
       |FROM events""".stripMargin) { (spark, dir) =>
-    spark.table(
-      EventStream.runDedupToMemory(spark, dir, "q_stream_dedup_mem"))
+    val root = SinkOps.stagingDir(dir,
+      s"stream_dedup_${SessionCache.sessionId(spark).take(8)}")
+    EventStream.runDedupToParquet(spark, dir, root)
+    spark.read.parquet(s"$root/out")
   }
 
   /** The flagship pipeline run incrementally: per-micro-batch day-merge

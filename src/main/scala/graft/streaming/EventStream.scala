@@ -632,21 +632,59 @@ object EventStream {
     * a larger corpus would have re-emitted expired keys and failed the
     * oracle non-obviously.) The first-arrival row wins; only the key
     * columns are emitted, so the output set is arrival-order-independent. */
-  def runDedupToMemory(
-      spark: SparkSession, dir: String, queryName: String): String =
-    runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
-      val spanDays = derivedWatermarkDays(spark, dir)
-      val stream = eventsStream(spark, dir)
-        .select(col("ts"), col("user_id"), col("event_type"),
-          round(col("value") * 100).cast("long").as("value_cents"))
-      stream
-        .withWatermark("ts", s"$spanDays days")
-        .dropDuplicatesWithinWatermark("user_id", "event_type", "value_cents")
-        .select("user_id", "event_type", "value_cents")
-        .writeStream.outputMode(OutputMode.Append)
-        .format("memory").queryName(table)
-        .option("checkpointLocation", ckpt)
-        .start()
+  /** Streaming content-key dedup to an AT-REST parquet file sink
+    * (exactly-once via the sink's _spark_metadata commit log). The
+    * output is corpus-sized (every distinct key triple), so a memory
+    * sink holds ~N rows on the driver — measured at the r14 sf1→sf10
+    * soak step as exponent 1.23 solo (34 s vs the 7.7 s the SAME
+    * stream costs into a noop sink: the data path + state store scale
+    * at 0.43; the driver-held sink was the whole regression). Same
+    * fix class as r13's q_stream_bm25 pair-log: results land at rest,
+    * the registered op reads them back distributed. */
+  def runDedupToParquet(
+      spark: SparkSession, dir: String, root: String): String =
+    withStreamShuffle(spark) {
+      val key = liveKey(spark, s"dedup_pq:$root", dir)
+      liveQueries.get(key).filter(_.isActive) match {
+        case Some(q) => q.processAllAvailable()
+        case None =>
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // fresh run per session: a resumed checkpoint from a dead
+          // session's query would replay zero files into empty output
+          fs.delete(new org.apache.hadoop.fs.Path(root), true)
+          val spanDays = derivedWatermarkDays(spark, dir)
+          val qName = "q_stream_dedup_" + java.lang.Integer.toHexString(
+            root.hashCode & 0x7fffffff)
+          spark.streams.active
+            .filter(q => q.name != null && q.name == qName)
+            .foreach(_.stop())
+          val q = eventsStream(spark, dir)
+            .select(col("ts"), col("user_id"), col("event_type"),
+              round(col("value") * 100).cast("long").as("value_cents"))
+            .withWatermark("ts", s"$spanDays days")
+            .dropDuplicatesWithinWatermark(
+              "user_id", "event_type", "value_cents")
+            .select("user_id", "event_type", "value_cents")
+            .writeStream.outputMode(OutputMode.Append)
+            .format("parquet")
+            .queryName(qName)
+            .option("path", s"$root/out")
+            .option("checkpointLocation", s"$root/checkpoint")
+            .start()
+          q.processAllAvailable()
+          liveQueries(key) = q
+      }
+      // a zero-batch run leaves no sink directory — seed a
+      // schema-correct empty one so the read side never throws
+      val rootFs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!rootFs.exists(new org.apache.hadoop.fs.Path(s"$root/out")))
+        graft.Tables.events(spark, dir).limit(0)
+          .select(col("user_id"), col("event_type"),
+            lit(0L).as("value_cents"))
+          .write.mode("overwrite").parquet(s"$root/out")
+      root
     }
 
   /** Streaming INCREMENTAL near-dup dedup — the continuous-ingestion
