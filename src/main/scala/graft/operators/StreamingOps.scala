@@ -99,8 +99,11 @@ object StreamingOps {
       |       CAST(SUM(cents) AS BIGINT) AS value_cents
       |FROM numbered
       |GROUP BY user_id, session_idx""".stripMargin) { (spark, dir) =>
-    spark.table(
-      EventStream.runSessionizeToMemory(spark, dir, "q_stream_sessionize_mem"))
+    val root = SinkOps.stagingDir(dir,
+      s"stream_sess_${SessionCache.sessionId(spark).take(8)}")
+    EventStream.runSessionizeToParquet(spark, dir, root)
+    spark.read.parquet(s"$root/out")
+      .select("user_id", "start_us", "end_us", "n_events", "value_cents")
   }
 
   /** Streaming incremental dedup ≡ the batch delta-vs-corpus op — the

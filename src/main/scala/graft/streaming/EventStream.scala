@@ -1505,21 +1505,57 @@ object EventStream {
     * Boundary semantics: windows are half-open, so an event exactly
     * `gap` after the previous one starts a NEW session (`>=` in the
     * oracle, unlike the batch CTE's strict `>`). */
-  def runSessionizeToMemory(
-      spark: SparkSession, dir: String, queryName: String): String =
-    runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
-      eventsStream(spark, dir)
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(round(col("value") * 100).cast("long")).as("value_cents"))
-        .select(col("user_id"),
-          unix_micros(col("session_window.start")).as("start_us"),
-          unix_micros(col("session_window.end")).as("end_us"),
-          col("n_events"), col("value_cents"))
-        .writeStream.outputMode(OutputMode.Complete)
-        .format("memory").queryName(table)
-        .option("checkpointLocation", ckpt)
-        .start()
+  /** Streaming session windows to an AT-REST parquet store. Complete
+    * mode (the oracle-parity watermark is > span, so Append would
+    * emit nothing) cannot use the file sink — each data batch lands
+    * its full result via a foreachBatch overwrite instead (one
+    * distributed write; the default source triggers ONE data batch
+    * for a static corpus, and drains re-trigger nothing). The memory
+    * sink this replaces held the ~corpus-sized session table on the
+    * driver and re-scanned it per drain — the r14 sf1→sf10 soak
+    * measured exp 1.21 solo (13 s), the q_stream_dedup defect class. */
+  def runSessionizeToParquet(
+      spark: SparkSession, dir: String, root: String): String =
+    withStreamShuffle(spark) {
+      val key = liveKey(spark, s"sessionize_pq:$root", dir)
+      liveQueries.get(key).filter(_.isActive) match {
+        case Some(q) => q.processAllAvailable()
+        case None =>
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root), true)
+          val qName = "q_stream_sessionize_" +
+            java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+          spark.streams.active
+            .filter(q => q.name != null && q.name == qName)
+            .foreach(_.stop())
+          val q = eventsStream(spark, dir)
+            .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(round(col("value") * 100).cast("long")).as("value_cents"))
+            .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("start_us"),
+              unix_micros(col("session_window.end")).as("end_us"),
+              col("n_events"), col("value_cents"))
+            .writeStream.outputMode(OutputMode.Complete)
+            .queryName(qName)
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.write.mode("overwrite").parquet(s"$root/out")
+            }
+            .option("checkpointLocation", s"$root/checkpoint")
+            .start()
+          q.processAllAvailable()
+          liveQueries(key) = q
+      }
+      val rootFs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!rootFs.exists(new org.apache.hadoop.fs.Path(s"$root/out")))
+        graft.Tables.events(spark, dir).limit(0)
+          .select(col("user_id"), lit(0L).as("start_us"),
+            lit(0L).as("end_us"), lit(0L).as("n_events"),
+            lit(0L).as("value_cents"))
+          .write.mode("overwrite").parquet(s"$root/out")
+      root
     }
 
   /** The join core, side-injectable for tests: `clicks` needs columns
