@@ -59,6 +59,31 @@ object EngineConf {
         s"the scale-safe sibling $sibling. To run the exhaustive " +
         s"contract anyway, raise $CandidateBudgetKey.")
 
+  /** Budget for ONE-ROW collected broadcast index maps (the
+    * arrival-time probe device: the whole cell→members index collected
+    * into a single map row and cross-joined broadcast onto a stream).
+    * Row-local probing is the right shape for LOW-RATE arrivals
+    * against a SMALL standing index, but the collected row is
+    * index-sized — the r14 sf1→sf10 soak crashed the driver
+    * collecting 1.6M member entries (full 64-int vectors) into one
+    * row. Ops estimate the member count from bounded metadata BEFORE
+    * collecting and abort naming the join-form sibling. */
+  val BroadcastIndexBudgetKey = "spark.graft.broadcastIndex.memberBudget"
+  val BroadcastIndexBudgetDefault = 1000000L
+
+  def broadcastIndexBudget(spark: SparkSession): Long =
+    spark.conf.getOption(BroadcastIndexBudgetKey)
+      .map(_.toLong).getOrElse(BroadcastIndexBudgetDefault)
+
+  def requireBroadcastIndexBudget(op: String, sibling: String,
+      members: Long, budget: Long): Unit =
+    if (members > budget) throw new IllegalStateException(
+      s"$op: the standing index holds $members member entries — " +
+        s"collecting it into a one-row broadcast map exceeds the " +
+        s"budget $budget and risks driver OOM. At this index size use " +
+        s"the stream-static join form $sibling. To force the " +
+        s"row-local device anyway, raise $BroadcastIndexBudgetKey.")
+
   /** Apply the engine's session knobs to a builder. */
   def tuned(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",

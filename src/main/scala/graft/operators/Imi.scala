@@ -352,9 +352,21 @@ object Imi {
   val imiDelta: Op = Op(
     "q_imi_delta",
     imiDeltaSql(NProbeHalf, DeltaMod)) { (spark, dir) =>
+    deltaProbeOf(spark, dir, Similarity.quantizedLabeled(spark, dir)
+      .filter(col("vec_id") % DeltaMod === 0))
+  }
+
+  /** The probe body of [[imiDelta]], factored over ANY delta frame
+    * (columns of [[Similarity.quantizedLabeled]]): assignment against
+    * the stored codebook, cell equi-join against the stored standing
+    * cells, hierarchical per-(cell, src) → per-src exact top-5. The
+    * streaming leg runs THIS — each arrival's result depends only on
+    * its own row plus the static index, so a foreachBatch invocation
+    * per micro-batch is batch-complete and provably equal to the
+    * batch op (same code path, same oracle). */
+  private[graft] def deltaProbeOf(spark: SparkSession, dir: String,
+      delta: DataFrame): DataFrame = {
     val (cb, standingCells) = standingIndex(spark, dir)
-    val delta = Similarity.quantizedLabeled(spark, dir)
-      .filter(col("vec_id") % DeltaMod === 0)
     val deltaCells = cellsWithCodebook(spark, delta, cb, NProbeHalf)
     val pa = deltaCells.select(col("cell"), col("vec_id").as("src"),
       col("v").as("vs"), col("n2").as("ns"))
@@ -390,12 +402,24 @@ object Imi {
     * exact-scores and slices top-5 inside the row. No aggregation, no
     * stream-side join key, no window ⇒ result depends on each row
     * alone, any batching yields the same output, and row-local ≡ the
-    * join form of [[imiDelta]] (spec-pinned; the streaming
-    * registration reuses imiDelta's oracle verbatim). */
+    * join form of [[imiDelta]] (spec-pinned).
+    *
+    * SMALL-INDEX device: the collected cell→members map is
+    * INDEX-sized (full vectors in one row — the r14 sf1→sf10 soak
+    * crashed the driver collecting 1.6M entries), so it is right only
+    * for low-rate arrivals against a small standing index; the member
+    * count is guarded ([[graft.EngineConf.BroadcastIndexBudgetKey]])
+    * and the REGISTERED streaming leg runs the join form
+    * ([[deltaProbeOf]] inside foreachBatch) instead — index-size
+    * independent, same oracle. */
   def probeRows(spark: SparkSession, dir: String,
       queries: DataFrame): DataFrame = {
     val k = 5
     val (cb, standingCells) = standingIndex(spark, dir)
+    graft.EngineConf.requireBroadcastIndexBudget("Imi.probeRows",
+      "Imi.deltaProbeOf (the join form the registered " +
+        "q_stream_ann_trained runs)",
+      standingCells.count(), graft.EngineConf.broadcastIndexBudget(spark))
     val cents0 = cb.filter(col("half") === 0)
       .agg(collect_list(struct(col("cent_id"), col("cv"), col("cn")))
         .as("cents0"))

@@ -1915,6 +1915,14 @@ object Similarity {
     val k = 5
     val nprobe = 8
     val e = quantized(spark, dir).withColumn("label", lit(0))
+    // the collected cell→members map below is nprobe × corpus entries
+    // with full vectors in ONE row — guard before any canopy work
+    // (r14 soak: the unguarded collect crashed the driver at 200k
+    // vectors; the trained join-form sibling is index-size independent)
+    graft.EngineConf.requireBroadcastIndexBudget(
+      "q_stream_ann (Similarity.annProbeRows)",
+      "q_stream_ann_trained (join-form probe of the trained IMI index)",
+      e.count() * nprobe, graft.EngineConf.broadcastIndexBudget(spark))
     val cells = canopyCells(spark, e, nprobe, carryVec = true, stride = 10)
     val cellMap = cells.groupBy(col("cell"))
       .agg(collect_list(struct(col("vec_id"), col("v"), col("n2")))

@@ -319,8 +319,11 @@ object StreamingOps {
   val streamAnnTrained: Op = Op(
     "q_stream_ann_trained",
     Imi.imiDelta.oracle.get) { (spark, dir) =>
-    spark.table(
-      EventStream.runImiProbeToMemory(spark, dir, "q_stream_ann_tr_mem"))
+    val root = SinkOps.stagingDir(dir,
+      s"stream_ann_tr_${SessionCache.sessionId(spark).take(8)}")
+    EventStream.runImiProbeToParquet(spark, dir, root)
+    spark.read.parquet(s"$root/topk-*")
+      .select("vec_id", "rank", "nn_id", "cos")
   }
 
   /** Exactly-once streaming commit: the events rollup built from

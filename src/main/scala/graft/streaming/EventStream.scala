@@ -1193,25 +1193,76 @@ object EventStream {
         .start()
     }
 
-  /** Stateless streaming probe of the TRAINED standing index — the
-    * stream leg of the imiDelta triple (batch join form / persisted
-    * incremental index / arrival-time probe, one kernel): arriving
-    * vectors run [[graft.operators.Imi.probeRows]] against the
-    * broadcast stored codebook + cell map. Zero state operators; the
-    * registered op's oracle is imiDelta's verbatim, so the green row
-    * pins stream ≡ batch hash-exactly. */
-  def runImiProbeToMemory(
-      spark: SparkSession, dir: String, queryName: String): String =
-    runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
+  /** Streaming probe of the TRAINED standing index — the stream leg
+    * of the imiDelta triple (batch join form / persisted incremental
+    * index / arrival-time probe, one kernel). Each micro-batch runs
+    * [[graft.operators.Imi.deltaProbeOf]] — the batch op's OWN probe
+    * body — over its arrivals inside foreachBatch (batch-complete: an
+    * arrival's result depends only on its own row plus the static
+    * index) and lands k rows per arrival in an at-rest parquet store,
+    * idempotent per batch. Index-size independent: the stored cells
+    * join distributed — unlike the pre-r14 [[Imi.probeRows]] device,
+    * whose one-row collected cell map crashed the driver at the
+    * sf1→sf10 soak step (1.6M member entries), and unlike the memory
+    * sink it fed. The registered op's oracle is imiDelta's verbatim,
+    * so the green row pins stream ≡ batch hash-exactly. */
+  def runImiProbeToParquet(
+      spark: SparkSession, dir: String, root: String): String =
+    withStreamShuffle(spark) {
       import graft.operators.Imi
-      val arrivals = tableStream(spark, dir, "embeddings.parquet")
-        .filter(col("vec_id") % Imi.DeltaMod === 0)
-      Imi.probeRows(spark, dir, arrivals)
-        .writeStream.outputMode(OutputMode.Append)
-        .format("memory").queryName(table)
-        .option("checkpointLocation", ckpt)
-        .start()
+      val key = liveKey(spark, s"imiprobe:$root", dir)
+      liveQueries.get(key).filter(_.isActive) match {
+        case Some(q) => q.processAllAvailable()
+        case None =>
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root), true)
+          val arrivals = tableStream(spark, dir, "embeddings.parquet")
+            .filter(col("vec_id") % Imi.DeltaMod === 0)
+          val qName = "q_stream_ann_tr_" + java.lang.Integer.toHexString(
+            root.hashCode & 0x7fffffff)
+          spark.streams.active
+            .filter(q => q.name != null && q.name == qName)
+            .foreach(_.stop())
+          val q = arrivals.writeStream
+            .queryName(qName)
+            .foreachBatch { (batch: DataFrame, b: Long) =>
+              val committed = new org.apache.hadoop.fs.Path(
+                s"$root/topk-$b/_SUCCESS")
+              if (!fs.exists(committed))
+                Imi.deltaProbeOf(batch.sparkSession, dir,
+                    imiQualified(spark, batch))
+                  .write.mode("overwrite").parquet(s"$root/topk-$b")
+            }
+            .option("checkpointLocation", s"$root/checkpoint")
+            .start()
+          q.processAllAvailable()
+          liveQueries(key) = q
+      }
+      val rootFs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (Option(rootFs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$root/topk-*")))
+          .forall(_.isEmpty)) {
+        import graft.operators.Imi
+        Imi.deltaProbeOf(spark, dir,
+            imiQualified(spark, graft.Tables.embeddings(spark, dir).limit(0)))
+          .write.mode("overwrite").parquet(s"$root/topk-0")
+      }
+      root
     }
+
+  /** [[graft.operators.Similarity.quantizedLabeled]]'s projection over
+    * an arbitrary embeddings-shaped frame — the arrivals batch enters
+    * [[graft.operators.Imi.deltaProbeOf]] with exactly the columns
+    * the batch op's delta carries. */
+  private def imiQualified(spark: SparkSession, raw: DataFrame): DataFrame = {
+    import graft.operators.Similarity
+    raw.select(col("vec_id"), col("label"),
+        Similarity.quantize(col("embedding")).as("v"))
+      .withColumn("n2", Similarity.inorm2(spark, col("v")))
+      .filter(col("n2") > 0)
+  }
 
   /** Stateless streaming BM25 probe — retrieval at ingest: arriving
     * query docs (doc_id % Bm25QueryMod = 0, the registered contract's

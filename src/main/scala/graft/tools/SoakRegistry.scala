@@ -106,9 +106,12 @@ object SoakRegistry {
           graft.SparkEntry.queries(name)(spark, dir).count()
           Timed((System.nanoTime() - t0) / 1e9)
         } catch {
+          // any engine scale guard (quadratic-contract candidate
+          // budget, broadcast-index member budget, ...) — all name the
+          // escape-hatch conf key the same way
           case e: IllegalStateException
               if e.getMessage != null &&
-                e.getMessage.contains("quadratic-contract budget") =>
+                e.getMessage.contains("raise spark.graft.") =>
             Guard
           case e: Throwable =>
             Failed(Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -140,7 +143,7 @@ object SoakRegistry {
         Row(name, a, b, exp, status)
       case (Timed(a), Guard) =>
         Row(name, a, Double.NaN, Double.NaN, "guard",
-          "candidate budget fired at big SF (documented contract)")
+          "scale guard fired at big SF (documented contract)")
       case (_, Failed(m)) => Row(name, Double.NaN, Double.NaN,
         Double.NaN, "failed", s"BIG: $m")
       case (Failed(m), _) => Row(name, Double.NaN, Double.NaN,

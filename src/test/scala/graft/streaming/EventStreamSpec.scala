@@ -474,7 +474,7 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty, "expected arriving probe vectors in testdata")
     assert(got === batch)
     val active = spark.streams.active.find(
-      q => q.name != null && q.name.startsWith("q_stream_ann_tr_mem"))
+      q => q.name != null && q.name.startsWith("q_stream_ann_tr_"))
     assert(active.nonEmpty)
     assert(active.get.lastProgress.stateOperators.isEmpty,
       s"expected zero stateful operators: ${active.get.lastProgress.json}")
