@@ -60,26 +60,36 @@ object GraphOps {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("node")).distinct()
+    var labelsCkpt = sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
+    var labels = labelsCkpt
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      // each node's candidate label: min over incoming neighbours' labels
-      val nbrMin = sym.join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      // one round = ONE join + ONE aggregation: neighbour labels and the
+      // node's own label flow into the same min-aggregate (every dst of
+      // the symmetric edge list is also a src, so each node contributes
+      // exactly one `own` row), which additionally carries the node's
+      // PREVIOUS label out as the own-row min. The convergence probe is
+      // then a filter over the just-materialized round snapshot — the
+      // prior next⋈labels probe join re-shuffled both label tables every
+      // round (2 extra Exchanges × rounds × every CC consumer).
+      val cand = sym
+        .join(labels.withColumnRenamed("node", "src")
+          .withColumnRenamed("lbl", "clbl"), Seq("src"))
+        .select(col("dst").as("node"), col("clbl"), lit(false).as("own"))
+        .unionByName(labels.select(col("node"),
+          col("lbl").as("clbl"), lit(true).as("own")))
+      val next = cand.groupBy(col("node"))
+        .agg(min(col("clbl")).as("lbl"),
+          min(when(col("own"), col("clbl"))).as("prev"))
         .localCheckpoint()
       // labels only ever decrease ⇒ "any strict decrease" = "changed"
-      converged = next.alias("n").join(labels.alias("p"), Seq("node"))
-        .filter(col("n.lbl") < col("p.lbl"))
-        .isEmpty
-      releaseCheckpoint(labels) // superseded round snapshot
-      labels = next
+      converged = next.filter(col("lbl") < col("prev")).isEmpty
+      releaseCheckpoint(labelsCkpt) // superseded round snapshot
+      labelsCkpt = next
+      labels = next.select(col("node"), col("lbl"))
       round += 1
     }
     releaseCheckpoint(sym)
@@ -241,7 +251,26 @@ object GraphOps {
     * Shared by [[dupClustersIncremental]], [[clusterRep]] and (via the
     * incremental op) [[Curation.cleanCorpus]]: every consumer of corpus
     * cluster labels reads yesterday's artifact and pays the delta. */
+  private val corpusLblCache = SessionCache.mkFrames()
+
+  private[graft] def clearCorpusLblCache(): Unit = corpusLblCache.clear()
+
   private[graft] def corpusLabels(
+      spark: SparkSession, dir: String): DataFrame =
+    // session-cached like [[standingLabels]] one level below (r14): the
+    // assembled standing+delta label table is the shared index FIVE
+    // registered consumers read (q_dedup_incr_cc, q_cluster_rep,
+    // q_clean_corpus, q_clean_corpus_scored, q_pipeline_e2e), and each
+    // was re-folding the delta through its own quotient-CC loop —
+    // ~10 Spark jobs per consumer for an identical (node, lbl) frame.
+    // At 100 TB this is exactly the production contract already stated
+    // below: labels are an artifact read by every consumer, not
+    // re-derived per query. Staleness: documents listing signature,
+    // same as every cache in this stack.
+    corpusLblCache.getOrBuild(spark, dir, "documents.parquet")(
+      corpusLabelsFresh(spark, dir).localCheckpoint())
+
+  private[graft] def corpusLabelsFresh(
       spark: SparkSession, dir: String): DataFrame = {
     val mod = Dedup.IncrementalDeltaMod
     val isDeltaA = col("doc_id_a") % mod === 0

@@ -95,6 +95,13 @@ class GraphOpsSpec extends SparkSpec {
       "cached standing labels drifted from fresh CC")
   }
 
+  test("session-cached corpus labels equal the fresh standing+delta fold") {
+    val cached = GraphOps.corpusLabels(spark, sf001)
+    val fresh = GraphOps.corpusLabelsFresh(spark, sf001)
+    assert(cached.exceptAll(fresh).isEmpty && fresh.exceptAll(cached).isEmpty,
+      "cached corpus labels drifted from the fresh incremental assembly")
+  }
+
   test("standing labels persist: a cache-evicted rerun reads the store") {
     def run() = GraphOps.standingLabels(spark, sf001)
       .collect().map(_.toString).sorted
