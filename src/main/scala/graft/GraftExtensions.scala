@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{LongArrayDot, PackedBagDistance, PackedLetterBag, RandProjExpr, StringRollingHash, TopKAgg, UriEncode}
+import graft.expressions.{CellTopK, LongArrayDot, PackedBagDistance, PackedLetterBag, RandProjExpr, StringRollingHash, TopKAgg, UriEncode}
 
 /** Engine extension point, installed the documented production way:
   *
@@ -72,6 +72,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "graft_topk: k must be a literal INT")
         }
         TopKAgg(children.head, k)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_cell_topk"),
+      new ExpressionInfo(classOf[CellTopK].getName, "graft_cell_topk"),
+      (children: Seq[Expression]) => {
+        arity("graft_cell_topk", 4, children)
+        def lit[T](i: Int, t: org.apache.spark.sql.types.DataType,
+            what: String): T = children(i) match {
+          case c if c.foldable && c.dataType == t =>
+            val v = c.eval(null)
+            if (v == null) throw new IllegalArgumentException(
+              s"graft_cell_topk: $what must not be null")
+            v.asInstanceOf[T]
+          case _ => throw new IllegalArgumentException(
+            s"graft_cell_topk: $what must be a literal " +
+              t.simpleString)
+        }
+        CellTopK(children(0), children(1),
+          lit[Int](2, org.apache.spark.sql.types.IntegerType, "k"),
+          lit[Boolean](3, org.apache.spark.sql.types.BooleanType,
+            "byLabel"))
       }))
     e.injectFunction((
       FunctionIdentifier("graft_fingerprint"),

@@ -168,7 +168,17 @@ object Tables {
     * replaced. JDBC bound probes are memoized per JVM, so repeated
     * sql() calls cost view re-registration only, not fresh round trips. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
-    AllTables.foreach { name =>
+    // register only tables the query TEXT references (word match — an
+    // over-approximation that may register an extra view named in a
+    // comment or string literal, which is harmless): each registration
+    // re-reads parquet footers for schema, and most queries touch a
+    // handful of the ten catalog tables. A name that appears nowhere in
+    // the text cannot be referenced by the query.
+    val referenced = {
+      val words = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(query).toSet
+      AllTables.filter(words.contains)
+    }
+    referenced.foreach { name =>
       val df = name match {
         case "events" => events(spark, dir)
         case n        => t(spark, dir, n)

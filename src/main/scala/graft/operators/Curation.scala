@@ -459,7 +459,7 @@ object Curation {
           Seq("doc_id_a"))
         .join(sizes.select(col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
           Seq("doc_id_b"))
-      Dedup.verifyExact(cand, bare, Seq.empty)
+      Dedup.verifyExact(cand, Dedup.shingleArrays(spark, dir), Seq.empty)
         .select(col("doc_id_a").as("doc_id"),
           col("doc_id_b").as("bench_doc_id"), col("jaccard"))
   }

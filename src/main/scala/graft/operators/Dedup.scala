@@ -571,7 +571,8 @@ object Dedup {
     val rows = bare.join(sizes, Seq("doc_id"))
     // exact verification on candidate pairs, row-wise: |A∩B| = count of
     // shingles present in both docs — no arrays materialized anywhere
-    verifyExact(ngramCandidates(rows), bare, Seq("lang", "source"))
+    verifyExact(ngramCandidates(rows), shingleArrays(spark, dir),
+      Seq("lang", "source"))
   }
 
   /** The AllPairs prefix-filtered candidate stage of [[ngramJaccard]],
@@ -587,18 +588,41 @@ object Dedup {
       .filter(col("rn") <= col("n_sh") - expr("(n_sh + 1) div 2") + 1)
       .select(col("lang"), col("source"), col("s"),
         col("doc_id"), col("n_sh"))
-    val candA = prefix.select(col("lang"), col("source"), col("s"),
-      col("doc_id").as("doc_id_a"), col("n_sh").as("n_a"))
-    val candB = prefix.select(col("lang"), col("source"), col("s"),
-      col("doc_id").as("doc_id_b"), col("n_sh").as("n_b"))
-    candA.join(candB, Seq("lang", "source", "s"))
-      .filter(col("doc_id_a") < col("doc_id_b") &&
-        // lossless size prefilter: J≥0.5 needs min/max size ratio ≥ 0.5
-        least(col("n_a"), col("n_b")) * 2 >= greatest(col("n_a"), col("n_b")))
-      .select(col("lang"), col("source"), col("doc_id_a"), col("doc_id_b"),
-        col("n_a"), col("n_b"))
+    // pair generation per prefix shingle IN-ROW (r14): collect each
+    // (lang, source, s)'s posting entries once and emit ordered pairs
+    // from the sorted array — the former candA⋈candB self-join
+    // duplicated the whole rows⋈freq+window subtree in the plan and
+    // shuffled the prefix postings twice. The aggregation buffer per
+    // shingle is its prefix-posting count — the same rows the join
+    // form shuffled, and the pair OUTPUT is quadratic in it either
+    // way; prefix filtering existing to bound exactly that quantity.
+    pairsFromPostings(
+      prefix.groupBy(col("lang"), col("source"), col("s"))
+        .agg(array_sort(collect_list(
+          struct(col("doc_id"), col("n_sh")))).as("ds")))
+      // lossless size prefilter: J≥0.5 needs min/max size ratio ≥ 0.5
+      .filter(least(col("n_a"), col("n_b")) * 2 >=
+        greatest(col("n_a"), col("n_b")))
       .distinct()
   }
+
+  /** Ordered (a < b) candidate pairs from per-shingle posting arrays
+    * `(lang, source, ds: array<struct<doc_id, n_sh>>)` — shared by the
+    * AllPairs prefix stage and the rare-shingle containment blocking.
+    * `ds` is sorted by doc_id (distinct within a group), so nested
+    * slice enumeration yields each ordered pair exactly once. */
+  private def pairsFromPostings(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("lang"), col("source"),
+        explode(flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+            struct(x.getField("doc_id").as("doc_id_a"),
+              y.getField("doc_id").as("doc_id_b"),
+              x.getField("n_sh").as("n_a"),
+              y.getField("n_sh").as("n_b")))))).as("p"))
+      .select(col("lang"), col("source"), col("p.doc_id_a").as("doc_id_a"),
+        col("p.doc_id_b").as("doc_id_b"), col("p.n_a").as("n_a"),
+        col("p.n_b").as("n_b"))
 
   /** Containment blocking: candidate pairs must share a shingle with
     * document frequency ≤ this cap. Rare-posting joins are the scale
@@ -670,23 +694,30 @@ object Dedup {
     (spark, dir) =>
     val bare = shingleRows(spark, dir)
     val (_, sizes) = minhashIndex(spark, dir)
-    containmentPairs(bare.join(sizes, Seq("doc_id")), bare, ContainDfCap)
+    containmentPairs(bare.join(sizes, Seq("doc_id")), bare, ContainDfCap,
+      arraysOpt = Some(shingleArrays(spark, dir)))
   }
 
   /** [[containment]] kernel over shingle rows carrying `n_sh` (and the
     * bare rows for the exact verify), exposed for crafted-graph specs
     * and the candidate-growth soak. */
   private[graft] def containmentPairs(
-      rows: DataFrame, bare: DataFrame, dfCap: Int): DataFrame = {
+      rows: DataFrame, bare: DataFrame, dfCap: Int,
+      arraysOpt: Option[DataFrame] = None): DataFrame = {
     val cand = containmentCandidates(rows, bare, dfCap)
-    val ra = bare.select(col("doc_id").as("doc_id_a"), col("s"))
-    val rb = bare.select(col("doc_id").as("doc_id_b"), col("s"))
+    // exact verify by in-row array intersection (the [[verifyExact]]
+    // r14 shape): candidates are distinct pairs, the attach joins are
+    // 1:1, and a zero-overlap pair can't pass the 4/5 containment gate
+    // (the former count join dropped such pairs before the filter).
+    val arrays = arraysOpt.getOrElse(shingleArraysOf(bare))
     val inter = col("inter_size")
-    cand.join(ra, Seq("doc_id_a"))
-      .join(rb, Seq("doc_id_b", "s"))
-      .groupBy(col("lang"), col("source"), col("doc_id_a"),
-        col("doc_id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("inter_size"))
+    cand
+      .join(arrays.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")),
+        Seq("doc_id_a"))
+      .join(arrays.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")),
+        Seq("doc_id_b"))
+      .withColumn("inter_size",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .select(col("lang"), col("source"), col("doc_id_a"), col("doc_id_b"),
         inter.as("inter_size"), col("n_a"), col("n_b"),
         (inter * 5 >= col("n_a") * 4).as("contained_a"),
@@ -703,32 +734,60 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
     val rare = rows.join(freq, Seq("lang", "source", "s"))
       .filter(col("df") <= dfCap)
-    val candA = rare.select(col("lang"), col("source"), col("s"),
-      col("doc_id").as("doc_id_a"), col("n_sh").as("n_a"))
-    val candB = rare.select(col("lang"), col("source"), col("s"),
-      col("doc_id").as("doc_id_b"), col("n_sh").as("n_b"))
-    candA.join(candB, Seq("lang", "source", "s"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .select(col("lang"), col("source"), col("doc_id_a"), col("doc_id_b"),
-        col("n_a"), col("n_b"))
+    // in-row pair generation per rare shingle (r14, the
+    // [[pairsFromPostings]] device): ≤ dfCap postings per group by
+    // construction, so the aggregation buffer is hard-bounded — the
+    // former self-join duplicated the rows⋈freq subtree and shuffled
+    // the rare postings twice.
+    pairsFromPostings(
+      rare.groupBy(col("lang"), col("source"), col("s"))
+        .agg(array_sort(collect_list(
+          struct(col("doc_id"), col("n_sh")))).as("ds")))
       .distinct()
   }
 
-  /** Exact Jaccard over candidate pairs from shingle rows:
-    * inter = per-pair matching-shingle count, union = n_a + n_b − inter.
-    * Pairs with zero overlap drop out of the count join — they have
-    * J = 0 and could never pass a positive threshold. */
+  /** Per-doc distinct-shingle ARRAYS — (doc_id, sh) — folded once from
+    * the session-cached posting rows and session-cached themselves
+    * (r14): exact verification joins the CANDIDATE PAIRS against this
+    * one-row-per-doc frame and intersects arrays in-row, instead of the
+    * former two posting-scale shuffle joins (cand ⋈ rows ⋈ rows +
+    * count aggregate) that re-shuffled every shingle occurrence per
+    * verifying consumer. Same bytes as the posting rows, 1/‖doc‖ the
+    * row count — strictly fewer shuffled rows at any scale, and the
+    * shape the DuckDB oracles already use (`list_intersect` on the
+    * `sh` CTE). */
+  private val shingleArrayCache = SessionCache.mkFrames()
+
+  private[graft] def clearShingleArrayCache(): Unit = shingleArrayCache.clear()
+
+  private[operators] def shingleArrays(
+      spark: SparkSession, dir: String): DataFrame =
+    shingleArrayCache.getOrBuild(spark, dir, "documents.parquet")(
+      shingleArraysOf(shingleRows(spark, dir)).localCheckpoint())
+
+  /** Fold ANY (doc_id, s) posting frame to (doc_id, sh) arrays. */
+  private[operators] def shingleArraysOf(rows: DataFrame): DataFrame =
+    rows.groupBy(col("doc_id")).agg(collect_list(col("s")).as("sh"))
+
+  /** Exact Jaccard over candidate pairs:
+    * inter = |A∩B| via in-row array intersection against the per-doc
+    * shingle-array frame, union = n_a + n_b − inter. Candidate frames
+    * are DISTINCT pairs at every call site (each candidate stage ends
+    * in distinct/dropDuplicates), so the attach joins are 1:1. Pairs
+    * with zero overlap have J = 0 and fall to the threshold filter —
+    * the same output the former zero-overlap-dropping count join
+    * produced. */
   private[operators] def verifyExact(
-      cand: DataFrame, rows: DataFrame, keep: Seq[String]): DataFrame = {
-    val ra = rows.select(col("doc_id").as("doc_id_a"), col("s"))
-    val rb = rows.select(col("doc_id").as("doc_id_b"), col("s"))
-    val keyCols = keep ++ Seq("doc_id_a", "doc_id_b", "n_a", "n_b")
+      cand: DataFrame, arrays: DataFrame, keep: Seq[String]): DataFrame = {
     val inter = col("inter_size")
     val union = col("n_a") + col("n_b") - col("inter_size")
-    cand.join(ra, Seq("doc_id_a"))
-      .join(rb, Seq("doc_id_b", "s"))
-      .groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("inter_size"))
+    cand
+      .join(arrays.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")),
+        Seq("doc_id_a"))
+      .join(arrays.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")),
+        Seq("doc_id_b"))
+      .withColumn("inter_size",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .select((keep.map(col) ++ Seq(col("doc_id_a"), col("doc_id_b"),
         inter.as("inter_size"), union.as("union_size"),
         (inter.cast("double") / union.cast("double")).as("jaccard"))): _*)
@@ -982,8 +1041,7 @@ object Dedup {
       .select(col("q_id"), col("d_id"))
     recallCounts(spark, dir, truth,
       verifyExact(simhashHybridCandidates(spark, dir),
-          shingleRows(spark, dir).select(col("doc_id"), col("s")),
-          Seq.empty)
+          shingleArrays(spark, dir), Seq.empty)
         .select(col("doc_id_a").as("pa"), col("doc_id_b").as("pb")),
       mod)
   }
@@ -999,7 +1057,8 @@ object Dedup {
       spark: SparkSession, dir: String, bucketCap: Option[Int]): DataFrame = {
     val bare = shingleRows(spark, dir)
     // exact row-wise verification of the (small) candidate set
-    verifyExact(minhashCandidates(spark, dir, bucketCap), bare, Seq.empty)
+    verifyExact(minhashCandidates(spark, dir, bucketCap),
+      shingleArrays(spark, dir), Seq.empty)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
@@ -1224,7 +1283,7 @@ object Dedup {
       val store = PersistedStore.ensure(spark, dir, "documents.parquet",
         "incr_matches", "v2") { root => // v2: ascii-casefold law
         verifyExact(incrementalCandidates(spark, dir),
-          shingleRows(spark, dir).select(col("doc_id"), col("s")), Seq.empty)
+          shingleArrays(spark, dir), Seq.empty)
           .write.mode("overwrite").parquet(s"$root/matches")
       }
       spark.read.parquet(s"$store/matches").localCheckpoint()
@@ -1305,7 +1364,7 @@ object Dedup {
     dedupIncremental.oracle.get) { (spark, dir) =>
     incrementalRollup(verifyExact(
       bucketedIncrementalCandidates(spark, dir),
-      shingleRows(spark, dir).select(col("doc_id"), col("s")), Seq.empty))
+      shingleArrays(spark, dir), Seq.empty))
   }
 
   /** Word hashes per document — the simhash input rows (exposed for the
@@ -1531,7 +1590,7 @@ object Dedup {
   private[graft] def simhashHybridUncapped(
       spark: SparkSession, dir: String): DataFrame =
     verifyExact(simhashHybridCandidates(spark, dir, bucketCap = None),
-        shingleRows(spark, dir).select(col("doc_id"), col("s")), Seq.empty)
+        shingleArrays(spark, dir), Seq.empty)
       .select("doc_id_a", "doc_id_b", "jaccard")
 
   /** SimHash near-dup detection, two-stage: banded-signature candidate
@@ -1574,7 +1633,7 @@ object Dedup {
          |   AND len(a.sh) >= $SimhashMinShingles AND len(b.sh) >= $SimhashMinShingles
          |   AND a.n_words <= $SimhashWordCap AND b.n_words <= $SimhashWordCap""".stripMargin)) { (spark, dir) =>
     verifyExact(simhashHybridCandidates(spark, dir),
-        shingleRows(spark, dir).select(col("doc_id"), col("s")), Seq.empty)
+        shingleArrays(spark, dir), Seq.empty)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
@@ -1594,8 +1653,7 @@ object Dedup {
     val cand = scopeAndSizeBand(
       simhashCandidatesOf(inScopeSigs, bands = 8, bitsPerBand = 8)
         .select("doc_id_a", "doc_id_b"), sizes)
-    verifyExact(cand, shingleRows(spark, dir).select(col("doc_id"), col("s")),
-        Seq.empty)
+    verifyExact(cand, shingleArrays(spark, dir), Seq.empty)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 }

@@ -506,12 +506,33 @@ object GraphOps {
       .select(col("src"), col("dst"))
   }
 
-  /** [[kcore]] kernel over a SYMMETRIC (src, dst) edge frame. */
-  def kcoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  /** The budget-round peeled edge frame, checkpointed per round (r14):
+    * the lazy chain referenced each round's frame THREE times (degree
+    * aggregate + two semi-joins), so the 3-round plan held 3³ copies of
+    * the base subtree — 498 Exchange nodes, ~900 operators, and the
+    * driver paid seconds of analysis/codegen per run even though
+    * runtime exchange reuse deduplicated the execution. One
+    * localCheckpoint per round keeps the plan LINEAR in rounds;
+    * superseded snapshots release eagerly ([[connectedComponents]]'
+    * discipline), the returned budget frame stays live for its
+    * consumers. */
+  private def kcorePeeledEdges(
+      edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var ed = edges
-    for (_ <- 1 to rounds) ed = kcorePeel(ed, k)
-    ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to rounds) {
+      val next = kcorePeel(ed, k).localCheckpoint()
+      prev.foreach(releaseCheckpoint)
+      prev = Some(next)
+      ed = next
+    }
+    ed
   }
+
+  /** [[kcore]] kernel over a SYMMETRIC (src, dst) edge frame. */
+  def kcoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kcorePeeledEdges(edges, k, rounds)
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
 
   /** CONVERGENCE TELEMETRY kernel of the bounded peel (r12 verdict #2):
     * alive-node counts at the round budget and after ONE extra round.
@@ -523,9 +544,7 @@ object GraphOps {
     * frame; the budget-round frame is localCheckpointed because both
     * counts and the extra round read it. */
   def kcoreConvergence(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var ed = edges
-    for (_ <- 1 to rounds) ed = kcorePeel(ed, k)
-    val edB = ed.localCheckpoint()
+    val edB = kcorePeeledEdges(edges, k, rounds) // checkpointed per round
     val edN = kcorePeel(edB, k)
     val aliveB = edB.select(col("src")).distinct()
       .agg(count(lit(1)).as("alive_at_budget"))

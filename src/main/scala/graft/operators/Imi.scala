@@ -377,12 +377,29 @@ object Imi {
       .select(col("cell"), col("src"), col("dst"),
         cosine(idot(spark, col("vs"), col("vd")),
           col("ns"), col("nd")).as("cos"))
-    val perCell = scoredPairs
-      .groupBy(col("cell"), col("src"))
-      .agg(slice(array_sort(collect_list(struct(
-        negate(col("cos")).as("ncos"),
-        col("dst").as("nn_id"),
-        col("cos").as("cos")))), 1, k).as("t"))
+    // bounded-heap per-(cell, src) top-k when the extension is
+    // installed (r14): collect_list buffers every co-cell candidate
+    // per group before truncating, while graft_topk's partial heaps
+    // carry at most k rows per (mapper, group) across the exchange.
+    // Element order/type is re-shaped to the exact (ncos, nn_id, cos)
+    // structs the downstream flatten∘distinct∘sort merge consumes:
+    // top-k LARGEST (cos, −nn_id) ≡ ascending (ncos, nn_id).
+    val perCell = (if (spark.catalog.functionExists("graft_topk"))
+      scoredPairs
+        .groupBy(col("cell"), col("src"))
+        .agg(transform(call_function("graft_topk", struct(
+          col("cos"), negate(col("dst")).as("nid"),
+          col("dst").as("nn_id")), lit(k)),
+          e => struct(negate(e.getField("cos")).as("ncos"),
+            e.getField("nn_id").as("nn_id"),
+            e.getField("cos").as("cos"))).as("t"))
+    else
+      scoredPairs
+        .groupBy(col("cell"), col("src"))
+        .agg(slice(array_sort(collect_list(struct(
+          negate(col("cos")).as("ncos"),
+          col("dst").as("nn_id"),
+          col("cos").as("cos")))), 1, k).as("t")))
     perCell
       .groupBy(col("src"))
       .agg(slice(array_distinct(array_sort(flatten(collect_list(col("t"))))),

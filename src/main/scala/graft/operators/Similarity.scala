@@ -1609,17 +1609,28 @@ object Similarity {
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("vec_id"), col("v"), col("n2")))
         .as("ms"))
-    val perCell = ms.select(explode(transform(
-      filter(col("ms"), s => srcPred(s.getField("vec_id"))),
-      s => struct(s.getField("vec_id").as("src"),
-        slice(array_sort(transform(
-          filter(col("ms"),
-            m => m.getField("vec_id") =!= s.getField("vec_id")),
-          m => {
-            val c = cosine(idot(spark, s.getField("v"), m.getField("v")),
-              s.getField("n2"), m.getField("n2"))
-            struct(negate(c).as("ncos"), m.getField("vec_id").as("nn_id"))
-          })), 1, k).as("t")))).as("e"))
+    // native per-cell kernel when the extension is installed (r14):
+    // the HOF form below evaluates every candidate pair through
+    // interpreted lambdas (closure dispatch + boxed struct per pair) —
+    // graft_cell_topk runs the identical computation (same IEEE
+    // expression order, same (ncos, id) insertion order) as one tight
+    // loop per cell row; outputs are bit-identical (ExpressionsSpec).
+    val perCell = (if (spark.catalog.functionExists("graft_cell_topk"))
+      ms.select(explode(call_function("graft_cell_topk",
+        filter(col("ms"), s => srcPred(s.getField("vec_id"))),
+        col("ms"), lit(k), lit(false))).as("e"))
+    else
+      ms.select(explode(transform(
+        filter(col("ms"), s => srcPred(s.getField("vec_id"))),
+        s => struct(s.getField("vec_id").as("src"),
+          slice(array_sort(transform(
+            filter(col("ms"),
+              m => m.getField("vec_id") =!= s.getField("vec_id")),
+            m => {
+              val c = cosine(idot(spark, s.getField("v"), m.getField("v")),
+                s.getField("n2"), m.getField("n2"))
+              struct(negate(c).as("ncos"), m.getField("vec_id").as("nn_id"))
+            })), 1, k).as("t")))).as("e")))
       .select(col("e.src").as("src"), col("e.t").as("t"))
     perCell
       .groupBy(col("src"))
@@ -1694,19 +1705,26 @@ object Similarity {
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("vec_id"), col("label"), col("v"),
         col("n2"))).as("ms"))
-    val perCell = ms.select(explode(transform(col("ms"),
-      s => struct(s.getField("vec_id").as("src"),
-        s.getField("label").as("la"),
-        slice(array_sort(transform(
-          filter(col("ms"),
-            m => m.getField("label") =!= s.getField("label")),
-          m => {
-            val c = cosine(idot(spark, s.getField("v"), m.getField("v")),
-              s.getField("n2"), m.getField("n2"))
-            struct(negate(c).as("ncos"),
-              m.getField("vec_id").as("neg_id"),
-              m.getField("label").as("neg_label"))
-          })), 1, k).as("t")))).as("e"))
+    // native per-cell kernel when installed (the [[knnTopKFromCells]]
+    // r14 device, label-exclusion mode) — bit-identical output, one
+    // tight loop per cell instead of interpreted per-pair lambdas
+    val perCell = (if (spark.catalog.functionExists("graft_cell_topk"))
+      ms.select(explode(call_function("graft_cell_topk",
+        col("ms"), col("ms"), lit(k), lit(true))).as("e"))
+    else
+      ms.select(explode(transform(col("ms"),
+        s => struct(s.getField("vec_id").as("src"),
+          s.getField("label").as("la"),
+          slice(array_sort(transform(
+            filter(col("ms"),
+              m => m.getField("label") =!= s.getField("label")),
+            m => {
+              val c = cosine(idot(spark, s.getField("v"), m.getField("v")),
+                s.getField("n2"), m.getField("n2"))
+              struct(negate(c).as("ncos"),
+                m.getField("vec_id").as("neg_id"),
+                m.getField("label").as("neg_label"))
+            })), 1, k).as("t")))).as("e")))
       .select(col("e.src").as("src"), col("e.la").as("la"),
         col("e.t").as("t"))
     perCell

@@ -1479,7 +1479,7 @@ object EventStream {
       spark: SparkSession, dir: String, queryName: String): String =
     runLiveToMemory(spark, queryName, dir) { (table, ckpt) =>
       import graft.operators.{Retrieval, TextOps}
-      val dc = Retrieval.dsirDocCounts(spark, dir).localCheckpoint()
+      val dc = Retrieval.dsirDocCountsCached(spark, dir)
       val ratio = Retrieval.dsirRatio(dc)
       val rmap = ratio.agg(map_from_entries(
         collect_list(struct(col("bucket"), col("ratio")))).as("rmap"))
