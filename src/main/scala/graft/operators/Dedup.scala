@@ -519,6 +519,33 @@ object Dedup {
     shingleRows(spark, dir).withColumn("n_sh",
       count(lit(1)).over(Window.partitionBy(col("doc_id"))))
 
+  private val shingleDfCache = SessionCache.mkFrames()
+
+  private[graft] def clearShingleDfCache(): Unit = shingleDfCache.clear()
+
+  /** Posting rows with per-doc distinct-shingle count AND per-shingle
+    * document frequency — (lang, source, s, doc_id, n_sh, df) —
+    * session-cached (r14): the (lang, source, shingle) df aggregate and
+    * its join back onto the postings were re-derived by BOTH blocked
+    * candidate stages (AllPairs prefix filtering orders by df;
+    * containment blocks on df ≤ cap) — one full posting-scale shuffle
+    * each per run. At 100 TB the df-annotated posting list IS the
+    * persisted inverted index both stages probe; built once per
+    * (session, corpus) like every index here. Parity with fresh
+    * construction spec-pinned. */
+  private[graft] def shingleRowsWithDf(
+      spark: SparkSession, dir: String): DataFrame =
+    shingleDfCache.getOrBuild(spark, dir, "documents.parquet",
+      "shingle-df") {
+      val bare = shingleRows(spark, dir)
+      val (_, sizes) = minhashIndex(spark, dir)
+      val freq = bare.groupBy(col("lang"), col("source"), col("s"))
+        .agg(count(lit(1)).as("df"))
+      bare.join(sizes, Seq("doc_id"))
+        .join(freq, Seq("lang", "source", "s"))
+        .localCheckpoint()
+    }
+
   /** Blocked exact n-gram Jaccard: candidate pairs share (lang, source),
     * similarity = |A∩B| / |A∪B| over distinct 3-word shingles. */
   val ngramJaccard: Op = Op(
@@ -560,32 +587,41 @@ object Dedup {
     // all-pairs on this corpus); the all-pairs block product is
     // quadratic in block size. Prefix filtering is the shape that
     // survives 100 TB: linear postings, candidates ∝ true near-dups.
-    // per-doc distinct-shingle counts come from the session-cached
-    // index (one groupBy shuffle amortized across the whole dedup
-    // family — minhashIndex) joined back onto the posting rows, instead
-    // of a COUNT window over them: saves a full posting-rows shuffle
-    // per run. The tiny sizes frame auto-broadcasts (no hint — AQE
-    // decides, as everywhere corpus-derived frames are joined).
-    val bare = shingleRows(spark, dir)
-    val (_, sizes) = minhashIndex(spark, dir)
-    val rows = bare.join(sizes, Seq("doc_id"))
+    // per-doc sizes AND the per-shingle df both ride the session-cached
+    // df-annotated posting index ([[shingleRowsWithDf]], r14) — the
+    // former inline freq aggregate + join re-shuffled the postings per
+    // run for a frame the containment stage also rebuilds.
     // exact verification on candidate pairs, row-wise: |A∩B| = count of
     // shingles present in both docs — no arrays materialized anywhere
-    verifyExact(ngramCandidates(rows), shingleArrays(spark, dir),
-      Seq("lang", "source"))
+    verifyExact(ngramCandidatesOfDf(shingleRowsWithDf(spark, dir)),
+      shingleArrays(spark, dir), Seq("lang", "source"))
   }
 
   /** The AllPairs prefix-filtered candidate stage of [[ngramJaccard]],
     * exposed so the scale soak (tools/SoakCandidates, PERF.md) can
     * measure candidate-pair growth across corpus sizes. */
   private[graft] def ngramCandidates(rows: DataFrame): DataFrame = {
+    // df computed inline for arbitrary row frames (soak/spec callers);
+    // the registered op rides the session-cached [[shingleRowsWithDf]]
     val freq = rows.groupBy(col("lang"), col("source"), col("s"))
       .agg(count(lit(1)).as("df"))
+    ngramCandidatesOfDf(rows.join(freq, Seq("lang", "source", "s")))
+  }
+
+  /** The prefix-filter + pair-generation stage of [[ngramCandidates]]
+    * over df-annotated posting rows (lang, source, s, doc_id, n_sh,
+    * df). */
+  private[graft] def ngramCandidatesOfDf(rowsDf: DataFrame): DataFrame = {
     val wDoc = Window.partitionBy(col("lang"), col("source"), col("doc_id"))
       .orderBy(col("df").asc, col("s").asc)
-    val prefix = rows.join(freq, Seq("lang", "source", "s"))
+    val prefix = rowsDf
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("n_sh") - expr("(n_sh + 1) div 2") + 1)
+      // df ≥ 2 is LOSSLESS here (a pair needs two prefix members in a
+      // shingle's group, and group size ≤ df) and culls the Zipf tail
+      // BEFORE the group-collect: the df-ascending prefix is dominated
+      // by df-1 shingles that can never collide.
+      .filter(col("df") >= 2)
       .select(col("lang"), col("source"), col("s"),
         col("doc_id"), col("n_sh"))
     // pair generation per prefix shingle IN-ROW (r14): collect each
@@ -692,10 +728,12 @@ object Dedup {
        |WHERE len(list_intersect(x.sh, y.sh)) * 5 >= len(x.sh) * 4
        |   OR len(list_intersect(x.sh, y.sh)) * 5 >= len(y.sh) * 4""".stripMargin) {
     (spark, dir) =>
-    val bare = shingleRows(spark, dir)
-    val (_, sizes) = minhashIndex(spark, dir)
-    containmentPairs(bare.join(sizes, Seq("doc_id")), bare, ContainDfCap,
-      arraysOpt = Some(shingleArrays(spark, dir)))
+    // candidates from the session-cached df-annotated posting index
+    // ([[shingleRowsWithDf]], r14) — a pure filter + bounded collect,
+    // no per-run freq aggregate or join
+    containmentVerify(
+      containmentCandidatesOfDf(shingleRowsWithDf(spark, dir), ContainDfCap),
+      shingleArrays(spark, dir))
   }
 
   /** [[containment]] kernel over shingle rows carrying `n_sh` (and the
@@ -703,13 +741,17 @@ object Dedup {
     * and the candidate-growth soak. */
   private[graft] def containmentPairs(
       rows: DataFrame, bare: DataFrame, dfCap: Int,
-      arraysOpt: Option[DataFrame] = None): DataFrame = {
-    val cand = containmentCandidates(rows, bare, dfCap)
-    // exact verify by in-row array intersection (the [[verifyExact]]
-    // r14 shape): candidates are distinct pairs, the attach joins are
-    // 1:1, and a zero-overlap pair can't pass the 4/5 containment gate
-    // (the former count join dropped such pairs before the filter).
-    val arrays = arraysOpt.getOrElse(shingleArraysOf(bare))
+      arraysOpt: Option[DataFrame] = None): DataFrame =
+    containmentVerify(containmentCandidates(rows, bare, dfCap),
+      arraysOpt.getOrElse(shingleArraysOf(bare)))
+
+  /** The exact-containment verify stage — in-row array intersection
+    * (the [[verifyExact]] r14 shape): candidates are distinct pairs,
+    * the attach joins are 1:1, and a zero-overlap pair can't pass the
+    * 4/5 containment gate (the former count join dropped such pairs
+    * before the filter). */
+  private[graft] def containmentVerify(
+      cand: DataFrame, arrays: DataFrame): DataFrame = {
     val inter = col("inter_size")
     cand
       .join(arrays.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")),
@@ -730,21 +772,33 @@ object Dedup {
     * soak (tools/SoakCandidates, PERF.md). */
   private[graft] def containmentCandidates(
       rows: DataFrame, bare: DataFrame, dfCap: Int): DataFrame = {
+    // df computed inline for arbitrary row frames (soak/spec callers);
+    // the registered op rides the session-cached [[shingleRowsWithDf]]
     val freq = bare.groupBy(col("lang"), col("source"), col("s"))
       .agg(count(lit(1)).as("df"))
-    val rare = rows.join(freq, Seq("lang", "source", "s"))
-      .filter(col("df") <= dfCap)
-    // in-row pair generation per rare shingle (r14, the
-    // [[pairsFromPostings]] device): ≤ dfCap postings per group by
-    // construction, so the aggregation buffer is hard-bounded — the
-    // former self-join duplicated the rows⋈freq subtree and shuffled
-    // the rare postings twice.
+    containmentCandidatesOfDf(rows.join(freq, Seq("lang", "source", "s")),
+      dfCap)
+  }
+
+  /** The rare-shingle blocking stage over df-annotated posting rows.
+    * In-row pair generation per rare shingle (r14, the
+    * [[pairsFromPostings]] device): ≤ dfCap postings per group by
+    * construction, so the aggregation buffer is hard-bounded — the
+    * former self-join duplicated the rows⋈freq subtree and shuffled
+    * the rare postings twice. */
+  private[graft] def containmentCandidatesOfDf(
+      rowsDf: DataFrame, dfCap: Int): DataFrame =
     pairsFromPostings(
-      rare.groupBy(col("lang"), col("source"), col("s"))
+      // df ≥ 2 is LOSSLESS (a df-1 shingle can't emit a pair) and is
+      // the volume lever on a Zipf tail: measured at sf0.1, df ≤ cap
+      // alone keeps 260k/260k posting rows (94% singletons) and the
+      // collect_list aggregates 245k groups for 14.6k pairs — the
+      // [2, cap] band keeps ~15k groups for the same pairs.
+      rowsDf.filter(col("df").between(2, dfCap))
+        .groupBy(col("lang"), col("source"), col("s"))
         .agg(array_sort(collect_list(
           struct(col("doc_id"), col("n_sh")))).as("ds")))
       .distinct()
-  }
 
   /** Per-doc distinct-shingle ARRAYS — (doc_id, sh) — folded once from
     * the session-cached posting rows and session-cached themselves
@@ -760,7 +814,7 @@ object Dedup {
 
   private[graft] def clearShingleArrayCache(): Unit = shingleArrayCache.clear()
 
-  private[operators] def shingleArrays(
+  private[graft] def shingleArrays(
       spark: SparkSession, dir: String): DataFrame =
     shingleArrayCache.getOrBuild(spark, dir, "documents.parquet")(
       shingleArraysOf(shingleRows(spark, dir)).localCheckpoint())
@@ -1023,7 +1077,7 @@ object Dedup {
        |FROM documents d LEFT JOIN cnt ON cnt.q = d.doc_id
        |WHERE d.doc_id % $LshRecallMod = 0""".stripMargin) { (spark, dir) =>
     val mod = LshRecallMod
-    val scope = simhashScopeSizes(spark, dir)
+    val scope = simhashScopeSizesCached(spark, dir)
     val rows = shingleRows(spark, dir).select(col("doc_id"), col("s"))
       .join(scope.select(col("doc_id")), Seq("doc_id"))
     val q = rows.filter(col("doc_id") % mod === 0)
@@ -1415,6 +1469,21 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
+  private val simhashSigCache = SessionCache.mkFrames()
+
+  private[graft] def clearSimhashSigCache(): Unit = simhashSigCache.clear()
+
+  /** [[simhashSignatures]] session-cached (r14): the word-hash explode
+    * + lane-packed vote aggregate is the family's corpus-scaled stage
+    * and feeds the registered hybrid op, the recall telemetry and the
+    * radius-7 reference — at 100 TB the signature table is a persisted
+    * index every consumer probes (the [[minhashIndex]] contract).
+    * Parity with fresh construction spec-pinned. */
+  private[graft] def simhashSignaturesCached(
+      spark: SparkSession, dir: String): DataFrame =
+    simhashSigCache.getOrBuild(spark, dir, "documents.parquet",
+      "simhash-sigs")(simhashSignatures(spark, dir).localCheckpoint())
+
   /** Legacy-geometry SimHash candidate pairs — doc pairs sharing any of
     * 8 × 8-bit bands of the 64-bit signature, kept when signature
     * Hamming distance ≤ 7. By pigeonhole, 8 bands GUARANTEE every pair
@@ -1542,6 +1611,20 @@ object Dedup {
       .join(wordsOk, Seq("doc_id"))
   }
 
+  private val simhashScopeCache = SessionCache.mkFrames()
+
+  private[graft] def clearSimhashScopeCache(): Unit = simhashScopeCache.clear()
+
+  /** [[simhashScopeSizes]] session-cached (r14): the word-count pass
+    * over the documents scan + the shingle-count aggregate ran fresh
+    * per consumer run (the hybrid op, the recall telemetry, the
+    * radius-7 reference). Tiny frame (one row per in-scope doc), same
+    * staleness law as every index cache. Parity spec-pinned. */
+  private[graft] def simhashScopeSizesCached(
+      spark: SparkSession, dir: String): DataFrame =
+    simhashScopeCache.getOrBuild(spark, dir, "documents.parquet",
+      "simhash-scope")(simhashScopeSizes(spark, dir).localCheckpoint())
+
   /** Attach in-scope sizes to candidate pairs (scope-filtering them in
     * the same joins) and apply the lossless size prefilter: J≥0.5
     * requires min/max distinct-shingle ratio ≥ 0.5 — drops hamming-near
@@ -1571,8 +1654,8 @@ object Dedup {
   private[graft] def simhashHybridCandidates(
       spark: SparkSession, dir: String,
       bucketCap: Option[Int] = Some(SimhashBucketCap)): DataFrame = {
-    val sizes = simhashScopeSizes(spark, dir)
-    val inScopeSigs = simhashSignatures(spark, dir)
+    val sizes = simhashScopeSizesCached(spark, dir)
+    val inScopeSigs = simhashSignaturesCached(spark, dir)
       .join(sizes, Seq("doc_id"))
       .select(col("doc_id"), col("simhash"))
     val tight = simhashCandidatesOf(inScopeSigs, // 4×16, radius 3
@@ -1646,8 +1729,8 @@ object Dedup {
     * small-block tool, not a 100 TB default. Kept as the recall
     * reference: equals [[simhash]] output wherever both run (spec). */
   def simhashRadius7(spark: SparkSession, dir: String): DataFrame = {
-    val sizes = simhashScopeSizes(spark, dir)
-    val inScopeSigs = simhashSignatures(spark, dir)
+    val sizes = simhashScopeSizesCached(spark, dir)
+    val inScopeSigs = simhashSignaturesCached(spark, dir)
       .join(sizes, Seq("doc_id"))
       .select(col("doc_id"), col("simhash"))
     val cand = scopeAndSizeBand(

@@ -386,21 +386,29 @@ object Introspect {
        |       SUM(((fa - fb) * (fa - fb)) // (fa + fb + 2)) > $DriftThreshold
        |         AS drifted
        |FROM f GROUP BY 1""".stripMargin) { (spark, dir) =>
-    import graft.functions.TextAnalysis.fingerprint
     val docs = Tables.documents(spark, dir)
     val mx = docs.agg(max(col("doc_id")).as("mx"))
-    val rows = docs.crossJoin(broadcast(mx))
-      .select(col("doc_id"), col("lang"), col("mx"),
-        explode(TextOps.bigramArray).as("bg"))
-      .select(col("doc_id"), col("lang"), col("mx"),
-        (fingerprint(concat_ws(" ", col("bg.w1"), col("bg.w2")))
-          % Retrieval.DsirDim).as("bucket"))
-    val cmp = rows.select(lit("arrival_halves").as("split"),
-        (col("doc_id") * 2 <= col("mx")).as("in_a"), col("bucket"))
-      .unionByName(rows.select(lit("lang_mix").as("split"),
-        (col("lang") === Retrieval.DsirTargetLang).as("in_a"), col("bucket")))
-    val c = cmp.groupBy(col("split"), col("in_a"), col("bucket"))
-      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    // r14: ride the session-cached DSIR (doc_id, tgt, bucket, cnt)
+    // frame — IDENTICAL tokenizer ([[TextOps.bigramArray]]), identical
+    // fingerprint-mod bucket law, identical target-lang flag — instead
+    // of re-tokenizing the corpus (the former `rows` subtree sat under
+    // BOTH legs of the split union, so the op tokenized the corpus
+    // TWICE per run). Both splits now reduce from ONE tiny
+    // (bucket, arrival_half, tgt) rollup of the cached counts; `mx`
+    // still comes from the documents scan (a doc with < 2 words has no
+    // bigram row, so max(doc_id) over dc could differ).
+    val dc = Retrieval.dsirDocCountsCached(spark, dir)
+    val c0 = dc.crossJoin(broadcast(mx))
+      .groupBy(col("bucket"),
+        (col("doc_id") * 2 <= col("mx")).as("arr_a"), col("tgt"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint()
+    val c = c0.select(lit("arrival_halves").as("split"),
+        col("arr_a").as("in_a"), col("bucket"), col("cnt"))
+      .unionByName(c0.select(lit("lang_mix").as("split"),
+        col("tgt").as("in_a"), col("bucket"), col("cnt")))
+      .groupBy(col("split"), col("in_a"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
     val tot = c.groupBy(col("split"), col("in_a"))
       .agg(sum(col("cnt")).as("t"))
     val ta = tot.filter(col("in_a")).select(col("split"), col("t").as("na"))

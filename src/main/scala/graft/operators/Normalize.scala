@@ -76,8 +76,11 @@ object Normalize {
     * IS NOT DISTINCT FROM at 02:172,191).
     *
     * `nullif(l_returnflag,'N')` manufactures the nullable key column.
-    * Spark plans this as a null-aware anti hash join; at scale the
-    * existing-keys side is distinct-ed first, shrinking the build side.
+    * Spark plans this as a null-safe anti hash join over the two
+    * pre-aggregated key frames; both frames derive from ONE grouped
+    * scan of lineitem (per-side presence flags), so one Exchange feeds
+    * both legs at any scale (r14 — formerly two filtered distincts,
+    * two scans).
     */
   val antiJoin: Op = Op(
     "q_anti_join",
@@ -98,15 +101,31 @@ object Normalize {
       |    AND e.cond IS NOT DISTINCT FROM i.cond)""".stripMargin) { (spark, dir) =>
     val li = Tables.lineitem(spark, dir)
     val cutoff = lit("1999-01-01").cast("timestamp")
-    def keyed(df: org.apache.spark.sql.DataFrame) = df.select(
-      col("l_partkey"), col("l_suppkey"),
-      nullif(col("l_returnflag"), lit("N")).as("cond")).distinct()
+    // r14: ONE lineitem scan + ONE exchange feed both legs. The former
+    // two date-filtered DISTINCTs scanned lineitem twice and paid two
+    // distinct-aggregate shuffles; grouping the (key, cond) tuple once
+    // with per-side presence flags makes both legs filters over the
+    // SAME aggregate. The aggregate is localCheckpointed (the
+    // iterate-materialization device of the graph kernels): without it
+    // column pruning specializes each leg to its own flag and the two
+    // subtrees stop sharing the exchange — measured as two full scans.
+    // NULL l_shipdate rows matched neither date filter before; the
+    // isNotNull pre-filter keeps that law explicit.
+    val keyed = li.filter(col("l_shipdate").isNotNull)
+      .groupBy(col("l_partkey"), col("l_suppkey"),
+        nullif(col("l_returnflag"), lit("N")).as("cond"))
+      .agg(
+        max(when(col("l_shipdate") < cutoff, 1).otherwise(0)).as("has_old"),
+        max(when(col("l_shipdate") >= cutoff, 1).otherwise(0)).as("has_new"))
+      .localCheckpoint()
+    def side(flag: String) = keyed.filter(col(flag) === 1)
+      .select(col("l_partkey"), col("l_suppkey"), col("cond"))
     // self-join legs aliased explicitly: `df1("c") === df2("c")` on
     // same-lineage frames relies on Spark's dataset-id disambiguation
     // and logs trivially-true-predicate warnings; qualified aliases make
     // the join condition unambiguous by construction
-    val existing = keyed(li.filter(col("l_shipdate") < cutoff)).alias("ex")
-    val incoming = keyed(li.filter(col("l_shipdate") >= cutoff)).alias("inc")
+    val existing = side("has_old").alias("ex")
+    val incoming = side("has_new").alias("inc")
     incoming.join(existing,
       col("inc.l_partkey") === col("ex.l_partkey") &&
         col("inc.l_suppkey") === col("ex.l_suppkey") &&

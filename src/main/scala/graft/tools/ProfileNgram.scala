@@ -49,6 +49,22 @@ object ProfileNgram {
     for (r <- 1 to 2)
       timed(s"full q_containment r$r")(
         Dedup.containment.build(spark, dir).count())
+    // containment decomposition over the warm caches
+    val rowsDf = Dedup.shingleRowsWithDf(spark, dir)
+    timed("rowsDf (cached) count")(rowsDf.count())
+    val cand = Dedup.containmentCandidatesOfDf(rowsDf, Dedup.ContainDfCap)
+    println(s"[ngram] rowsDf rows = ${rowsDf.count()}")
+    val rare = rowsDf.filter(col("df") <= Dedup.ContainDfCap)
+    timed("rare filter count")(println(s"[ngram]   rare rows = ${rare.count()}"))
+    val grouped = rare.groupBy(col("lang"), col("source"), col("s"))
+      .agg(org.apache.spark.sql.functions.array_sort(
+        collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
+    timed("rare grouped count")(println(s"[ngram]   groups = ${grouped.count()}"))
+    timed("containment candidates r1")(println(s"[ngram]   cand = ${cand.count()}"))
+    timed("containment candidates r2")(cand.count())
+    val ver = Dedup.containmentVerify(cand, Dedup.shingleArrays(spark, dir))
+    timed("containment verify r1")(ver.count())
+    timed("containment verify r2")(ver.count())
     for (r <- 1 to 2)
       timed(s"full q_simhash r$r")(
         Dedup.simhash.build(spark, dir).count())

@@ -153,6 +153,30 @@ class DedupSimilaritySpec extends SparkSpec {
       "cached shingle rows drifted from deterministic reconstruction")
   }
 
+  test("session-cached df-annotated postings equal fresh construction") {
+    import spark.implicits._
+    val cached = Dedup.shingleRowsWithDf(spark, sf001)
+    val bare = Dedup.buildShingleRows(spark, sf001)
+    val sizes = bare.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val freq = bare.groupBy($"lang", $"source", $"s")
+      .agg(count(lit(1)).as("df"))
+    val fresh = bare.join(sizes, Seq("doc_id"))
+      .join(freq, Seq("lang", "source", "s"))
+    assert(cached.exceptAll(fresh).isEmpty && fresh.exceptAll(cached).isEmpty,
+      "cached df-annotated postings drifted from deterministic reconstruction")
+  }
+
+  test("session-cached simhash signatures and scope equal fresh construction") {
+    val cs = Dedup.simhashSignaturesCached(spark, sf001)
+    val fs = Dedup.simhashSignatures(spark, sf001)
+    assert(cs.exceptAll(fs).isEmpty && fs.exceptAll(cs).isEmpty,
+      "cached simhash signatures drifted from deterministic reconstruction")
+    val csc = Dedup.simhashScopeSizesCached(spark, sf001)
+    val fsc = Dedup.simhashScopeSizes(spark, sf001)
+    assert(csc.exceptAll(fsc).isEmpty && fsc.exceptAll(csc).isEmpty,
+      "cached simhash scope sizes drifted from deterministic reconstruction")
+  }
+
   test("session-cached verified LSH pair set equals fresh construction") {
     val cached = Dedup.lshPairIndex(spark, sf001)
     val fresh = Dedup.minhashLshPairs(spark, sf001, bucketCap = None)

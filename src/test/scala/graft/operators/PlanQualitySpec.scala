@@ -37,11 +37,22 @@ class PlanQualitySpec extends SparkSpec {
       s"expected pushed orderdate bounds in:\n$p")
   }
 
-  test("anti-join ship-date split pushes both range filters") {
+  test("anti-join: both legs read ONE materialized key aggregate, " +
+    "null-safe anti join stays") {
+    // r14: the former two date-filtered DISTINCTs (two lineitem scans,
+    // two distinct shuffles — each leg DID push its shipdate bound,
+    // which the old gate pinned) collapsed into one grouped scan with
+    // per-side presence flags, localCheckpointed so both legs read the
+    // same materialization. A parquet scan in THIS plan means a leg
+    // regressed to its own lineitem pass; shipdate-range pushdown
+    // keeps its witness in the date-window gate above.
     val p = plan(Normalize.antiJoin)
-    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
-      p.contains("LessThan(l_shipdate"),
-      s"expected pushed shipdate bounds in:\n$p")
+    assert(p.contains("LeftAnti"), s"expected the anti join in:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"legs must read the materialized key aggregate, not re-scan:\n$p")
+    val rdds = "Scan ExistingRDD".r.findAllIn(p).size
+    assert(rdds === 2,
+      s"expected both legs on the one checkpointed aggregate, got $rdds:\n$p")
   }
 
   test("column pruning: q1 agg scans only the five needed lineitem columns") {
