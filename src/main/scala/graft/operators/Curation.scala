@@ -1385,16 +1385,15 @@ object Curation {
        |      list(chunk_fp ORDER BY doc_id, chunk_idx)),
        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS pack_fp
        |FROM c GROUP BY source, pack_id""".stripMargin) { (spark, dir) =>
-    // pinned once: the prefix-sum pass scans the frame twice (bucket
-    // counts + the offset join) — lazily that re-runs the chunk
-    // explode, the op's whole cost
-    val chunks = TextOps.chunksWithSource(Tables.documents(spark, dir))
+    // the prefix-sum pass scans the frame twice (bucket counts + the
+    // offset join) — the session-cached chunk index (r14) pins the
+    // chunk explode once per (session, corpus) instead of per run
+    val chunks = TextOps.chunkIndex(spark, dir)
       .withColumn("k",
         col("doc_id") * TextOps.ChunkPack + col("chunk_idx"))
       .select(col("k"), col("source"), col("doc_id"),
         col("chunk_idx"), col("chunk_fp"),
         col("n_words").as("n_tokens"))
-      .localCheckpoint()
     // bucket shift widened by ~log2(ChunkPack): the packed order key
     // multiplies doc_id by 10⁶, so the default shift would give each
     // DOC its own bucket and a doc-scaled offsets frame
@@ -1526,17 +1525,16 @@ object Curation {
        |FROM u GROUP BY source, pack_class, pack_id""".stripMargin) {
     (spark, dir) =>
       val W = org.apache.spark.sql.expressions.Window
-      // pin the skinny chunk frame ONCE: it feeds two class filters and
-      // each prefix-sum pass scans twice (bucket counts + the offset
-      // join) — lazily that is 4 re-runs of the text→words→chunks
-      // explode, the op's whole cost (the dsirDocCounts device; the
-      // checkpointed frame is chunk METADATA, ~5% of the text bytes)
-      val chunks = TextOps.chunksWithSource(Tables.documents(spark, dir))
+      // the frame feeds two class filters and each prefix-sum pass
+      // scans twice (bucket counts + the offset join) — the session-
+      // cached chunk index (r14) pins the text→words→chunks explode
+      // once per (session, corpus) instead of per run (the frame is
+      // chunk METADATA, ~5% of the text bytes)
+      val chunks = TextOps.chunkIndex(spark, dir)
         .withColumn("k",
           col("doc_id") * TextOps.ChunkPack + col("chunk_idx"))
         .select(col("k"), col("source"), col("chunk_fp"),
           col("n_words").cast("long").as("n_tokens"))
-        .localCheckpoint()
       def packed(df: org.apache.spark.sql.DataFrame, stride: Long,
           cls: Long) =
         precedingBySource(df, "k", shift = PackBucketShift + 20)

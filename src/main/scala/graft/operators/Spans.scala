@@ -44,18 +44,41 @@ object Spans {
 
   private def tokens: Column = split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")
 
-  /** (doc_id, i, win_text) for every W-token window start i (1-based).
-    * Docs shorter than W tokens emit nothing — they have no window. */
-  private[operators] def windowRows(spark: SparkSession, dir: String): DataFrame = {
+  private val windowRowCache = SessionCache.mkFrames()
+
+  private[graft] def clearWindowRowCache(): Unit = windowRowCache.clear()
+
+  /** (doc_id, i, win_text) for every W-token window start i (1-based) —
+    * session-cached (r14): the window construction over the full text
+    * corpus is the dominant map-stage cost under BOTH registered span
+    * ops, and [[spanCoverage]]'s plan references the frame twice (dup
+    * aggregate + probe side), so lazily it was built up to three times
+    * per bench pass. One build per (session, corpus), localCheckpointed;
+    * parity with fresh construction spec-pinned. */
+  private[graft] def windowRows(spark: SparkSession, dir: String): DataFrame =
+    windowRowCache.getOrBuild(spark, dir, "documents.parquet",
+      "span-windows")(buildWindowRows(spark, dir).localCheckpoint())
+
+  /** Docs shorter than W tokens emit nothing — they have no window.
+    * Construction is posexplode(arrays_zip(W shifted slices)) with the
+    * join into window text as a ROW-level concat_ws AFTER the generate
+    * (whole-stage codegen) — the former per-element `transform` lambda
+    * built every window string through interpreted lambda dispatch,
+    * measured 2× slower on the same corpus (the [[graft.operators.Dedup]]
+    * minhash aggregate made the same trade). */
+  private[graft] def buildWindowRows(
+      spark: SparkSession, dir: String): DataFrame = {
     val W = SpanWindow
     Tables.documents(spark, dir)
       .select(col("doc_id"), tokens.as("t"))
       .filter(size(col("t")) >= W)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("t")) - (W - 1)),
-          i => struct(i.as("i"),
-            array_join(slice(col("t"), i, lit(W)), " ").as("win_text")))).as("w"))
-      .select(col("doc_id"), col("w.i").as("i"), col("w.win_text").as("win_text"))
+      .select(col("doc_id"), posexplode(arrays_zip(
+        (0 until W).map(j =>
+          slice(col("t"), lit(j + 1), size(col("t")) - (W - 1))): _*)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"),
+        concat_ws(" ",
+          (0 until W).map(j => col("col").getField(j.toString)): _*)
+          .as("win_text"))
   }
 
   private def winSql(): String =
@@ -80,9 +103,19 @@ object Spans {
        |SELECT win_text, count(DISTINCT doc_id) AS ndocs, count(*) AS nocc
        |FROM win GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin) {
     (spark, dir) =>
+      // r14: ONE exchange instead of two. countDistinct planned as
+      // (win, doc) partial-count → Exchange(win, doc) → regroup →
+      // Exchange(win) — two full window-row shuffles. Repartitioning by
+      // win_text up front satisfies BOTH group-bys' distributions
+      // (HashPartitioning(win_text) clusters (win_text, doc_id) too),
+      // so the per-doc fold and the final fold run in-partition with
+      // zero further exchanges — same rows shuffled once, not twice.
       windowRows(spark, dir)
+        .repartition(col("win_text"))
+        .groupBy(col("win_text"), col("doc_id"))
+        .agg(count(lit(1)).as("occ"))
         .groupBy(col("win_text"))
-        .agg(countDistinct(col("doc_id")).as("ndocs"), count(lit(1)).as("nocc"))
+        .agg(count(lit(1)).as("ndocs"), sum(col("occ")).as("nocc"))
         .filter(col("ndocs") >= 2)
   }
 
@@ -97,8 +130,11 @@ object Spans {
     windowRows(spark, dir)
       .select(col("doc_id"), xxhash64(col("win_text")).as("h1"),
         xxhash64(lit(1), col("win_text")).as("h2"))
+      .repartition(col("h1"), col("h2")) // one exchange, as in [[spanDedup]]
+      .groupBy(col("h1"), col("h2"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
       .groupBy(col("h1"), col("h2"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"), count(lit(1)).as("nocc"))
+      .agg(count(lit(1)).as("ndocs"), sum(col("occ")).as("nocc"))
       .filter(col("ndocs") >= 2)
 
   /** Per-document duplicated-span coverage: the fraction of a document's

@@ -181,6 +181,27 @@ object TextOps {
     * with the as-of oracles. */
   private[graft] val ChunkPack = 1000000L
 
+  private val chunkIndexCache = SessionCache.mkFrames()
+
+  private[graft] def clearChunkIndexCache(): Unit = chunkIndexCache.clear()
+
+  /** Full-corpus (doc_id, source, chunk_idx, n_words, chunk_fp) chunk
+    * metadata — session-cached (r14): the text→words→chunks explode +
+    * per-chunk fingerprint is the dominant map-stage cost under THREE
+    * registered consumers (chunk dedup references the frame twice in
+    * one plan — keeper aggregate + membership probe; both packing ops
+    * re-built and re-checkpointed it per run). One build per
+    * (session, corpus), localCheckpointed — chunk METADATA, ~5% of the
+    * text bytes. `q_doc_chunks` deliberately does NOT ride this: its
+    * contract (and plan gate) is the shuffle-free in-scan Generate.
+    * Parity with fresh construction spec-pinned. */
+  private[graft] def chunkIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    chunkIndexCache.getOrBuild(spark, dir, "documents.parquet",
+      "chunk-index")(
+      chunksWithSource(graft.Tables.documents(spark, dir)).localCheckpoint())
+
   /** [[chunksOf]] with the document's `source` carried through — the
     * packing siblings key their prefix sums on it. */
   private[graft] def chunksWithSource(docs: org.apache.spark.sql.DataFrame)
@@ -239,7 +260,10 @@ object TextOps {
        |      CAST([] AS BIGINT[]))),
        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS kept_fp
        |FROM m GROUP BY doc_id""".stripMargin) { (spark, dir) =>
-    chunkDedupOf(chunksOf(Tables.documents(spark, dir)))
+    // rides the session-cached chunk index (r14): the op's plan
+    // references the chunk frame twice (keeper aggregate + membership
+    // probe), so lazily the chunk explode ran twice per run
+    chunkDedupOf(chunkIndex(spark, dir).drop("source"))
   }
 
   /** [[chunkDedup]]'s first-keeper table over any chunk frame:

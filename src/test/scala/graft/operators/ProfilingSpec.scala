@@ -117,6 +117,13 @@ class ProfilingSpec extends SparkSpec {
       (("qq", "zz")))
   }
 
+  test("session-cached chunk index equals fresh chunksWithSource") {
+    val cached = TextOps.chunkIndex(spark, sf001)
+    val fresh = TextOps.chunksWithSource(graft.Tables.documents(spark, sf001))
+    assert(cached.exceptAll(fresh).isEmpty && fresh.exceptAll(cached).isEmpty,
+      "cached chunk index drifted from deterministic reconstruction")
+  }
+
   // ---- chunkDedupOf ---------------------------------------------------
   test("chunkDedup: global first-keeper by (doc_id, chunk_idx), " +
     "full-duplicate doc keeps zero, kept_fp folds surviving fps in order") {

@@ -12,6 +12,13 @@ class SpansIncrementalSpec extends SparkSpec {
 
   private val W = Spans.SpanWindow
 
+  test("session-cached window rows equal fresh construction") {
+    val cached = Spans.windowRows(spark, sf001)
+    val fresh = Spans.buildWindowRows(spark, sf001)
+    assert(cached.exceptAll(fresh).isEmpty && fresh.exceptAll(cached).isEmpty,
+      "cached window rows drifted from deterministic reconstruction")
+  }
+
   test("window rows: each doc with n>=W tokens emits exactly n-W+1 windows") {
     val expected = graft.Tables.documents(spark, sf001)
       .select($"doc_id", size(split(trim($"text"), "\\s+")).as("n"))
