@@ -95,6 +95,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "byLabel"))
       }))
     e.injectFunction((
+      FunctionIdentifier("graft_vecsum"),
+      new ExpressionInfo(classOf[graft.expressions.VecSumAgg].getName,
+        "graft_vecsum"),
+      (children: Seq[Expression]) => {
+        arity("graft_vecsum", 1, children)
+        graft.expressions.VecSumAgg(children.head)
+      }))
+    e.injectFunction((
       FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[StringRollingHash].getName, "graft_fingerprint"),
       (children: Seq[Expression]) => {

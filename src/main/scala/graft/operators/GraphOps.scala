@@ -51,14 +51,25 @@ object GraphOps {
     * a silently split cluster (multiple canonicals for one real
     * component) must never look like success.
     */
+  /** Round count of the most recent [[connectedComponents]] run on this
+    * JVM — dev profiling telemetry only (the bench-scale cost model is
+    * rounds × jobs/round; this makes the round count observable). */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 64): DataFrame = {
     // symmetric edge list, checkpointed ONCE: every round re-reads the
     // edges, and their upstream lineage (e.g. the whole MinHash+LSH
-    // candidate pipeline) must not re-execute per round
+    // candidate pipeline) must not re-execute per round. Pre-partitioned
+    // on src BEFORE the checkpoint (r15): localCheckpoint preserves the
+    // materialized partitioning, so every round's edge⋈label join reuses
+    // it and only the (far smaller) label table shuffles per round — the
+    // edge frame crosses the network once per CC, not once per round
+    // (guide §2.4; at 100 TB the edges are the corpus-scaled side).
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .repartition(col("src"))
       .localCheckpoint()
     var labelsCkpt = sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
@@ -67,25 +78,48 @@ object GraphOps {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      // one round = ONE join + ONE aggregation: neighbour labels and the
-      // node's own label flow into the same min-aggregate (every dst of
-      // the symmetric edge list is also a src, so each node contributes
-      // exactly one `own` row), which additionally carries the node's
-      // PREVIOUS label out as the own-row min. The convergence probe is
-      // then a filter over the just-materialized round snapshot — the
-      // prior next⋈labels probe join re-shuffled both label tables every
-      // round (2 extra Exchanges × rounds × every CC consumer).
-      val cand = sym
+      // one round = ONE edge join + ONE pointer-jump join + ONE
+      // aggregation: neighbour labels, the node's own label AND the
+      // label's own label (pointer jumping — lbl is always a node of the
+      // same graph, so the jump join is total) flow into the same
+      // min-aggregate; the own-leg additionally carries the node's
+      // PREVIOUS label out as the own-row min. The jump leg (r15) is
+      // what makes rounds O(log diameter) instead of O(diameter): plain
+      // min-label flooding walked one hop per round, so a 14-deep chain
+      // cost 14 join+aggregate rounds (measured on the fuzzy-pair
+      // quotient at sf0.1) — with label-of-label the label table
+      // short-circuits toward the component min geometrically, the
+      // device of Kiveris et al.'s star contraction without the
+      // two-phase bookkeeping. The converged labels are IDENTICAL (the
+      // fixpoint is still "every node holds the min reachable label");
+      // only the round count changes. The convergence probe stays a
+      // filter over the just-materialized round snapshot.
+      val nbr = sym
         .join(labels.withColumnRenamed("node", "src")
           .withColumnRenamed("lbl", "clbl"), Seq("src"))
         .select(col("dst").as("node"), col("clbl"), lit(false).as("own"))
-        .unionByName(labels.select(col("node"),
-          col("lbl").as("clbl"), lit(true).as("own")))
-      val next = cand.groupBy(col("node"))
+      val own = labels.select(col("node"),
+        col("lbl").as("clbl"), lit(true).as("own"))
+      // ADAPTIVE jump: the first three rounds run plain propagation —
+      // the measured corpora (fuzzy quotient, LSH pair graph) converge
+      // in 2–3 rounds, where the extra label⋈label join is pure
+      // overhead — and a graph still moving at round 4 is deep, so the
+      // jump leg joins in from there and the remaining distance halves
+      // per round instead of stepping one hop
+      val cand =
+        if (round < 3) nbr.unionByName(own)
+        else nbr.unionByName(own).unionByName(labels
+          .join(labels.select(col("node").as("jn"), col("lbl").as("jl")),
+            col("lbl") === col("jn"))
+          .select(col("node"), col("jl").as("clbl"), lit(false).as("own")))
+      val next = cand
+        .groupBy(col("node"))
         .agg(min(col("clbl")).as("lbl"),
           min(when(col("own"), col("clbl"))).as("prev"))
         .localCheckpoint()
       // labels only ever decrease ⇒ "any strict decrease" = "changed"
+      // (the jump leg preserves this: lbl(lbl(v)) ≤ lbl(v) because
+      // every label row's own lbl already satisfies lbl(u) ≤ u)
       converged = next.filter(col("lbl") < col("prev")).isEmpty
       releaseCheckpoint(labelsCkpt) // superseded round snapshot
       labelsCkpt = next
@@ -93,10 +127,12 @@ object GraphOps {
       round += 1
     }
     releaseCheckpoint(sym)
+    lastCcRounds = round
     require(converged,
       s"connectedComponents did not converge within $maxRounds rounds — " +
-        "graph diameter exceeds the bound; raise maxRounds (propagation " +
-        "needs diameter+1 rounds) or switch to star-contraction")
+        "graph diameter exceeds the bound; raise maxRounds (pointer-" +
+        "jumped propagation needs ~log2(diameter)+2 rounds) or switch " +
+        "to star-contraction")
     labels
   }
 
@@ -722,8 +758,7 @@ object GraphOps {
        |)
        |SELECT node, CAST(r AS BIGINT) AS rank FROM r3""".stripMargin) {
     (spark, dir) =>
-    val und = copurchaseEdges(spark, dir)
-    val (withDeg, r0) = pagerankStatic(und)
+    val (withDeg, r0) = pagerankStaticCached(spark, dir)
     var r = r0
     for (_ <- 1 to PagerankIters) r = pagerankRound(withDeg, r)
     r.select(col("node"), col("r").as("rank"))
@@ -735,11 +770,34 @@ object GraphOps {
     val ed = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg) built once — the static side of every iteration
-    val withDeg = ed.join(deg, Seq("src")).localCheckpoint()
+    // (src, dst, outdeg) built once, hash-clustered on src so every
+    // iteration's edge⋈rank join reuses the materialized partitioning
+    // (only the rank table shuffles per round — guide §2.4)
+    val withDeg = ed.join(deg, Seq("src")).repartition(col("src"))
+      .localCheckpoint()
     val r0 = deg.select(col("src").as("node"), lit(PagerankScale).as("r"))
+      .localCheckpoint()
     (withDeg, r0)
   }
+
+  private val pagerankStaticCache = SessionCache.mkFramePairs()
+
+  private[graft] def clearPagerankStaticCache(): Unit =
+    pagerankStaticCache.clear()
+
+  /** [[pagerankStatic]] over the registered co-purchase graph,
+    * session-cached (r15): the (src, dst, outdeg) frame and r₀ are the
+    * static side of every iteration and are shared by TWO registered
+    * consumers (`q_pagerank`, `q_pagerank_residual`) — each was
+    * re-deriving the doubled-edge + degree join per run. Same
+    * multi-consumer-INTERMEDIATE-index contract as every cache in this
+    * stack (the iterates themselves are never cached — both consumers
+    * run their own power iterations per run); staleness follows the
+    * lineitem listing signature. */
+  private[graft] def pagerankStaticCached(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pagerankStaticCache.getOrBuild(spark, dir, "lineitem.parquet")(
+      pagerankStatic(copurchaseEdges(spark, dir)))
 
   /** One integer power-iteration round (the exact contract of
     * [[pagerank]]'s recurrence, floors everywhere). */
@@ -758,8 +816,15 @@ object GraphOps {
     * fixed budget publishes a large residual instead of silently
     * shipping an unconverged ranking; the residual contracts by ~the
     * damping factor per round, so thresholds are portable. */
-  def pagerankResidualOf(und: DataFrame, iters: Int): DataFrame = {
-    val (withDeg, r0) = pagerankStatic(und)
+  def pagerankResidualOf(und: DataFrame, iters: Int): DataFrame =
+    pagerankResidualFrom(pagerankStatic(und), iters)
+
+  /** [[pagerankResidualOf]] over a PREPARED (withDeg, r0) static pair —
+    * the registered op passes the session-cached
+    * [[pagerankStaticCached]]. */
+  private[graft] def pagerankResidualFrom(
+      static: (DataFrame, DataFrame), iters: Int): DataFrame = {
+    val (withDeg, r0) = static
     var r = r0
     for (_ <- 1 to iters) r = pagerankRound(withDeg, r)
     val rB = r.localCheckpoint()
@@ -815,7 +880,7 @@ object GraphOps {
        |       CAST(MAX(ABS(r4.r - r3.r)) AS BIGINT) AS residual_max
        |FROM r3 JOIN r4 ON r3.node = r4.node""".stripMargin) {
     (spark, dir) =>
-    pagerankResidualOf(copurchaseEdges(spark, dir), PagerankIters)
+    pagerankResidualFrom(pagerankStaticCached(spark, dir), PagerankIters)
   }
 
   /** Label-propagation rounds for [[communities]]: few and fixed, the
@@ -881,9 +946,27 @@ object GraphOps {
        |)
        |SELECT node, lbl AS community FROM l3""".stripMargin) {
     (spark, dir) =>
-    val und = copurchaseEdges(spark, dir)
-    lpaOf(und, LpaIters)
+    lpaOfEd(lpaEdgesCached(spark, dir), LpaIters)
   }
+
+  private val lpaEdgeCache = SessionCache.mkFrames()
+
+  private[graft] def clearLpaEdgeCache(): Unit = lpaEdgeCache.clear()
+
+  /** The doubled (src, dst) co-purchase edge frame LPA iterates over —
+    * session-cached (r15): `q_communities` and `q_lpa_converged` each
+    * re-doubled + re-checkpointed it per run. Hash-clustered on src so
+    * every LPA round's edge⋈label join reuses the materialized
+    * partitioning (only the label table shuffles per round). */
+  private[graft] def lpaEdgesCached(
+      spark: SparkSession, dir: String): DataFrame =
+    lpaEdgeCache.getOrBuild(spark, dir, "lineitem.parquet") {
+      val und = copurchaseEdges(spark, dir)
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src"))
+        .localCheckpoint()
+    }
 
   /** Synchronous deterministic LPA over an undirected edge frame
     * (a, b): labels start as node ids, each round every node adopts
@@ -900,10 +983,16 @@ object GraphOps {
       .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("b"))
       .select(col("dst").as("node"), col("b.lbl").as("lbl"))
 
-  def lpaOf(und: DataFrame, iters: Int): DataFrame = {
-    val ed = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+  def lpaOf(und: DataFrame, iters: Int): DataFrame =
+    lpaOfEd(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(),
+      iters)
+
+  /** [[lpaOf]] over a PREPARED doubled (src, dst) edge frame — the
+    * registered ops pass the session-cached [[lpaEdgesCached]]. */
+  private[graft] def lpaOfEd(ed: DataFrame, iters: Int): DataFrame = {
     var l = ed.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to iters) l = lpaRound(ed, l)
@@ -916,10 +1005,15 @@ object GraphOps {
     * inside [[LpaIters]]; a graph still propagating (or 2-cycling —
     * synchronous LPA's known oscillation mode) publishes a nonzero
     * count instead of silently shipping half-converged communities. */
-  def lpaConvergence(und: DataFrame, iters: Int): DataFrame = {
-    val ed = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+  def lpaConvergence(und: DataFrame, iters: Int): DataFrame =
+    lpaConvergenceEd(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(),
+      iters)
+
+  /** [[lpaConvergence]] over a PREPARED doubled edge frame. */
+  private[graft] def lpaConvergenceEd(ed: DataFrame, iters: Int): DataFrame = {
     var l = ed.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to iters) l = lpaRound(ed, l)
@@ -981,7 +1075,7 @@ object GraphOps {
        |       (SELECT COUNT(*) FROM l3 JOIN l4
        |          ON l3.node = l4.node AND l3.lbl <> l4.lbl) AS changed_next""".stripMargin) {
     (spark, dir) =>
-    lpaConvergence(copurchaseEdges(spark, dir), LpaIters)
+    lpaConvergenceEd(lpaEdgesCached(spark, dir), LpaIters)
   }
 
   /** One row per triangle of the undirected edge frame (a, b) — corners

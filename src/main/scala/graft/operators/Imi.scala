@@ -155,13 +155,21 @@ object Imi {
       .join(h.select(col("vec_id"), col("half"), col("h")),
         Seq("vec_id", "half"))
       .select(col("half"), col("cell"), col("h"))
-    assigned
-      .select(col("half"), col("cell"), posexplode(col("h")).as(Seq("pos", "x")))
-      .groupBy(col("half"), col("cell"), col("pos"))
-      .agg(sum(col("x")).as("s"))
-      .groupBy(col("half"), col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
-        e => e.getField("s")).as("cv"))
+    // element-wise vector-sum aggregate (the ivfUpdate r15 device):
+    // one exchange, map-side partial aggregation, bit-identical sums;
+    // the posexplode → per-(half, cell, dim) SUM → re-collect fallback
+    // stays for vanilla sessions
+    (if (spark.catalog.functionExists("graft_vecsum"))
+      assigned.groupBy(col("half"), col("cell"))
+        .agg(call_function("graft_vecsum", col("h")).as("cv"))
+    else
+      assigned
+        .select(col("half"), col("cell"), posexplode(col("h")).as(Seq("pos", "x")))
+        .groupBy(col("half"), col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"))
+        .groupBy(col("half"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          e => e.getField("s")).as("cv")))
       .select(col("half"), col("cell").as("cent_id"), col("cv"))
       .withColumn("cn", inorm2(spark, col("cv")))
       .filter(col("cn") > 0)
@@ -217,9 +225,16 @@ object Imi {
       // the law derives the historical 16 — stores carry over as-is)
       val e = Similarity.quantizedLabeled(spark, dir)
       val k1 = lawK1Of(e)
+      // v3 (r15): cells land hash-clustered on `cell` — the bucketed-
+      // index file layout the ANN scale notes describe. Same rows; the
+      // clustering gives every consumer's cell equi-join a multi-file
+      // scan (the previous AQE-coalesced single file serialized the
+      // probe-side compute onto one core at bench scale) and real
+      // partition pruning at 100 TB.
       val store = PersistedStore.ensure(spark, dir, "embeddings.parquet",
-        "imi_canopy", s"v2:k$k1:s$LloydSteps:p$NProbeHalf") { root =>
+        "imi_canopy", s"v3:k$k1:s$LloydSteps:p$NProbeHalf") { root =>
         cellsOf(spark, e, k1, LloydSteps, NProbeHalf)
+          .repartition(col("cell"))
           .write.mode("overwrite").parquet(s"$root/cells")
       }
       spark.read.parquet(s"$store/cells")
@@ -265,8 +280,10 @@ object Imi {
       val standing0 = Similarity.quantizedLabeled(spark, dir)
         .filter(col("vec_id") % DeltaMod =!= 0)
       val k1 = lawK1Of(standing0)
+      // v3 (r15): cells hash-clustered on `cell` — see the imi_canopy
+      // layout note (multi-file probe scans, partition pruning at scale)
       val store = PersistedStore.ensure(spark, dir, "embeddings.parquet",
-        "imi_standing", s"v2:k$k1:s$LloydSteps:p$NProbeHalf:d$DeltaMod") {
+        "imi_standing", s"v3:k$k1:s$LloydSteps:p$NProbeHalf:d$DeltaMod") {
         root =>
           val standing = standing0
           val h = halves(spark, standing)
@@ -274,6 +291,7 @@ object Imi {
           cb.write.mode("overwrite").parquet(s"$root/codebook")
           cellsWithCodebook(spark, standing,
             spark.read.parquet(s"$root/codebook"), NProbeHalf)
+            .repartition(col("cell"))
             .write.mode("overwrite").parquet(s"$root/cells")
       }
       (spark.read.parquet(s"$store/codebook"),
@@ -301,40 +319,52 @@ object Imi {
     // identical: largest (cos, −cent_id) ≡ smallest (−cos, cent_id) —
     // cos DESC, centroid id ASC — and the heap's descending output is
     // the rank order the old ascending sort+slice produced.
-    val top = (if (spark.catalog.functionExists("graft_topk"))
-      scored.groupBy(col("vec_id"), col("half"))
-        .agg(call_function("graft_topk", struct(
-          col("cos"), negate(col("cent_id")).as("negc"),
-          col("dot").as("dot"), col("cn").as("cn")), lit(nprobe))
-          .as("cs"))
-        .select(col("vec_id"), col("half"),
-          posexplode(col("cs")).as(Seq("p", "s")))
-        .select(col("vec_id"), col("half"), (col("p") + 1).as("r"),
-          negate(col("s.negc")).as("c"), col("s.dot").as("dot"),
-          col("s.cn").as("cn"))
-    else
-      scored.groupBy(col("vec_id"), col("half"))
-        .agg(slice(array_sort(collect_list(struct(
-          negate(col("cos")).as("ncos"), col("cent_id").as("c"),
-          col("dot").as("dot"), col("cn").as("cn")))), 1, nprobe).as("cs"))
-        .select(col("vec_id"), col("half"),
-          posexplode(col("cs")).as(Seq("p", "s")))
-        .select(col("vec_id"), col("half"), (col("p") + 1).as("r"),
-          col("s.c").as("c"), col("s.dot").as("dot"),
-          col("s.cn").as("cn")))
-    val h0 = top.filter(col("half") === 0).select(col("vec_id"),
-      col("r").as("r0"), col("c").as("c0"),
-      col("dot").as("dot0"), col("cn").as("cn0"))
-    val h1 = top.filter(col("half") === 1).select(col("vec_id"),
-      col("r").as("r1"), col("c").as("c1"),
-      col("dot").as("dot1"), col("cn").as("cn1"))
-    h0.join(h1, Seq("vec_id"))
+    //
+    // BOTH halves aggregate in ONE groupBy(vec_id) pass (r15):
+    // conditional per-half top-nprobe aggregates (nulls skip — the
+    // collect_list/heap law) replace the previous
+    // groupBy(vec_id, half) → filter(half=0) ⋈ filter(half=1) shape,
+    // whose two legs DUPLICATED the whole scan+score+aggregate subtree
+    // (the half filters specialize each copy, defeating exchange
+    // reuse) and paid a SortMergeJoin to re-pair them. The nprobe²
+    // cell cross-product is the same pairs, now built in-row.
+    def halfTop(half: Int): Column =
+      if (spark.catalog.functionExists("graft_topk"))
+        call_function("graft_topk",
+          when(col("half") === half, struct(
+            col("cos"), negate(col("cent_id")).as("negc"),
+            col("dot").as("dot"), col("cn").as("cn"))), lit(nprobe))
+      else
+        slice(array_sort(collect_list(
+          when(col("half") === half, struct(
+            negate(col("cos")).as("ncos"), col("cent_id").as("c"),
+            col("dot").as("dot"), col("cn").as("cn"))))), 1, nprobe)
+    def centOf(s: Column): Column =
+      if (spark.catalog.functionExists("graft_topk"))
+        negate(s.getField("negc"))
+      else s.getField("c")
+    val both = scored.groupBy(col("vec_id"))
+      .agg(halfTop(0).as("cs0"), halfTop(1).as("cs1"))
+      // inner-join semantics of the previous h0⋈h1 pairing: a vector
+      // missing either half drops out of the canopy entirely
+      .filter(size(col("cs0")) > 0 && size(col("cs1")) > 0)
+    val crossed = both.select(col("vec_id"),
+      explode(flatten(transform(col("cs0"), (s0, i) =>
+        transform(col("cs1"), (s1, j) => struct(
+          (i + 1).as("r0"), centOf(s0).as("c0"),
+          s0.getField("dot").as("dot0"), s0.getField("cn").as("cn0"),
+          (j + 1).as("r1"), centOf(s1).as("c1"),
+          s1.getField("dot").as("dot1"), s1.getField("cn").as("cn1"))))))
+        .as("pc"))
+    crossed
       .join(e.select(col("vec_id"), col("label"), col("v"), col("n2")),
         Seq("vec_id"))
       .select(col("vec_id"), col("label"),
-        (col("c0") * CellBase + col("c1")).as("cell"),
-        col("r0"), col("r1"), col("dot0"), col("dot1"),
-        col("cn0"), col("cn1"), col("v"), col("n2"))
+        (col("pc.c0") * CellBase + col("pc.c1")).as("cell"),
+        col("pc.r0").as("r0"), col("pc.r1").as("r1"),
+        col("pc.dot0").as("dot0"), col("pc.dot1").as("dot1"),
+        col("pc.cn0").as("cn0"), col("pc.cn1").as("cn1"),
+        col("v"), col("n2"))
   }
 
   /** INCREMENTAL ANN probe — the `q_dedup_incremental` shape for the
@@ -373,7 +403,14 @@ object Imi {
     val pb = standingCells.select(col("cell"), col("vec_id").as("dst"),
       col("v").as("vd"), col("n2").as("nd"))
     val k = 5
-    val scoredPairs = pa.join(pb, Seq("cell"))
+    // broadcast the DELTA side (r15): it is batch-sized by contract
+    // ("a delta batch broadcasts its probed cells" — the scaladoc's
+    // 100 TB story), while the planner — lacking stats for the
+    // aggregate-derived delta frame — was broadcasting the INDEX side
+    // instead: the full standing cells (vectors included) collected to
+    // the driver and re-shipped per run, with the probe's cosine work
+    // then riding the index scan's (single-file) parallelism.
+    val scoredPairs = broadcast(pa).join(pb, Seq("cell"))
       .select(col("cell"), col("src"), col("dst"),
         cosine(idot(spark, col("vs"), col("vd")),
           col("ns"), col("nd")).as("cos"))

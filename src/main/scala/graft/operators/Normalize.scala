@@ -21,6 +21,12 @@ import graft.functions.Money.centsOf
   */
 object Normalize {
 
+  /** The previous [[antiJoin]] run's checkpointed aggregate — held only
+    * so the next run can release its blocks (see the release note in
+    * the op body). */
+  @volatile private var lastAntiJoinKeyed:
+    org.apache.spark.sql.DataFrame = null
+
   val snapshotNormalize: Op = Op(
     "q_snapshot_normalize",
     """WITH src AS (
@@ -118,6 +124,15 @@ object Normalize {
         max(when(col("l_shipdate") < cutoff, 1).otherwise(0)).as("has_old"),
         max(when(col("l_shipdate") >= cutoff, 1).otherwise(0)).as("has_new"))
       .localCheckpoint()
+    // bounded-release (r15, ADVICE): the checkpoint is per-run working
+    // state returned lazily (no post-action release point exists here),
+    // so the PREVIOUS run's blocks are dropped when the next run
+    // re-checkpoints — repeated runs hold ONE live copy instead of
+    // accumulating until driver GC + ContextCleaner catch up
+    Normalize.synchronized {
+      if (lastAntiJoinKeyed != null) SessionCache.releaseFrame(lastAntiJoinKeyed)
+      lastAntiJoinKeyed = keyed
+    }
     def side(flag: String) = keyed.filter(col(flag) === 1)
       .select(col("l_partkey"), col("l_suppkey"), col("cond"))
     // self-join legs aliased explicitly: `df1("c") === df2("c")` on

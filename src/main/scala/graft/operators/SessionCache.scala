@@ -105,6 +105,15 @@ private[graft] object SessionCache {
     * estimates) — nothing to release. */
   def mkScalars(): Cache[Long] = new Cache[Long](_ => ())
 
+  /** Cache of `persist()`-ed (columnar InMemoryRelation) frames — for
+    * WIDE cached payloads (e.g. the span window rows, ~8× the corpus
+    * text bytes as deserialized localCheckpoint blocks) where the
+    * columnar cache's compression (dictionary/RLE over repetitive
+    * strings) bounds the footprint and MEMORY_AND_DISK spills the rest;
+    * released by `unpersist` instead of the LogicalRDD block drop. */
+  def mkPersistedFrames(): Cache[DataFrame] =
+    new Cache[DataFrame](df => { df.unpersist(false); () })
+
   /** NEW cache of frame PAIRS (e.g. the minhash (banded, sizes) index) —
     * factory form for the same reason as [[mkFrames]]. */
   def mkFramePairs(): Cache[(DataFrame, DataFrame)] =

@@ -103,18 +103,31 @@ object Similarity {
     * each cell's members — cosine is scale-invariant, so the sum ≡ the
     * mean direction, and everything stays exact int64 (no float
     * division): that is what keeps the refinement DuckDB-oracle-able.
-    * posexplode → SUM per (cell, dim) → ordered re-collect — a linear
-    * N×64-row shuffle. Cells that lose all members drop out. */
-  def ivfUpdate(spark: SparkSession, assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos")).agg(sum(col("x")).as("s"))
-      .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
-        e => e.getField("s")).as("cv"))
+    * One element-wise vector-sum aggregate per cell (`graft_vecsum`,
+    * r15): ONE exchange with map-side partial aggregation, one
+    * dims-long buffer per (mapper, cell). The posexplode → SUM per
+    * (cell, dim) → ordered re-collect fallback (kept for vanilla
+    * sessions) multiplied the update stream ×dims through TWO
+    * exchanges — same integers either way (long addition is
+    * commutative/associative, so the per-dim sums are bit-identical).
+    * Cells that lose all members drop out. */
+  def ivfUpdate(spark: SparkSession, assigned: DataFrame): DataFrame = {
+    val summed =
+      if (spark.catalog.functionExists("graft_vecsum"))
+        assigned.groupBy(col("cell"))
+          .agg(call_function("graft_vecsum", col("v")).as("cv"))
+      else
+        assigned
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos")).agg(sum(col("x")).as("s"))
+          .groupBy(col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+            e => e.getField("s")).as("cv"))
+    summed
       .select(col("cell").as("cent_id"), col("cv"))
       .withColumn("cn", inorm2(spark, col("cv")))
       .filter(col("cn") > 0)
+  }
 
   /** Seed codebook refined by ONE Lloyd iteration — the deterministic
     * iteration count the q_ann_ivf oracle replays; more rounds are the
@@ -611,11 +624,17 @@ object Similarity {
     * posexplode → SUM(dim) → ordered re-collect is one linear N×64-row
     * shuffle producing a label-count-sized table. */
   def labelCentroids(spark: SparkSession, n: DataFrame): DataFrame =
-    n.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos")).agg(sum(col("x")).as("s"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
-        e => e.getField("s")).as("cv"))
+    // element-wise vector-sum aggregate (the ivfUpdate r15 device):
+    // one exchange instead of explode + two; bit-identical sums
+    (if (spark.catalog.functionExists("graft_vecsum"))
+      n.groupBy(col("label"))
+        .agg(call_function("graft_vecsum", col("v")).as("cv"))
+    else
+      n.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(sum(col("x")).as("s"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          e => e.getField("s")).as("cv")))
       .withColumn("cn", inorm2(spark, col("cv")))
       .filter(col("cn") > 0)
 
@@ -1078,16 +1097,35 @@ object Similarity {
     val members = pqSubspaceAssign(subs, cb0, nc)
       .select(col("vec_id"), col("m"), expr(s"k % $nc").as("cid"))
       .join(subs, Seq("vec_id", "m"))
-    members
-      .select(col("m"), col("cid"), posexplode(col("sub8")).as(Seq("pos", "x")))
-      .groupBy(col("m"), col("cid"), col("pos"))
-      .agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
-      .withColumn("c",
-        floor(col("sm").cast("double") / col("n").cast("double")).cast("long"))
-      .groupBy(col("m"), col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        e => e.getField("c")).as("cv8"))
+    // element-wise vector-sum aggregate (the ivfUpdate r15 device) +
+    // the member count: floor-mean per dim from ONE exchange — the
+    // per-(m, cid, pos) count the explode form carried is constant
+    // across pos (every member contributes all 8 dims), so the
+    // per-(m, cid) count divides identically
+    if (spark_functionExists(subs, "graft_vecsum"))
+      members.groupBy(col("m"), col("cid"))
+        .agg(call_function("graft_vecsum", col("sub8")).as("sm"),
+          count(lit(1)).as("n"))
+        .select(col("m"), col("cid"),
+          transform(col("sm"), s =>
+            floor(s.cast("double") / col("n").cast("double")).cast("long"))
+            .as("cv8"))
+    else
+      members
+        .select(col("m"), col("cid"), posexplode(col("sub8")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
+        .withColumn("c",
+          floor(col("sm").cast("double") / col("n").cast("double")).cast("long"))
+        .groupBy(col("m"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          e => e.getField("c")).as("cv8"))
   }
+
+  /** Function-registry probe off a frame's own session (pqLloydCodebook
+    * has no SparkSession parameter to thread). */
+  private def spark_functionExists(df: DataFrame, name: String): Boolean =
+    df.sparkSession.catalog.functionExists(name)
 
   /** ADC (asymmetric distance computation) search over the PQ codes —
     * how a PQ index is actually queried at scale: the query stays

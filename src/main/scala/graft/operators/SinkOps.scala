@@ -43,6 +43,66 @@ object SinkOps {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  private val anchorCache = SessionCache.mkScalars()
+
+  private[graft] def clearAnchorCache(): Unit = anchorCache.clear()
+
+  /** min(shipdate) of the lineitem table — the day-window anchor BOTH
+    * [[upsertDay]] and [[txCommit]] derive their literal bounds from.
+    * Session-cached corpus metadata (r15, the qualifyingCount /
+    * hot-key-set pattern): one scalar per (session, corpus) instead of
+    * a fresh min-probe job per op per run; staleness follows the
+    * lineitem listing signature. */
+  private[operators] def lineitemAnchor(
+      spark: SparkSession, dir: String): java.sql.Date = {
+    val epochDay = anchorCache.getOrBuild(
+      spark, dir, "lineitem.parquet", "min-shipdate")(
+      Tables.lineitem(spark, dir)
+        .agg(min(to_date(col("l_shipdate"))).as("a")).head.getDate(0)
+        .toLocalDate.toEpochDay)
+    java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(epochDay))
+  }
+
+  /** Boundary instant `days` after the anchor, built AT UTC (see the
+    * timezone note in [[upsertDay]]). */
+  private def anchorTs(anchor: java.sql.Date, days: Int): java.sql.Timestamp =
+    java.sql.Timestamp.from(
+      anchor.toLocalDate.plusDays(days.toLong)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
+
+  /** The shared per-day aggregate BOTH [[upsertDay]] batches (and all
+    * three [[txCommit]] daily variants) slice from: ONE lineitem scan
+    * computes count + both formulas' sums per day over the full
+    * [0, 30)-day window (guide §2.4 — two aggregates keyed the same
+    * way share one exchange; the two batches each re-scanned and
+    * re-aggregated lineitem, measured at ~0.43 s per scan at sf0.1).
+    * localCheckpointed PER RUN (never cached across runs — the scan is
+    * part of what the ops compute); unpersisted by the caller after
+    * staging. Day filters happen on the aggregated day column: the
+    * boundary semantics match the previous per-batch timestamp filters
+    * because both sides of the gate (Spark's to_date grouping and the
+    * oracle's CAST(l_shipdate AS DATE)) already require day-aligned
+    * UTC boundaries. */
+  private def dayStats(spark: SparkSession, dir: String,
+      anchor: java.sql.Date): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") >= lit(anchorTs(anchor, 0)) &&
+        col("l_shipdate") < lit(anchorTs(anchor, 30)))
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(centsOf(col("l_extendedprice"))).as("cents_base"),
+        sum(centsOf(col("l_extendedprice")) *
+          (lit(100) - centsOf(col("l_discount")))).as("cents_corr"))
+      .localCheckpoint()
+  }
+
+  private def releaseFrame(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** S7/S9 (`ON CONFLICT DO UPDATE` / delete-then-insert-day,
     * revalueCollection.mjs:135-165), TRANSACTIONAL since round 5: two
     * OVERLAPPING day-batches land through [[graft.sources.TxStore
@@ -80,34 +140,33 @@ object SinkOps {
       |FROM snaps, anchor WHERE d >= anchor.a + 10 GROUP BY d""".stripMargin) { (spark, dir) =>
     val out = stagingDir(dir, "upsert_day")
     deleteDir(spark, out)
-    val li = Tables.lineitem(spark, dir)
     // cheap anchor probe → literal bounds reach the parquet scan pushed
-    // down (same two-phase shape as Rollup.dateWindowAgg)
-    val anchor = li.agg(min(to_date(col("l_shipdate"))).as("a")).head.getDate(0)
-    // boundary instants built AT UTC (Timestamp.from(instant)), not
+    // down (same two-phase shape as Rollup.dateWindowAgg); boundary
+    // instants built AT UTC (Timestamp.from(instant)), not
     // Timestamp.valueOf(localDateTime): valueOf interprets the local
     // datetime in the JVM DEFAULT timezone, so on a non-UTC machine the
     // window boundary would shift off midnight UTC and drop/mislabel
-    // whole days vs the oracle's date arithmetic. Bare-column timestamp
-    // comparison keeps the filter pushable into the parquet scan.
-    def ts(days: Int) = java.sql.Timestamp.from(
-      anchor.toLocalDate.plusDays(days.toLong)
-        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
-    def batch(loDays: Int, hiDays: Int, formula: org.apache.spark.sql.Column) =
-      li.filter(col("l_shipdate") >= lit(ts(loDays)) &&
-          col("l_shipdate") < lit(ts(hiDays)))
-        .groupBy(to_date(col("l_shipdate")).as("as_of_date"))
-        .agg(count(lit(1)).as("n_items"), sum(formula).as("sum_cents"))
-    val base = centsOf(col("l_extendedprice"))
+    // whole days vs the oracle's date arithmetic.
+    val anchor = lineitemAnchor(spark, dir)
+    def day(days: Int) = java.sql.Date.valueOf(
+      anchor.toLocalDate.plusDays(days.toLong))
+    // ONE lineitem scan for BOTH overlapping batches (r15, guide §2.4):
+    // the per-day stats carry both formulas' sums; each transaction
+    // stages its day-slice + formula column. The two COMMITS stay
+    // separate — that (last-commit-wins per day) is the contract.
+    val stats = dayStats(spark, dir, anchor)
+    def batch(loDays: Int, hiDays: Int, cents: String) =
+      stats.filter(col("d") >= lit(day(loDays)) && col("d") < lit(day(hiDays)))
+        .select(col("d").as("as_of_date"), col("n_items"),
+          col(cents).as("sum_cents"))
     import graft.sources.TxStore
     TxStore.transact(spark, out) { txn =>
-      TxStore.stageDays(txn, batch(0, 20, base), "as_of_date")
+      TxStore.stageDays(txn, batch(0, 20, "cents_base"), "as_of_date")
     }
     TxStore.transact(spark, out) { txn =>
-      TxStore.stageDays(txn,
-        batch(10, 30, base * (lit(100) - centsOf(col("l_discount")))),
-        "as_of_date")
+      TxStore.stageDays(txn, batch(10, 30, "cents_corr"), "as_of_date")
     }
+    releaseFrame(stats)
     TxStore.readDays(spark, out)
       .select(col("as_of_date").cast("date").as("as_of_date"),
         col("n_items"), col("sum_cents"))
@@ -215,18 +274,15 @@ object SinkOps {
       |FROM merged""".stripMargin) { (spark, dir) =>
     val root = stagingDir(dir, "txroot")
     deleteDir(spark, root)
-    val li = Tables.lineitem(spark, dir)
-    val anchor = li.agg(min(to_date(col("l_shipdate"))).as("a")).head.getDate(0)
-    def ts(days: Int) = java.sql.Timestamp.from(
-      anchor.toLocalDate.plusDays(days.toLong)
-        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
-    def daily(formula: org.apache.spark.sql.Column) =
-      li.filter(col("l_shipdate") >= lit(ts(0)) &&
-          col("l_shipdate") < lit(ts(30)))
-        .groupBy(to_date(col("l_shipdate")).as("d"))
-        .agg(count(lit(1)).as("n_items"), sum(formula).as("sum_cents"))
-    val base = centsOf(col("l_extendedprice"))
-    val corrected = base * (lit(100) - centsOf(col("l_discount")))
+    val anchor = lineitemAnchor(spark, dir)
+    // ONE lineitem scan for all three daily variants (r15, guide §2.4):
+    // the stale (t1), poisoned (t2) and corrected (t3) frames are
+    // column slices of the same per-day stats — the writes, the crash
+    // window and the three manifest round-trips (the S12 contract) are
+    // untouched.
+    val stats = dayStats(spark, dir, anchor)
+    def daily(cents: String) =
+      stats.select(col("d"), col("n_items"), col(cents).as("sum_cents"))
     val part = Tables.part(spark, dir)
     val existing = part.select(
       col("p_partkey").as("k"), centsOf(col("p_retailprice")).as("v"))
@@ -236,22 +292,23 @@ object SinkOps {
     import graft.sources.{Sinks, TxCommit}
     // txn 1: stale pair, committed
     val t1 = TxCommit.begin(spark, root)
-    daily(base).write.mode("overwrite").parquet(t1.stage("daily"))
+    daily("cents_base").write.mode("overwrite").parquet(t1.stage("daily"))
     existing.write.mode("overwrite").parquet(t1.stage("prices"))
     require(TxCommit.commit(spark, t1,
       Map("daily" -> t1.stage("daily"), "prices" -> t1.stage("prices"))))
     // txn 2: crash between the writes — daily staged poisoned, no commit
     val t2 = TxCommit.begin(spark, root)
-    daily(base).withColumn("sum_cents", lit(0L))
+    daily("cents_base").withColumn("sum_cents", lit(0L))
       .write.mode("overwrite").parquet(t2.stage("daily"))
     // recovery re-run: same version, own staging token (t2's dir stays
     // an invisible orphan), commit both
     val t3 = TxCommit.begin(spark, root)
-    daily(corrected).write.mode("overwrite").parquet(t3.stage("daily"))
+    daily("cents_corr").write.mode("overwrite").parquet(t3.stage("daily"))
     Sinks.upsertByKey(existing, incoming, Seq("k"))
       .write.mode("overwrite").parquet(t3.stage("prices"))
     require(TxCommit.commit(spark, t3,
       Map("daily" -> t3.stage("daily"), "prices" -> t3.stage("prices"))))
+    releaseFrame(stats)
     val dailyBack = TxCommit.read(spark, root, "daily")
       .agg(count(lit(1)).as("n_rows"), sum(col("sum_cents")).as("sum_val"))
       .select(lit("daily").as("output"), col("n_rows"), col("sum_val"))

@@ -44,7 +44,7 @@ object Spans {
 
   private def tokens: Column = split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")
 
-  private val windowRowCache = SessionCache.mkFrames()
+  private val windowRowCache = SessionCache.mkPersistedFrames()
 
   private[graft] def clearWindowRowCache(): Unit = windowRowCache.clear()
 
@@ -53,11 +53,24 @@ object Spans {
     * corpus is the dominant map-stage cost under BOTH registered span
     * ops, and [[spanCoverage]]'s plan references the frame twice (dup
     * aggregate + probe side), so lazily it was built up to three times
-    * per bench pass. One build per (session, corpus), localCheckpointed;
-    * parity with fresh construction spec-pinned. */
+    * per bench pass. One build per (session, corpus).
+    *
+    * Footprint (r15, ADVICE): overlapping W-token window strings are
+    * ~W× the corpus text bytes, by far the largest cached payload in
+    * the stack — as deserialized localCheckpoint row blocks that was
+    * ~800% of corpus bytes pinned for the session. The cache now holds
+    * the COLUMNAR `persist()` form: dictionary/RLE compression over the
+    * (highly repetitive, overlapping) window strings bounds the
+    * resident size, and MEMORY_AND_DISK spills the remainder instead of
+    * competing with execution memory. Eagerly materialized at build so
+    * the first consumer's timing isn't charged the construction. */
   private[graft] def windowRows(spark: SparkSession, dir: String): DataFrame =
     windowRowCache.getOrBuild(spark, dir, "documents.parquet",
-      "span-windows")(buildWindowRows(spark, dir).localCheckpoint())
+      "span-windows") {
+      val df = buildWindowRows(spark, dir).persist()
+      df.count()
+      df
+    }
 
   /** Docs shorter than W tokens emit nothing — they have no window.
     * Construction is posexplode(arrays_zip(W shifted slices)) with the

@@ -25,9 +25,15 @@ object ProfileMisc {
       r
     }
     import graft.operators.{Spans, Normalize}
-    // warmup
-    Spans.spanDedup.build(spark, "/root/testdata/sf0.001").count()
-    Normalize.antiJoin.build(spark, "/root/testdata/sf0.001").count()
+    // warmup — fixture pass only when the standard fixture exists
+    // (r15 ADVICE: the hardcoded path crashed on machines without it)
+    val fixture = "/root/testdata/sf0.001"
+    if (new java.io.File(fixture).isDirectory) {
+      Spans.spanDedup.build(spark, fixture).count()
+      Normalize.antiJoin.build(spark, fixture).count()
+    }
+    Spans.spanDedup.build(spark, dir).count()
+    Normalize.antiJoin.build(spark, dir).count()
 
     // --- span dedup ---
     val win = Spans.windowRows(spark, dir)

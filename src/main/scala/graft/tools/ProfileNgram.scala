@@ -25,8 +25,12 @@ object ProfileNgram {
       r
     }
     import graft.operators.Dedup
-    // warm the caches + codegen
-    Dedup.ngramJaccard.build(spark, "/root/testdata/sf0.001").count()
+    // warm the caches + codegen — fixture warmup only when the standard
+    // fixture exists (r15 ADVICE: the hardcoded path crashed on
+    // machines without it); the target-dir pass below always warms
+    val fixture = "/root/testdata/sf0.001"
+    if (new java.io.File(fixture).isDirectory)
+      Dedup.ngramJaccard.build(spark, fixture).count()
     Dedup.ngramJaccard.build(spark, dir).count()
     val bare = graft.Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"), col("source"),

@@ -48,11 +48,17 @@ class PlanQualitySpec extends SparkSpec {
     // keeps its witness in the date-window gate above.
     val p = plan(Normalize.antiJoin)
     assert(p.contains("LeftAnti"), s"expected the anti join in:\n$p")
+    // PRIMARY witness: no parquet scan — a leg re-scanning lineitem is
+    // the regression this gate exists to catch
     assert(!p.contains("Scan parquet"),
       s"legs must read the materialized key aggregate, not re-scan:\n$p")
+    // secondary: at least the two legs read the checkpointed aggregate
+    // (>= rather than ==, r15 ADVICE — AQE exchange reuse or a future
+    // third checkpointed input must not fail the gate spuriously)
     val rdds = "Scan ExistingRDD".r.findAllIn(p).size
-    assert(rdds === 2,
-      s"expected both legs on the one checkpointed aggregate, got $rdds:\n$p")
+    assert(rdds >= 2,
+      s"expected both anti-join legs to read the checkpointed key " +
+        s"aggregate (>= 2 ExistingRDD scans), got $rdds:\n$p")
   }
 
   test("column pruning: q1 agg scans only the five needed lineitem columns") {
