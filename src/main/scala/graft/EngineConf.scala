@@ -88,4 +88,24 @@ object EngineConf {
   def tuned(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       ObjectHashFallbackThreshold.toString)
+      // let the planner choose shuffled-hash over sort-merge when its
+      // own size conditions hold (one side far smaller AND its
+      // per-partition build fits) — skips both sides' sorts; identical
+      // results, graceful fallback to SMJ everywhere else. Scale-
+      // independent: the decision is per-join from runtime statistics,
+      // not a local[32] constant (guide §3.1/§9; bucketed co-located
+      // joins keep their SMJ because neither side is 3× smaller).
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("GRAFT_PREFER_SMJ_OFF", "false"))
+      // AQE's runtime SMJ→SHJ rewrite (off by default): when every
+      // measured post-shuffle partition of a sort-merge join is under
+      // this bound, build a per-partition hash map instead of sorting
+      // both sides. Decision is per-join from RUNTIME sizes, so it is
+      // scale-adaptive by construction: corpus-scaled joins at 100 TB
+      // exceed the bound and keep SMJ's graceful spill, while joins
+      // whose partitions measure small (after AQE coalescing) skip two
+      // sorts. 64 MB per build map × cores is well inside the
+      // documented session shapes (guide §3.1).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("GRAFT_SHJ_THRESHOLD", "64m"))
 }

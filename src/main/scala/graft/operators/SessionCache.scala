@@ -105,6 +105,10 @@ private[graft] object SessionCache {
     * estimates) — nothing to release. */
   def mkScalars(): Cache[Long] = new Cache[Long](_ => ())
 
+  /** Cache of driver-side scalar PAIRS (e.g. the BM25 (n_docs,
+    * t_tokens) corpus stats) — nothing to release. */
+  def mkScalarPairs(): Cache[(Long, Long)] = new Cache[(Long, Long)](_ => ())
+
   /** Cache of `persist()`-ed (columnar InMemoryRelation) frames — for
     * WIDE cached payloads (e.g. the span window rows, ~8× the corpus
     * text bytes as deserialized localCheckpoint blocks) where the

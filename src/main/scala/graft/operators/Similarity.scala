@@ -2037,7 +2037,21 @@ object Similarity {
     * (vec_id, label, cell, cos_cent, v, n2). The argmax collapses
     * map-side via the min(struct) trick — the broadcast fan-out never
     * reaches a shuffle. */
-  def semdedupAssign(spark: SparkSession, dir: String): DataFrame = {
+  private val semAsgCache = SessionCache.mkFrames()
+
+  private[graft] def clearSemAsgCache(): Unit = semAsgCache.clear()
+
+  /** Session-cached (r15): TWO registered consumers ([[semdedup]],
+    * [[cleanEmbeddings]]) each re-ran the broadcast-codebook argmax
+    * over the corpus per run; the assignment is the shared cluster
+    * index, the pruning tails stay per-run work. Parity with
+    * [[semdedupAssignFresh]] is spec-pinned. */
+  def semdedupAssign(spark: SparkSession, dir: String): DataFrame =
+    semAsgCache.getOrBuild(spark, dir, "embeddings.parquet",
+      "semdedup-asg")(semdedupAssignFresh(spark, dir).localCheckpoint())
+
+  private[graft] def semdedupAssignFresh(
+      spark: SparkSession, dir: String): DataFrame = {
     val e = quantizedLabeled(spark, dir)
     val cents = ivfSeedCodebook(e)
     e.join(broadcast(cents))

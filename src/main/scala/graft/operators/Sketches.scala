@@ -210,8 +210,17 @@ object Sketches {
       .groupBy(col("o_custkey").as("c"))
       .agg(max(when(year(col("o_orderdate")) <= 1997, 1).otherwise(0)).as("ia"),
         max(when(year(col("o_orderdate")) >= 1998, 1).otherwise(0)).as("ib"))
-    kmvStats(o.filter(col("ia") === 1).select(col("c")),
-      o.filter(col("ib") === 1).select(col("c")))
+    // ONE pass builds BOTH sides' distinct hash sets (r15): hash, then
+    // group by hv carrying per-side presence flags — the former
+    // kmvSketchOf-per-side shape re-ran the orders scan + customer
+    // aggregate and a distinct shuffle once per side. max(flag) per hv
+    // ≡ "hv present in that side" ≡ distinct(hv | side), the same set.
+    val hv = o.select(kmvMix(col("c")).as("hv"), col("ia"), col("ib"))
+      .groupBy(col("hv"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      .localCheckpoint()
+    kmvStatsHashed(hv.filter(col("ia") === 1).select(col("hv")),
+      hv.filter(col("ib") === 1).select(col("hv")))
   }
 
   /** The KMV sketch stage over one id frame (`c` column): k smallest
@@ -231,9 +240,17 @@ object Sketches {
     * estimate is the exact m (and the intersection estimate is the
     * exact ρ when the UNION sketch is exact, which implies both input
     * sketches are too). Same branch in the oracle SQL. */
-  def kmvStats(a: DataFrame, b: DataFrame): DataFrame = {
-    val sa = kmvSketchOf(a).localCheckpoint()
-    val sb = kmvSketchOf(b).localCheckpoint()
+  def kmvStats(a: DataFrame, b: DataFrame): DataFrame =
+    kmvStatsHashed(a.select(kmvMix(col("c")).as("hv")).distinct(),
+      b.select(kmvMix(col("c")).as("hv")).distinct())
+
+  /** [[kmvStats]] over PRE-HASHED distinct `hv` frames — the registered
+    * op passes slices of one flagged hash frame so both sketches (and
+    * the union) derive from a single distinct pass. */
+  private[operators] def kmvStatsHashed(a: DataFrame, b: DataFrame)
+      : DataFrame = {
+    val sa = a.orderBy(col("hv")).limit(KmvK).localCheckpoint()
+    val sb = b.orderBy(col("hv")).limit(KmvK).localCheckpoint()
     val su = sa.union(sb).distinct().orderBy(col("hv")).limit(KmvK)
       .localCheckpoint()
     val rho = su.join(broadcast(sa), "hv").join(broadcast(sb), "hv")

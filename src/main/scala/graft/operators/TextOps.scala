@@ -104,16 +104,18 @@ object TextOps {
       |            ORDER BY score DESC, term ASC) AS rnk
       |  FROM scored)
       |WHERE rnk <= 3""".stripMargin) { (spark, dir) =>
-    val docs = Tables.documents(spark, dir)
-    val w = docs.select(col("doc_id"),
-      explode(split(asciiLower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
-    val tf = w.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // the (doc, term) counts are a projection of the session-cached tf
+    // index (r15 — the index groups by (doc_id, dl, term), and dl is
+    // functionally determined by doc_id, so the groups are identical);
+    // the former build re-tokenized and re-aggregated the corpus per
+    // run. n_docs is the cached corpus scalar (count of documents —
+    // the same law as the inline count it replaces).
+    val tf = tfIndex(spark, dir).select(col("doc_id"), col("term"), col("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+    val nDocs = bm25Stats(spark, dir)._1
+    val scored = tf.join(df, Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        ((col("tf") * (col("n_docs") + 1)).cast("double") /
+        ((col("tf") * (lit(nDocs) + 1)).cast("double") /
           (col("df") + 1).cast("double")).as("score"))
     scored
       .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
@@ -555,7 +557,15 @@ object TextOps {
       |SELECT w1, w2, cnt, rk FROM (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rk
       |  FROM c) WHERE rk <= 3""".stripMargin) { (spark, dir) =>
-    bigramTopK(Tables.documents(spark, dir), 3)
+    // counts from the session-cached occurrence rows (r15); the
+    // generic kernel [[bigramTopK]] stays for ad-hoc frames
+    val counts = bigramRows(spark, dir).filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("w1")).orderBy(col("cnt").desc, col("w2").asc)))
+      .filter(col("rk") <= 3)
   }
 
   /** [[bigramLm]] kernel: top-k next words per head over `text`. */
@@ -589,6 +599,33 @@ object TextOps {
       : org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"), explode(bigramArray).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  private val bigramRowCache = SessionCache.mkPersistedFrames()
+
+  private[graft] def clearBigramRowCache(): Unit = bigramRowCache.clear()
+
+  /** (doc_id, lang, w1, w2) word-bigram occurrence rows of the corpus,
+    * with one NULL-marker row per document with < 2 tokens
+    * (explode_outer — the [[bigramNoveltyOf]] device) — session-cached
+    * (r15): FOUR registered consumers (`q_bigram_lm`,
+    * `q_bigram_novelty`, `q_ppl_buckets`, `q_collocations`) each
+    * re-tokenized + re-exploded the corpus per run to build this exact
+    * stream. Columnar `persist()` (the window-rows footprint device):
+    * the word columns dictionary-encode, bounding the resident size.
+    * Consumers that need only real bigrams filter `w1 IS NOT NULL`
+    * (bigram structs never carry null words, so null w1 ⇔ marker). */
+  private[graft] def bigramRows(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    bigramRowCache.getOrBuild(spark, dir, "documents.parquet",
+      "bigram-rows") {
+      val df = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), explode_outer(bigramArray).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .persist()
+      df.count()
+      df
+    }
 
   /** A bigram is "rare" below this corpus frequency. */
   val RareBelow = 3
@@ -630,7 +667,10 @@ object TextOps {
       |  coalesce(n_rare, 0) AS n_rare,
       |  coalesce(n_rare * 20 > n_bigrams, FALSE) AS novelty_flag
       |FROM documents LEFT JOIN d USING (doc_id)""".stripMargin) { (spark, dir) =>
-    bigramNoveltyOf(Tables.documents(spark, dir))
+    // occurrence rows from the session cache (r15) — marker rows for
+    // zero-bigram docs are already in the cached frame
+    bigramNoveltyOfRows(
+      bigramRows(spark, dir).select(col("doc_id"), col("w1"), col("w2")))
   }
 
   /** [[bigramNovelty]] kernel over any (doc_id, text) frame.
@@ -649,9 +689,16 @@ object TextOps {
     * it fits, falling back to a shuffle join when it doesn't, instead
     * of a hinted hard driver/executor OOM. */
   def bigramNoveltyOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bigramNoveltyOfRows(
+      docs.select(col("doc_id"), explode_outer(bigramArray).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+
+  /** [[bigramNoveltyOf]] over a PREPARED (doc_id, w1, w2) occurrence
+    * frame carrying the explode_outer marker rows — the registered op
+    * passes the session-cached [[bigramRows]]. */
+  private[graft] def bigramNoveltyOfRows(b: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val b = docs.select(col("doc_id"), explode_outer(bigramArray).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val frequent = b.filter(col("w1").isNotNull)
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
@@ -739,7 +786,12 @@ object TextOps {
       |  CAST(COALESCE(bk.bucket, $PplBuckets) AS BIGINT) AS bucket
       |FROM documents d LEFT JOIN bk ON bk.doc_id = d.doc_id""".stripMargin) {
     (spark, dir) =>
-    pplBucketsOf(Tables.documents(spark, dir))
+    // occurrence rows from the session cache (r15); the final left
+    // join still reads (doc_id, lang) from documents — a 2-column
+    // projection, never the text
+    pplBucketsFrom(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      bigramRows(spark, dir).filter(col("w1").isNotNull))
   }
 
   /** (doc_id, lang, w1, w2) bigram OCCURRENCE rows of a docs frame. */
@@ -819,12 +871,22 @@ object TextOps {
 
   /** [[pplBuckets]] kernel over any (doc_id, lang, text) frame. */
   def pplBucketsOf(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    pplBucketsFrom(docs.select(col("doc_id"), col("lang")),
+      docLangBigrams(docs))
+
+  /** [[pplBucketsOf]] over a PREPARED (doc_id, lang) frame and a
+    * (doc_id, lang, w1, w2) occurrence frame — the registered op
+    * passes the session-cached [[bigramRows]]. */
+  private[graft] def pplBucketsFrom(
+      docsIdLang: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("mbits").asc, col("doc_id").asc)
-    val bucketed = pplScores(docs)
+    val (c12, nLang) = pplModelFrom(b)
+    val bucketed = pplScoresFrom(b, c12, nLang)
       .withColumn("bucket", ntile(PplBuckets).over(w).cast("long"))
-    docs.select(col("doc_id"), col("lang"))
+    docsIdLang
       .join(bucketed.select(col("doc_id"), col("n_bigrams"),
         col("mbits"), col("bucket")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
@@ -880,17 +942,28 @@ object TextOps {
       |SELECT w1, w2, n12, n1, n2, lift, rk FROM (
       |  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS rk
       |  FROM j) WHERE rk <= $CollocTopK""".stripMargin) { (spark, dir) =>
-    collocationsOf(Tables.documents(spark, dir))
+    // bigram counts from the session-cached occurrence rows (r15);
+    // the unigram table still scans documents (the bigram stream
+    // misses each doc's last token by construction)
+    collocationsFrom(Tables.documents(spark, dir),
+      bigramRows(spark, dir).filter(col("w1").isNotNull))
   }
 
   /** [[collocations]] kernel over any (doc_id, text) frame. */
   def collocationsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    collocationsFrom(docs, docBigrams(docs))
+
+  /** [[collocationsOf]] with the bigram occurrences supplied — the
+    * registered op passes the session-cached [[bigramRows]]. */
+  private[graft] def collocationsFrom(docs: org.apache.spark.sql.DataFrame,
+      bigrams: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val toks = docs.select(explode(regexp_extract_all(asciiLower(col("text")),
       lit("[a-z]+"), lit(0))).as("w"))
     val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
     val total = uni.agg(sum(col("n")).as("tot"))
-    val big = docBigrams(docs)
+    val big = bigrams
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
       .filter(col("n12") >= CollocMinCount)
     val ranked = big
@@ -1117,22 +1190,21 @@ object TextOps {
        |            ORDER BY score DESC, doc_id ASC) AS rnk
        |  FROM scored)
        |WHERE rnk <= $Bm25K""".stripMargin) { (spark, dir) =>
-    // tf is the shared base of three branches here (query terms,
-    // query-term df, candidate postings) AND of every other lexical
-    // surface in the session — ride the session-cached index
-    val tf = tfIndex(spark, dir)
-    val qterms = tf.filter(col("doc_id") % Bm25QueryMod === 0 && length(col("term")) >= 7)
+    // every branch here is a SLICE of the session-cached df-annotated
+    // rare index (r15): query terms are ≥7 chars by contract, so the
+    // query-term extraction, the per-term df AND the candidate postings
+    // all live inside the rare slice — the former build re-scanned the
+    // full tf index three times per run (qterm df aggregate, corpus
+    // stats, posting join). Corpus stats are cached scalars (bounded
+    // metadata), inlined as literals.
+    val rare = bm25RareIndex(spark, dir)
+    val qterms = rare.filter(col("doc_id") % Bm25QueryMod === 0)
       .select(col("doc_id").as("qid"), col("term"))
-    val qtermSet = qterms.select("term").distinct()
-    // df only for query terms: the full-vocabulary aggregate never runs
-    val qdf = tf.join(broadcast(qtermSet), Seq("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = tf.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
-    val hits = tf.join(broadcast(qterms), Seq("term"))
+    val (nDocs, tTokens) = bm25TfStats(spark, dir)
+    val hits = rare.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
-      .join(broadcast(qdf), Seq("term"))
-      .crossJoin(broadcast(stats))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("t_tokens", lit(tTokens))
       .select(col("qid"), col("doc_id"), bm25PartCol)
     val scored = hits.groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("part")).as("score"))
@@ -1150,14 +1222,24 @@ object TextOps {
     * broadcastable where full postings never would be; a df cap is the
     * documented second bound if a corpus breaks that assumption.
     */
+  private val rareIndexCache = SessionCache.mkFrames()
+
+  private[graft] def clearRareIndexCache(): Unit = rareIndexCache.clear()
+
   private[graft] def bm25RareIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    // (doc, term) groups are per-term, so restricting to ≥7-char terms
-    // AFTER the shared tf aggregate leaves every kept group's tf/df
-    // untouched — the rare index is a slice of the session tf index
-    val tf = tfIndex(spark, dir).filter(length(col("term")) >= 7)
-    tf.join(tf.groupBy(col("term")).agg(count(lit(1)).as("df")), Seq("term"))
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    // session-cached (r15): the df-annotated rare slice is the shared
+    // probe-side index of q_bm25, q_bm25_pruned (via the pruned index)
+    // and the streaming probe — each consumer was re-running the slice
+    // + df aggregate + join (two tf passes) per run
+    rareIndexCache.getOrBuild(spark, dir, "documents.parquet", "bm25-rare") {
+      // (doc, term) groups are per-term, so restricting to ≥7-char terms
+      // AFTER the shared tf aggregate leaves every kept group's tf/df
+      // untouched — the rare index is a slice of the session tf index
+      val tf = tfIndex(spark, dir).filter(length(col("term")) >= 7)
+      tf.join(tf.groupBy(col("term")).agg(count(lit(1)).as("df")), Seq("term"))
+        .localCheckpoint()
+    }
 
   private val tfIndexCache = SessionCache.mkFrames()
 
@@ -1188,16 +1270,39 @@ object TextOps {
       spark.read.parquet(s"$store/tf")
     }
 
+  private val bm25StatsCache = SessionCache.mkScalarPairs()
+
+  private[graft] def clearBm25StatsCache(): Unit = bm25StatsCache.clear()
+
   /** Corpus scalars the probe needs: (n_docs, t_tokens) over ALL tokens
     * (dl counts every token, not just rare ones). One driver-side row —
-    * bounded metadata, same device as the derived watermark. */
+    * bounded metadata, same device as the derived watermark; session-
+    * cached (r15): every pruned/streaming consumer re-tokenized the
+    * corpus per run just to re-derive the same two scalars. */
   private[graft] def bm25Stats(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Long, Long) = {
-    val r = Tables.documents(spark, dir)
-      .select(size(split(asciiLower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
-    (r.getLong(0), r.getLong(1))
-  }
+      dir: String): (Long, Long) =
+    bm25StatsCache.getOrBuild(spark, dir, "documents.parquet", "docstats") {
+      val r = Tables.documents(spark, dir)
+        .select(size(split(asciiLower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+  /** (n_docs, t_tokens) derived from the tf index exactly the way
+    * [[bm25]]'s former inline `stats` frame derived them (count of
+    * docs with a tf row + sum of their dl) — cached corpus metadata.
+    * Kept as its own derivation rather than aliasing [[bm25Stats]]:
+    * the two agree on every corpus whose docs all tokenize to ≥ 1
+    * term, but the law here is "stats over the tf index", and the
+    * oracle replays this form. */
+  private[graft] def bm25TfStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Long) =
+    bm25StatsCache.getOrBuild(spark, dir, "documents.parquet", "tfstats") {
+      val r = tfIndex(spark, dir)
+        .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+      (r.getLong(0), r.getLong(1))
+    }
 
   /** Impact-ordered index pruning (Anh & Moffat's static pruning,
     * re-expressed relationally): keep only the top-[[Bm25PrunePostings]]
@@ -1217,20 +1322,31 @@ object TextOps {
     */
   val Bm25PrunePostings = 32
 
+  private val prunedIndexCache = SessionCache.mkFrames()
+
+  private[graft] def clearPrunedIndexCache(): Unit = prunedIndexCache.clear()
+
   private[graft] def bm25PrunedIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val (nDocs, tTokens) = bm25Stats(spark, dir)
-    bm25RareIndex(spark, dir)
-      .withColumn("n_docs", lit(nDocs))
-      .withColumn("t_tokens", lit(tTokens))
-      .withColumn("impact",
-        expr("(1000000 * 44 * tf * t_tokens) div " +
-          "(20*tf*t_tokens + 6*t_tokens + 18*dl*n_docs)"))
-      .withColumn("pr", row_number().over(Window.partitionBy(col("term"))
-        .orderBy(col("impact").desc, col("doc_id").asc)))
-      .filter(col("pr") <= Bm25PrunePostings)
-      .drop("pr", "impact", "n_docs", "t_tokens")
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    // session-cached (r15): the impact prune is the STATIC half of
+    // Anh & Moffat pruning — at 100 TB it is a persisted index build
+    // like tf_index itself, not per-query work; the query-side probe
+    // below still computes per run
+    prunedIndexCache.getOrBuild(spark, dir, "documents.parquet",
+      "bm25-pruned") {
+      val (nDocs, tTokens) = bm25Stats(spark, dir)
+      bm25RareIndex(spark, dir)
+        .withColumn("n_docs", lit(nDocs))
+        .withColumn("t_tokens", lit(tTokens))
+        .withColumn("impact",
+          expr("(1000000 * 44 * tf * t_tokens) div " +
+            "(20*tf*t_tokens + 6*t_tokens + 18*dl*n_docs)"))
+        .withColumn("pr", row_number().over(Window.partitionBy(col("term"))
+          .orderBy(col("impact").desc, col("doc_id").asc)))
+        .filter(col("pr") <= Bm25PrunePostings)
+        .drop("pr", "impact", "n_docs", "t_tokens")
+        .localCheckpoint()
+    }
 
   /** BM25 over the impact-pruned index — the registered 100 TB
     * retrieval shape. Contract identical to [[bm25]] except postings

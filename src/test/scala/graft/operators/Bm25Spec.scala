@@ -77,9 +77,13 @@ class Bm25Spec extends SparkSpec {
 
   test("plan: queries broadcast into postings; window over aggregates only") {
     val p = out.queryExecution.executedPlan.toString
+    // r15: the qdf join and the stats cross join are GONE — df rides
+    // the cached rare index's rows and the corpus stats inline as
+    // literals — so the one remaining join is qterms→postings, and it
+    // must broadcast the query side
     val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
-    assert(broadcasts >= 3, // qterms->postings, qdf->hits, stats scalar
-      s"query-side tables must broadcast (got $broadcasts):\n$p")
+    assert(broadcasts >= 1,
+      s"query terms must broadcast into the postings (got $broadcasts):\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"no corpus-vs-corpus shuffle join in the retrieval path:\n$p")
     // the window input is the (qid, doc_id) score aggregate, never raw
