@@ -323,9 +323,12 @@ object Dedup {
       .select(col("brand"), col("key_a").as("key"), col("key_b"),
         levenshtein(col("name_a"), col("name_b")).as("dist"))
       .groupBy(col("brand"), col("key"))
-      .agg(min(struct(col("dist"), col("key_b"))).as("best"))
+      // bounded-heap argmin via sign-flipped argmax (BestAgg r15):
+      // largest (−dist, −key_b) ≡ smallest (dist, key_b)
+      .agg(BestAgg.largest1(spark,
+        struct((-col("dist")).as("nd"), (-col("key_b")).as("nk"))).as("best"))
       .select(col("brand"), col("key"),
-        col("best.key_b").as("best_key"), col("best.dist").as("best_dist"))
+        (-col("best.nk")).as("best_key"), (-col("best.nd")).as("best_dist"))
     exactBest.unionByName(nearBest)
   }
 

@@ -223,19 +223,16 @@ object GraphOps {
       .join(quotient, col("lbl") === col("qnode"), "left")
       .select(col("node").as("doc_id"),
         coalesce(col("qlbl"), col("lbl")).as("cluster_id"))
-    val touched = crossQ.select(col("qa").as("doc_id"))
-      .unionByName(deltaQ.select(col("qa").as("doc_id")))
-      .unionByName(deltaQ.select(col("qb").as("doc_id")))
-      .unionByName(crossQ.select(col("qb").as("doc_id")))
-      .distinct()
-      // quotient nodes that are standing LABELS are already covered by
-      // standingFinal; keep only nodes that are not standing-pair docs
-      .join(standingLbl.withColumnRenamed("node", "doc_id"),
-        Seq("doc_id"), "left_anti")
-    val touchedFinal = touched
-      .join(quotient, col("doc_id") === col("qnode"))
-      .select(col("doc_id"), col("qlbl").as("cluster_id"))
-    standingFinal.unionByName(touchedFinal)
+    // the quotient's node set IS the touched set (r15): CC labels one
+    // row per distinct node of its symmetric edge frame, i.e. exactly
+    // the union of crossQ/deltaQ endpoints — the former 4-way union +
+    // distinct re-derived that set from the pair frames and joined it
+    // back. Nodes that are standing LABELS are covered by
+    // standingFinal; keep only nodes that are not standing-pair docs.
+    standingFinal.unionByName(quotient
+      .join(standingLbl.withColumnRenamed("node", "qnode"),
+        Seq("qnode"), "left_anti")
+      .select(col("qnode").as("doc_id"), col("qlbl").as("cluster_id")))
   }
 
   /** [[dupClusters]] computed INCREMENTALLY — the clustering stage of
@@ -409,11 +406,14 @@ object GraphOps {
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
         col("n_ws"), col("qp"))
     // winner per cluster as ONE aggregate: max of (qp, n_ws, -doc_id)
-    // ⇔ (qp DESC, n_ws DESC, doc_id ASC) — no corpus-wide window sort
+    // ⇔ (qp DESC, n_ws DESC, doc_id ASC) — no corpus-wide window sort;
+    // bounded-heap form (BestAgg r15) so the struct argmax doesn't
+    // drag the whole aggregate to a SortAggregate plan
     val best = lab.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
-        max(struct(col("qp").cast("int").as("q"), col("n_ws").as("n"),
-          negate(col("doc_id")).as("nid"))).as("b"))
+        BestAgg.largest1(spark,
+          struct(col("qp").cast("int").as("q"), col("n_ws").as("n"),
+            negate(col("doc_id")).as("nid"))).as("b"))
       .select(col("cluster_id"), col("cluster_size"),
         negate(col("b.nid")).as("rep_doc_id"))
     lab.join(best, Seq("cluster_id"))
@@ -980,8 +980,12 @@ object GraphOps {
       .groupBy(col("dst"), col("lbl"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("dst"))
-      .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("b"))
-      .select(col("dst").as("node"), col("b.lbl").as("lbl"))
+      // bounded-heap argmax (BestAgg r15): largest (c, −lbl) ≡ the
+      // mode with smallest-label tiebreak the min(struct) computed —
+      // without the SortAggregate plan the struct buffer forced
+      .agg(BestAgg.largest1(ed.sparkSession,
+        struct(col("c"), (-col("lbl")).as("nlbl"))).as("b"))
+      .select(col("dst").as("node"), (-col("b.nlbl")).as("lbl"))
 
   def lpaOf(und: DataFrame, iters: Int): DataFrame =
     lpaOfEd(

@@ -48,19 +48,24 @@ object Pricing {
       .when(col("source") === "N", 30).otherwise(99)
     val typePrio = when(col("price_type") === "O", 10)
       .when(col("price_type") === "F", 14).otherwise(90)
+    // argmin as the bounded-heap argMAX over the sign-flipped ordering
+    // key (BestAgg r15: the declarative min(struct) planned as
+    // SortAggregate — every mapper sorted the whole snapshot stream);
+    // (l_orderkey, l_linenumber) totalizes the key, so the trailing
+    // payload columns never participate in a comparison
     snaps
       .groupBy(col("market_item_id"), col("as_of_date"))
-      .agg(min(struct(
-        srcPrio.as("sp"), typePrio.as("tp"),
-        (-col("value_cents")).as("nv"),
-        col("l_orderkey"), col("l_linenumber"),
+      .agg(BestAgg.largest1(snaps.sparkSession, struct(
+        (-srcPrio).as("nsp"), (-typePrio).as("ntp"),
+        col("value_cents").as("v"),
+        (-col("l_orderkey")).as("nok"), (-col("l_linenumber")).as("nln"),
         col("source"), col("price_type"))).as("best"))
       .select(col("market_item_id"), col("as_of_date"),
         col("best.source").as("source"),
         col("best.price_type").as("price_type"),
-        (-col("best.nv")).as("value_cents"),
-        col("best.l_orderkey").as("l_orderkey"),
-        col("best.l_linenumber").as("l_linenumber"))
+        col("best.v").as("value_cents"),
+        (-col("best.nok")).as("l_orderkey"),
+        (-col("best.nln")).as("l_linenumber"))
   }
 
   val bestOfDay: Op = Op(

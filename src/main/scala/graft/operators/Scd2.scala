@@ -138,7 +138,11 @@ object Scd2 {
   def cdcState(log: DataFrame, tombstone: String): DataFrame =
     log.groupBy(col("key"))
       .agg(
-        max(struct(col("us"), col("event_id"), col("op"), col("value")))
+        // bounded-heap argmax (BestAgg r15) — same struct ordering,
+        // ObjectHashAggregate plan instead of the SortAggregate the
+        // declarative max(struct) forced
+        BestAgg.largest1(log.sparkSession,
+          struct(col("us"), col("event_id"), col("op"), col("value")))
           .as("last"),
         count(lit(1)).as("n_ops"))
       .filter(col("last.op") =!= tombstone)

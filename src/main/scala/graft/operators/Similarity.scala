@@ -88,16 +88,19 @@ object Similarity {
     math.max(50L, math.ceil(math.sqrt(1.25 * nQualifying)).toLong)
 
   /** Nearest-centroid assignment: (cell, v, cos) per vector, centroid
-    * broadcast, argmax collapsed map-side via the min(struct) trick. */
+    * broadcast, argmax collapsed map-side via the bounded-heap argmax
+    * (BestAgg r15 — the former min(struct) planned as SortAggregate
+    * over the whole N×K scored stream). Ordering identical: largest
+    * (cos, −cent_id) ≡ smallest (−cos, cent_id). */
   def ivfAssign(spark: SparkSession, n: DataFrame, cents: DataFrame): DataFrame =
     n.join(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cent_id"),
         cosine(idot(spark, col("v"), col("cv")), col("n2"), col("cn")).as("cos"))
       .groupBy(col("vec_id"))
-      .agg(min(struct(negate(col("cos")).as("nc"), col("cent_id").as("cell"),
-        col("v").as("v"))).as("best"))
-      .select(col("best.cell").as("cell"), col("best.v").as("v"),
-        negate(col("best.nc")).as("cos"))
+      .agg(BestAgg.largest1(spark, struct(col("cos"),
+        negate(col("cent_id")).as("ncell"), col("v").as("v"))).as("best"))
+      .select(negate(col("best.ncell")).as("cell"), col("best.v").as("v"),
+        col("best.cos").as("cos"))
 
   /** Centroid update from an assignment: element-wise integer SUM of
     * each cell's members — cosine is scale-invariant, so the sum ≡ the
@@ -528,13 +531,15 @@ object Similarity {
     val scored = n.join(broadcast(cents1))
       .select(col("vec_id"), col("v"), col("n2"), col("cent_id"),
         cosine(idot(spark, col("v"), col("cv")), col("n2"), col("cn")).as("cos"))
-    // nearest centroid per vector as an aggregate (not a window): the
-    // struct min is computed map-side before any shuffle
+    // nearest centroid per vector as an aggregate (not a window),
+    // through the bounded-heap argmax (BestAgg r15 — min(struct)
+    // planned as SortAggregate over the rescored stream)
     val assign = scored
       .groupBy(col("vec_id"))
-      .agg(min(struct(negate(col("cos")).as("nc"), col("cent_id").as("cell"),
+      .agg(BestAgg.largest1(spark, struct(col("cos"),
+        negate(col("cent_id")).as("ncell"),
         col("v").as("v"), col("n2").as("n2"))).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"),
+      .select(col("vec_id"), negate(col("best.ncell")).as("cell"),
         col("best.v").as("v"), col("best.n2").as("n2"))
     val qcells = scored.filter(col("vec_id") < 10)
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
@@ -927,15 +932,39 @@ object Similarity {
       lit(0L), (acc, x) => acc + x)
 
   /** PQ assignment stage: (vec_id, m, k) where k = d2·16 + cid packs
-    * (distance, winning centroid) per subspace. */
+    * (distance, winning centroid) per subspace. Pre-slices both sides
+    * per subspace and scores via the native dot (the
+    * [[pqSubspaceAssign]] r15 device — the former per-scored-row
+    * [[subDist2]] re-sliced the full vectors AND ran interpreted
+    * lambdas across the whole N·8·16 fan-out); the lambda form stays
+    * for vanilla sessions. */
   def pqAssign(q: DataFrame, codebook: DataFrame): DataFrame =
-    q.select(col("vec_id"), col("v"),
-        explode(sequence(lit(0), lit(7))).as("m"))
-      .join(broadcast(codebook))
-      .select(col("vec_id"), col("m"), col("cid"),
-        subDist2(col("v"), col("cv"), col("m")).as("d2"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(col("d2") * 16 + col("cid")).as("k"))
+    if (spark_functionExists(q, "graft_dot")) {
+      val subs = pqSubspaces(q)
+        .withColumn("nx",
+          call_function("graft_dot", col("sub8"), col("sub8")))
+      val cb8 = codebook
+        .select(col("cid"), explode(sequence(lit(0), lit(7))).as("m"),
+          col("cv"))
+        .select(col("m"), col("cid"),
+          slice(col("cv"), col("m") * 8 + 1, lit(8)).as("cv8"))
+        .withColumn("ny",
+          call_function("graft_dot", col("cv8"), col("cv8")))
+      subs.join(broadcast(cb8), Seq("m"))
+        .select(col("vec_id"), col("m"), col("cid"),
+          (col("nx") + col("ny") -
+            lit(2L) * call_function("graft_dot", col("sub8"), col("cv8")))
+            .as("d2"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(col("d2") * 16 + col("cid")).as("k"))
+    } else
+      q.select(col("vec_id"), col("v"),
+          explode(sequence(lit(0), lit(7))).as("m"))
+        .join(broadcast(codebook))
+        .select(col("vec_id"), col("m"), col("cid"),
+          subDist2(col("v"), col("cv"), col("m")).as("d2"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(col("d2") * 16 + col("cid")).as("k"))
 
   /** Pack per-subspace assignments (vec_id, m, k) into the final code
     * row — THE one definition of the nibble layout, shared by the seed
@@ -970,11 +999,33 @@ object Similarity {
     * subspace (centroid ids are < nc). */
   def pqSubspaceAssign(subs: DataFrame, cb: DataFrame, nc: Int = 16)
       : DataFrame = {
-    val d2 = aggregate(
-      zip_with(col("sub8"), col("cv8"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
-    subs.join(broadcast(cb), Seq("m"))
-      .select(col("vec_id"), col("m"), col("cid"), d2.as("d2"))
+    // L2² through the native codegen'd dot (r15, guide §4.1):
+    // Σ(x−y)² = ‖x‖² + ‖y‖² − 2·x·y — exact int64 either way, but the
+    // zip_with + aggregate lambda form evaluated INTERPRETED per
+    // (subvector, centroid) joined row (the whole N·8·16 fan-out;
+    // measured as the op's single 1 s job), while the norms hoist to
+    // one evaluation per row per side and the cross term is ONE
+    // LongArrayDot call. Lambda form stays as the vanilla-session
+    // fallback.
+    val scored =
+      if (spark_functionExists(subs, "graft_dot")) {
+        val s2 = subs.withColumn("nx",
+          call_function("graft_dot", col("sub8"), col("sub8")))
+        val c2 = cb.withColumn("ny",
+          call_function("graft_dot", col("cv8"), col("cv8")))
+        s2.join(broadcast(c2), Seq("m"))
+          .select(col("vec_id"), col("m"), col("cid"),
+            (col("nx") + col("ny") -
+              lit(2L) * call_function("graft_dot", col("sub8"), col("cv8")))
+              .as("d2"))
+      } else {
+        val d2 = aggregate(
+          zip_with(col("sub8"), col("cv8"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+        subs.join(broadcast(cb), Seq("m"))
+          .select(col("vec_id"), col("m"), col("cid"), d2.as("d2"))
+      }
+    scored
       .groupBy(col("vec_id"), col("m"))
       .agg(min(col("d2") * nc + col("cid")).as("k"))
   }
@@ -2054,15 +2105,20 @@ object Similarity {
       spark: SparkSession, dir: String): DataFrame = {
     val e = quantizedLabeled(spark, dir)
     val cents = ivfSeedCodebook(e)
+    // bounded-heap argmax (BestAgg r15): the min(struct) + first(v)
+    // pair both carried unsupported buffer types, degrading the
+    // aggregate to SortAggregate; the winner struct carries v/n2
+    // (constant within the (vec_id, label) group) out directly
     e.join(broadcast(cents))
       .groupBy(col("vec_id"), col("label"))
-      .agg(
-        min(struct(
-          negate(cosine(idot(spark, col("v"), col("cv")),
-            col("n2"), col("cn"))).as("ncos"),
-          col("cent_id").as("cell"))).as("best"),
-        first(col("v")).as("v"), first(col("n2")).as("n2"))
-      .select(col("vec_id"), col("label"), col("best.cell").as("cell"),
-        negate(col("best.ncos")).as("cos_cent"), col("v"), col("n2"))
+      .agg(BestAgg.largest1(spark, struct(
+        cosine(idot(spark, col("v"), col("cv")),
+          col("n2"), col("cn")).as("cos"),
+        negate(col("cent_id")).as("ncell"),
+        col("v").as("v"), col("n2").as("n2"))).as("best"))
+      .select(col("vec_id"), col("label"),
+        negate(col("best.ncell")).as("cell"),
+        col("best.cos").as("cos_cent"),
+        col("best.v").as("v"), col("best.n2").as("n2"))
   }
 }

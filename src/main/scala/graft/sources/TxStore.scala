@@ -74,8 +74,19 @@ object TxStore {
   def stageDays(txn: TxCommit.Txn, df: DataFrame, dateCol: String,
       prefix: String = "daily"): Map[String, String] = {
     val stageDir = txn.stage(prefix)
+    // explicit partition count (r15): a keyed repartition with NO count
+    // is fair game for AQE coalescing, which at small staged sizes
+    // folded every day into ONE task that then created the day dirs'
+    // files sequentially (measured ~20 ms per file create+commit — the
+    // dominant cost of the upsert-day round trip). Pinning the count to
+    // the session's parallelism keeps the per-day file layout identical
+    // (each day still hashes to exactly one task → one file per day
+    // dir) while the creates run in parallel; at cluster scale
+    // defaultParallelism is the writer fan-out a day-partitioned
+    // staging write wants anyway.
+    val writers = df.sparkSession.sparkContext.defaultParallelism
     df.withColumn(DayDirCol, col(dateCol).cast("string"))
-      .repartition(col(dateCol))
+      .repartition(writers, col(dateCol))
       .write.mode("overwrite").partitionBy(DayDirCol).parquet(stageDir)
     // enumerate staged day dirs from the filesystem — no extra job, and
     // the manifest records exactly what landed

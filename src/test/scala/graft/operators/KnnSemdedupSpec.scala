@@ -160,7 +160,11 @@ class KnnSemdedupSpec extends SparkSpec {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Window"), "expected no Window operator")
     }
-    val asgPlan = asg.queryExecution.executedPlan.toString
+    // r15: the registered assignment is session-cached, so its plan is
+    // an InMemoryTableScan — gate the FRESH construction (the parity
+    // reference the cache must equal) for the broadcast witness
+    val asgPlan = Similarity.semdedupAssignFresh(spark, sf001)
+      .queryExecution.executedPlan.toString
     assert(asgPlan.contains("BroadcastHashJoin") ||
       asgPlan.contains("BroadcastNestedLoopJoin"),
       "centroid codebook should broadcast")
